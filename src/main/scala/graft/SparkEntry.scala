@@ -14,11 +14,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     SqlSurface.q1Agg(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (SqlSurface.q1Agg _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SqlSurface.queries
 
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> SqlSurface.q1AggSql
-  )
+  def oracleSql: Map[String, String] =
+    SqlSurface.oracles
 }

@@ -1,7 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.queries.Num._
 
 /** The reference's "delegated SQL surface" (SURVEY.md §2.3): Arthur
@@ -11,20 +13,25 @@ import graft.queries.Num._
   * Redshift's role: each query is declared with the DataFrame API and
   * the optimizer picks pushdown, join strategy, and aggregation mode.
   *
-  * Scale notes are per-query; the general stance: partial (map-side)
-  * aggregation is automatic for `groupBy().agg`, small dimension
-  * tables are broadcast explicitly, and filters sit directly on the
-  * scan so parquet row-group pruning applies.
+  * Scale stance (100 TB): filters sit directly on scans so parquet
+  * row-group pruning + column pruning apply; dimension tables
+  * (region/nation/supplier/customer at warehouse scale-ratios) are
+  * broadcast; fact-fact joins shuffle on their join key and rely on
+  * AQE for skew; aggregations use map-side partial agg (automatic for
+  * groupBy.agg); window functions partition on high-cardinality keys
+  * so no single partition exceeds executor memory.
   */
 object SqlSurface {
 
-  /** TPC-H Q1-style pricing summary. Aggregation over a scan with a
-    * pushed-down temporal filter; 4 groups → tiny shuffle, map-side
-    * partial agg does nearly all the work. Scales linearly with input. */
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-style pricing summary. 4 groups → tiny shuffle; map-side
+    * partial agg does nearly all work. Linear in input, no join. */
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, sfDir, "lineitem")
-      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .filter($"l_shipdate" <= ts("1998-09-02 00:00:00"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         dsum($"l_quantity").as("sum_qty"),
@@ -52,4 +59,396 @@ object SqlSurface {
        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** Multi-join revenue per nation (TPC-H Q5 shape). `nation` is tiny
+    * → broadcast; customer⋈orders and orders⋈lineitem shuffle on their
+    * keys (both sides large at 100 TB). Filter on o_orderdate is
+    * pushed to the orders scan before the join. */
+  def q2JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, sfDir, "customer")
+    val orders = Tables.load(spark, sfDir, "orders")
+      .filter($"o_orderdate" >= ts("1995-01-01 00:00:00") &&
+        $"o_orderdate" < ts("1996-01-01 00:00:00"))
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val nation = Tables.load(spark, sfDir, "nation")
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q2JoinAggSql: String =
+    s"""SELECT n_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** Top-k by aggregate (TPC-H Q3 shape). The global top-10 after a
+    * grouped agg: Spark plans TakeOrderedAndProject — each partition
+    * keeps 10 rows, driver merges → no full sort at scale. */
+  def q3TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"o_orderpriority", $"revenue")
+  }
+
+  val q3TopKSql: String =
+    s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority, revenue
+       |FROM (
+       |  SELECT o_orderkey, o_orderdate, o_orderpriority,
+       |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |) ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** Window functions: per-supplier shipment ranking + running totals.
+    * Partitioned by l_suppkey (high cardinality at scale → even
+    * distribution); running sum accumulates in DECIMAL so the result
+    * is order-exact regardless of the engine's frame evaluation. */
+  def q4Window(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum($"l_quantity".cast(DecimalType(18, 6))).over(running).cast(DoubleType))
+      .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
+      .filter($"rn" <= 3)
+      .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber",
+        $"l_quantity", $"running_qty", $"prev_qty")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  val q4WindowSql: String =
+    """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_quantity, running_qty, prev_qty
+      |FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |    row_number() OVER w AS rn,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |    lag(l_quantity, 1) OVER w AS prev_qty
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |) WHERE rn <= 3
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Set operations: INTERSECT / EXCEPT / UNION ALL over customer key
+    * sets (buyers in 1995 vs 1996). Set ops shuffle on the full row —
+    * at scale, project to the key column FIRST (done here) so the
+    * shuffle payload is minimal. */
+  def q5SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+    def buyersIn(year: Int): DataFrame = orders
+      .filter($"o_orderdate" >= ts(s"$year-01-01 00:00:00") &&
+        $"o_orderdate" < ts(s"${year + 1}-01-01 00:00:00"))
+      .select($"o_custkey")
+    val both = buyersIn(1995).intersect(buyersIn(1996))
+      .select(lit("both").as("tag"), $"o_custkey")
+    val only94 = buyersIn(1995).except(buyersIn(1996))
+      .select(lit("only_1995").as("tag"), $"o_custkey")
+    both.unionAll(only94).orderBy($"tag", $"o_custkey")
+  }
+
+  val q5SetOpsSql: String =
+    """WITH b94 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+      |     b95 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM b94 INTERSECT SELECT o_custkey FROM b95)
+      |UNION ALL
+      |SELECT 'only_1995' AS tag, o_custkey FROM (SELECT o_custkey FROM b94 EXCEPT SELECT o_custkey FROM b95)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** TPC-H Q6: highly selective scan-aggregate, no join, no groupBy —
+    * the canonical predicate-pushdown check (`PushedFilters` must show
+    * all three range predicates at the parquet scan). */
+  def q6Filter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+        $"l_shipdate" < ts("1997-01-01 00:00:00") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6FilterSql: String =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** Semi/anti joins (EXISTS / NOT EXISTS). Spark's left_semi/left_anti
+    * avoid materializing the probe side's payload; at scale the orders
+    * side is pre-projected to the join key only. */
+  def q7SemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, sfDir, "customer")
+    val orderCust = Tables.load(spark, sfDir, "orders").select($"o_custkey")
+    val withOrders = customer.join(orderCust, $"c_custkey" === $"o_custkey", "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("tag"), $"n")
+    val noOrders = customer.join(orderCust, $"c_custkey" === $"o_custkey", "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("no_orders").as("tag"), $"n")
+    withOrders.unionAll(noOrders).orderBy($"tag")
+  }
+
+  val q7SemiAntiSql: String =
+    """SELECT 'with_orders' AS tag, COUNT(*) AS n FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'no_orders' AS tag, COUNT(*) AS n FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY tag""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** DISTINCT aggregates. Exact distinct counts require a per-group
+    * dedup shuffle; Spark expands multi-distinct into a single
+    * two-phase plan. (approx_count_distinct is the scale path but has
+    * no cross-engine oracle.) */
+  def q8Distinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_custkey").as("n_custs"),
+        countDistinct(date_format($"o_orderdate", "yyyy-MM").as("m")).as("n_months"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q8DistinctSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** ROLLUP (grouping sets) over region→nation customer stats; the
+    * multi-level aggregate is one shuffle (Expand + partial agg). */
+  def q9Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, sfDir, "customer")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val region = Tables.load(spark, sfDir, "region")
+    customer
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_custs"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val q9RollupSql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_custs, ${dsumSql("c_acctbal")} AS sum_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** GROUP BY + HAVING: frequent buyers. HAVING is a post-agg filter —
+    * Catalyst runs it after partial+final agg, before the sort. */
+  def q10Having(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_spent"))
+      .filter($"n_orders" >= 15)
+      .orderBy($"o_custkey")
+  }
+
+  val q10HavingSql: String =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_spent
+       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Decorrelated subquery: parts priced ≥ 1.03× their type's average.
+    * Expressed as agg + re-join (what Catalyst decorrelates a
+    * correlated subquery into); the per-type averages are tiny →
+    * broadcast back. */
+  def q11Subquery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.load(spark, sfDir, "part")
+    val avgByType = part.groupBy($"p_type".as("t"))
+      .agg(davg($"p_retailprice").as("avg_price"))
+    part.join(broadcast(avgByType), $"p_type" === $"t")
+      .filter($"p_retailprice" >= $"avg_price" * 1.03)
+      .select($"p_partkey", $"p_type", $"p_retailprice", $"avg_price")
+      .orderBy($"p_partkey")
+  }
+
+  val q11SubquerySql: String =
+    s"""SELECT p_partkey, p_type, p_retailprice, avg_price
+       |FROM part JOIN (
+       |  SELECT p_type AS t, ${davgSql("p_retailprice")} AS avg_price
+       |  FROM part GROUP BY p_type
+       |) ON p_type = t
+       |WHERE p_retailprice >= avg_price * 1.03
+       |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Conditional (CASE) aggregation — pivot-style counters in one
+    * pass, no extra shuffle vs a plain aggregate. */
+  def q12Case(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(when($"o_totalprice" > 200000.0, 1L).otherwise(0L)).as("n_big"),
+        sum(when($"o_totalprice" <= 200000.0 && $"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_small_f"),
+        dsum(when($"o_orderstatus" === "O", $"o_totalprice").otherwise(lit(0.0))).as("open_value"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q12CaseSql: String =
+    s"""SELECT o_orderpriority,
+       |  SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS n_big,
+       |  SUM(CASE WHEN o_totalprice <= 200000.0 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_small_f,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS open_value
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** CTE / two-level aggregation (TPC-H Q13 custdist shape): orders
+    * per customer, then distribution of that count. Second agg's input
+    * is already small (one row per customer). */
+  def q13Cte(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13CteSql: String =
+    """WITH per_cust AS (SELECT o_custkey, COUNT(*) AS c_count FROM orders GROUP BY o_custkey)
+      |SELECT c_count, COUNT(*) AS custdist FROM per_cust
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Time-bucketed event analytics (hourly tumbling window as a batch
+    * groupBy; the streaming twin lives in graft.streaming). Buckets
+    * formatted as strings for engine-neutral output. */
+  def q14EventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "events")
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  val q14EventsHourlySql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+       |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Sessionization: split each user's event stream on >30 min gaps
+    * (lag + cumulative flag sum), then per-session stats. Windows
+    * partition by user_id → even distribution at scale; the batch twin
+    * of flatMapGroupsWithState sessionization. */
+  def q15EventsSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = Tables.load(spark, sfDir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          (unix_micros($"ts") - unix_micros($"prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(unix_micros($"ts")) - min(unix_micros($"ts"))) / 1000000L).cast("long").as("duration_s"))
+      .groupBy($"user_id")
+      .agg(max($"sess_id").as("n_sessions"),
+        max($"n_events").as("max_events_per_session"),
+        max($"duration_s").as("max_duration_s"))
+      .orderBy($"user_id")
+  }
+
+  val q15EventsSessionsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts, 1) OVER w IS NULL
+      |           OR (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged
+      |), per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |    CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_s
+      |  FROM sessions GROUP BY user_id, sess_id
+      |)
+      |SELECT user_id, MAX(sess_id) AS n_sessions, MAX(n_events) AS max_events_per_session,
+      |  MAX(duration_s) AS max_duration_s
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Registry fragment for this module. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_join_agg" -> (q2JoinAgg _),
+    "q3_topk" -> (q3TopK _),
+    "q4_window" -> (q4Window _),
+    "q5_setops" -> (q5SetOps _),
+    "q6_filter" -> (q6Filter _),
+    "q7_semi_anti" -> (q7SemiAnti _),
+    "q8_distinct" -> (q8Distinct _),
+    "q9_rollup" -> (q9Rollup _),
+    "q10_having" -> (q10Having _),
+    "q11_subquery" -> (q11Subquery _),
+    "q12_case" -> (q12Case _),
+    "q13_cte" -> (q13Cte _),
+    "q14_events_hourly" -> (q14EventsHourly _),
+    "q15_events_sessions" -> (q15EventsSessions _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q2_join_agg" -> q2JoinAggSql,
+    "q3_topk" -> q3TopKSql,
+    "q4_window" -> q4WindowSql,
+    "q5_setops" -> q5SetOpsSql,
+    "q6_filter" -> q6FilterSql,
+    "q7_semi_anti" -> q7SemiAntiSql,
+    "q8_distinct" -> q8DistinctSql,
+    "q9_rollup" -> q9RollupSql,
+    "q10_having" -> q10HavingSql,
+    "q11_subquery" -> q11SubquerySql,
+    "q12_case" -> q12CaseSql,
+    "q13_cte" -> q13CteSql,
+    "q14_events_hourly" -> q14EventsHourlySql,
+    "q15_events_sessions" -> q15EventsSessionsSql)
 }

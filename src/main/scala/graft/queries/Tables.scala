@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Test-table access for the driver-provided TPC-H-ish parquet data
   * (see /root/repo/TESTDATA.md). In the reference these arrive via
@@ -15,7 +16,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as long and convert to the session's
+      // microsecond timestamp — the data is µs-precision, so lossless.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Register every table as a temp view so `spark.sql` transform
     * queries (the reference's CTAS/VIEW surface) can resolve them. */

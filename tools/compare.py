@@ -15,10 +15,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def norm(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    # stable sort rows by all columns (stringify for mixed/NaN safety)
-    key = df.astype(str).agg("\x1f".join, axis=1)
-    df = df.iloc[key.argsort(kind="stable").values].reset_index(drop=True)
+    df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    if len(df) and len(df.columns):
+        # stable sort rows by all columns (stringify for mixed/NaN safety)
+        order = df.astype(str).sort_values(by=list(df.columns), kind="stable").index
+        df = df.loc[order].reset_index(drop=True)
     return df
 
 def main():

@@ -15,8 +15,8 @@ object SparkEntry {
     SqlSurface.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SqlSurface.queries
+    SqlSurface.queries ++ EtlOps.queries
 
   def oracleSql: Map[String, String] =
-    SqlSurface.oracles
+    SqlSurface.oracles ++ EtlOps.oracles
 }

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.queries.Num._
+
+/** Arthur's OWN operator set, re-expressed Spark-first (SURVEY.md
+  * §2.2, §2.4, §2.5): the constraint checker, row-count audit,
+  * identity/surrogate-key materialization, the missing-dimension NA
+  * row, extract sampling, and extract-time cast projections.
+  */
+object EtlOps {
+
+  // ---------------------------------------------------------------- C1
+  /** Constraint check / duplicate detection
+    * (/root/reference/python/etl/load.py:564-634): for a declared key,
+    * `GROUP BY key HAVING COUNT(*) > 1 LIMIT 5` — non-empty ⇒ the
+    * constraint failed; the 5 sample groups go into the error.
+    * Demonstrated on a (deliberately weak) candidate natural key of
+    * `orders` so violations are actually found. The reference's LIMIT
+    * is arbitrary; here it is made deterministic by ordering on the
+    * key. One shuffle on the key; partial agg prunes unique keys
+    * map-side, so at 100 TB the shuffle carries only repeated keys. */
+  def c1ConstraintDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(count(lit(1)).as("n_dups"))
+      .filter($"n_dups" > 1)
+      .orderBy($"o_custkey", $"o_orderdate")
+      .limit(5)
+      .select($"o_custkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"n_dups")
+  }
+
+  val c1ConstraintDupSql: String =
+    """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, n_dups
+      |FROM (
+      |  SELECT o_custkey, o_orderdate, COUNT(*) AS n_dups
+      |  FROM orders GROUP BY o_custkey, o_orderdate HAVING COUNT(*) > 1
+      |) ORDER BY o_custkey, o_orderdate LIMIT 5""".stripMargin
+
+  /** C1 on a real primary key (o_orderkey) — must come back EMPTY;
+    * the engine treats non-empty as FailedConstraintError. */
+  def c1PkClean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n_dups"))
+      .filter($"n_dups" > 1).orderBy($"o_orderkey").limit(5)
+  }
+
+  val c1PkCleanSql: String =
+    """SELECT o_orderkey, COUNT(*) AS n_dups
+      |FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+      |ORDER BY o_orderkey LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------- C2
+  /** Row-count audit (/root/reference/python/etl/load.py:733-744):
+    * `SELECT COUNT(*)` per relation after load, emitted as one audit
+    * relation. Parquet count(*) is metadata-only → no scan. */
+  def c2RowcountAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.all.map { t =>
+      Tables.load(spark, sfDir, t).agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("relation"), $"n_rows")
+    }.reduce(_ unionAll _).orderBy($"relation")
+  }
+
+  val c2RowcountAuditSql: String = Tables.all
+    .map(t => s"SELECT '$t' AS relation, COUNT(*) AS n_rows FROM $t")
+    .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+
+  // ---------------------------------------------------------------- T2
+  /** Identity / surrogate-key CTAS
+    * (/root/reference/python/etl/load.py:529-551, dialect/redshift.py:44-76):
+    * Redshift's IDENTITY(1,1) assigns arbitrary ids; for a
+    * deterministic, testable engine we number over the natural-key
+    * total order with row_number(). At 100 TB a single global window
+    * is a bottleneck — the scale path is zipWithIndex-style per-
+    * partition offsets (see graft.etl docs); semantics here match the
+    * oracle exactly. */
+  def t2IdentityCtas(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val fact = lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= to_timestamp(lit("2001-01-01 00:00:00")))
+      .select($"o_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 6)).as("gross_revenue"),
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"))
+    fact.withColumn("order_line_key",
+      row_number().over(Window.orderBy($"o_orderkey", $"l_linenumber")))
+      .select($"order_line_key", $"o_orderkey", $"l_linenumber", $"gross_revenue", $"ship_date")
+      .orderBy($"order_line_key")
+  }
+
+  val t2IdentityCtasSql: String =
+    """SELECT row_number() OVER (ORDER BY o_orderkey, l_linenumber) AS order_line_key,
+      |  o_orderkey, l_linenumber,
+      |  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS gross_revenue,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      |ORDER BY order_line_key""".stripMargin
+
+  // ---------------------------------------------------------------- T3
+  /** Missing-dimension NA row
+    * (/root/reference/python/etl/load.py:506-526): every `dim_*` table
+    * gets one default row (key 0 / 'N/A' / 0 values) appended with
+    * UNION ALL so facts with no dimension match join to it. */
+  def t3NaDimRow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("customer_key"), $"c_name", $"c_nationkey",
+        $"c_acctbal", $"c_mktsegment")
+    val naRow = customer.sparkSession.range(1).select(
+      lit(0L).as("customer_key"), lit("N/A").as("c_name"),
+      lit(0).as("c_nationkey"), lit(0.0).as("c_acctbal"),
+      lit("N/A").as("c_mktsegment"))
+    customer.unionByName(naRow).orderBy($"customer_key")
+  }
+
+  val t3NaDimRowSql: String =
+    """SELECT c_custkey AS customer_key, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+      |UNION ALL
+      |SELECT 0, 'N/A', 0, 0.0, 'N/A'
+      |ORDER BY customer_key""".stripMargin
+
+  // ---------------------------------------------------------------- S6
+  /** Sampling extract
+    * (/root/reference/python/etl/extract/database_extractor.py:38-53,141-152):
+    * tables >100MB with --use-sampling keep rows where
+    * `("key" % 10) = 1` — an exact, reproducible 10% sample (not
+    * df.sample, which is seed-dependent). The modulo predicate pushes
+    * into the JDBC source query at extract time. */
+  def s6SamplingExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .filter(pmod($"o_orderkey", lit(10)) === 1)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val s6SamplingExtractSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_sampled, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders WHERE (o_orderkey % 10) = 1
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- P2
+  /** Extract-time cast projection
+    * (/root/reference/python/etl/relation.py:378-392 +
+    * design/__init__.py:79-120): each design column is `expression AS
+    * name` — the type-map casts applied in the source SELECT. Shown
+    * here: decimal money cast, temporal→date-string, string transform. */
+  def p2CastProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .filter($"o_orderkey" <= 1000)
+      .select(
+        $"o_orderkey",
+        $"o_totalprice".cast(DecimalType(12, 2)).as("total_price_dec"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        upper($"o_orderstatus").as("status_uc"),
+        substring($"o_orderpriority", 1, 1).as("priority_code"))
+      .orderBy($"o_orderkey")
+  }
+
+  val p2CastProjectionSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_totalprice AS DECIMAL(12,2)) AS total_price_dec,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  UPPER(o_orderstatus) AS status_uc,
+      |  SUBSTRING(o_orderpriority, 1, 1) AS priority_code
+      |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- P4
+  /** Row LIMIT (run_query, /root/reference/python/etl/load.py:1373-1404)
+    * — deterministic: ordered before limiting, planned as
+    * TakeOrderedAndProject (per-partition top-k, no global sort). */
+  def p4Limit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .orderBy($"o_orderdate".desc, $"o_orderkey")
+      .limit(20)
+      .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"o_totalprice")
+  }
+
+  val p4LimitSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice
+      |FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_constraint_dup" -> (c1ConstraintDup _),
+    "c1_pk_clean" -> (c1PkClean _),
+    "c2_rowcount_audit" -> (c2RowcountAudit _),
+    "t2_identity_ctas" -> (t2IdentityCtas _),
+    "t3_na_dim_row" -> (t3NaDimRow _),
+    "s6_sampling_extract" -> (s6SamplingExtract _),
+    "p2_cast_projection" -> (p2CastProjection _),
+    "p4_limit" -> (p4Limit _))
+
+  val oracles: Map[String, String] = Map(
+    "c1_constraint_dup" -> c1ConstraintDupSql,
+    "c1_pk_clean" -> c1PkCleanSql,
+    "c2_rowcount_audit" -> c2RowcountAuditSql,
+    "t2_identity_ctas" -> t2IdentityCtasSql,
+    "t3_na_dim_row" -> t3NaDimRowSql,
+    "s6_sampling_extract" -> s6SamplingExtractSql,
+    "p2_cast_projection" -> p2CastProjectionSql,
+    "p4_limit" -> p4LimitSql)
+}

@@ -15,8 +15,10 @@ object SparkEntry {
     SqlSurface.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SqlSurface.queries ++ EtlOps.queries
+    SqlSurface.queries ++ EtlOps.queries ++ TextOps.queries ++
+      DedupOps.queries
 
   def oracleSql: Map[String, String] =
-    SqlSurface.oracles ++ EtlOps.oracles
+    SqlSurface.oracles ++ EtlOps.oracles ++ TextOps.oracles ++
+      DedupOps.oracles
 }

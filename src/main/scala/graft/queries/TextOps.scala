@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (no reference counterpart — the reference stops at SQL transforms;
+  * these extend the engine for LLM-data work): token counting,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * All are per-row, shuffle-free map operations built from codegen'd
+  * `functions._` expressions — at 100 TB they run embarrassingly
+  * parallel over the scan with zero data movement.
+  */
+object TextOps {
+
+  /** Normalized text: lowercase, non-alphanumerics collapsed to single
+    * spaces, trimmed. Shared by fingerprint + dedup. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  val normTextSql: String =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  // ---------------------------------------------------------------- tokens
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation, the shape of a
+    * byte-pair pre-tokenizer's word split). */
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        size(split(trim($"text"), "\\s+")).as("n_ws_tokens"),
+        size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- quality
+  /** Quality scoring: length/alpha/stopword/word-length signals and a
+    * combined score — the usual cheap pre-filter before expensive
+    * dedup/model steps in a data pipeline. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(trim(lower($"text")), "\\s+")
+    val nToks = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val alphaChars = length(regexp_replace($"text", "[^A-Za-z]", "")).cast("double")
+    val nChars = length($"text").cast("double")
+    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    docs.select(
+      $"doc_id",
+      (alphaChars / nChars).as("alpha_ratio"),
+      (nStop / nToks).as("stop_ratio"),
+      (tokChars / nToks).as("mean_tok_len"),
+      ((alphaChars / nChars) * 0.4 + (nStop / nToks) * 0.4 +
+        when(nChars >= 100.0 && nChars <= 2000.0, 0.2).otherwise(0.0)).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  alpha_chars / n_chars AS alpha_ratio,
+       |  n_stop / n_toks AS stop_ratio,
+       |  tok_chars / n_toks AS mean_tok_len,
+       |  (alpha_chars / n_chars) * 0.4 + (n_stop / n_toks) * 0.4 +
+       |    (CASE WHEN n_chars >= 100.0 AND n_chars <= 2000.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ($stopList))) AS DOUBLE) AS n_stop,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_toks,
+       |    CAST(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> length(t))) AS DOUBLE) AS tok_chars
+       |  FROM documents
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- lang id
+  /** Language ID: marker-token heuristic (occurrence counts of
+    * per-language function words). A real pipeline would use character
+    * n-gram profiles; the operator shape — per-row scoring + argmax —
+    * is identical and stays in whole-stage codegen. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " que "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " les ", " des "),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) / marker.length).cast("long")
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val scored = docs.select(
+      $"doc_id" +: $"lang".as("labeled_lang") +:
+        langMarkers.map { case (l, ms) =>
+          ms.map(m => occurrences(padded, m)).reduce(_ + _).as(s"s_$l")
+        }: _*)
+    val best = langMarkers.map(_._1).map(l => col(s"s_$l"))
+    val maxScore = greatest(best: _*)
+    scored.select(
+      $"doc_id", $"labeled_lang",
+      when(maxScore === 0, "und")
+        .otherwise(
+          langMarkers.map(_._1).foldRight(lit("und")) { (l, acc) =>
+            when(col(s"s_$l") === maxScore, l).otherwise(acc)
+          }).as("detected_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    def occ(m: String): String = {
+      val esc = m.replace("'", "''")
+      s"((length(padded) - length(replace(padded, '$esc', ''))) // ${m.length})"
+    }
+    val scores = langMarkers.map { case (l, ms) =>
+      ms.map(occ).mkString(" + ") + s" AS s_$l"
+    }.mkString(",\n    ")
+    val names = langMarkers.map(_._1)
+    val maxExpr = s"greatest(${names.map("s_" + _).mkString(", ")})"
+    val caseExpr = names.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN s_$l = m THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, labeled_lang,
+       |  CASE WHEN m = 0 THEN 'und' ELSE $caseExpr END AS detected_lang
+       |FROM (
+       |  SELECT doc_id, labeled_lang, $maxExpr AS m, ${names.map("s_" + _).mkString(", ")}
+       |  FROM (
+       |    SELECT doc_id, lang AS labeled_lang,
+       |    $scores
+       |    FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents)
+       |  )
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- fingerprint
+  /** Document fingerprinting: md5 over normalized text — the exact-dup
+    * key. (A rolling/shingle hash variant lives in DedupOps' minhash.) */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", md5(normText($"text")).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    s"SELECT doc_id, md5($normTextSql) AS fp FROM documents ORDER BY doc_id"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_lang_id" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql)
+}

@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline: exact
   * (hash-groupBy), word-shingle Jaccard via an inverted index,
@@ -59,14 +61,28 @@ object DedupOps {
   /** N-gram Jaccard near-dup pairs ≥ 0.8 via a shingle inverted
     * index: explode → equi-join on shingle → count common → exact
     * Jaccard. The join IS the candidate generation — pairs sharing no
-    * shingle never meet. At 100 TB, hot shingles are the skew risk:
-    * drop top-frequency shingles (stopword shingles) before the join;
-    * here the threshold keeps the semantics exact for the oracle. */
+    * shingle never meet.
+    *
+    * Skew guard for 100 TB: shingles with document frequency >
+    * [[MaxShingleDf]] (stopword shingles) are dropped BEFORE the join,
+    * capping per-shingle join fan-out at MaxShingleDf² pairs so no
+    * single reducer melts on a hot key. Semantics: exact Jaccard over
+    * the df≤k shingle sets, identically on both engines (the oracle
+    * applies the same cutoff); k is recorded here. At the test SFs the
+    * max df is 25, so the cutoff drops nothing and values equal the
+    * unguarded Jaccard. */
+  val MaxShingleDf = 100
+
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleDf(spark, sfDir).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val sh = shingleDf(spark, sfDir)
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
+      .filter($"df" <= MaxShingleDf)
+      .drop("df")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a").join(kept.as("b"),
       $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("common"))
@@ -81,10 +97,15 @@ object DedupOps {
 
   val dedupJaccardSql: String =
     s"""WITH sh AS ($shingleSql),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |kept AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+       |  ) WHERE df <= $MaxShingleDf
+       |),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT d1, d2, common, CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
@@ -102,33 +123,48 @@ object DedupOps {
   val BandSize = 4
   val MinhashPrime = 4294967311L // smallest prime > 2^32
 
+  /** All 16 permutation minima computed as 16 independent MIN
+    * aggregates in ONE groupBy over the shingle hashes — no 16× row
+    * explosion, no perms cross join, one shuffle of |shingles| rows
+    * with a 16-slot agg buffer. The 4 band rows per doc are assembled
+    * AFTER aggregation (a 4× explode on one row per doc). */
   def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val perms = spark.range(MinhashPerms).select(
-      $"id".cast("int").as("j"),
-      ($"id" * 2 + 1).as("a"),
-      ($"id" * 101 + 7).as("b"))
     val hashed = shingleDf(spark, sfDir)
       .select($"doc_id",
         conv(substring(md5($"shingle"), 1, 8), 16, 10).cast("long").as("h"))
-    hashed.join(broadcast(perms))
-      .groupBy($"doc_id", $"j")
-      .agg(min(($"a" * $"h" + $"b") % MinhashPrime).as("mh"))
-      .groupBy($"doc_id", ($"j" / BandSize).cast("int").as("band"))
-      .agg(array_join(transform(array_sort(collect_list(struct($"j", $"mh"))),
-        s => s.getField("mh").cast("string")), ",").as("sig"))
+    val minAggs = (0 until MinhashPerms).map { j =>
+      min(($"h" * (2L * j + 1) + (101L * j + 7)) % MinhashPrime).as(s"m$j")
+    }
+    val agg = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until MinhashPerms / BandSize).map { i =>
+      struct(lit(i).as("band"),
+        concat_ws(",", (0 until BandSize)
+          .map(k => col(s"m${i * BandSize + k}").cast("string")): _*).as("sig"))
+    }
+    agg.select($"doc_id", explode(array(bandStructs: _*)).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
   }
 
-  private val minhashBandsSql: String =
-    s"""SELECT doc_id, CAST(j // $BandSize AS INT) AS band,
-       |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
-       |FROM (
-       |  SELECT doc_id, j, MIN((a * h + b) % $MinhashPrime) AS mh
+  private val minhashBandsSql: String = {
+    val mins = (0 until MinhashPerms).map { j =>
+      s"MIN((h * ${2 * j + 1} + ${101 * j + 7}) % $MinhashPrime) AS m$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until MinhashPerms / BandSize).map { i =>
+      val sig = (0 until BandSize)
+        .map(k => s"CAST(m${i * BandSize + k} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, CAST($i AS INT) AS band, $sig AS sig FROM agg"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH agg AS (
+       |  SELECT doc_id,
+       |    $mins
        |  FROM (SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h
        |        FROM ($shingleSql))
-       |  CROSS JOIN (SELECT CAST(i AS INT) AS j, i * 2 + 1 AS a, i * 101 + 7 AS b FROM range($MinhashPerms) t(i))
-       |  GROUP BY doc_id, j
-       |) GROUP BY doc_id, band""".stripMargin
+       |  GROUP BY doc_id
+       |)
+       |$bandSelects""".stripMargin
+  }
 
   /** The per-doc banded signatures themselves (hash-checked). */
   def dedupMinhashSig(spark: SparkSession, sfDir: String): DataFrame = {
@@ -139,10 +175,12 @@ object DedupOps {
   val dedupMinhashSigSql: String =
     s"SELECT * FROM ($minhashBandsSql) ORDER BY doc_id, band"
 
-  /** LSH candidate pairs: docs sharing any band signature. */
+  /** LSH candidate pairs: docs sharing any band signature. The bands
+    * are persisted before the self-join — without it Spark recomputes
+    * the whole shingle→minhash pipeline for each join side. */
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bands = minhashBands(spark, sfDir)
+    val bands = minhashBands(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
     bands.as("a").join(bands.as("b"),
       $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
@@ -160,12 +198,16 @@ object DedupOps {
   // ------------------------------------------------------------ simhash
   /** 60-bit SimHash per document over distinct word hashes (60 bits so
     * the value fits a signed BIGINT in every engine). Near-dup pairs =
-    * hamming distance ≤ 6 via bit_count(xor). Pair generation here is
-    * the exact small-scale path (self-join); the scale path buckets on
-    * 4×15-bit sub-hashes first (pigeonhole: distance ≤ 6 ⇒ at least
-    * one of 7 bands equal) — same shape as the minhash band join. */
+    * hamming distance ≤ 6 via bit_count(xor), candidates generated by
+    * the 7-band pigeonhole equi-join below — never all-pairs. */
   val SimhashBits = 60
 
+  /** Single-pass simhash: per-bit set-counts as 60 independent SUM
+    * aggregates in ONE groupBy over the token hashes (no 60× bits
+    * cross join / row explosion — one shuffle of |tokens| rows with a
+    * 61-slot buffer). Bit b of the simhash is set iff at least half
+    * the tokens have bit b set: the classic majority vote
+    * s_b = Σ±1 ≥ 0  ⇔  2·ones_b ≥ n. */
   def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tokens = Tables.load(spark, sfDir, "documents")
@@ -173,48 +215,136 @@ object DedupOps {
       .distinct()
       .select($"doc_id",
         conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
-    val bits = spark.range(SimhashBits).select($"id".cast("int").as("bit"))
-    tokens.join(broadcast(bits))
-      .groupBy($"doc_id", $"bit")
-      .agg(sum(when(expr("shiftright(h, bit)").bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as("s"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"s" >= 0L, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
-      .orderBy($"doc_id")
+    val onesAggs = (0 until SimhashBits).map { b =>
+      sum(shiftright($"h", b).bitwiseAND(1L)).as(s"o$b")
+    }
+    val agg = tokens.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), onesAggs: _*)
+    val simhash = (0 until SimhashBits).map { b =>
+      when(col(s"o$b") * 2 >= $"n", lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select($"doc_id", simhash.as("simhash")).orderBy($"doc_id")
   }
 
-  val simhashDocsSql: String =
-    s"""SELECT doc_id,
-       |  SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+  val simhashDocsSql: String = {
+    val ones = (0 until SimhashBits)
+      .map(b => s"SUM((h >> $b) & 1) AS o$b").mkString(",\n    ")
+    val simhash = (0 until SimhashBits)
+      .map(b => s"CASE WHEN o$b * 2 >= n THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($simhash AS BIGINT) AS simhash
        |FROM (
-       |  SELECT doc_id, bit,
-       |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  SELECT doc_id, COUNT(*) AS n,
+       |    $ones
        |  FROM (
        |    SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
        |    FROM (SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS tok FROM documents)
        |  )
-       |  CROSS JOIN (SELECT CAST(i AS INT) AS bit FROM range($SimhashBits) t(i))
-       |  GROUP BY doc_id, bit
-       |) GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sh = simhashDocs(spark, sfDir)
-    sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
-      .filter($"hamming" <= 6)
-      .orderBy($"d1", $"d2")
+       |  GROUP BY doc_id
+       |) ORDER BY doc_id""".stripMargin
   }
 
-  val simhashPairsSql: String =
-    s"""WITH sh AS (SELECT doc_id, simhash FROM ($simhashDocsSql))
-       |SELECT a.doc_id AS d1, b.doc_id AS d2,
-       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+  /** Band layout for simhash LSH: hamming distance ≤ 6 can flip bits
+    * in at most 6 bands, so with 7 bands (pigeonhole) at least one
+    * band is identical between any qualifying pair. 60 bits split
+    * 9+9+9+9+8+8+8. Candidates come from a band equi-join (the same
+    * shape as the minhash band join — never all-pairs); the exact
+    * `bit_count(xor)` filter runs only on candidates. At billions of
+    * docs, widen the bands from a longer simhash (band width ~log2 n)
+    * to keep buckets small; the join shape is unchanged. */
+  val SimhashBandSpecs: Seq[(Int, Int, Int)] = {
+    val widths = Seq(9, 9, 9, 9, 8, 8, 8)
+    val starts = widths.scanLeft(0)(_ + _).init
+    widths.indices.map(i => (i, starts(i), widths(i)))
+  }
+
+  /** First agreeing band of the xor-difference x: band b agrees iff
+    * x's bits inside band b are all zero. Joining on "band = first
+    * agreeing band" makes each qualifying pair come out of EXACTLY one
+    * band — no distinct over the candidate stream, the expensive
+    * shuffle the naive band join pays. */
+  private def firstAgreeingBand(x: Column): Column =
+    SimhashBandSpecs.init.foldRight(lit(SimhashBandSpecs.last._1)) {
+      case ((b, start, width), acc) =>
+        when(shiftright(x, start).bitwiseAND(lit((1L << width) - 1)) === 0L, lit(b))
+          .otherwise(acc)
+    }
+
+  /** Near-dup pairs (hamming ≤ 6). Real text simhashes CLUSTER — at
+    * sf0.1 one 9-bit band bucket holds half the corpus, so banding raw
+    * docs regenerates nearly all-pairs. Instead:
+    *   1. band-join over DISTINCT simhash values (smaller, and
+    *      identical docs collapse),
+    *   2. inline hamming + first-agreeing-band predicates inside the
+    *      join (each value pair emitted once — no distinct),
+    *   3. expand value pairs back to doc pairs via two equi-joins, and
+    *      add intra-group pairs (identical simhash ⇒ hamming 0).
+    * Every stage is an equi-join/broadcast — no BroadcastNestedLoopJoin
+    * — and the only big output is the answer itself (at this SF ~1M
+    * pairs, 8% of all pairs: the threshold is inherently unselective on
+    * this corpus, so output dominates any algorithm). */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = simhashDocs(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val v = sh.select($"simhash").distinct()
+    val bands = SimhashBandSpecs
+      .map { case (b, start, width) => (b, start, (1L << width) - 1) }
+      .toDF("band", "start", "mask")
+    val keyed = v.join(broadcast(bands))
+      .select($"simhash", $"band",
+        expr("shiftright(simhash, start)").bitwiseAND($"mask").as("bkey"))
+    val x = $"a.simhash".bitwiseXOR($"b.simhash")
+    val vp = keyed.as("a").join(keyed.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.simhash" < $"b.simhash" &&
+          bit_count(x) <= 6 && $"a.band" === firstAgreeingBand(x))
+      .select($"a.simhash".as("h1"), $"b.simhash".as("h2"))
+    val crossPairs = vp
+      .join(sh.as("x"), $"h1" === $"x.simhash")
+      .join(sh.as("y"), $"h2" === $"y.simhash")
+      .select(least($"x.doc_id", $"y.doc_id").as("d1"),
+        greatest($"x.doc_id", $"y.doc_id").as("d2"),
+        bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))
+    val intraPairs = sh.as("x").join(sh.as("y"),
+        $"x.simhash" === $"y.simhash" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"), lit(0).as("hamming"))
+    crossPairs.unionAll(intraPairs).orderBy($"d1", $"d2")
+  }
+
+  val simhashPairsSql: String = {
+    val bandRows = SimhashBandSpecs
+      .map { case (b, start, width) => s"($b, $start, ${(1L << width) - 1})" }
+      .mkString(", ")
+    val firstBand = SimhashBandSpecs.init.foldRight(
+      SimhashBandSpecs.last._1.toString) { case ((b, start, width), acc) =>
+      s"CASE WHEN (xor(a.simhash, b.simhash) >> $start) & ${(1L << width) - 1} = 0 THEN $b ELSE $acc END"
+    }
+    s"""WITH sh AS (SELECT doc_id, simhash FROM ($simhashDocsSql)),
+       |bands(band, start, mask) AS (VALUES $bandRows),
+       |v AS (SELECT DISTINCT simhash FROM sh),
+       |keyed AS (
+       |  SELECT simhash, band, (simhash >> start) & mask AS bkey
+       |  FROM v CROSS JOIN bands
+       |),
+       |vp AS (
+       |  SELECT a.simhash AS h1, b.simhash AS h2
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.simhash < b.simhash
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |    AND a.band = ($firstBand)
+       |),
+       |crossp AS (
+       |  SELECT least(x.doc_id, y.doc_id) AS d1, greatest(x.doc_id, y.doc_id) AS d2,
+       |    CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+       |  FROM vp JOIN sh x ON x.simhash = vp.h1 JOIN sh y ON y.simhash = vp.h2
+       |),
+       |intra AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(0 AS INTEGER) AS hamming
+       |  FROM sh x JOIN sh y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+       |)
+       |SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
        |ORDER BY d1, d2""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),

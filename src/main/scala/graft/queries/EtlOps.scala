@@ -76,10 +76,11 @@ object EtlOps {
     * (/root/reference/python/etl/load.py:529-551, dialect/redshift.py:44-76):
     * Redshift's IDENTITY(1,1) assigns arbitrary ids; for a
     * deterministic, testable engine we number over the natural-key
-    * total order with row_number(). At 100 TB a single global window
-    * is a bottleneck — the scale path is zipWithIndex-style per-
-    * partition offsets (see graft.etl docs); semantics here match the
-    * oracle exactly. */
+    * total order. Numbering is the distributed two-phase plan in
+    * [[graft.etl.Identity]] (range partition → per-partition
+    * row_number + offsets) — NOT a single-partition global window.
+    * Money lands as DOUBLE via the Num convention (decimal-rounded per
+    * row) so the hash matches across engines. */
   def t2IdentityCtas(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.load(spark, sfDir, "orders")
@@ -87,18 +88,19 @@ object EtlOps {
     val fact = lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
       .filter($"o_orderdate" >= to_timestamp(lit("2001-01-01 00:00:00")))
       .select($"o_orderkey", $"l_linenumber",
-        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 6)).as("gross_revenue"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(DecimalType(18, 6)).cast("double").as("gross_revenue"),
         date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"))
-    fact.withColumn("order_line_key",
-      row_number().over(Window.orderBy($"o_orderkey", $"l_linenumber")))
+    graft.etl.Identity
+      .withSurrogateKey(fact, "order_line_key", Seq($"o_orderkey", $"l_linenumber"))
       .select($"order_line_key", $"o_orderkey", $"l_linenumber", $"gross_revenue", $"ship_date")
       .orderBy($"order_line_key")
   }
 
   val t2IdentityCtasSql: String =
-    """SELECT row_number() OVER (ORDER BY o_orderkey, l_linenumber) AS order_line_key,
+    """SELECT CAST(row_number() OVER (ORDER BY o_orderkey, l_linenumber) AS BIGINT) AS order_line_key,
       |  o_orderkey, l_linenumber,
-      |  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS gross_revenue,
+      |  CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS gross_revenue,
       |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
@@ -160,7 +162,7 @@ object EtlOps {
       .filter($"o_orderkey" <= 1000)
       .select(
         $"o_orderkey",
-        $"o_totalprice".cast(DecimalType(12, 2)).as("total_price_dec"),
+        $"o_totalprice".cast(DecimalType(12, 2)).cast("double").as("total_price_dec"),
         date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
         upper($"o_orderstatus").as("status_uc"),
         substring($"o_orderpriority", 1, 1).as("priority_code"))
@@ -169,7 +171,7 @@ object EtlOps {
 
   val p2CastProjectionSql: String =
     """SELECT o_orderkey,
-      |  CAST(o_totalprice AS DECIMAL(12,2)) AS total_price_dec,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price_dec,
       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
       |  UPPER(o_orderstatus) AS status_uc,
       |  SUBSTRING(o_orderpriority, 1, 1) AS priority_code

@@ -135,7 +135,7 @@ object SqlSurface {
       .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.load(spark, sfDir, "lineitem")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("running_qty",
         sum($"l_quantity".cast(DecimalType(18, 6))).over(running).cast(DoubleType))
       .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
@@ -330,8 +330,8 @@ object SqlSurface {
 
   val q12CaseSql: String =
     s"""SELECT o_orderpriority,
-       |  SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS n_big,
-       |  SUM(CASE WHEN o_totalprice <= 200000.0 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_small_f,
+       |  CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       |  CAST(SUM(CASE WHEN o_totalprice <= 200000.0 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_small_f,
        |  ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS open_value
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -413,7 +413,7 @@ object SqlSurface {
       |    CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_s
       |  FROM sessions GROUP BY user_id, sess_id
       |)
-      |SELECT user_id, MAX(sess_id) AS n_sessions, MAX(n_events) AS max_events_per_session,
+      |SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, MAX(n_events) AS max_events_per_session,
       |  MAX(duration_s) AS max_duration_s
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 

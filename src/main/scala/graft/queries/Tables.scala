@@ -20,7 +20,11 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read nanos as long and convert to the session's
       // microsecond timestamp — the data is µs-precision, so lossless.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The nanosAsLong conf is set at session build (Verify/Bench);
+      // the guarded set here covers ad-hoc sessions without re-mutating
+      // config on every load.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {

@@ -34,10 +34,10 @@ object TextOps {
     Tables.load(spark, sfDir, "documents")
       .select(
         $"doc_id",
-        length($"text").as("n_chars"),
-        size(split(trim($"text"), "\\s+")).as("n_ws_tokens"),
+        length($"text").cast("long").as("n_chars"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
-          .as("n_bpe_tokens"))
+          .cast("long").as("n_bpe_tokens"))
       .orderBy($"doc_id")
   }
 

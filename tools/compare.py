@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle compare, but STRICTER:
-bit-exact value equality after sorting columns by name and rows by all
-columns. If this passes, any reasonable driver compare passes.
+"""Local replica of the driver's DuckDB-oracle compare: bit-exact value
+equality after sorting columns by name and rows by all columns, PLUS an
+arrow-type compare (the round-1 failure mode: DuckDB HUGEINT / DECIMAL
+vs Spark BIGINT / DOUBLE hash differently even when values agree).
 
 Usage: python3 tools/compare.py <verify_out_dir> <sf_dir>
 """
@@ -40,14 +41,27 @@ def main():
             print(f"[rows-only] {name}: no oracle (weaker check)")
             continue
         try:
-            spark_df = norm(pq.read_table(f"{outdir}/{name}").to_pandas())
-            duck_df = norm(con.execute(oracle[name]).df())
+            spark_tbl = pq.read_table(f"{outdir}/{name}")
+            duck_tbl = con.execute(oracle[name]).arrow()
+            spark_df = norm(spark_tbl.to_pandas())
+            duck_df = norm(duck_tbl.to_pandas())
         except Exception as e:
             print(f"[FAIL] {name}: load/exec error: {e}")
             n_fail += 1
             continue
         ok = True
         msgs = []
+        # Arrow-type compare first (sorted by column name) — a HUGEINT
+        # or DECIMAL on one side is a failure even if values match.
+        st = {f.name: str(f.type) for f in spark_tbl.schema}
+        dt = {f.name: str(f.type) for f in duck_tbl.schema}
+        for c in sorted(set(st) & set(dt)):
+            a, b = st[c], dt[c]
+            # large_string vs string is a representation detail
+            norm_t = lambda t: t.replace("large_string", "string")
+            if norm_t(a) != norm_t(b):
+                ok = False
+                msgs.append(f"col {c}: TYPE mismatch spark={a} duck={b}")
         if list(spark_df.columns) != list(duck_df.columns):
             ok = False
             msgs.append(f"columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")

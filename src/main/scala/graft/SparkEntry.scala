@@ -16,9 +16,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SqlSurface.queries ++ EtlOps.queries ++ TextOps.queries ++
-      DedupOps.queries
+      DedupOps.queries ++ graft.etl.DemoDag.queries
 
   def oracleSql: Map[String, String] =
     SqlSurface.oracles ++ EtlOps.oracles ++ TextOps.oracles ++
-      DedupOps.oracles
+      DedupOps.oracles ++ graft.etl.DemoDag.oracles
 }

@@ -1,0 +1,298 @@
+package graft.etl
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+final class FailedConstraintError(msg: String) extends RuntimeException(msg)
+final class RequiredRelationLoadError(msg: String) extends RuntimeException(msg)
+
+/** Result of one relation build (feeds the monitor + audits). */
+final case class BuildResult(
+    identifier: String,
+    kind: String,              // table | ctas | view
+    rowcount: Long,
+    skipped: Boolean = false)
+
+/** The load engine: the reference's `build_one_relation` + schema
+  * lifecycle, on the Spark catalog
+  * (/root/reference/python/etl/load.py:703-744, 497-551,
+  * data_warehouse.py:48-205).
+  *
+  * Tables are EXTERNAL parquet tables at versioned locations under
+  * `warehouseDir/data/<schema>.<table>/<buildId>`. That makes
+  * publish/backup/restore **metadata-only pointer swaps**: promoting a
+  * staging build re-points the standard table at the staging build's
+  * location — no data is copied, and the previous location stays
+  * registered under `etl_backup$schema` for restore. (Redshift gives
+  * the reference `ALTER SCHEMA RENAME`; the Spark catalog has no
+  * cross-database rename, so the swap IS the idiomatic equivalent.)
+  *
+  * At 100 TB this matters: publish cost is O(#tables) catalog calls,
+  * not O(bytes). Builds themselves are plain distributed writes.
+  */
+final class Warehouse(
+    val spark: SparkSession,
+    val warehouseDir: String,
+    val sourceDir: String,                  // parquet stand-in for upstream (COPY, S10)
+    val monitor: Monitor = new Monitor()) {
+
+  private val buildCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // ------------------------------------------------------------ naming
+  private def dataLocation(name: TableName, buildId: Long): String =
+    s"$warehouseDir/data/${name.schema}.${name.table}/$buildId"
+
+  def ensureDatabase(schema: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$schema`")
+
+  def createSchemas(relations: Seq[Relation], pos: SchemaPosition.Value): Unit =
+    relations.map(_.name.inPosition(pos).schema).distinct.foreach(ensureDatabase)
+
+  // ------------------------------------------------------ query rewrite
+  /** Rewrite fully-qualified dependency references in a transform
+    * query for a lifecycle position (T5, load.py:221-245). The
+    * reference regex-rewrites `schema.table` tokens; same here, with
+    * word-boundary anchoring. */
+  def rewriteQuery(query: String, deps: Seq[TableName], pos: SchemaPosition.Value): String =
+    if (pos == SchemaPosition.Standard) {
+      deps.foldLeft(query) { (q, d) =>
+        q.replaceAll(raw"(?i)\b${java.util.regex.Pattern.quote(d.identifier)}\b",
+          java.util.regex.Matcher.quoteReplacement(d.quoted))
+      }
+    } else {
+      deps.foldLeft(query) { (q, d) =>
+        val target = d.inPosition(pos)
+        q.replaceAll(raw"(?i)\b${java.util.regex.Pattern.quote(d.identifier)}\b",
+          java.util.regex.Matcher.quoteReplacement(target.quoted))
+      }
+    }
+
+  // ------------------------------------------------------ constraint (C1)
+  /** Duplicate check per declared constraint (load.py:564-634):
+    * `GROUP BY key HAVING COUNT(*) > 1 LIMIT 5`; for `unique`, null
+    * keys are exempt (Redshift UNIQUE semantics). Non-empty ⇒
+    * [[FailedConstraintError]] carrying sample keys. */
+  def verifyConstraints(df: DataFrame, design: TableDesign): Unit =
+    design.constraints.foreach { ct =>
+      val keyCols = ct.columns.map(col)
+      val base = if (ct.kind == "unique")
+        df.filter(ct.columns.map(col(_).isNotNull).reduce(_ && _))
+      else df
+      val dups = base.groupBy(keyCols: _*).count()
+        .filter(col("count") > 1).limit(5).collect()
+      if (dups.nonEmpty)
+        throw new FailedConstraintError(
+          s"relation '${design.name.identifier}' violates ${ct.kind} " +
+            s"(${ct.columns.mkString(", ")}); examples: " +
+            dups.map(_.toSeq.mkString("(", ",", ")")).mkString(" "))
+    }
+
+  // ------------------------------------------------------ build one
+  /** The reference's `build_one_relation` (load.py:703-744):
+    * create-or-replace, load (COPY stand-in or CTAS insert), verify
+    * constraints, count rows. */
+  def buildOneRelation(rel: Relation, pos: SchemaPosition.Value = SchemaPosition.Standard,
+                       skipCopy: Boolean = false): BuildResult =
+    monitor.monitored(rel.identifier, "load") {
+      val design = rel.design
+      val target = rel.name.inPosition(pos)
+      val r =
+        if (design.isView) buildView(design, pos, target)
+        else {
+          val df =
+            if (skipCopy) spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], design.toStructType)
+            else if (design.isCtas) ctasDataFrame(design, pos)
+            else sourceDataFrame(design)
+          if (!skipCopy) verifyConstraints(df, design)
+          // The missing-dimension NA row is appended AFTER the
+          // constraint check: it is engine-generated (T3) and would
+          // otherwise false-positive when a source key 0 exists.
+          val out =
+            if (!skipCopy && design.isCtas && design.name.table.startsWith("dim_"))
+              withNaRow(design, df)
+            else df
+          val rowcount = writeTable(target, out)
+          BuildResult(rel.identifier, if (design.isCtas) "ctas" else "table",
+            rowcount, skipCopy)
+        }
+      (r, Some(r.rowcount))
+    }
+
+  /** COPY stand-in (S10, dialect/redshift.py:297-369): read the
+    * upstream extract (parquet here; the reference reads gzip CSV/JSON
+    * from a manifest), enforce the design's column set, order, types
+    * (schema-on-load) and the extract condition/sampling predicate. */
+  def sourceDataFrame(design: TableDesign): DataFrame = {
+    val raw = spark.read.parquet(s"$sourceDir/${design.name.table}.parquet")
+    val projected = design.activeColumns.map { c =>
+      val base = if (c.expression.nonEmpty) expr(c.expression) else col(c.name)
+      base.cast(c.dataType).as(c.name)
+    }
+    val withCond = design.extractSettings match {
+      case Some(es) if es.condition.nonEmpty => raw.filter(es.condition)
+      case _ => raw
+    }
+    withCond.select(projected: _*)
+  }
+
+  /** CTAS materialization (T1/T2/T3, load.py:467-551): run the
+    * rewritten query, enforce design column order, assign the
+    * identity surrogate key over the design's sort order if declared,
+    * and append the missing-dimension NA row for `dim_*` tables. */
+  def ctasDataFrame(design: TableDesign, pos: SchemaPosition.Value): DataFrame = {
+    val q = rewriteQuery(design.query, design.dependsOn, pos)
+    var df = spark.sql(q)
+    design.identityColumn.foreach { idCol =>
+      val orderCols =
+        (if (design.sortKeys.nonEmpty) design.sortKeys
+         else design.activeColumns.filterNot(_.identity).map(_.name))
+          .map(col)
+      df = Identity.withSurrogateKey(df, idCol.name, orderCols)
+    }
+    df.select(design.activeColumns.map(c =>
+      col(c.name).cast(c.dataType).as(c.name)): _*)
+  }
+
+  /** Missing-dimension NA row (T3, load.py:506-526). */
+  def withNaRow(design: TableDesign, df: DataFrame): DataFrame = {
+    val naRow = design.activeColumns.map(c =>
+      expr(design.naValueSql(c)).cast(c.dataType).as(c.name))
+    df.unionByName(spark.range(1).select(naRow: _*))
+  }
+
+  private def buildView(design: TableDesign, pos: SchemaPosition.Value,
+                        target: TableName): BuildResult = {
+    val q = rewriteQuery(design.query, design.dependsOn, pos)
+    spark.sql(s"CREATE OR REPLACE VIEW ${target.quoted} AS $q")
+    BuildResult(design.name.identifier, "view", 0L)
+  }
+
+  /** Write as an external parquet table at a fresh versioned location
+    * and (re-)register it — DROP+CREATE like the reference's
+    * create_or_replace_relation (T7, load.py:342-374). */
+  def writeTable(target: TableName, df: DataFrame): Long = {
+    val loc = dataLocation(target, buildCounter.incrementAndGet())
+    df.write.mode("overwrite").parquet(loc)
+    registerAt(target, loc)
+    spark.table(target.quoted).count()
+  }
+
+  private def registerAt(target: TableName, location: String): Unit = {
+    ensureDatabase(target.schema)
+    spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
+    spark.sql(
+      s"CREATE TABLE ${target.quoted} USING parquet LOCATION '$location'")
+  }
+
+  private def locationOf(target: TableName): Option[String] =
+    try {
+      val t = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(target.table, Some(target.schema)))
+      Some(t.location.toString)
+    } catch { case _: Exception => None }
+
+  // ------------------------------------------------------ full load (D1-D7)
+  /** Load a set of relations in execution order (load.py:1131-1214):
+    * create schemas, build each relation; a failed relation marks its
+    * dependents skip-copy (load.py:202-219) unless required, in which
+    * case the whole load aborts with [[RequiredRelationLoadError]].
+    * Relations on the same execution level are independent; source
+    * tables are built concurrently (D5) via parallel collections over
+    * Spark's thread-safe job submission. */
+  def loadRelations(relations: Seq[Relation],
+                    pos: SchemaPosition.Value = SchemaPosition.Standard,
+                    maxConcurrency: Int = 4): Seq[BuildResult] = {
+    val ordered = Dag.orderByDependencies(relations)
+    createSchemas(ordered, pos)
+    val failed = mutable.Set[String]()
+    val skipCopy = mutable.Set[String]()
+    val results = mutable.Buffer[BuildResult]()
+    // Group by level: within a level there are no mutual deps (D5/D7).
+    ordered.groupBy(_.executionLevel).toSeq.sortBy(_._1).foreach { case (_, levelRels) =>
+      val levelResults = parallelMap(levelRels, maxConcurrency) { rel =>
+        val mustSkip = rel.dependencies.exists(d => failed.contains(d.identifier)) ||
+          rel.dependencies.exists(d => skipCopy.contains(d.identifier))
+        try Right(buildOneRelation(rel, pos, skipCopy = mustSkip))
+        catch { case e: Exception => Left((rel, e)) }
+      }
+      levelResults.foreach {
+        case Right(r) =>
+          if (r.skipped) skipCopy += r.identifier
+          results += r
+        case Left((rel, e)) =>
+          if (rel.isRequired)
+            throw new RequiredRelationLoadError(
+              s"required relation '${rel.identifier}' failed: ${e.getMessage}")
+          System.err.println(
+            s"[load] relation '${rel.identifier}' failed (dependents will skip copy): ${e.getMessage}")
+          failed += rel.identifier
+      }
+    }
+    results.toSeq
+  }
+
+  private def parallelMap[A, B](xs: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (xs.size <= 1 || parallelism <= 1) xs.map(f)
+    else {
+      import java.util.concurrent.Executors
+      import scala.concurrent._
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(math.min(parallelism, xs.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
+      finally pool.shutdown()
+    }
+
+  // ------------------------------------------------ lifecycle (L1-L4)
+  /** Build everything into staging, then publish: backup the standard
+    * tables and promote staging via pointer swaps
+    * (data_warehouse.py:105-205, load.py:1202-1214). On failure the
+    * standard schemas are untouched — staging IS the isolation. */
+  def loadWithStagingAndPublish(relations: Seq[Relation],
+                                maxConcurrency: Int = 4): Seq[BuildResult] = {
+    val results = loadRelations(relations, SchemaPosition.Staging, maxConcurrency)
+    publish(relations)
+    results
+  }
+
+  /** Promote staging → standard (backup current standard first). */
+  def publish(relations: Seq[Relation]): Unit = {
+    val ordered = Dag.orderByDependencies(relations)
+    createSchemas(ordered, SchemaPosition.Standard)
+    createSchemas(ordered, SchemaPosition.Backup)
+    ordered.foreach { rel =>
+      val std = rel.name
+      val stg = rel.name.inPosition(SchemaPosition.Staging)
+      val bak = rel.name.inPosition(SchemaPosition.Backup)
+      if (rel.isView) {
+        // Views re-point at standard-position references on promote.
+        spark.sql(s"DROP VIEW IF EXISTS ${bak.quoted}")
+        spark.sql(s"DROP VIEW IF EXISTS ${std.quoted}")
+        val q = rewriteQuery(rel.design.query, rel.design.dependsOn,
+          SchemaPosition.Standard)
+        spark.sql(s"CREATE VIEW ${std.quoted} AS $q")
+        spark.sql(s"DROP VIEW IF EXISTS ${stg.quoted}")
+      } else {
+        locationOf(std).foreach(registerAt(bak, _))          // L2 backup
+        locationOf(stg) match {
+          case Some(loc) =>
+            registerAt(std, loc)                              // L3 promote
+            spark.sql(s"DROP TABLE IF EXISTS ${stg.quoted}")
+          case None => ()
+        }
+      }
+    }
+  }
+
+  /** Restore standard from backup (L4, load.py:1202-1206). */
+  def restoreFromBackup(relations: Seq[Relation]): Unit =
+    Dag.orderByDependencies(relations).foreach { rel =>
+      if (!rel.isView) {
+        val bak = rel.name.inPosition(SchemaPosition.Backup)
+        locationOf(bak).foreach(registerAt(rel.name, _))
+      }
+    }
+}

@@ -1,0 +1,168 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integration tests of the load lifecycle over sf0.001 test data:
+  * staging build + publish, isolation of the standard schema from a
+  * failing staging build, skip-copy propagation, required aborts,
+  * restore from backup. */
+class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def freshWarehouse(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_wh_test_").toString, sfDir)
+
+  private def rel(yaml: String): Relation = Relation(TableDesign.load(yaml))
+
+  private val srcNation = rel(
+    """name: src.nation
+      |source_name: src
+      |columns:
+      |  - name: n_nationkey
+      |    type: int
+      |    not_null: true
+      |  - name: n_name
+      |    type: string
+      |constraints:
+      |  - primary_key: [n_nationkey]
+      |""".stripMargin)
+
+  private def ctasTop(query: String): Relation = rel(
+    s"""name: rep.top_nations
+       |source_name: CTAS
+       |depends_on: [src.nation]
+       |columns:
+       |  - name: n_name
+       |    type: string
+       |query: $query
+       |""".stripMargin)
+
+  test("staging build publishes to standard; staging entries are dropped") {
+    val wh = freshWarehouse()
+    val rels = Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5"))
+    val results = wh.loadWithStagingAndPublish(rels)
+    assert(results.size == 2 && results.forall(!_.skipped))
+    assert(spark.table("`rep`.`top_nations`").count() == 5)
+    assert(spark.table("`src`.`nation`").count() == 25)
+    assert(!spark.catalog.tableExists("`etl_staging__rep`.`top_nations`"))
+    // Monitor captured one finish event per relation (Q7).
+    assert(wh.monitor.events.count(e => e.step == "load" && e.event == "finish") == 2)
+  }
+
+  test("failing staging build leaves the published standard schema untouched") {
+    val wh = freshWarehouse()
+    wh.loadWithStagingAndPublish(Seq(srcNation,
+      ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5")))
+    assert(spark.table("`rep`.`top_nations`").count() == 5)
+    // Second build: the CTAS query is broken mid-DAG. Build into
+    // staging, expect the failure, standard stays intact (L1 isolation).
+    val wh2 = freshWarehouse()
+    try wh2.loadWithStagingAndPublish(Seq(srcNation,
+      ctasTop("SELECT no_such_column FROM src.nation")))
+    catch { case _: Exception => () }
+    assert(spark.table("`rep`.`top_nations`").count() == 5,
+      "standard table must be untouched by the failed staging build")
+  }
+
+  test("failed relation marks dependents skip-copy (empty), load continues") {
+    val wh = freshWarehouse()
+    val badMid = rel(
+      """name: rep.mid
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: x
+        |    type: long
+        |query: SELECT does_not_exist FROM src.nation
+        |""".stripMargin)
+    val dependent = rel(
+      """name: rep.final
+        |source_name: CTAS
+        |depends_on: [rep.mid]
+        |columns:
+        |  - name: x
+        |    type: long
+        |query: SELECT x FROM rep.mid
+        |""".stripMargin)
+    val results = wh.loadRelations(Seq(srcNation, badMid, dependent))
+    // nation built, mid failed (absent), final present but skip-copy.
+    assert(results.map(_.identifier).toSet == Set("src.nation", "rep.final"))
+    assert(results.find(_.identifier == "rep.final").get.skipped)
+    assert(spark.table("`rep`.`final`").count() == 0)
+  }
+
+  test("required relation failure aborts the whole load") {
+    val wh = freshWarehouse()
+    val badRequired = rel(
+      """name: rep.vital
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: x
+        |    type: long
+        |query: SELECT boom FROM src.nation
+        |""".stripMargin).copy(isRequired = true)
+    intercept[RequiredRelationLoadError] {
+      wh.loadRelations(Seq(srcNation, badRequired))
+    }
+  }
+
+  test("constraint violation fails the build with sample keys") {
+    val wh = freshWarehouse()
+    val dupKey = rel(
+      """name: rep.dup
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: k
+        |    type: int
+        |    not_null: true
+        |constraints:
+        |  - primary_key: [k]
+        |query: SELECT CAST(n_nationkey % 5 AS INT) AS k FROM src.nation
+        |""".stripMargin)
+    val e = intercept[FailedConstraintError] {
+      wh.buildOneRelation(dupKey)
+    }
+    assert(e.getMessage.contains("primary_key"))
+  }
+
+  test("restore from backup brings back the pre-publish table") {
+    val wh = freshWarehouse()
+    val v1 = Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5"))
+    wh.loadWithStagingAndPublish(v1)
+    val v2 = Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 3"))
+    wh.loadWithStagingAndPublish(v2)
+    assert(spark.table("`rep`.`top_nations`").count() == 3)
+    wh.restoreFromBackup(v2)
+    assert(spark.table("`rep`.`top_nations`").count() == 5)
+  }
+
+  test("update (delete-then-reload, T6) refreshes only selected tables in place") {
+    val wh = freshWarehouse()
+    val rels = Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5"))
+    wh.loadWithStagingAndPublish(rels)
+    // Re-building a single relation standard-position = the update
+    // path's overwrite semantics (staging+swap per table).
+    wh.buildOneRelation(rels(1))
+    assert(spark.table("`rep`.`top_nations`").count() == 5)
+  }
+}

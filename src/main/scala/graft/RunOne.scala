@@ -18,7 +18,8 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) df.explain("formatted")
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      println(graft.etl.Explain.report(df))
     val t0 = System.nanoTime()
     val n = df.count()
     println(f"[runone] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -1,0 +1,138 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** Partitioned JDBC extract (S1-S6): the reference's Sqoop subsystem
+  * (/root/reference/python/etl/extract/sqoop.py:54-265,
+  * database_extractor.py:42-190) collapses to ONE partitioned
+  * `spark.read.jdbc` — the heuristics that sized and keyed the Sqoop
+  * mappers become the `partitionColumn` / `lowerBound` / `upperBound`
+  * / `numPartitions` options. They are pure functions here, tested
+  * against the reference's own doctest cases.
+  */
+object Extract {
+
+  val DefaultMaxPartitions = 32   // default_settings.yaml:70
+
+  /** Minimum partition size (database_extractor.py:42-53): 10 MB
+    * normally, 100 MB under sampling (the CSV compresses ~1:10 and
+    * sampling cuts another 1:10). */
+  def minPartitionSize(tableSize: Long, useSampling: Boolean): Long =
+    if (useSampling && tableSize > 100L * 1024 * 1024) 100L * 1024 * 1024
+    else 10L * 1024 * 1024
+
+  /** Sampling applies only to tables over 100 MB
+    * (database_extractor.py:38-41). */
+  def useSamplingWithTable(tableSize: Long, useSampling: Boolean): Boolean =
+    useSampling && tableSize > 100L * 1024 * 1024
+
+  /** Largest "legal" partition count (database_extractor.py:55-120):
+    * ≤ maxPartitions, a multiple of 4 (stepping down 4 → 2 → 1), and
+    * each partition ≥ the minimum size. Rule 1 wins over rule 2. */
+  def maximizePartitions(tableSize: Long,
+                         maxPartitions: Int = DefaultMaxPartitions,
+                         useSampling: Boolean = false): Int = {
+    val minSize = minPartitionSize(tableSize, useSamplingWithTable(tableSize, useSampling))
+    var partitions = (0 to maxPartitions by 4).max
+    if (partitions == 0) partitions = 1
+    var partitionSize = tableSize.toDouble / partitions
+    while (partitionSize < minSize && partitions > 1) {
+      partitions =
+        if (partitions > 4) partitions - 4
+        else if (partitions == 4) 2
+        else 1
+      partitionSize = tableSize.toDouble / partitions
+    }
+    partitions
+  }
+
+  /** Partition-key inference (relation.py:417-473): explicit
+    * `split_by` wins; else a single-column primary key; the column
+    * must be generic int/long/date/timestamp. Returns None when no
+    * viable key exists (→ single-partition read). */
+  def findPartitionKey(design: TableDesign): Option[String] = {
+    val explicit = design.extractSettings.flatMap(_.splitBy)
+    val fromPk = design.constraints
+      .filter(_.kind == "primary_key").flatMap(_.columns) match {
+        case Seq(single) => Some(single)
+        case _ => None
+      }
+    explicit.orElse(fromPk).filter { key =>
+      design.columns.find(_.name == key)
+        .exists(c => Set("int", "long", "date", "timestamp").contains(c.tpe))
+    }
+  }
+
+  /** Split expression for the key (sqoop.py:186-195): temporal keys
+    * are cast to epoch seconds so ranges are numeric. */
+  def splitExpression(design: TableDesign, key: String): String =
+    design.columns.find(_.name == key) match {
+      case Some(c) if c.tpe == "date" || c.tpe == "timestamp" =>
+        s"CAST(unix_timestamp($key) AS BIGINT)"
+      case _ => key
+    }
+
+  /** Boundary query (relation.py:407-415): a user query returning one
+    * row (lower, upper); otherwise MIN/MAX over the split expression
+    * (what Sqoop itself would issue). */
+  def boundaryQuery(design: TableDesign, splitExpr: String, table: String): String =
+    design.extractSettings.flatMap(_.boundaryQuery).getOrElse(
+      s"SELECT MIN($splitExpr), MAX($splitExpr) FROM $table")
+
+  /** The sampling predicate (S6, database_extractor.py:141-152):
+    * exact `(key % 10) = 1`, reproducible — never `TABLESAMPLE`. */
+  def samplingCondition(key: String): String = s"(($key % 10) = 1)"
+
+  /** Full partition plan for one relation. */
+  final case class PartitionPlan(
+      partitionColumn: Option[String],
+      numPartitions: Int,
+      condition: Option[String])
+
+  def planPartitions(design: TableDesign, tableSize: Long,
+                     maxPartitions: Int = DefaultMaxPartitions,
+                     useSampling: Boolean = false): PartitionPlan = {
+    val key = findPartitionKey(design)
+    val explicitNum = design.extractSettings.flatMap(_.numPartitions)
+    val num = key match {
+      case None => 1   // no key → single mapper (sqoop.py:182-184)
+      case Some(_) => explicitNum
+        .map(n => math.min(n, maxPartitions))
+        .getOrElse(maximizePartitions(tableSize, maxPartitions, useSampling))
+    }
+    val conds = Seq(
+      design.extractSettings.map(_.condition).filter(_.nonEmpty),
+      if (useSamplingWithTable(tableSize, useSampling))
+        key.map(samplingCondition) else None).flatten
+    PartitionPlan(key.map(splitExpression(design, _)), num,
+      if (conds.nonEmpty) Some(conds.mkString(" AND ")) else None)
+  }
+
+  /** Assemble a partitioned JDBC read from a design + plan: the whole
+    * of S1-S5 as reader options. The dbtable is the cast projection
+    * subquery (S2, database_extractor.py:122-154) so column
+    * expressions and the condition are pushed INTO the source query.
+    * Bounds come from running the boundary query through the same
+    * reader (caller supplies them to keep this function pure). */
+  def jdbcReader(spark: SparkSession, url: String, design: TableDesign,
+                 plan: PartitionPlan, lowerBound: Long, upperBound: Long,
+                 props: Map[String, String] = Map.empty): DataFrameReader = {
+    val cols = design.activeColumns.map { c =>
+      if (c.expression.nonEmpty) s"${c.expression} AS ${c.name}" else c.name
+    }.mkString(", ")
+    val where = plan.condition.map(c => s" WHERE $c").getOrElse("")
+    val dbtable = s"(SELECT $cols FROM ${design.name.table}$where) sub"
+    val r0 = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", dbtable)
+    val r1 = props.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }
+    plan.partitionColumn match {
+      case Some(keyExpr) if plan.numPartitions > 1 =>
+        r1.option("partitionColumn", keyExpr)
+          .option("lowerBound", lowerBound)
+          .option("upperBound", upperBound)
+          .option("numPartitions", plan.numPartitions)
+      case _ => r1.option("numPartitions", 1)
+    }
+  }
+}

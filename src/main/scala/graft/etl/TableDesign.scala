@@ -43,7 +43,8 @@ object Constraint {
 final case class ExtractSettings(
     condition: String = "",
     splitBy: Option[String] = None,
-    numPartitions: Option[Int] = None)
+    numPartitions: Option[Int] = None,
+    boundaryQuery: Option[String] = None)
 
 final case class TableDesign(
     name: TableName,
@@ -236,7 +237,8 @@ object TableDesign {
         Option(e.get("condition")).map(_.asText).getOrElse(""),
         Option(e.get("split_by")).map(n =>
           if (n.isArray) n.get(0).asText else n.asText),
-        Option(e.get("num_partitions")).map(_.asInt))
+        Option(e.get("num_partitions")).map(_.asInt),
+        Option(e.get("boundary_query")).map(_.asText))
     }
     val attrs = Option(root.get("attributes"))
     val dist = attrs.flatMap(a => Option(a.get("distribution"))).map { d =>

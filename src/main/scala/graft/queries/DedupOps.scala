@@ -287,12 +287,16 @@ object DedupOps {
     import spark.implicits._
     val sh = simhashDocs(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
     val v = sh.select($"simhash").distinct()
-    val bands = SimhashBandSpecs
-      .map { case (b, start, width) => (b, start, (1L << width) - 1) }
-      .toDF("band", "start", "mask")
-    val keyed = v.join(broadcast(bands))
-      .select($"simhash", $"band",
-        expr("shiftright(simhash, start)").bitwiseAND($"mask").as("bkey"))
+    // Band rows come from an explode over a literal array — a pure
+    // row-multiplier with no join node (a cross join with a tiny df
+    // would plan as BroadcastNestedLoopJoin and trip the plan gate).
+    val bandArr = array(SimhashBandSpecs.map { case (b, start, width) =>
+      struct(lit(b).as("band"), lit(start).as("start"),
+        lit((1L << width) - 1).as("mask"))
+    }: _*)
+    val keyed = v.select($"simhash", explode(bandArr).as("bs"))
+      .select($"simhash", $"bs.band".as("band"),
+        expr("shiftright(simhash, bs.start)").bitwiseAND($"bs.mask").as("bkey"))
     val x = $"a.simhash".bitwiseXOR($"b.simhash")
     val vp = keyed.as("a").join(keyed.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&

@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-hazard regression gate: every registered query's physical
+  * plan must be free of CartesianProduct, single-partition Window,
+  * and (allowlist aside) BroadcastNestedLoopJoin. This is the test
+  * the reference effectively runs via `arthur explain` warnings — it
+  * would have caught round 1's all-pairs simhash join and
+  * single-partition identity window. */
+class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Brute-force ANN scoring broadcasts a k-row query set and loops
+    * it per corpus row — a deliberate, bounded BNLJ (build side =
+    * NumQueries rows). Everything else must stay equi-join. */
+  private val bnljAllowed = Set("ann_topk_cosine")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("no registered query plans a cartesian product or global window") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val warnings = Explain.planWarnings(fn(spark, sfDir)).filterNot(w =>
+          w.kind == "broadcast_nested_loop_join" && bnljAllowed.contains(name))
+        spark.catalog.clearCache()
+        if (warnings.isEmpty) None else Some(name -> warnings)
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, ws) => s"$n: ${ws.mkString(", ")}" }.mkString("\n"))
+  }
+
+  test("warnings fire on genuinely hazardous plans") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    val cart = a.join(b, $"x" < $"y")    // non-equi → BNLJ
+    assert(Explain.planWarnings(cart)
+      .exists(_.kind == "broadcast_nested_loop_join"))
+    val globalWin = a.withColumn("rn", row_number().over(Window.orderBy($"x")))
+    assert(Explain.planWarnings(globalWin)
+      .exists(_.kind == "single_partition_window"))
+    assert(Explain.planWarnings(a.select($"x")).isEmpty)
+  }
+}

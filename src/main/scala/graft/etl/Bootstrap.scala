@@ -1,0 +1,134 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+
+/** Design bootstrap (B1-B8): the reference infers table designs from
+  * upstream catalogs (`pg_class`/`pg_attribute`/`pg_index`/`pg_depend`,
+  * /root/reference/python/etl/design/bootstrap.py:27-640). In Spark
+  * the same information comes from the catalog + the analyzer, and
+  * the reference's EXPLAIN-text scraping (B6) collapses into plan
+  * introspection. */
+object Bootstrap {
+
+  // ------------------------------------------------------------- B5
+  /** Dependencies of a transform query from its PARSED plan: every
+    * relation reference, without executing or even analyzing against
+    * live tables (bootstrap.py:182-205's pg_depend lookup; the
+    * EXPLAIN fallback B6 at bootstrap.py:208-278 is unnecessary —
+    * the parser sees every reference, however nested). */
+  def dependenciesOf(spark: SparkSession, query: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val ctes = scala.collection.mutable.Set[String]()
+    val rels = scala.collection.mutable.Set[String]()
+    // Explicit recursion: plan.collect alone misses CTE definitions
+    // (innerChildren of UnresolvedWith) and subquery-expression plans
+    // (EXISTS/IN/scalar subqueries live inside expressions).
+    def walk(plan: LogicalPlan): Unit = plan.foreach { node =>
+      node match {
+        case w: UnresolvedWith =>
+          w.cteRelations.foreach { case (name, sub, _) =>
+            ctes += name.toLowerCase; walk(sub)
+          }
+        case r: UnresolvedRelation =>
+          rels += r.multipartIdentifier.map(_.toLowerCase).mkString(".")
+        case _ => ()
+      }
+      node.expressions.foreach(_.foreach {
+        case sq: SubqueryExpression => walk(sq.plan)
+        case _ => ()
+      })
+    }
+    walk(spark.sessionState.sqlParser.parsePlan(query))
+    (rels -- ctes).toSeq.sorted
+  }
+
+  // ------------------------------------------------------------- B1
+  /** Table discovery (bootstrap.py:27-82): list a database's tables,
+    * filtered by allow/deny glob selectors. */
+  def discoverTables(spark: SparkSession, database: String,
+                     allow: TableSelector = TableSelector.all,
+                     deny: TableSelector = TableSelector(Seq.empty)): Seq[TableName] = {
+    import scala.jdk.CollectionConverters._
+    spark.catalog.listTables(database).collectAsList().asScala.toSeq
+      .filter(_.tableType != "VIEW")
+      .map(t => TableName(database, t.name))
+      .filter(allow.matches)
+      .filterNot(t => deny.patterns.nonEmpty && deny.matches(t))
+  }
+
+  // ------------------------------------------------------- B2+B3+B8
+  /** Design generation for a source table from its live schema
+    * (B2 attribute fetch + B3 type mapping; bootstrap.py:281-316). */
+  def designForSource(spark: SparkSession, table: TableName): TableDesign = {
+    val schema = spark.table(table.quoted).schema
+    TableDesign(
+      name = table,
+      sourceName = table.schema,
+      columns = schema.fields.toSeq.map { f =>
+        val (generic, sqlType) = TableDesign.sparkToGeneric(f.dataType)
+        ColumnDef(f.name, generic, sqlType, sourceSqlType = sqlType,
+          notNull = !f.nullable)
+      })
+  }
+
+  /** CTAS/VIEW design from a query (B8, bootstrap.py:572-640): the
+    * reference creates a temp view and reads the catalog back; here
+    * the analyzer gives the schema without touching the catalog. */
+  def designFromQuery(spark: SparkSession, name: TableName, query: String,
+                      asView: Boolean = false): TableDesign = {
+    val schema = spark.sql(query).schema  // analysis only, not executed
+    val deps = dependenciesOf(spark, query).map(TableName.parse)
+    if (asView)
+      TableDesign(name, "VIEW",
+        schema.fields.toSeq.map(f => ColumnDef(f.name)),
+        dependsOn = deps, query = query)
+    else
+      TableDesign(name, "CTAS",
+        schema.fields.toSeq.map { f =>
+          val (generic, sqlType) = TableDesign.sparkToGeneric(f.dataType)
+          ColumnDef(f.name, generic, sqlType, notNull = !f.nullable)
+        },
+        dependsOn = deps, query = query)
+  }
+
+  // ------------------------------------------------------------- B7
+  /** Merge a freshly bootstrapped design with an existing one
+    * (bootstrap.py:319-399): keep the human-authored parts (identity
+    * flags, expressions, constraints), adopt upstream type changes,
+    * widen int → long without complaint, and report every change. */
+  def mergeDesigns(existing: TableDesign, bootstrapped: TableDesign)
+      : (TableDesign, Seq[String]) = {
+    val warnings = scala.collection.mutable.Buffer[String]()
+    val bootCols = bootstrapped.columns.map(c => c.name -> c).toMap
+    val merged = existing.columns.map { old =>
+      bootCols.get(old.name) match {
+        case None =>
+          warnings += s"column '${old.name}' no longer exists upstream"
+          old
+        case Some(fresh) =>
+          val widened = old.tpe == "int" && fresh.tpe == "long"
+          if (fresh.tpe != old.tpe && !widened)
+            warnings += s"column '${old.name}' type changed: ${old.tpe} -> ${fresh.tpe}"
+          old.copy(
+            tpe = fresh.tpe, sqlType = fresh.sqlType,
+            sourceSqlType = fresh.sourceSqlType,
+            notNull = fresh.notNull)
+      }
+    }
+    val newCols = bootstrapped.columns.filterNot(c =>
+      existing.columns.exists(_.name == c.name))
+    newCols.foreach(c => warnings += s"new upstream column '${c.name}' added")
+    (existing.copy(columns = merged ++ newCols), warnings.toSeq)
+  }
+
+  // ------------------------------------------------------------- B4
+  /** Constraint fetch (bootstrap.py:123-179): Spark's catalog has no
+    * index metadata; primary keys survive only via existing designs,
+    * so bootstrap keeps the existing constraints (merge path). For
+    * JDBC sources, `java.sql.DatabaseMetaData.getPrimaryKeys` feeds
+    * the same Constraint shape. */
+  def constraintsFromJdbcMetadata(pks: Seq[String]): Seq[Constraint] =
+    if (pks.nonEmpty) Seq(Constraint("primary_key", pks)) else Seq.empty
+}

@@ -14,8 +14,11 @@ object SchemaPosition extends Enumeration {
   val Standard, Staging, Backup = Value
 }
 
+/** `schema.table`; a single-part name (schema = "") is a session-level
+  * relation such as a temp view — legal as a dependency, not as a
+  * managed relation. */
 final case class TableName(schema: String, table: String) {
-  def identifier: String = s"$schema.$table"
+  def identifier: String = if (schema.isEmpty) table else s"$schema.$table"
 
   /** The schema name at a lifecycle position (names.py:89-94). The
     * reference separator is `$` (`etl_staging$schema`); Spark's
@@ -27,8 +30,8 @@ final case class TableName(schema: String, table: String) {
     case SchemaPosition.Backup   => TableName(s"etl_backup__$schema", table)
   }
 
-  /** Spark-SQL-quoted form (schema/table may carry `$`). */
-  def quoted: String = s"`$schema`.`$table`"
+  /** Spark-SQL-quoted form. */
+  def quoted: String = if (schema.isEmpty) s"`$table`" else s"`$schema`.`$table`"
 
   def isPgCatalog: Boolean = schema == "pg_catalog"
 
@@ -44,8 +47,9 @@ final case class TableName(schema: String, table: String) {
 object TableName {
   def parse(s: String): TableName = s.split('.') match {
     case Array(sc, t) => TableName(sc.toLowerCase, t.toLowerCase)
+    case Array(t)     => TableName("", t.toLowerCase)
     case _ => throw new IllegalArgumentException(
-      s"expected schema.table, got '$s'")
+      s"expected [schema.]table, got '$s'")
   }
 }
 

@@ -1,0 +1,98 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The introspection/ops command surface (Q1, Q4, Q5, Q10, §2.11)
+  * over the design + DAG model. */
+object Commands {
+
+  // ------------------------------------------------------------- Q1
+  /** run_query (load.py:1373-1404): execute a transformation's query
+    * with a LIMIT. `limit = None` means `LIMIT NULL` (all rows). */
+  def runQuery(spark: SparkSession, query: String, limit: Option[Int] = Some(100)): DataFrame = {
+    val df = spark.sql(query)
+    limit.map(df.limit).getOrElse(df)
+  }
+
+  /** run_query's printed form — the CLI surface. */
+  def runQueryText(spark: SparkSession, query: String, limit: Option[Int] = Some(100)): String =
+    runQuery(spark, query, limit).showString(limit.getOrElse(Int.MaxValue))
+
+  private implicit class ShowString(df: DataFrame) {
+    def showString(n: Int): String = {
+      val rows = df.limit(n).collect()
+      val header = df.schema.fieldNames.mkString(" | ")
+      (header +: rows.map(_.toSeq.map(v =>
+        Option(v).map(_.toString).getOrElse("NULL")).mkString(" | "))).mkString("\n")
+    }
+  }
+
+  // ------------------------------------------------------------- Q4
+  /** show_downstream_dependents (load.py:1424-1564): the DAG with
+    * index, level, kind, and required flag — and the mirror view for
+    * upstream dependencies. */
+  def describeDependents(relations: Seq[Relation], selector: TableSelector): String = {
+    val ordered = Dag.orderByDependencies(relations)
+    val selected = ordered.filter(r => selector.matches(r.name))
+    val shown = (selected ++ Dag.findDependents(ordered, selected))
+      .map(_.identifier).toSet
+    ordered.filter(r => shown.contains(r.identifier)).map { r =>
+      val kind = if (r.isView) "VIEW" else if (r.design.isCtas) "CTAS" else "TABLE"
+      val req = if (r.isRequired) " required" else ""
+      f"${r.executionOrder}%4d ${r.executionLevel}%4d  $kind%-5s ${r.identifier}$req"
+    }.mkString("\n")
+  }
+
+  def describeDependencies(relations: Seq[Relation], selector: TableSelector): String = {
+    val ordered = Dag.orderByDependencies(relations)
+    val selected = ordered.filter(r => selector.matches(r.name))
+    // upstream closure: walk dependencies transitively
+    val closure = scala.collection.mutable.Set[String](selected.map(_.identifier): _*)
+    ordered.reverse.foreach { r =>
+      if (closure.contains(r.identifier))
+        r.dependencies.foreach(d => closure += d.identifier)
+    }
+    ordered.filter(r => closure.contains(r.identifier)).map { r =>
+      f"${r.executionOrder}%4d ${r.executionLevel}%4d  ${r.identifier}"
+    }.mkString("\n")
+  }
+
+  // ------------------------------------------------------------- Q5
+  /** create_index (relation.py:817-885): a Markdown index of schemas,
+    * relations, and columns with key markers. */
+  def createIndex(relations: Seq[Relation]): String = {
+    val bySchema = relations.groupBy(_.name.schema).toSeq.sortBy(_._1)
+    bySchema.map { case (schema, rels) =>
+      val tables = rels.sortBy(_.name.table).map { r =>
+        val keys = r.design.constraints
+          .filter(c => c.kind == "primary_key" || c.kind == "surrogate_key")
+          .flatMap(_.columns).toSet
+        val cols = r.design.activeColumns.map { c =>
+          val marker = if (keys.contains(c.name)) " *[PK]*" else ""
+          s"  - `${c.name}` (${c.tpe})$marker"
+        }.mkString("\n")
+        s"### ${r.identifier}\n\n$cols"
+      }.mkString("\n\n")
+      s"## $schema\n\n$tables"
+    }.mkString("# Warehouse index\n\n", "\n\n", "\n")
+  }
+
+  // ------------------------------------------------------------- Q10
+  /** RunSql admin command (commands.py:772-821): execute a SQL script
+    * (statements separated by `;`), returning the last result. */
+  def runSqlScript(spark: SparkSession, script: String): Option[DataFrame] =
+    script.split(";").map(_.trim).filter(_.nonEmpty)
+      .foldLeft(Option.empty[DataFrame])((_, stmt) => Some(spark.sql(stmt)))
+
+  // ----------------------------------------------------------- §2.11
+  /** UDF surface: the one reference-shipped UDF is `dw.f_sha256`
+    * (sql/001_ETL_create_f_sha256.sql:4-11). Registered for
+    * transform-SQL compatibility; the NATIVE path is the codegen'd
+    * built-in `sha2(col, 256)` — new queries should use that. */
+  def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("f_sha256", (s: String) =>
+      if (s == null) null
+      else java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Static sources + manifests (S7, S8, S9): a static source's
+  * "extract" only verifies `_SUCCESS` exists over pre-existing files
+  * and (re)writes the COPY manifest
+  * (/root/reference/python/etl/extract/static.py:9-36,
+  * manifest_only.py:9-27, extractor.py:203-260). Reading the data is
+  * a plain schema-enforced `spark.read`. */
+object StaticSource {
+
+  final class MissingSuccessError(msg: String) extends RuntimeException(msg)
+
+  /** S7: verify the prefix is a complete extract (`_SUCCESS` present)
+    * and write its manifest — the whole static "extract" step. */
+  def extractStatic(prefix: String): String = {
+    requireSuccess(prefix)
+    writeManifest(prefix)
+  }
+
+  /** S8: manifest-only re-extract — regenerate the manifest for data
+    * that is already in place. */
+  def extractManifestOnly(prefix: String): String = writeManifest(prefix)
+
+  def requireSuccess(prefix: String): Unit =
+    if (!Files.exists(Paths.get(prefix, "_SUCCESS")))
+      throw new MissingSuccessError(s"no _SUCCESS marker under $prefix")
+
+  /** S9: COPY-manifest JSON over the part files
+    * (`{"entries": [{"url": ..., "mandatory": true}]}`). */
+  def writeManifest(prefix: String): String = {
+    requireSuccess(prefix)
+    val dir = Paths.get(prefix)
+    val entries = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("part-"))
+      .toSeq.sorted
+      .map(n => s"""{"url": "$prefix/$n", "mandatory": true}""")
+    val path = dir.resolve("manifest.json")
+    Files.write(path,
+      s"""{"entries": [${entries.mkString(", ")}]}""".getBytes(StandardCharsets.UTF_8))
+    path.toString
+  }
+
+  /** The read side: schema-enforced load of a static prefix in any of
+    * the reference's formats (gzip CSV / JSON / Avro,
+    * extract/__init__.py:4-5) plus parquet. */
+  def read(spark: SparkSession, design: TableDesign, prefix: String,
+           format: String = "csv"): DataFrame = {
+    requireSuccess(prefix)
+    val base = spark.read.schema(design.toStructType)
+      .option("pathGlobFilter", "part-*")
+    (format match {
+      case "csv" => base.option("nullValue", "\\N")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(prefix)
+      case "json" => base.json(prefix)
+      case "parquet" => base.parquet(prefix)
+      case other => throw new IllegalArgumentException(s"unsupported format '$other'")
+    })
+  }
+}

@@ -295,4 +295,65 @@ final class Warehouse(
         locationOf(bak).foreach(registerAt(rel.name, _))
       }
     }
+
+  // ------------------------------------------------------------ T6
+  /** The `update` command (delete-then-reload,
+    * load.py:1308-1367, 422-425): refresh the selected tables AND
+    * their downstream transformations in place, in execution order.
+    * Views are untouched. The reference wraps this in one Redshift
+    * transaction; here each table's refresh is a metadata pointer
+    * swap (write new location → re-register), so readers never see a
+    * partially-loaded table — the swap-per-table emulation SURVEY
+    * §7.3 calls for. */
+  def updateRelations(relations: Seq[Relation], selector: TableSelector): Seq[BuildResult] = {
+    val selected = Dag.selectInExecutionOrder(relations, selector,
+      includeDependents = true)
+    selected.filterNot(_.isView).map(rel =>
+      buildOneRelation(rel, SchemaPosition.Standard))
+  }
+
+  // ------------------------------------------------------------ D6
+  /** Event-driven load ("concurrent extract", load.py:790-988): the
+    * reference polls DynamoDB for per-table extract-finish events and
+    * loads each table as its extract lands, with an idle timeout.
+    * Here the event store is a marker directory: the extractor drops
+    * `<schema>.<table>.extracted`; this poller builds each source as
+    * its marker appears, then runs transformations in order. */
+  def eventDrivenLoad(relations: Seq[Relation], markerDir: String,
+                      idleTimeoutMs: Long = 3600 * 1000L,
+                      pollMs: Long = 100L): Seq[BuildResult] = {
+    val ordered = Dag.orderByDependencies(relations)
+    createSchemas(ordered, SchemaPosition.Standard)
+    val sources = ordered.filterNot(_.isTransformation)
+    val results = mutable.Buffer[BuildResult]()
+    val pending = mutable.Set[String](sources.map(_.identifier): _*)
+    var lastProgress = System.currentTimeMillis()
+    while (pending.nonEmpty) {
+      val arrived = pending.toSeq.sorted.filter { id =>
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(markerDir, s"$id.extracted"))
+      }
+      if (arrived.nonEmpty) {
+        arrived.foreach { id =>
+          results += buildOneRelation(sources.find(_.identifier == id).get)
+          pending -= id
+        }
+        lastProgress = System.currentTimeMillis()
+      } else if (System.currentTimeMillis() - lastProgress > idleTimeoutMs) {
+        throw new RequiredRelationLoadError(
+          s"idle timeout waiting for extract events: ${pending.toSeq.sorted.mkString(", ")}")
+      } else Thread.sleep(pollMs)
+    }
+    ordered.filter(_.isTransformation).foreach(rel =>
+      results += buildOneRelation(rel))
+    results.toSeq
+  }
+
+  // ------------------------------------------------------------ L6
+  /** ANALYZE (load.py:554-561): refresh table statistics so the CBO
+    * has row counts/sizes — the reference runs this after every
+    * build. VACUUM's Spark analog (small-file compaction) is
+    * unnecessary here: each build writes fresh, right-sized files. */
+  def analyze(target: TableName): Unit =
+    spark.sql(s"ANALYZE TABLE ${target.quoted} COMPUTE STATISTICS")
 }

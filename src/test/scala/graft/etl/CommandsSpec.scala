@@ -1,0 +1,171 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ops commands (Q1/Q4/Q5/Q10), UDF surface (§2.11), retry (D8),
+  * static sources (S7-S9), update (T6), event-driven load (D6),
+  * ANALYZE (L6). */
+class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rel(yaml: String): Relation = Relation(TableDesign.load(yaml))
+
+  private val srcNation = rel(
+    """name: src.nation
+      |source_name: src
+      |columns:
+      |  - name: n_nationkey
+      |    type: int
+      |    not_null: true
+      |  - name: n_name
+      |    type: string
+      |constraints:
+      |  - primary_key: [n_nationkey]
+      |""".stripMargin)
+
+  private val repTop = rel(
+    """name: rep.top_n
+      |source_name: CTAS
+      |depends_on: [src.nation]
+      |columns:
+      |  - name: n_name
+      |    type: string
+      |query: SELECT n_name FROM src.nation WHERE n_nationkey < 5
+      |""".stripMargin)
+
+  test("Q1: run_query applies the LIMIT; None means all rows") {
+    spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("cmd_nation")
+    assert(Commands.runQuery(spark, "SELECT n_name FROM cmd_nation", Some(3)).count() == 3)
+    assert(Commands.runQuery(spark, "SELECT n_name FROM cmd_nation", None).count() == 25)
+    val text = Commands.runQueryText(spark, "SELECT n_nationkey FROM cmd_nation ORDER BY 1", Some(2))
+    assert(text.startsWith("n_nationkey") && text.contains("0") && text.contains("1"))
+  }
+
+  test("Q4: dependents/dependencies listings carry order, level, kind") {
+    val listing = Commands.describeDependents(Seq(srcNation, repTop),
+      TableSelector(Seq("src.nation")))
+    assert(listing.contains("src.nation") && listing.contains("rep.top_n"))
+    assert(listing.contains("TABLE") && listing.contains("CTAS"))
+    val up = Commands.describeDependencies(Seq(srcNation, repTop),
+      TableSelector(Seq("rep.top_n")))
+    assert(up.contains("src.nation"))
+  }
+
+  test("Q5: create_index emits a Markdown index with PK markers") {
+    val md = Commands.createIndex(Seq(srcNation, repTop))
+    assert(md.contains("## src") && md.contains("### src.nation"))
+    assert(md.contains("`n_nationkey` (int) *[PK]*"))
+  }
+
+  test("Q10: runSqlScript executes statements in order") {
+    val out = Commands.runSqlScript(spark,
+      "CREATE DATABASE IF NOT EXISTS cmdtest; SELECT 41 + 1 AS answer")
+    assert(out.get.collect().head.getInt(0) == 42)
+  }
+
+  test("§2.11: f_sha256 matches the built-in sha2 (the native path)") {
+    Commands.registerUdfs(spark)
+    val r = spark.sql(
+      "SELECT f_sha256('arthur') = sha2('arthur', 256) AS same").collect()
+    assert(r.head.getBoolean(0))
+  }
+
+  test("D8: retry backs off and gives up per transient classification") {
+    var calls = 0
+    val r = Retry.callWithRetry(maxRetries = 3, baseDelayMs = 1) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(r == "ok" && calls == 3)
+    var calls2 = 0
+    intercept[RuntimeException] {
+      Retry.callWithRetry(maxRetries = 5, baseDelayMs = 1,
+        isTransient = _.getMessage != "fatal") {
+        calls2 += 1
+        throw new RuntimeException("fatal")
+      }
+    }
+    assert(calls2 == 1)
+  }
+
+  test("S7-S9: static source requires _SUCCESS, writes manifest, reads back") {
+    val prefix = Files.createTempDirectory("graft_static_").toString
+    intercept[StaticSource.MissingSuccessError] { StaticSource.extractStatic(prefix) }
+    // stage a one-part gzip CSV extract
+    Files.write(Paths.get(prefix, "part-00000.csv"),
+      "1,\"alpha\"\n2,\"beta\"\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(prefix, "_SUCCESS"), Array.emptyByteArray)
+    val manifest = StaticSource.extractStatic(prefix)
+    val text = new String(Files.readAllBytes(Paths.get(manifest)), StandardCharsets.UTF_8)
+    assert(text.contains("part-00000.csv") && text.contains("\"mandatory\": true"))
+    val design = TableDesign(TableName.parse("ext.t"), "ext", Seq(
+      ColumnDef("id", "long", notNull = true), ColumnDef("name", "string")))
+    val df = StaticSource.read(spark, design, prefix)
+    assert(df.count() == 2)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name"))
+  }
+
+  test("T6: update refreshes selected tables + transformations in place") {
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_upd_").toString, sfDir)
+    wh.loadRelations(Seq(srcNation, repTop))
+    val before = spark.table("`rep`.`top_n`").count()
+    val results = wh.updateRelations(Seq(srcNation, repTop),
+      TableSelector(Seq("src.nation")))
+    // update of src.nation pulls rep.top_n along (dependents).
+    assert(results.map(_.identifier) == Seq("src.nation", "rep.top_n"))
+    assert(spark.table("`rep`.`top_n`").count() == before)
+  }
+
+  test("D6: event-driven load builds sources as markers land, then transforms") {
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_evt_").toString, sfDir)
+    val markerDir = Files.createTempDirectory("graft_markers_").toString
+    val writer = new Thread(() => {
+      Thread.sleep(150)
+      Files.write(Paths.get(markerDir, "src.nation.extracted"), Array.emptyByteArray)
+    })
+    writer.start()
+    val results = wh.eventDrivenLoad(Seq(srcNation, repTop), markerDir,
+      idleTimeoutMs = 10000, pollMs = 20)
+    writer.join()
+    assert(results.map(_.identifier) == Seq("src.nation", "rep.top_n"))
+    // idle timeout fires when no marker ever arrives
+    val wh2 = new Warehouse(spark,
+      Files.createTempDirectory("graft_evt2_").toString, sfDir)
+    intercept[RequiredRelationLoadError] {
+      wh2.eventDrivenLoad(Seq(srcNation), Files.createTempDirectory("empty_").toString,
+        idleTimeoutMs = 200, pollMs = 20)
+    }
+  }
+
+  test("L6: ANALYZE computes statistics on a built table") {
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_an_").toString, sfDir)
+    wh.loadRelations(Seq(srcNation))
+    wh.analyze(TableName.parse("src.nation"))
+    val stats = spark.sql("DESCRIBE TABLE EXTENDED `src`.`nation`")
+      .filter("col_name = 'Statistics'").collect()
+    assert(stats.nonEmpty, "ANALYZE should record statistics")
+  }
+}

@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (hadoop FS, parquet reader, codegen paths) so
+    // the alphabetically-first query's time reflects the query, not
+    // one-time JVM initialization.
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     // Failures are recorded (-1, excluded from total), never silently
     // folded into the timing.
     var failed = List.empty[String]

@@ -17,7 +17,9 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tc = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    println(f"[runone] $name: construct ${(System.nanoTime() - tc) / 1e9}%.2f s")
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
       println(graft.etl.Explain.report(df))
     val t0 = System.nanoTime()

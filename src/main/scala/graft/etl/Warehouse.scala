@@ -76,6 +76,14 @@ final class Warehouse(
     * [[FailedConstraintError]] carrying sample keys. */
   def verifyConstraints(df: DataFrame, design: TableDesign): Unit =
     design.constraints.foreach { ct =>
+      // A surrogate key on the engine's own identity column is unique
+      // BY CONSTRUCTION (row_number over a total order, Identity.scala)
+      // — re-checking would shuffle the whole fact table to prove a
+      // tautology. Redshift's IDENTITY gives no such guarantee, which
+      // is why the reference re-checks (load.py:564-634); ours does.
+      val engineGenerated = ct.kind == "surrogate_key" &&
+        design.identityColumn.exists(ic => ct.columns == Seq(ic.name))
+      if (!engineGenerated) {
       val keyCols = ct.columns.map(col)
       val base = if (ct.kind == "unique")
         df.filter(ct.columns.map(col(_).isNotNull).reduce(_ && _))
@@ -87,6 +95,7 @@ final class Warehouse(
           s"relation '${design.name.identifier}' violates ${ct.kind} " +
             s"(${ct.columns.mkString(", ")}); examples: " +
             dups.map(_.toSeq.mkString("(", ",", ")")).mkString(" "))
+      }
     }
 
   // ------------------------------------------------------ build one

@@ -298,14 +298,18 @@ object DedupOps {
       .select($"simhash", $"bs.band".as("band"),
         expr("shiftright(simhash, bs.start)").bitwiseAND($"bs.mask").as("bkey"))
     val x = $"a.simhash".bitwiseXOR($"b.simhash")
-    val vp = keyed.as("a").join(keyed.as("b"),
+    // Broadcast-hash join: the keyed value table is tiny (distinct
+    // hashes × 7 bands) while its bucket sizes are heavily skewed — a
+    // sort-merge join would put the hottest (band,bkey) group on ONE
+    // task; the broadcast probe parallelizes across all stream rows.
+    val vp = keyed.as("a").join(broadcast(keyed.as("b")),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
           $"a.simhash" < $"b.simhash" &&
           bit_count(x) <= 6 && $"a.band" === firstAgreeingBand(x))
       .select($"a.simhash".as("h1"), $"b.simhash".as("h2"))
     val crossPairs = vp
-      .join(sh.as("x"), $"h1" === $"x.simhash")
-      .join(sh.as("y"), $"h2" === $"y.simhash")
+      .join(broadcast(sh.as("x")), $"h1" === $"x.simhash")
+      .join(broadcast(sh.as("y")), $"h2" === $"y.simhash")
       .select(least($"x.doc_id", $"y.doc_id").as("d1"),
         greatest($"x.doc_id", $"y.doc_id").as("d2"),
         bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))

@@ -26,7 +26,10 @@ object Unload {
       .option("compression", "gzip")
       .option("quoteAll", "true")
       .option("nullValue", "\\N")
+      // both: parquet-sourced naive timestamps surface as TIMESTAMP_NTZ
+      // in Spark 4, which the CSV writer formats via timestampNTZFormat
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(destDir)
     writeColumnsYaml(design, destDir)
     writeManifest(destDir)
@@ -73,6 +76,7 @@ object Unload {
       .option("compression", "gzip")
       .option("nullValue", "\\N")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .option("pathGlobFilter", "part-*")   // skip columns.yaml/manifest.json
       .csv(destDir)
   }

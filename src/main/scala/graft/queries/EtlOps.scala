@@ -193,7 +193,39 @@ object EtlOps {
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice
       |FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- S12/S13
+  /** Unload → reload round-trip, oracle-checked: export a slice of
+    * orders as the reference's CSV format (gzip, quoted, `\N` nulls,
+    * columns.yaml; /root/reference/python/etl/dialect/redshift.py:548-581),
+    * read it back through the static-source path, and emit the rows.
+    * A lossy format or schema drift breaks the hash. */
+  def s12UnloadRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.etl.{ColumnDef, TableDesign, TableName, Unload}
+    val dest = java.nio.file.Files.createTempDirectory("graft_unload_q_")
+      .toString + "/orders_csv"
+    val design = TableDesign(TableName.parse("unload.orders_slice"), "src", Seq(
+      ColumnDef("o_orderkey", "long", notNull = true),
+      ColumnDef("o_orderstatus", "string"),
+      ColumnDef("o_totalprice", "double"),
+      ColumnDef("o_orderdate", "timestamp")))
+    val slice = Tables.load(spark, sfDir, "orders")
+      .filter($"o_orderkey" <= 500)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+    Unload.unload(slice, design, dest)
+    Unload.reload(spark, dest)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_ts"))
+      .orderBy($"o_orderkey")
+  }
+
+  val s12UnloadRoundtripSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_ts
+      |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_unload_roundtrip" -> (s12UnloadRoundtrip _),
     "c1_constraint_dup" -> (c1ConstraintDup _),
     "c1_pk_clean" -> (c1PkClean _),
     "c2_rowcount_audit" -> (c2RowcountAudit _),
@@ -204,6 +236,7 @@ object EtlOps {
     "p4_limit" -> (p4Limit _))
 
   val oracles: Map[String, String] = Map(
+    "s12_unload_roundtrip" -> s12UnloadRoundtripSql,
     "c1_constraint_dup" -> c1ConstraintDupSql,
     "c1_pk_clean" -> c1PkCleanSql,
     "c2_rowcount_audit" -> c2RowcountAuditSql,

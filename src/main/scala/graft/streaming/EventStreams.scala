@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface. The reference is explicitly
+  * batch-only (README.md:31); its closest analog is the `update`
+  * refresh loop that waits for extract events and percolates new data
+  * through the DAG (/root/reference/python/etl/monitor.py:825-859,
+  * load.py:1343-1355). Spark-first, that loop IS
+  * `Trigger.AvailableNow` + `foreachBatch`; on top of it the engine
+  * exposes the standard streaming operator set over the `events`
+  * table shape: watermarked tumbling-window aggregation (the
+  * streaming twin of q14) and gap-based sessionization via
+  * `flatMapGroupsWithState` (the streaming twin of q15).
+  *
+  * All transforms take a DataFrame so they compose with ANY source —
+  * `readStream` (files/Kafka) in production, `MemoryStream` in tests,
+  * or a batch frame (the window/agg forms are identical).
+  */
+object EventStreams {
+
+  /** Hourly tumbling-window counts with a 2-hour watermark: late
+    * events beyond the watermark are dropped, window state is evicted
+    * once the watermark passes — bounded state at any scale. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionState(
+      startMicros: Long, lastMicros: Long, nEvents: Long)
+  final case class SessionOut(
+      user_id: Long, n_events: Long, duration_s: Long)
+
+  val SessionGapMicros: Long = 1800L * 1000000L  // 30 min, same as q15
+
+  /** Gap-based sessionization: a session closes when its user is
+    * silent for 30 minutes past the watermark (EventTimeTimeout).
+    * State per user is three longs — at 100 TB the state store holds
+    * |active users| entries, not events. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.nEvents,
+              (s.lastMicros - s.startMicros) / 1000000L))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val micros = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if micros - s.lastMicros <= SessionGapMicros =>
+                  cur = Some(s.copy(lastMicros = micros, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.nEvents,
+                    (s.lastMicros - s.startMicros) / 1000000L)
+                  cur = Some(SessionState(micros, micros, 1))
+                case None =>
+                  cur = Some(SessionState(micros, micros, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once the watermark passes the gap
+              state.setTimeoutTimestamp(s.lastMicros / 1000L + SessionGapMicros / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** The `update` refresh loop as a stream (load.py:1343-1367 →
+    * Trigger.AvailableNow): drain whatever extract files have landed
+    * under `sourceDir`, run `apply` on each micro-batch (e.g. build a
+    * relation via the Warehouse), then stop. Returns after all
+    * available data is processed — the reference's "wait for extract
+    * events then percolate" without the polling. */
+  def availableNowRefresh(spark: SparkSession, sourceDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          checkpointDir: String)
+                         (apply: (DataFrame, Long) => Unit): Unit = {
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => apply(batch, id) }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyCounts: watermarked tumbling windows close and emit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF.toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyCounts(events).writeStream
+      .format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:10:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the 10:00 window
+    input.addData((ts("2024-01-01 14:00:00"), "click", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("hourly_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+  }
+
+  test("sessionize: 30-min gaps split sessions; timeout closes the last one") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionize(input.toDS).writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: two events 10 min apart (one session), then a 40-min gap
+    // event (second session)
+    input.addData(
+      EventStreams.Ev(1L, 1L, ts("2024-01-01 10:00:00")),
+      EventStreams.Ev(1L, 2L, ts("2024-01-01 10:10:00")),
+      EventStreams.Ev(1L, 3L, ts("2024-01-01 10:50:00")))
+    q.processAllAvailable()
+    // push the watermark past 10:50 + 30min gap + 1h watermark delay
+    input.addData(EventStreams.Ev(2L, 9L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_out").as[EventStreams.SessionOut]
+      .collect().toSet
+    q.stop()
+    // first session: 2 events over 600s (closed by the gap);
+    // second session: 1 event, closed by event-time timeout.
+    assert(rows.contains(EventStreams.SessionOut(1L, 2L, 600L)))
+    assert(rows.contains(EventStreams.SessionOut(1L, 1L, 0L)))
+  }
+
+  test("availableNowRefresh drains a directory once and applies each batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck_").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(dir)
+    var seen = 0L
+    EventStreams.availableNowRefresh(spark, dir,
+      spark.read.parquet(dir).schema, ckpt) { (batch, _) =>
+      seen += batch.count()
+    }
+    assert(seen == 2L)
+  }
+}

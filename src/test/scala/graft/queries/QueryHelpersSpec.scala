@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the query-pack's pure helpers (Num conventions,
+  * text normalization) and plan-quality assertions beyond the hazard
+  * gate: predicate pushdown must reach the parquet scan. */
+class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("Num.dsum is order-independent: decimal accumulation, double result") {
+    val s = spark
+    import s.implicits._
+    // Sum a pathological float series in two different orders; dsum
+    // must agree bit-for-bit (raw double sum would not).
+    val vals = (1 to 2000).map(i => math.Pi * i / 7.0)
+    val asc = vals.toDF("v").agg(Num.dsum($"v")).head.getDouble(0)
+    val desc = vals.reverse.toDF("v").repartition(7).agg(Num.dsum($"v")).head.getDouble(0)
+    assert(asc == desc)
+    // and equals the exact decimal sum
+    val exact = vals.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(asc == exact.toDouble)
+  }
+
+  test("normText collapses punctuation runs, lowercases, trims") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("  Hello,   WORLD!! 42&x ").toDF("text")
+      .select(TextOps.normText($"text")).head.getString(0)
+    assert(out == "hello world 42 x")
+  }
+
+  test("q6's three range predicates reach the parquet scan (PushedFilters)") {
+    val df = SqlSurface.q6Filter(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"pushed=$pushed")
+    // column pruning: the read schema must not include unused columns
+    val readSchema = scans.map(_.metadata.getOrElse("ReadSchema", "")).mkString
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"))
+  }
+
+  test("broadcast hints survive planning for dimension joins (q2)") {
+    val df = SqlSurface.q2JoinAgg(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "nation join should broadcast")
+  }
+
+  test("minhash band assembly is stable: 16 mins -> 4 ordered bands") {
+    assert(DedupOps.MinhashPerms == 16 && DedupOps.BandSize == 4)
+    // permutation parameters are the documented linear family
+    val a = (0 until 16).map(j => 2L * j + 1)
+    assert(a.distinct.size == 16 && a.forall(_ % 2 == 1))
+  }
+
+  test("simhash band specs: 7 bands cover all 60 bits disjointly (pigeonhole)") {
+    val specs = DedupOps.SimhashBandSpecs
+    assert(specs.size == 7, "hamming<=6 needs at least 7 bands")
+    val covered = specs.flatMap { case (_, start, width) => start until (start + width) }
+    assert(covered.sorted == (0 until 60).toList)
+  }
+}

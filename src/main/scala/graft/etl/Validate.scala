@@ -32,6 +32,25 @@ object Validate {
     missing ++ notNullMismatch ++ extras
   }
 
+  // ------------------------------------------------------------- C4
+  /** Upstream constraint validation (validate.py:405-471): every
+    * PK/unique the design declares must be enforced upstream — an
+    * upstream PRIMARY KEY may serve as the design's unique. Upstream
+    * constraints come from JDBC metadata
+    * ([[Bootstrap.constraintsFromJdbcMetadata]]) or a catalog query. */
+  def upstreamConstraints(design: TableDesign,
+                          upstreamEnforced: Seq[Constraint]): Seq[Finding] = {
+    val id = design.name.identifier
+    val enforcedKeySets = upstreamEnforced
+      .filter(c => c.kind == "primary_key" || c.kind == "unique")
+      .map(_.columns.toSet)
+    design.constraints
+      .filter(c => c.kind == "primary_key" || c.kind == "unique")
+      .filterNot(c => enforcedKeySets.contains(c.columns.toSet))
+      .map(c => Finding(id, "upstream_constraints",
+        s"${c.kind} (${c.columns.mkString(", ")}) is not enforced upstream"))
+  }
+
   // ------------------------------------------------------------- C5
   /** Transform dry-run (validate.py:196-263): analyze the query
     * WITHOUT executing it; the dependencies derived from the plan and

@@ -71,6 +71,20 @@ class FrameworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Validate.transformDryRun(spark, ok).isEmpty)
   }
 
+  test("C4: design keys must be enforced upstream (PK may serve as unique)") {
+    val design = TableDesign(TableName.parse("src.t"), "src", Seq(
+      ColumnDef("id", "long", notNull = true), ColumnDef("code", "string")),
+      constraints = Seq(Constraint("primary_key", Seq("id")),
+        Constraint("unique", Seq("code"))))
+    val upstreamPkOnly = Seq(Constraint("primary_key", Seq("id")))
+    val findings = Validate.upstreamConstraints(design, upstreamPkOnly)
+    assert(findings.map(_.message) ==
+      Seq("unique (code) is not enforced upstream"))
+    // upstream PK satisfies a design unique over the same columns
+    val asUnique = design.copy(constraints = Seq(Constraint("unique", Seq("id"))))
+    assert(Validate.upstreamConstraints(asUnique, upstreamPkOnly).isEmpty)
+  }
+
   test("C7: reload consistency compares column lists") {
     val a = TableDesign(TableName.parse("u.t"), "src",
       Seq(ColumnDef("x"), ColumnDef("y")))

@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -19,9 +18,11 @@ import org.apache.spark.storage.StorageLevel
   *   2. count rows per partition — a metadata-sized driver collect
   *      (one long per partition, same order of magnitude as AQE
   *      statistics);
-  *   3. per-partition `row_number` (window partitioned by
-  *      spark_partition_id → distributed) plus the partition's
-  *      cumulative offset, broadcast-mapped in.
+  *   3. per-row index from `monotonically_increasing_id()` (its low
+  *      33 bits are the row's position within its partition, assigned
+  *      downstream of the sort) plus the partition's cumulative
+  *      offset via a broadcast join — NO second shuffle: a window
+  *      partitioned by pid would re-hash and re-sort the whole table.
   *
   * The result is bit-identical to `row_number() OVER (ORDER BY keys)`.
   */
@@ -36,6 +37,8 @@ object Identity {
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
+      // mono = (pid << 33) + rowIndexInPartition, in sorted row order
+      .withColumn("__mono", monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = parted.groupBy(pid).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -46,10 +49,10 @@ object Identity {
     import spark.implicits._
     val offsetDf = counts.map(_._1).zip(offsets).toSeq
       .toDF("__pid2", "__offset")
-    val w = Window.partitionBy(pid).orderBy(order: _*)
+    val rowIdxInPartition = col("__mono").bitwiseAND(lit((1L << 33) - 1))
     parted
       .join(broadcast(offsetDf), pid === col("__pid2"))
-      .withColumn(name, row_number().over(w).cast("long") + col("__offset"))
-      .drop("__pid", "__pid2", "__offset")
+      .withColumn(name, rowIdxInPartition + col("__offset") + 1L)
+      .drop("__pid", "__pid2", "__offset", "__mono")
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl._
+
+/** The command-line surface — the analog of `arthur.py <command>`
+  * (/root/reference/python/etl/commands.py:340-386), over a designs
+  * directory laid out by the reference's path convention
+  * (`schemas/{schema}/{source}-{table}.yaml` + `.sql`).
+  *
+  * Commands: load (staging+publish), update, extract-static, unload,
+  * validate, show_ddl, ls, run_query, explain, create_index,
+  * show_dependents.
+  */
+object Cli {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft.Cli <command> [options]
+        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging]
+        |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN
+        |  validate       --designs DIR
+        |  show_ddl       --designs DIR [--select PATTERN]
+        |  ls             --designs DIR
+        |  run_query      --sql SQL [--limit N]
+        |  explain        --designs DIR [--select PATTERN]
+        |  create_index   --designs DIR
+        |  show_dependents --designs DIR --select PATTERN
+        |""".stripMargin)
+    sys.exit(2)
+  }
+
+  private def parseArgs(args: Seq[String]): Map[String, String] =
+    args.grouped(2).collect {
+      case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
+      case Seq(k) if k.startsWith("--") => k.drop(2) -> "true"
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) usage()
+    val command = args.head
+    val opts = parseArgs(args.tail.toSeq)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    DialectShims.registerAll(spark)
+    try run(spark, command, opts)
+    finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession, command: String,
+                         opts: Map[String, String]): Unit = {
+    def designs: Seq[Relation] =
+      FileSets.discover(opts.getOrElse("designs", usage()))
+    def selector: TableSelector =
+      opts.get("select").map(p => TableSelector(p.split(',').toSeq))
+        .getOrElse(TableSelector.all)
+    def warehouse: Warehouse = new Warehouse(spark,
+      opts.getOrElse("warehouse", usage()), opts.getOrElse("data", usage()),
+      new Monitor(opts.get("events")))
+
+    command match {
+      case "load" =>
+        val rels = Dag.selectInExecutionOrder(designs, selector,
+          includeDependents = true)
+        val results =
+          if (opts.contains("no-staging")) warehouse.loadRelations(rels)
+          else warehouse.loadWithStagingAndPublish(rels)
+        results.foreach(r =>
+          println(s"[load] ${r.identifier}: ${r.rowcount} rows" +
+            (if (r.skipped) " (skip copy)" else "")))
+      case "update" =>
+        warehouse.updateRelations(designs, selector).foreach(r =>
+          println(s"[update] ${r.identifier}: ${r.rowcount} rows"))
+      case "validate" =>
+        val findings = Validate.validateAll(spark, designs)
+        findings.foreach(f =>
+          println(s"[validate] ${f.identifier} ${f.check}: ${f.message}"))
+        if (findings.nonEmpty) sys.exit(1)
+        println(s"[validate] ${designs.size} relation(s) ok")
+      case "show_ddl" =>
+        designs.filter(r => selector.matches(r.name))
+          .foreach(r => println(Ddl.showDdl(r.design) + ";\n"))
+      case "ls" =>
+        FileSets.ls(opts.getOrElse("designs", usage())).foreach {
+          case (id, files) => println(s"$id\n" + files.map("  " + _).mkString("\n"))
+        }
+      case "run_query" =>
+        println(Commands.runQueryText(spark, opts.getOrElse("sql", usage()),
+          opts.get("limit").map(_.toInt).orElse(Some(100))))
+      case "explain" =>
+        designs.filter(r => r.isTransformation && selector.matches(r.name))
+          .foreach { r =>
+            println(s"-- ${r.identifier}")
+            println(Explain.report(spark.sql(r.design.query)))
+          }
+      case "create_index" =>
+        println(Commands.createIndex(designs))
+      case "show_dependents" =>
+        println(Commands.describeDependents(designs, selector))
+      case _ => usage()
+    }
+  }
+}

@@ -1,0 +1,30 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{CurrentTimestamp, Expression, ExpressionInfo, Literal, Sha2}
+
+/** Session-extension entry point: `--conf
+  * spark.sql.extensions=graft.etl.GraftExtensions` makes the
+  * Redshift-dialect functions available in EVERY session (including
+  * thrift/connect ones) as NATIVE Catalyst expressions — they resolve
+  * at analysis time and stay inside whole-stage codegen, unlike a UDF.
+  *
+  * `f_sha256` (the one warehouse UDF the reference ships,
+  * sql/001_ETL_create_f_sha256.sql:4-11) maps to `Sha2(e, 256)`;
+  * `getdate` to `CurrentTimestamp`. The SQL-bodied shims in
+  * [[DialectShims]] cover per-session registration without the conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("f_sha256"),
+      new ExpressionInfo(classOf[Sha2].getName, "f_sha256"),
+      (children: Seq[Expression]) => Sha2(children.head, Literal(256))))
+    ext.injectFunction((
+      FunctionIdentifier("getdate"),
+      new ExpressionInfo(classOf[CurrentTimestamp].getName, "getdate"),
+      (_: Seq[Expression]) => CurrentTimestamp()))
+  }
+}

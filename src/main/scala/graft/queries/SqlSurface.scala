@@ -417,8 +417,32 @@ object SqlSurface {
       |  MAX(duration_s) AS max_duration_s
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q16
+  /** PIVOT: status columns from row values. Spark's
+    * `groupBy().pivot(col, values)` with explicit values compiles to
+    * a single-pass CASE-aggregate (no extra shuffle vs a plain
+    * groupBy, no values-discovery job); the oracle is the equivalent
+    * conditional aggregation. */
+  def q16Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum($"o_totalprice"))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q16PivotSql: String =
+    s"""SELECT o_orderpriority,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_f,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS total_o,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS total_p
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_pivot" -> (q16Pivot _),
     "q1_agg" -> (q1Agg _),
     "q2_join_agg" -> (q2JoinAgg _),
     "q3_topk" -> (q3TopK _),
@@ -436,6 +460,7 @@ object SqlSurface {
     "q15_events_sessions" -> (q15EventsSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q16_pivot" -> q16PivotSql,
     "q1_agg" -> q1AggSql,
     "q2_join_agg" -> q2JoinAggSql,
     "q3_topk" -> q3TopKSql,

@@ -75,7 +75,13 @@ object DedupOps {
 
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Join on a 60-bit md5 fingerprint of the shingle, not the string:
+    // the inverted-index shuffle then carries 8 bytes per row instead
+    // of a ~25-byte text key. (Collisions at 2^60 are negligible and
+    // the oracle hashes identically, so results agree by construction.)
     val sh = shingleDf(spark, sfDir)
+      .select($"doc_id",
+        conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long").as("shingle"))
     val kept = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
       .filter($"df" <= MaxShingleDf)
@@ -96,7 +102,10 @@ object DedupOps {
   }
 
   val dedupJaccardSql: String =
-    s"""WITH sh AS ($shingleSql),
+    s"""WITH sh AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+       |  FROM ($shingleSql)
+       |),
        |kept AS (
        |  SELECT doc_id, shingle FROM (
        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh

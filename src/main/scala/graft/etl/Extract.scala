@@ -77,11 +77,13 @@ object Extract {
     * (what Sqoop itself would issue). */
   def boundaryQuery(design: TableDesign, splitExpr: String, table: String): String =
     design.extractSettings.flatMap(_.boundaryQuery).getOrElse(
-      s"SELECT MIN($splitExpr), MAX($splitExpr) FROM $table")
+      s"SELECT MIN($splitExpr) AS lower_bound, MAX($splitExpr) AS upper_bound FROM $table")
 
   /** The sampling predicate (S6, database_extractor.py:141-152):
-    * exact `(key % 10) = 1`, reproducible — never `TABLESAMPLE`. */
-  def samplingCondition(key: String): String = s"(($key % 10) = 1)"
+    * exact `key mod 10 = 1`, reproducible — never `TABLESAMPLE`.
+    * ANSI `MOD()` (the `%` operator is not universal across JDBC
+    * sources; Derby, for one, rejects it). */
+  def samplingCondition(key: String): String = s"(MOD($key, 10) = 1)"
 
   /** Full partition plan for one relation. */
   final case class PartitionPlan(

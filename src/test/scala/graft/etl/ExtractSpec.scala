@@ -89,7 +89,8 @@ class ExtractSpec extends AnyFunSuite {
       "extract_settings:\n  split_by: [k]\n  boundary_query: SELECT 0, 100")
     assert(Extract.boundaryQuery(custom, "k", "t") == "SELECT 0, 100")
     val default = designWith("")
-    assert(Extract.boundaryQuery(default, "k", "t") == "SELECT MIN(k), MAX(k) FROM t")
+    assert(Extract.boundaryQuery(default, "k", "t") ==
+      "SELECT MIN(k) AS lower_bound, MAX(k) AS upper_bound FROM t")
   }
 
   test("planPartitions: no key → 1 mapper; design num_partitions capped by max") {
@@ -107,6 +108,6 @@ class ExtractSpec extends AnyFunSuite {
     val small = Extract.planPartitions(d, 1L << 20, useSampling = true)
     assert(small.condition.contains("v IS NOT NULL"))     // no sampling under 100MB
     val big = Extract.planPartitions(d, 1L << 31, useSampling = true)
-    assert(big.condition.contains("v IS NOT NULL AND ((k % 10) = 1)"))
+    assert(big.condition.contains("v IS NOT NULL AND (MOD(k, 10) = 1)"))
   }
 }

@@ -124,11 +124,22 @@ object Bootstrap {
   }
 
   // ------------------------------------------------------------- B4
-  /** Constraint fetch (bootstrap.py:123-179): Spark's catalog has no
-    * index metadata; primary keys survive only via existing designs,
-    * so bootstrap keeps the existing constraints (merge path). For
-    * JDBC sources, `java.sql.DatabaseMetaData.getPrimaryKeys` feeds
-    * the same Constraint shape. */
+  /** Constraint fetch (bootstrap.py:123-179): the reference reads
+    * `pg_index` for PK/unique; the JDBC-standard equivalent is
+    * `DatabaseMetaData.getPrimaryKeys`, ordered by KEY_SEQ. */
+  def fetchPrimaryKeys(url: String, table: String,
+                       props: java.util.Properties = new java.util.Properties)
+      : Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, table)
+      val cols = scala.collection.mutable.Buffer[(Short, String)]()
+      while (rs.next())
+        cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME").toLowerCase))
+      cols.sortBy(_._1).map(_._2).toSeq
+    } finally conn.close()
+  }
+
   def constraintsFromJdbcMetadata(pks: Seq[String]): Seq[Constraint] =
     if (pks.nonEmpty) Seq(Constraint("primary_key", pks)) else Seq.empty
 }

@@ -78,6 +78,14 @@ class JdbcExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.count(_ > 0) == 4 && sizes.sum == 1000)
   }
 
+  test("B4: primary keys fetched from live JDBC metadata") {
+    // Derby upper-cases unquoted identifiers.
+    val pks = Bootstrap.fetchPrimaryKeys(url, "UPSTREAM_ORDERS")
+    assert(pks == Seq("o_id"))
+    assert(Bootstrap.constraintsFromJdbcMetadata(pks) ==
+      Seq(Constraint("primary_key", Seq("o_id"))))
+  }
+
   test("extract condition reaches the source: filtered subquery") {
     val cond = design.copy(extractSettings = Some(ExtractSettings(condition = "o_id <= 100")))
     val plan = Extract.planPartitions(cond, tableSize = 1L << 20)

@@ -180,6 +180,45 @@ object AnnOps {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------- cosine near-dup
+  /** Embedding-cosine near-duplicate PAIRS (the dedup variant of the
+    * brief: drop one of any pair with cosine ≥ threshold). Candidates
+    * from the same LSH bucket equi-join — a self-join on the bucket
+    * id, never all-pairs; exact cosine only on candidates. Recall is
+    * the LSH trade (multi-probe/more tables raise it); the oracle
+    * mirrors the same bucketing so results agree exactly.
+    *
+    * The synthetic embeddings carry NO planted duplicates (max pair
+    * cosine ≈ 0.6), so the threshold sits at the top-0.01% tail of
+    * the pair distribution to exercise the candidate + exact-rescore
+    * path with a non-empty result; a production corpus would use
+    * ~0.95. */
+  val NearDupThreshold = 0.45
+
+  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding", bucketCol($"embedding").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.as("a").join(vecs.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
+        cosine($"a.embedding", $"b.embedding").as("cosine"))
+      .filter($"cosine" >= NearDupThreshold)
+      .orderBy($"d1", $"d2")
+  }
+
+  val dedupEmbeddingCosineSql: String =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, $bucketColSql AS bucket FROM embeddings
+       |)
+       |SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |  ${cosineSql("a.embedding", "b.embedding")} AS cosine
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupThreshold
+       |ORDER BY d1, d2""".stripMargin
+
   // ------------------------------------------------------ array stats
   /** Array/struct operators over the embedding column: length, L2
     * norm, min/max/mean element — per-row folds, shuffle-free. */
@@ -210,11 +249,13 @@ object AnnOps {
     "ann_topk_cosine" -> (annTopkCosine _),
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "embedding_stats" -> (embeddingStats _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_topk" -> annLshTopkSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "embedding_stats" -> embeddingStatsSql)
 }

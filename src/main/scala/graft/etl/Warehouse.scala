@@ -123,7 +123,7 @@ final class Warehouse(
             if (!skipCopy && design.isCtas && design.name.table.startsWith("dim_"))
               withNaRow(design, df)
             else df
-          val rowcount = writeTable(target, out)
+          val rowcount = writeTable(target, out, Some(design))
           BuildResult(rel.identifier, if (design.isCtas) "ctas" else "table",
             rowcount, skipCopy)
         }
@@ -179,21 +179,51 @@ final class Warehouse(
     BuildResult(design.name.identifier, "view", 0L)
   }
 
+  /** Bucket count for distkey-bucketed tables: both sides of a
+    * co-located join must agree, so it is one warehouse-wide constant
+    * (Redshift's analog is the slice count). */
+  val BucketCount = 8
+
   /** Write as an external parquet table at a fresh versioned location
     * and (re-)register it — DROP+CREATE like the reference's
-    * create_or_replace_relation (T7, load.py:342-374). */
-  def writeTable(target: TableName, df: DataFrame): Long = {
+    * create_or_replace_relation (T7, load.py:342-374).
+    *
+    * A design `distribution` key maps to Spark bucketing (SURVEY
+    * §1.4: distkey → bucketBy): both sides of a join bucketed on the
+    * key skip the shuffle entirely — the Redshift KEY-distribution
+    * co-location property. `compound_sort` maps to sortBy within
+    * buckets (sortkey). */
+  def writeTable(target: TableName, df: DataFrame,
+                 design: Option[TableDesign] = None): Long = {
     val loc = dataLocation(target, buildCounter.incrementAndGet())
-    df.write.mode("overwrite").parquet(loc)
-    registerAt(target, loc)
+    val distKeys = design.flatMap(_.distribution).getOrElse(Seq.empty)
+    if (distKeys.nonEmpty) {
+      ensureDatabase(target.schema)
+      spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
+      val w0 = df.write.mode("overwrite").format("parquet")
+        .option("path", loc)
+        .bucketBy(BucketCount, distKeys.head, distKeys.tail: _*)
+      val sorted = design.map(_.sortKeys).filter(_.nonEmpty)
+        .map(sk => w0.sortBy(sk.head, sk.tail: _*)).getOrElse(w0)
+      sorted.saveAsTable(target.quoted)
+    } else {
+      df.write.mode("overwrite").parquet(loc)
+      registerAt(target, loc)
+    }
     spark.table(target.quoted).count()
   }
 
-  private def registerAt(target: TableName, location: String): Unit = {
+  private def registerAt(target: TableName, location: String,
+                         design: Option[TableDesign] = None): Unit = {
     ensureDatabase(target.schema)
     spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
+    val clustered = design.flatMap(_.distribution).filter(_.nonEmpty).map { d =>
+      val sortSpec = design.map(_.sortKeys).filter(_.nonEmpty)
+        .map(sk => s" SORTED BY (${sk.mkString(", ")})").getOrElse("")
+      s" CLUSTERED BY (${d.mkString(", ")})$sortSpec INTO $BucketCount BUCKETS"
+    }.getOrElse("")
     spark.sql(
-      s"CREATE TABLE ${target.quoted} USING parquet LOCATION '$location'")
+      s"CREATE TABLE ${target.quoted} USING parquet$clustered LOCATION '$location'")
   }
 
   private def locationOf(target: TableName): Option[String] =
@@ -285,10 +315,11 @@ final class Warehouse(
         spark.sql(s"CREATE VIEW ${std.quoted} AS $q")
         spark.sql(s"DROP VIEW IF EXISTS ${stg.quoted}")
       } else {
-        locationOf(std).foreach(registerAt(bak, _))          // L2 backup
+        val d = Some(rel.design)
+        locationOf(std).foreach(registerAt(bak, _, d))       // L2 backup
         locationOf(stg) match {
           case Some(loc) =>
-            registerAt(std, loc)                              // L3 promote
+            registerAt(std, loc, d)                           // L3 promote
             spark.sql(s"DROP TABLE IF EXISTS ${stg.quoted}")
           case None => ()
         }
@@ -301,7 +332,7 @@ final class Warehouse(
     Dag.orderByDependencies(relations).foreach { rel =>
       if (!rel.isView) {
         val bak = rel.name.inPosition(SchemaPosition.Backup)
-        locationOf(bak).foreach(registerAt(rel.name, _))
+        locationOf(bak).foreach(registerAt(rel.name, _, Some(rel.design)))
       }
     }
 

@@ -156,6 +156,60 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep`.`top_nations`").count() == 5)
   }
 
+  test("distkey designs produce bucketed tables; co-located join skips the shuffle") {
+    val wh = freshWarehouse()
+    // same logical key on both sides: customer keys and order custkeys
+    val cust = rel(
+      """name: srcb.cust_b
+        |source_name: src
+        |columns:
+        |  - name: c_custkey
+        |    type: long
+        |    not_null: true
+        |  - name: c_acctbal
+        |    type: double
+        |attributes:
+        |  distribution: [c_custkey]
+        |""".stripMargin)
+    val ord = rel(
+      """name: srcb.orders_b
+        |source_name: src
+        |columns:
+        |  - name: o_custkey
+        |    type: long
+        |    not_null: true
+        |  - name: o_totalprice
+        |    type: double
+        |attributes:
+        |  distribution: [o_custkey]
+        |""".stripMargin)
+    // source files: customer.parquet / orders.parquet (table name after '.')
+    val custRel = cust.copy(design = cust.design.copy(
+      name = TableName.parse("srcb.customer")))
+    val ordRel = ord.copy(design = ord.design.copy(
+      name = TableName.parse("srcb.orders")))
+    wh.loadRelations(Seq(custRel, ordRel))
+    val meta = spark.sql("DESCRIBE TABLE EXTENDED `srcb`.`customer`")
+      .collect().map(r => r.getString(0) + ":" + r.getString(1)).mkString("\n")
+    assert(meta.contains("Num Buckets") && meta.contains("c_custkey"),
+      s"table must be bucketed, got:\n$meta")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("`srcb`.`customer`")
+        .join(spark.table("`srcb`.`orders`"),
+          org.apache.spark.sql.functions.col("c_custkey") ===
+            org.apache.spark.sql.functions.col("o_custkey"))
+      val exchanges = joined.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        "bucketed-on-key join must not shuffle either side:\n" +
+          joined.queryExecution.sparkPlan.toString)
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("update (delete-then-reload, T6) refreshes only selected tables in place") {
     val wh = freshWarehouse()
     val rels = Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5"))

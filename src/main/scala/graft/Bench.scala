@@ -18,24 +18,42 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     // Failures are recorded (-1, excluded from total), never silently
     // folded into the timing.
+    //
+    // Each query is executed TWICE, cache cleared between runs so the
+    // second run re-executes the full plan (persists re-materialize —
+    // nothing is reused); the reported time is the second run. The
+    // first execution of a query pays one-time costs unrelated to the
+    // plan — whole-stage-codegen compilation of its expressions and
+    // first-touch parquet footer reads — which land on whichever query
+    // alphabetically first touches a table/expression shape (round 2's
+    // "dedup_exact 9.9× regression" was exactly this: first query to
+    // read documents.parquet + compile normText, 4.2 s cold vs 0.4 s
+    // warm in a fresh JVM). Warm-but-fresh runs measure the plan.
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                 failed ::= name; false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries persist() intermediates; drop them so caches don't
-      // accumulate across the loop and skew later timings.
-      spark.catalog.clearCache()
-      name -> (if (ok) dt else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries persist() intermediates; drop them so nothing is
+        // reused across runs or accumulates across the loop.
+        spark.catalog.clearCache()
+        dt
+      }
+      try { val cold = once(); name -> (cold, once()) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failed ::= name
+        spark.catalog.clearCache()
+        name -> (-1.0, -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def json(f: ((Double, Double)) => Double): String = results
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (_, w)) if w >= 0 => w }.sum
+    val coldTotal = results.collect { case (_, (c, _)) if c >= 0 => c }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._2)},"queries_cold":${json(_._1)},"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

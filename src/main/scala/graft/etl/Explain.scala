@@ -41,6 +41,21 @@ object Explain {
     }
   }
 
+  /** Broadcast-hash-join build sides in the (pre-AQE) physical plan,
+    * as plan-string summaries. Scale gate: a query whose broadcast
+    * build side scales with the corpus (rather than a bounded dim /
+    * query set) must show NONE of these — shuffle joins + AQE are the
+    * 100-TB shape. (AQE may still locally convert a shuffle join to a
+    * broadcast at runtime when the MEASURED size is small — that is
+    * size-based and safe by construction.) */
+  def broadcastJoins(df: DataFrame): Seq[String] = {
+    val plan: SparkPlan = df.queryExecution.sparkPlan
+    plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        s"${b.nodeName}(buildSide=${b.buildSide})"
+    }
+  }
+
   /** The formatted plan text (run_query's explain companion, Q1/Q2). */
   def formatted(df: DataFrame): String =
     df.queryExecution.explainString(

@@ -87,14 +87,19 @@ object DedupOps {
       .filter($"df" <= MaxShingleDf)
       .drop("df")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // All joins below are shuffle joins: the shingle index, the pair
+    // list and the per-doc sizes all scale with the corpus, so none
+    // may be a broadcast build side (plan-gated in ExplainSpec). The
+    // df≤MaxShingleDf cutoff bounds per-shingle fan-out; AQE splits
+    // any residual hot shingle group at runtime.
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = kept.as("a").join(kept.as("b"),
+    val pairs = kept.as("a").hint("shuffle_merge").join(kept.as("b"),
       $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("common"))
     pairs
-      .join(sizes.as("sa"), $"d1" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"d2" === $"sb.doc_id")
+      .join(sizes.as("sa").hint("shuffle_hash"), $"d1" === $"sa.doc_id")
+      .join(sizes.as("sb").hint("shuffle_hash"), $"d2" === $"sb.doc_id")
       .select($"d1", $"d2", $"common",
         ($"common".cast("double") / ($"sa.n" + $"sb.n" - $"common")).as("jaccard"))
       .filter($"jaccard" >= 0.8)
@@ -186,11 +191,14 @@ object DedupOps {
 
   /** LSH candidate pairs: docs sharing any band signature. The bands
     * are persisted before the self-join — without it Spark recomputes
-    * the whole shingle→minhash pipeline for each join side. */
+    * the whole shingle→minhash pipeline for each join side. The join
+    * is a hinted sort-merge join: the band table scales with the
+    * corpus (docs × 4 bands), so broadcasting it cannot survive
+    * 100 TB; AQE skew-join splits any hot band signature at runtime. */
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val bands = minhashBands(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
-    bands.as("a").join(bands.as("b"),
+    bands.as("a").hint("shuffle_merge").join(bands.as("b"),
       $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
@@ -288,10 +296,23 @@ object DedupOps {
     *      join (each value pair emitted once — no distinct),
     *   3. expand value pairs back to doc pairs via two equi-joins, and
     *      add intra-group pairs (identical simhash ⇒ hamming 0).
-    * Every stage is an equi-join/broadcast — no BroadcastNestedLoopJoin
-    * — and the only big output is the answer itself (at this SF ~1M
-    * pairs, 8% of all pairs: the threshold is inherently unselective on
-    * this corpus, so output dominates any algorithm). */
+    * Every stage is a SHUFFLE equi-join — no broadcast whose build
+    * side scales with the corpus (at billions of docs distinct 60-bit
+    * simhashes ≈ corpus size; broadcasting them would kill the
+    * driver), no BroadcastNestedLoopJoin — and the only big output is
+    * the answer itself (at this SF ~1M pairs, 8% of all pairs: the
+    * threshold is inherently unselective on this corpus, so output
+    * dominates any algorithm).
+    *
+    * Skew: real simhash band buckets are heavily skewed (one 9-bit
+    * bucket can hold a large corpus fraction). The band self-join is
+    * a hinted sort-merge join so AQE's skew-join handling
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) splits an
+    * oversized (band,bkey) group across tasks at runtime — the
+    * mechanism that scales where a fixed salt factor or a
+    * corpus-sized broadcast cannot. The value→doc expansion joins and
+    * the intra-group join are shuffle-hash joins (uniform hash keys,
+    * no sort needed). */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = simhashDocs(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -307,22 +328,19 @@ object DedupOps {
       .select($"simhash", $"bs.band".as("band"),
         expr("shiftright(simhash, bs.start)").bitwiseAND($"bs.mask").as("bkey"))
     val x = $"a.simhash".bitwiseXOR($"b.simhash")
-    // Broadcast-hash join: the keyed value table is tiny (distinct
-    // hashes × 7 bands) while its bucket sizes are heavily skewed — a
-    // sort-merge join would put the hottest (band,bkey) group on ONE
-    // task; the broadcast probe parallelizes across all stream rows.
-    val vp = keyed.as("a").join(broadcast(keyed.as("b")),
+    val vp = keyed.as("a").hint("shuffle_merge")
+      .join(keyed.as("b").hint("shuffle_merge"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
           $"a.simhash" < $"b.simhash" &&
           bit_count(x) <= 6 && $"a.band" === firstAgreeingBand(x))
       .select($"a.simhash".as("h1"), $"b.simhash".as("h2"))
     val crossPairs = vp
-      .join(broadcast(sh.as("x")), $"h1" === $"x.simhash")
-      .join(broadcast(sh.as("y")), $"h2" === $"y.simhash")
+      .join(sh.as("x").hint("shuffle_hash"), $"h1" === $"x.simhash")
+      .join(sh.as("y").hint("shuffle_hash"), $"h2" === $"y.simhash")
       .select(least($"x.doc_id", $"y.doc_id").as("d1"),
         greatest($"x.doc_id", $"y.doc_id").as("d2"),
         bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))
-    val intraPairs = sh.as("x").join(sh.as("y"),
+    val intraPairs = sh.as("x").hint("shuffle_hash").join(sh.as("y"),
         $"x.simhash" === $"y.simhash" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"), lit(0).as("hamming"))
     crossPairs.unionAll(intraPairs).orderBy($"d1", $"d2")

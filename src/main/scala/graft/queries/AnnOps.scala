@@ -29,7 +29,33 @@ object AnnOps {
   val Dim = 64
   val TopK = 3
   val NumQueries = 5    // query set: vec_id < 5
-  val LshPlanes = 6     // 2^6 = 64 buckets
+
+  /** LSH bucket-count policy: planes derive from the CORPUS SIZE so
+    * the per-bucket population stays ~[[TargetBucketSize]] at any
+    * scale — the round-2 fixed `LshPlanes = 6` meant the bucket
+    * self-join degraded to Θ(n²/64). planes = smallest p with
+    * 2^p ≥ ceil(n / target), computed INTEGRALLY (never via float
+    * log2: at exact powers of two a 1-ulp difference between engines
+    * would flip the ceil and desynchronize every bucket id). The
+    * DuckDB oracle computes the identical quantity from `count(*)`
+    * in a `params` CTE, so both engines agree at every SF. Recall
+    * loss from smaller buckets is recovered by 1-bit multi-probe
+    * (each probe set covers all buckets at hamming ≤ 1). */
+  val TargetBucketSize = 16
+
+  def planesFor(n: Long): Int = {
+    val ceilDiv = (n + TargetBucketSize - 1) / TargetBucketSize
+    (1 to 60).find(p => (1L << p) >= ceilDiv).getOrElse(60)
+  }
+
+  /** `planes` as a 1-row SQL relation mirroring [[planesFor]]:
+    * power(2, p) is float but exact for p ≤ 52, and the comparison
+    * against the exact integer ceil-div never sits on a rounding
+    * boundary. */
+  private val planesParamsSql: String =
+    s"""SELECT CAST(p AS INT) AS planes FROM range(1, 61) t(p)
+       |  WHERE power(2, p) >= (SELECT (count(*) + ${TargetBucketSize - 1}) // $TargetBucketSize FROM embeddings)
+       |  ORDER BY p LIMIT 1""".stripMargin
 
   /** Cosine similarity between two float-array columns, computed as
     * sequential double folds (deterministic in both engines). */
@@ -107,9 +133,11 @@ object AnnOps {
 
   /** Per-vector LSH bucket: bit p of the bucket id is the sign of the
     * dot product with hyperplane p. One scan, no joins over data —
-    * the bucket id is a per-row fold, codegen-friendly. */
-  private def bucketCol(emb: Column): Column =
-    (0 until LshPlanes).map { p =>
+    * the bucket id is a per-row fold, codegen-friendly. Hyperplane
+    * components are embedded as literals (planes is known
+    * driver-side from the corpus count). */
+  private def bucketCol(emb: Column, planes: Int): Column =
+    (0 until planes).map { p =>
       val hp = array(hyperplane(p).map(lit): _*)
       val dotP = aggregate(
         zip_with(emb, hp, (x, h) => x.cast("double") * h),
@@ -117,41 +145,90 @@ object AnnOps {
       when(dotP >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private val bucketColSql: String =
-    (0 until LshPlanes).map { p =>
-      val dotP = s"list_sum([CAST(embedding[i + 1] AS DOUBLE) * " +
-        s"${hpComponentSql(p, "i")} FOR i IN range(0, $Dim)])"
-      s"(CASE WHEN $dotP >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" + ")
+  /** The same bucket id in DuckDB with `planes` DYNAMIC (a column
+    * from the params CTE): nested list comprehension — outer over
+    * planes, inner the 64-dim dot against the md5-derived
+    * hyperplane. */
+  private val bucketColSqlDyn: String = {
+    val hp = "(CAST(CAST(('0x' || substring(md5('hp_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS DOUBLE) - 499.5)"
+    val dotP = s"list_sum([CAST(embedding[i + 1] AS DOUBLE) * $hp FOR i IN range(0, $Dim)])"
+    // outer CAST: DuckDB's list_sum over BIGINTs widens to HUGEINT
+    s"CAST(list_sum([CASE WHEN $dotP >= 0.0 THEN CAST(power(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END FOR p IN range(0, planes)]) AS BIGINT)"
+  }
+
+  /** Shared oracle prologue: params (the computed plane count) +
+    * bucketed (vec, L2 norm, bucket id). Norms are precomputed ONCE
+    * per vector — the candidate-pair cosine is then a single dot —
+    * and the value is bit-identical to inlining sqrt(dot(v,v)) at
+    * each use, so determinism is unaffected. */
+  private val bucketedSqlPrologue: String = {
+    val nrm = s"sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) FOR i IN range(1, ${Dim + 1})]))"
+    s"""params AS ($planesParamsSql),
+       |bucketed AS (
+       |  SELECT vec_id, embedding, $nrm AS nrm, $bucketColSqlDyn AS bucket
+       |  FROM embeddings, params
+       |)""".stripMargin
+  }
+
+  /** Multi-probe set of a bucket id: the bucket itself plus every
+    * 1-bit flip — all buckets at hamming ≤ 1. Values are pairwise
+    * distinct, so probe joins never duplicate a candidate. */
+  private def probeArr(bucket: Column, planes: Int): Column =
+    array(bucket +: (0 until planes)
+      .map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
+
+  private val probeSqlList: String =
+    "[bucket] || [xor(bucket, CAST(power(2, p) AS BIGINT)) FOR p IN range(0, planes)]"
+
+  /** Spark-side bucketed projection; `planes` from the corpus count
+    * (a metadata-only parquet count, driver-side). */
+  private def bucketedDf(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
+    import spark.implicits._
+    val raw = Tables.load(spark, sfDir, "embeddings")
+    val planes = planesFor(raw.count())
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val df = raw.select($"vec_id", $"embedding",
+      sqrt(dot($"embedding", $"embedding")).as("nrm"),
+      bucketCol($"embedding", planes).as("bucket"))
+    (df, planes)
+  }
 
   /** Bucket assignment per vector (hash-checked: the LSH partitioning
     * itself, plus per-bucket population counts downstream). */
   def annLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, sfDir, "embeddings")
-      .select($"vec_id", bucketCol($"embedding").as("bucket"))
-      .orderBy($"vec_id")
+    val (bucketed, _) = bucketedDf(spark, sfDir)
+    bucketed.select($"vec_id", $"bucket").orderBy($"vec_id")
   }
 
   val annLshBucketsSql: String =
-    s"""SELECT vec_id, $bucketColSql AS bucket
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+    s"""WITH $bucketedSqlPrologue
+       |SELECT vec_id, bucket FROM bucketed ORDER BY vec_id""".stripMargin
 
-  /** LSH-bucketed approximate top-k: score ONLY same-bucket
-    * candidates (bucket equi-join), exact cosine on candidates,
-    * per-query top-k. Recall < 1 by construction; the candidate set
-    * is the 1/2^planes fraction sharing the query's bucket. */
+  /** LSH-bucketed approximate top-k with 1-bit multi-probe: each
+    * query probes its own bucket plus all `planes` 1-bit flips, so
+    * candidates are every vector at bucket-hamming ≤ 1 — (planes+1)×
+    * the recall of the single-bucket probe at (planes+1)/2^planes of
+    * the corpus scanned. The probe set is an explode of the TINY
+    * query side (NumQueries × (planes+1) rows, still a broadcast);
+    * the corpus side stays a scan + equi-join. Per-candidate cosine
+    * is one dot over precomputed norms. */
   def annLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.load(spark, sfDir, "embeddings")
-      .select($"vec_id", $"embedding", bucketCol($"embedding").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = vecs.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket".as("q_bucket"))
-    val scored = vecs.join(broadcast(queries),
-        $"bucket" === $"q_bucket" && $"vec_id" =!= $"query_id")
+    val (vecsRaw, planes) = bucketedDf(spark, sfDir)
+    val vecs = vecsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = vecs.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"), explode(probeArr($"bucket", planes)).as("probe"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val scored = vecs.join(broadcast(probes),
+        $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        cosine($"q_emb", $"embedding").as("cosine"))
+        (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -160,17 +237,20 @@ object AnnOps {
       .orderBy($"query_id", $"rank")
   }
 
+  private def pairDotSql(a: String, b: String): String =
+    s"list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) FOR i IN range(1, ${Dim + 1})])"
+
   val annLshTopkSql: String =
-    s"""WITH bucketed AS (
-       |  SELECT vec_id, embedding, $bucketColSql AS bucket FROM embeddings
-       |), queries AS (
-       |  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
-       |  FROM bucketed WHERE vec_id < $NumQueries
+    s"""WITH $bucketedSqlPrologue,
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+       |    unnest($probeSqlList) AS probe
+       |  FROM bucketed, params WHERE vec_id < $NumQueries
        |), scored AS (
        |  SELECT q.query_id, v.vec_id AS neighbor_id,
-       |    ${cosineSql("q.q_emb", "v.embedding")} AS cosine
-       |  FROM bucketed v JOIN queries q
-       |    ON v.bucket = q.q_bucket AND v.vec_id <> q.query_id
+       |    (${pairDotSql("q", "v").replace("q.embedding", "q.q_emb")} / (q.q_nrm * v.nrm)) AS cosine
+       |  FROM bucketed v JOIN probes q
+       |    ON v.bucket = q.probe AND v.vec_id <> q.query_id
        |), ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
@@ -195,28 +275,42 @@ object AnnOps {
     * ~0.95. */
   val NearDupThreshold = 0.45
 
+  /** Scale shape: with planes = log2(n/target), each bucket holds
+    * ~target vectors, so candidates ≈ n · target · (planes+2)/2 —
+    * LINEAR in n (× a log factor from multi-probe) instead of the
+    * round-2 fixed-64-bucket Θ(n²/64). Pair (u,v) is emitted exactly
+    * once: u (the smaller vec_id, un-exploded side) matches v's probe
+    * set iff bucket-hamming ≤ 1, and probe values are distinct. Both
+    * sides scale with the corpus → hinted shuffle join (no broadcast;
+    * plan-gated), AQE splits any hot bucket. */
   def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.load(spark, sfDir, "embeddings")
-      .select($"vec_id", $"embedding", bucketCol($"embedding").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vecs.as("a").join(vecs.as("b"),
-        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+    val (vecsRaw, planes) = bucketedDf(spark, sfDir)
+    val vecs = vecsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = vecs.select($"vec_id", $"embedding", $"nrm",
+      explode(probeArr($"bucket", planes)).as("probe"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    vecs.as("a").hint("shuffle_merge").join(probed.as("b"),
+        $"a.bucket" === $"b.probe" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
-        cosine($"a.embedding", $"b.embedding").as("cosine"))
+        (dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine"))
       .filter($"cosine" >= NearDupThreshold)
       .orderBy($"d1", $"d2")
   }
 
   val dedupEmbeddingCosineSql: String =
-    s"""WITH bucketed AS (
-       |  SELECT vec_id, embedding, $bucketColSql AS bucket FROM embeddings
+    s"""WITH $bucketedSqlPrologue,
+       |probed AS (
+       |  SELECT vec_id, embedding, nrm, unnest($probeSqlList) AS probe
+       |  FROM bucketed, params
        |)
        |SELECT a.vec_id AS d1, b.vec_id AS d2,
-       |  ${cosineSql("a.embedding", "b.embedding")} AS cosine
-       |FROM bucketed a JOIN bucketed b
-       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupThreshold
+       |  (${pairDotSql("a", "b")} / (a.nrm * b.nrm)) AS cosine
+       |FROM bucketed a JOIN probed b
+       |  ON a.bucket = b.probe AND a.vec_id < b.vec_id
+       |WHERE (${pairDotSql("a", "b")} / (a.nrm * b.nrm)) >= $NearDupThreshold
        |ORDER BY d1, d2""".stripMargin
 
   // ------------------------------------------------------ array stats

@@ -75,6 +75,18 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.distinct.size == 16 && a.forall(_ % 2 == 1))
   }
 
+  test("planesFor: smallest p with 2^p buckets giving <= target per bucket") {
+    import AnnOps.{planesFor, TargetBucketSize}
+    assert(TargetBucketSize == 16)
+    assert(planesFor(50) == 2)      // sf0.001: ceil(50/16)=4 -> 2^2
+    assert(planesFor(500) == 5)     // sf0.01:  ceil(500/16)=32 -> 2^5 exact
+    assert(planesFor(5000) == 9)    // sf0.1:   ceil(5000/16)=313 -> 2^9
+    assert(planesFor(512 * 16) == 9)     // exact power boundary
+    assert(planesFor(512 * 16 + 1) == 10)
+    assert(planesFor(1) == 1 && planesFor(0) == 1)
+    assert(planesFor(5_000_000_000L) == 29) // billions of vectors: 2^29 buckets
+  }
+
   test("simhash band specs: 7 bands cover all 60 bits disjointly (pigeonhole)") {
     val specs = DedupOps.SimhashBandSpecs
     assert(specs.size == 7, "hamming<=6 needs at least 7 bands")

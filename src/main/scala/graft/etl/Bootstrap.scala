@@ -28,9 +28,8 @@ object Bootstrap {
     def walk(plan: LogicalPlan): Unit = plan.foreach { node =>
       node match {
         case w: UnresolvedWith =>
-          w.cteRelations.foreach { case (name, sub, _) =>
-            ctes += name.toLowerCase; walk(sub)
-          }
+          w.cteRelations.foreach { case (name, _, _) => ctes += name.toLowerCase }
+          w.cteRelations.foreach { case (_, sub, _) => walk(sub) }
         case r: UnresolvedRelation =>
           rels += r.multipartIdentifier.map(_.toLowerCase).mkString(".")
         case _ => ()
@@ -42,6 +41,51 @@ object Bootstrap {
     }
     walk(spark.sessionState.sqlParser.parsePlan(query))
     (rels -- ctes).toSeq.sorted
+  }
+
+  /** Rewrite relation references in a query's TEXT using the PARSED
+    * plan (T5's staging rewrite; SURVEY §7.3). The reference
+    * regex-rewrites `schema.table` tokens, which can corrupt string
+    * literals containing a dependency name (load.py:221-245's known
+    * flaw). Here every `UnresolvedRelation`'s parser `Origin` gives
+    * the exact [start, stop] character span of the reference in the
+    * original text, and the mapped names are spliced in back-to-front
+    * — a string literal is structurally unreachable, and the output
+    * is still SQL text (required for `CREATE VIEW ... AS`, where a
+    * LogicalPlan cannot be stored). CTE names shadow dependencies,
+    * exactly as in [[dependenciesOf]]. */
+  def rewriteReferences(spark: SparkSession, query: String,
+                        mapping: Map[String, TableName]): String = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val ctes = scala.collection.mutable.Set[String]()
+    val spans = scala.collection.mutable.Buffer[(Int, Int, String)]()
+    def walk(plan: LogicalPlan): Unit = plan.foreach { node =>
+      node match {
+        case w: UnresolvedWith =>
+          // register every sibling name BEFORE walking any body: a CTE
+          // may reference one defined after it in the same WITH list
+          w.cteRelations.foreach { case (name, _, _) => ctes += name.toLowerCase }
+          w.cteRelations.foreach { case (_, sub, _) => walk(sub) }
+        case r: UnresolvedRelation =>
+          val id = r.multipartIdentifier.map(_.toLowerCase).mkString(".")
+          if (!ctes.contains(id))
+            for {
+              target <- mapping.get(id)
+              s <- r.origin.startIndex
+              e <- r.origin.stopIndex
+            } spans += ((s, e, target.quoted))
+        case _ => ()
+      }
+      node.expressions.foreach(_.foreach {
+        case sq: SubqueryExpression => walk(sq.plan)
+        case _ => ()
+      })
+    }
+    walk(spark.sessionState.sqlParser.parsePlan(query))
+    spans.sortBy(-_._1).foldLeft(query) { case (q, (s, e, rep)) =>
+      q.substring(0, s) + rep + q.substring(e + 1)
+    }
   }
 
   // ------------------------------------------------------------- B1

@@ -38,7 +38,28 @@ final class Warehouse(
     val sourceDir: String,                  // parquet stand-in for upstream (COPY, S10)
     val monitor: Monitor = new Monitor()) {
 
-  private val buildCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Build ids must be unique across JVM RUNS, not just within one:
+    * a counter restarting at 0 would hand a second CLI run the same
+    * versioned locations the published standard tables still point
+    * at, and mode(overwrite) would destroy live data mid-build (the
+    * backup pointer would reference the overwritten path too). Seeded
+    * from the max build id already on disk under `data/<s>.<t>/<id>`,
+    * via the Hadoop FS API so any warehouse scheme (file/HDFS/object
+    * store) works. One LIST at construction — not per build. */
+  private val buildCounter =
+    new java.util.concurrent.atomic.AtomicLong(maxExistingBuildId())
+
+  private def maxExistingBuildId(): Long = {
+    import org.apache.hadoop.fs.Path
+    val dataPath = new Path(s"$warehouseDir/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataPath)) 0L
+    else fs.listStatus(dataPath).filter(_.isDirectory)
+      .flatMap(t => fs.listStatus(t.getPath))
+      .filter(_.isDirectory)
+      .flatMap(b => scala.util.Try(b.getPath.getName.toLong).toOption)
+      .foldLeft(0L)(math.max)
+  }
 
   // ------------------------------------------------------------ naming
   private def dataLocation(name: TableName, buildId: Long): String =
@@ -53,21 +74,14 @@ final class Warehouse(
   // ------------------------------------------------------ query rewrite
   /** Rewrite fully-qualified dependency references in a transform
     * query for a lifecycle position (T5, load.py:221-245). The
-    * reference regex-rewrites `schema.table` tokens; same here, with
-    * word-boundary anchoring. */
+    * reference regex-rewrites `schema.table` tokens and can corrupt a
+    * string literal containing a dependency name; this rewrite is
+    * PLAN-based — parser origins give the exact character span of
+    * each relation reference ([[Bootstrap.rewriteReferences]]), so
+    * literals and comments are structurally out of reach. */
   def rewriteQuery(query: String, deps: Seq[TableName], pos: SchemaPosition.Value): String =
-    if (pos == SchemaPosition.Standard) {
-      deps.foldLeft(query) { (q, d) =>
-        q.replaceAll(raw"(?i)\b${java.util.regex.Pattern.quote(d.identifier)}\b",
-          java.util.regex.Matcher.quoteReplacement(d.quoted))
-      }
-    } else {
-      deps.foldLeft(query) { (q, d) =>
-        val target = d.inPosition(pos)
-        q.replaceAll(raw"(?i)\b${java.util.regex.Pattern.quote(d.identifier)}\b",
-          java.util.regex.Matcher.quoteReplacement(target.quoted))
-      }
-    }
+    Bootstrap.rewriteReferences(spark, query,
+      deps.map(d => d.identifier.toLowerCase -> d.inPosition(pos)).toMap)
 
   // ------------------------------------------------------ constraint (C1)
   /** Duplicate check per declared constraint (load.py:564-634):

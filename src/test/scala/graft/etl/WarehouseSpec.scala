@@ -67,6 +67,50 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wh.monitor.events.count(e => e.step == "load" && e.event == "finish") == 2)
   }
 
+  test("build ids stay unique across Warehouse instances on the same dir") {
+    // The cross-JVM-run hazard: a second CLI run whose counter restarts
+    // at 0 would overwrite the versioned locations the PUBLISHED tables
+    // still point at. A new instance must seed past builds on disk.
+    val dir = Files.createTempDirectory("graft_wh_seed_").toString
+    val wh1 = new Warehouse(spark, dir, sfDir)
+    wh1.loadWithStagingAndPublish(Seq(srcNation,
+      ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5")))
+    assert(spark.table("`rep`.`top_nations`").count() == 5)
+    val locBefore = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("nation", Some("src")))
+      .location.toString
+    // Fresh instance = fresh JVM run. Rebuild the source table only.
+    val wh2 = new Warehouse(spark, dir, sfDir)
+    wh2.buildOneRelation(srcNation)
+    val locAfter = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("nation", Some("src")))
+      .location.toString
+    assert(locBefore != locAfter,
+      s"second run reused a live build location: $locAfter")
+    // Both the re-pointed source and the untouched dependent stay intact.
+    assert(spark.table("`src`.`nation`").count() == 25)
+    assert(spark.table("`rep`.`top_nations`").count() == 5)
+  }
+
+  test("staging rewrite is plan-based: string literals survive, CTEs shadow") {
+    val wh = freshWarehouse()
+    val deps = Seq(TableName("src", "nation"), TableName("src", "orders"))
+    val q = "WITH src AS (SELECT 1 AS x FROM src.nation) " +
+      "SELECT x, 'see src.nation docs' AS note FROM src " +
+      "WHERE x IN (SELECT o_orderkey FROM src.orders WHERE o_comment <> 'src.orders')"
+    val out = wh.rewriteQuery(q, deps, SchemaPosition.Staging)
+    assert(out.contains("`etl_staging__src`.`nation`"))
+    assert(out.contains("`etl_staging__src`.`orders`"))
+    // literals untouched — the regex rewrite corrupted exactly these
+    assert(out.contains("'see src.nation docs'"))
+    assert(out.contains("'src.orders'"))
+    // the CTE reference `FROM src` is not a dependency reference
+    assert(out.contains("FROM src "))
+    // a CTE named like a dependency shadows it (never rewritten)
+    val q2 = "WITH `src.nation` AS (SELECT 1) SELECT * FROM `src.nation`"
+    assert(wh.rewriteQuery(q2, deps, SchemaPosition.Staging) == q2)
+  }
+
   test("failing staging build leaves the published standard schema untouched") {
     val wh = freshWarehouse()
     wh.loadWithStagingAndPublish(Seq(srcNation,

@@ -18,8 +18,10 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       """usage: graft.Cli <command> [options]
-        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging]
+        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT]
         |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN
+        |  extract        --designs DIR --data DIR --out DIR [--select PATTERN]
+        |  unload         --designs DIR --out DIR [--select PATTERN]
         |  validate       --designs DIR
         |  show_ddl       --designs DIR [--select PATTERN]
         |  ls             --designs DIR
@@ -27,15 +29,29 @@ object Cli {
         |  explain        --designs DIR [--select PATTERN]
         |  create_index   --designs DIR
         |  show_dependents --designs DIR --select PATTERN
+        |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
+        |  bootstrap_transformations --designs DIR [--as-view]
         |""".stripMargin)
     sys.exit(2)
   }
 
-  private def parseArgs(args: Seq[String]): Map[String, String] =
-    args.grouped(2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
-      case Seq(k) if k.startsWith("--") => k.drop(2) -> "true"
-    }.toMap
+  /** `--key value` pairs plus valueless boolean flags (`--no-staging`)
+    * in any position: a `--flag` followed by another `--option` (or
+    * nothing) is boolean true; pairing naively two-by-two would
+    * misalign everything after an interior flag. */
+  private[graft] def parseArgs(args: Seq[String]): Map[String, String] = {
+    val opts = scala.collection.mutable.Map[String, String]()
+    var rest = args.toList
+    while (rest.nonEmpty) rest match {
+      case k :: v :: tail if k.startsWith("--") && !v.startsWith("--") =>
+        opts(k.drop(2)) = v; rest = tail
+      case k :: tail if k.startsWith("--") =>
+        opts(k.drop(2)) = "true"; rest = tail
+      case bad :: _ =>
+        System.err.println(s"unexpected argument '$bad'"); usage()
+    }
+    opts.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) usage()
@@ -68,7 +84,7 @@ object Cli {
     command match {
       case "load" =>
         val rels = Dag.selectInExecutionOrder(designs, selector,
-          includeDependents = true)
+          includeDependents = true, continueFrom = opts.get("continue-from"))
         val results =
           if (opts.contains("no-staging")) warehouse.loadRelations(rels)
           else warehouse.loadWithStagingAndPublish(rels)
@@ -78,6 +94,39 @@ object Cli {
       case "update" =>
         warehouse.updateRelations(designs, selector).foreach(r =>
           println(s"[update] ${r.identifier}: ${r.rowcount} rows"))
+      case "extract" =>
+        // The reference's extract lands gzip-CSV + manifest per
+        // relation (extract/extractor.py:203-260); same artifact shape
+        // as unload, read from the upstream stand-in.
+        val data = opts.getOrElse("data", usage())
+        val out = opts.getOrElse("out", usage())
+        designs.filter(r => r.design.isSourceTable && selector.matches(r.name))
+          .foreach { r =>
+            val df = Extract.sourceDataFrame(spark, data, r.design)
+            val n = Unload.unload(df, r.design, s"$out/${r.identifier}")
+            println(s"[extract] ${r.identifier}: $n rows -> $out/${r.identifier}")
+          }
+      case "unload" =>
+        // UNLOAD of warehouse relations (S12; commands.py:1279-1335):
+        // reads the published table from the session catalog.
+        val out = opts.getOrElse("out", usage())
+        designs.filter(r => selector.matches(r.name)).foreach { r =>
+          val df = spark.table(r.name.quoted)
+          val n = Unload.unload(df, r.design, s"$out/${r.identifier}")
+          println(s"[unload] ${r.identifier}: $n rows -> $out/${r.identifier}")
+        }
+      case "bootstrap_sources" =>
+        val root = opts.getOrElse("designs", usage())
+        val db = opts.getOrElse("database", usage())
+        Bootstrap.bootstrapSources(spark, db, root, selector,
+          overwrite = opts.contains("force")).foreach { case (t, warnings) =>
+          println(s"[bootstrap] ${t.identifier}")
+          warnings.foreach(w => println(s"[bootstrap]   warning: $w"))
+        }
+      case "bootstrap_transformations" =>
+        Bootstrap.bootstrapTransformations(spark,
+          opts.getOrElse("designs", usage()), asView = opts.contains("as-view"))
+          .foreach(t => println(s"[bootstrap] ${t.identifier}"))
       case "validate" =>
         val findings = Validate.validateAll(spark, designs)
         findings.foreach(f =>

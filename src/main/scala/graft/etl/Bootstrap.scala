@@ -95,8 +95,10 @@ object Bootstrap {
                      allow: TableSelector = TableSelector.all,
                      deny: TableSelector = TableSelector(Seq.empty)): Seq[TableName] = {
     import scala.jdk.CollectionConverters._
+    // listTables also returns session temp views (isTemporary, with no
+    // database) — those are not source tables any more than VIEWs are.
     spark.catalog.listTables(database).collectAsList().asScala.toSeq
-      .filter(_.tableType != "VIEW")
+      .filter(t => t.tableType != "VIEW" && !t.isTemporary)
       .map(t => TableName(database, t.name))
       .filter(allow.matches)
       .filterNot(t => deny.patterns.nonEmpty && deny.matches(t))
@@ -135,6 +137,87 @@ object Bootstrap {
           ColumnDef(f.name, generic, sqlType, notNull = !f.nullable)
         },
         dependsOn = deps, query = query)
+  }
+
+  /** Write a design to disk under the `schemas/` path convention —
+    * `save_table_design` (bootstrap.py:643-676): validate before
+    * writing, refuse to clobber an existing file unless `overwrite`,
+    * and put the transform query in the sibling `.sql` file (the
+    * [[FileSets]] convention keeps YAML design and SQL query apart).
+    * Returns the paths actually written. */
+  def saveTableDesign(design: TableDesign, designsRoot: String,
+                      overwrite: Boolean = false): Seq[java.nio.file.Path] = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Path, Paths}
+    design.validate()
+    val dir = Paths.get(designsRoot, "schemas", design.name.schema)
+    Files.createDirectories(dir)
+    val base =
+      if (design.isTransformation) design.name.table
+      else s"${design.sourceName}-${design.name.table}"
+    def write(p: Path, text: String): Option[Path] =
+      if (Files.exists(p) && !overwrite) {
+        System.err.println(s"[bootstrap] skipping existing '$p' (use overwrite)")
+        None
+      } else Some(Files.write(p,
+        text.getBytes(StandardCharsets.UTF_8)))
+    val yamlOut = write(dir.resolve(s"$base.yaml"), TableDesign.toYaml(design))
+    val sqlOut =
+      if (design.isTransformation && design.query.trim.nonEmpty)
+        write(dir.resolve(s"$base.sql"), design.query.trim + "\n")
+      else None
+    yamlOut.toSeq ++ sqlOut
+  }
+
+  /** Bootstrap designs for every discovered table of a database
+    * (`create_table_designs_from_source`, bootstrap.py:697-760):
+    * discover → design → merge with any existing design (B7) →
+    * save. Returns (table, warnings) per relation. */
+  def bootstrapSources(spark: SparkSession, database: String,
+                       designsRoot: String,
+                       allow: TableSelector = TableSelector.all,
+                       overwrite: Boolean = false): Seq[(TableName, Seq[String])] = {
+    val existingDesigns = FileSets.discover(designsRoot)
+    discoverTables(spark, database, allow).map { t =>
+      val fresh = designForSource(spark, t)
+      val existing = existingDesigns.find(_.name == t).map(_.design)
+      val (design, warnings) = existing match {
+        case Some(old) if old.isSourceTable => mergeDesigns(old, fresh)
+        case _ => (fresh, Seq.empty[String])
+      }
+      saveTableDesign(design, designsRoot, overwrite = overwrite || existing.nonEmpty)
+      (t, warnings)
+    }
+  }
+
+  /** Bootstrap designs for orphan `.sql` transform files — the
+    * `bootstrap_transformations` command (bootstrap.py:763-810): any
+    * `schemas/<s>/<t>.sql` without a sibling `.yaml` gets a design
+    * generated from its query's analyzed schema (B8). */
+  def bootstrapTransformations(spark: SparkSession, designsRoot: String,
+                               asView: Boolean = false): Seq[TableName] = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(designsRoot)
+    if (!Files.exists(root)) return Seq.empty
+    val files = Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_)).flatMap(FileSets.parseFilename).toSeq
+    val byTable = files.groupBy(f => (f.schema, f.table))
+    byTable.toSeq.sortBy(_._1).flatMap { case ((schema, table), fs) =>
+      fs.find(_.ext == "sql") match {
+        case Some(sqlFile) if !fs.exists(_.ext == "yaml") =>
+          val query = new String(Files.readAllBytes(sqlFile.path),
+            StandardCharsets.UTF_8).trim
+          val name = TableName(schema, table)
+          val design = designFromQuery(spark, name, query, asView = asView)
+          // the query stays in the existing .sql (saveTableDesign will
+          // not clobber it without overwrite); only the .yaml is new
+          saveTableDesign(design, designsRoot)
+          Some(name)
+        case _ => None
+      }
+    }
   }
 
   // ------------------------------------------------------------- B7

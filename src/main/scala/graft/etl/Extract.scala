@@ -137,4 +137,24 @@ object Extract {
       case _ => r1.option("numPartitions", 1)
     }
   }
+
+  /** COPY stand-in read (S10, dialect/redshift.py:297-369): read a
+    * relation's upstream extract (parquet stand-in), enforce the
+    * design's column set, order, types (schema-on-load) and the
+    * extract condition — shared by [[Warehouse.sourceDataFrame]] and
+    * the CLI `extract` command. */
+  def sourceDataFrame(spark: SparkSession, sourceDir: String,
+                      design: TableDesign): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = spark.read.parquet(s"$sourceDir/${design.name.table}.parquet")
+    val projected = design.activeColumns.map { c =>
+      val base = if (c.expression.nonEmpty) expr(c.expression) else col(c.name)
+      base.cast(c.dataType).as(c.name)
+    }
+    val withCond = design.extractSettings match {
+      case Some(es) if es.condition.nonEmpty => raw.filter(es.condition)
+      case _ => raw
+    }
+    withCond.select(projected: _*)
+  }
 }

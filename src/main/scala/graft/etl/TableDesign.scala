@@ -258,4 +258,60 @@ object TableDesign {
     d.validate()
     d
   }
+
+  // ---------------------------------------------------------- YAML emit
+  /** Serialize a design back to YAML — `save_table_design`'s format
+    * (/root/reference/python/etl/design/bootstrap.py:643-676):
+    * human-friendly key order (name and source first), defaults
+    * omitted, VIEW columns reduced to names (bootstrap.py:608-613).
+    * The transform query is NOT embedded — it belongs in the sibling
+    * `.sql` file per the path convention ([[FileSets]]).
+    * Round-trip contract: `fromYaml(toYaml(d)) == d.copy(query = "")`. */
+  def toYaml(d: TableDesign): String = {
+    val root = yaml.createObjectNode()
+    root.put("name", d.name.identifier)
+    root.put("source_name", d.sourceName)
+    val cols = root.putArray("columns")
+    d.columns.foreach { c =>
+      val n = cols.addObject()
+      n.put("name", c.name)
+      if (!d.isView) {
+        if (c.sqlType.nonEmpty) n.put("sql_type", c.sqlType)
+        n.put("type", c.tpe)
+        if (c.sourceSqlType.nonEmpty) n.put("source_sql_type", c.sourceSqlType)
+        if (c.expression.nonEmpty) n.put("expression", c.expression)
+        if (c.notNull) n.put("not_null", true)
+        if (c.identity) n.put("identity", true)
+        if (c.skipped) n.put("skipped", true)
+        c.references.foreach { case (table, col) =>
+          val r = n.putArray("references")
+          r.add(table)
+          r.addArray().add(col)
+        }
+      }
+    }
+    if (d.constraints.nonEmpty) {
+      val cs = root.putArray("constraints")
+      d.constraints.foreach(ct => ct.columns
+        .foldLeft(cs.addObject().putArray(ct.kind))(_ add _))
+    }
+    if (d.dependsOn.nonEmpty)
+      d.dependsOn.foldLeft(root.putArray("depends_on"))(
+        (a, t) => a.add(t.identifier))
+    if (d.distribution.nonEmpty || d.sortKeys.nonEmpty) {
+      val attrs = root.putObject("attributes")
+      d.distribution.foreach(dist =>
+        dist.foldLeft(attrs.putArray("distribution"))(_ add _))
+      if (d.sortKeys.nonEmpty)
+        d.sortKeys.foldLeft(attrs.putArray("compound_sort"))(_ add _)
+    }
+    d.extractSettings.foreach { es =>
+      val e = root.putObject("extract_settings")
+      if (es.condition.nonEmpty) e.put("condition", es.condition)
+      es.splitBy.foreach(sb => e.putArray("split_by").add(sb))
+      es.numPartitions.foreach(n => e.put("num_partitions", n))
+      es.boundaryQuery.foreach(b => e.put("boundary_query", b))
+    }
+    yaml.writeValueAsString(root)
+  }
 }

@@ -148,18 +148,8 @@ final class Warehouse(
     * upstream extract (parquet here; the reference reads gzip CSV/JSON
     * from a manifest), enforce the design's column set, order, types
     * (schema-on-load) and the extract condition/sampling predicate. */
-  def sourceDataFrame(design: TableDesign): DataFrame = {
-    val raw = spark.read.parquet(s"$sourceDir/${design.name.table}.parquet")
-    val projected = design.activeColumns.map { c =>
-      val base = if (c.expression.nonEmpty) expr(c.expression) else col(c.name)
-      base.cast(c.dataType).as(c.name)
-    }
-    val withCond = design.extractSettings match {
-      case Some(es) if es.condition.nonEmpty => raw.filter(es.condition)
-      case _ => raw
-    }
-    withCond.select(projected: _*)
-  }
+  def sourceDataFrame(design: TableDesign): DataFrame =
+    Extract.sourceDataFrame(spark, sourceDir, design)
 
   /** CTAS materialization (T1/T2/T3, load.py:467-551): run the
     * rewritten query, enforce design column order, assign the

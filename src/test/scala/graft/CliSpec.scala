@@ -69,4 +69,39 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cli explain reports no hazards for the summary transform") {
     Cli.run(spark, "explain", Map("designs" -> designsDir))
   }
+
+  test("parseArgs: interior boolean flags do not misalign later options") {
+    assert(Cli.parseArgs(Seq("--no-staging", "--designs", "d", "--force")) ==
+      Map("no-staging" -> "true", "designs" -> "d", "force" -> "true"))
+    assert(Cli.parseArgs(Seq("--designs", "d", "--no-staging", "--data", "x")) ==
+      Map("designs" -> "d", "no-staging" -> "true", "data" -> "x"))
+  }
+
+  test("cli extract lands csv.gz + manifest per source relation") {
+    val out = Files.createTempDirectory("graft_cli_ex_").toString
+    Cli.run(spark, "extract", Map(
+      "designs" -> designsDir, "data" -> dataDir, "out" -> out,
+      "select" -> "cli.region"))
+    val dest = Paths.get(out, "cli.region")
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(dest).iterator().asScala.exists(
+      _.getFileName.toString.endsWith(".gz")))
+    assert(Files.exists(dest.resolve("manifest.json")))
+    assert(Files.exists(dest.resolve("columns.yaml")))
+  }
+
+  test("cli unload writes the published relation; continue-from skips") {
+    val wh = Files.createTempDirectory("graft_cli_wh2_").toString
+    // continue-from cli.summary: region (earlier in execution order)
+    // must be skipped — so build everything first, then re-load.
+    Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh))
+    Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+      "continue-from" -> "cli.summary"))
+    val out = Files.createTempDirectory("graft_cli_un_").toString
+    Cli.run(spark, "unload", Map(
+      "designs" -> designsDir, "out" -> out, "select" -> "cli.summary"))
+    assert(Files.exists(Paths.get(out, "cli.summary", "manifest.json")))
+  }
 }

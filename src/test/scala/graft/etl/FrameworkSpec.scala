@@ -226,6 +226,93 @@ class FrameworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(listing.head._2.size == 2)
   }
 
+  // ------------------------------------------------------- YAML emit
+  test("toYaml round-trips a fully-loaded design through fromYaml") {
+    val rich = TableDesign(
+      TableName.parse("src.orders"), "src",
+      columns = Seq(
+        ColumnDef("o_orderkey", "long", "bigint", "bigint", notNull = true),
+        ColumnDef("o_total", "decimal", "numeric(12,2)", "numeric(12,2)",
+          expression = "CAST(o_total AS numeric(12,2))"),
+        ColumnDef("o_custkey", "long", "bigint",
+          references = Some(("src.customer", "c_custkey"))),
+        ColumnDef("o_secret", skipped = true)),
+      constraints = Seq(Constraint("primary_key", Seq("o_orderkey")),
+        Constraint("unique", Seq("o_custkey", "o_total"))),
+      extractSettings = Some(ExtractSettings(
+        condition = "o_orderkey > 0", splitBy = Some("o_orderkey"),
+        numPartitions = Some(8), boundaryQuery = Some("SELECT 1, 2"))),
+      distribution = Some(Seq("o_custkey")),
+      sortKeys = Seq("o_orderkey"))
+    val back = TableDesign.fromYaml(TableDesign.toYaml(rich))
+    assert(back == rich)
+    // a CTAS with identity and a VIEW (columns reduced to names)
+    val ctas = TableDesign(TableName.parse("rep.fact"), "CTAS",
+      columns = Seq(ColumnDef("sk", "long", identity = true, notNull = true),
+        ColumnDef("v", "double")),
+      constraints = Seq(Constraint("surrogate_key", Seq("sk"))),
+      dependsOn = Seq(TableName.parse("src.orders")),
+      query = "SELECT o_total AS v FROM src.orders")
+    assert(TableDesign.fromYaml(TableDesign.toYaml(ctas)) == ctas.copy(query = ""))
+    val view = TableDesign(TableName.parse("rep.v"), "VIEW",
+      columns = Seq(ColumnDef("v")), dependsOn = Seq(TableName.parse("rep.fact")),
+      query = "SELECT v FROM rep.fact")
+    assert(TableDesign.fromYaml(TableDesign.toYaml(view)) == view.copy(query = ""))
+  }
+
+  test("saveTableDesign + discover closes the bootstrap round-trip") {
+    val root = Files.createTempDirectory("graft_boot_rt_").toString
+    val design = Bootstrap.designFromQuery(spark,
+      TableName.parse("rep.nations_rt"),
+      "SELECT n_nationkey, n_name FROM fw_nation")
+    val written = Bootstrap.saveTableDesign(design, root)
+    assert(written.map(_.getFileName.toString).sorted ==
+      Seq("nations_rt.sql", "nations_rt.yaml"))
+    val rels = FileSets.discover(root)
+    assert(rels.map(_.identifier) == Seq("rep.nations_rt"))
+    // identical design back, query re-attached from the .sql sibling
+    assert(rels.head.design == design.copy(query = rels.head.design.query))
+    assert(rels.head.design.query.trim == design.query.trim)
+    // no silent clobber without overwrite
+    assert(Bootstrap.saveTableDesign(design, root).isEmpty)
+    assert(Bootstrap.saveTableDesign(design, root, overwrite = true).size == 2)
+  }
+
+  test("bootstrapSources writes designs for a live database's tables") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS fwboot")
+    spark.sql("""CREATE TABLE IF NOT EXISTS fwboot.nation
+                 USING parquet LOCATION '/root/testdata/sf0.001/nation.parquet'""")
+    val root = Files.createTempDirectory("graft_boot_src_").toString
+    val results = Bootstrap.bootstrapSources(spark, "fwboot", root)
+    assert(results.map(_._1.identifier) == Seq("fwboot.nation"))
+    val rels = FileSets.discover(root)
+    assert(rels.map(_.identifier) == Seq("fwboot.nation"))
+    val d = rels.head.design
+    assert(d.isSourceTable && d.sourceName == "fwboot")
+    assert(d.columns.map(_.name) ==
+      spark.table("fwboot.nation").schema.fields.map(_.name).toSeq)
+    spark.sql("DROP TABLE fwboot.nation")
+    spark.sql("DROP DATABASE fwboot")
+  }
+
+  test("bootstrapTransformations designs orphan .sql files (B8 end-to-end)") {
+    val root = Files.createTempDirectory("graft_boot_tf_").toString
+    val dir = Paths.get(root, "schemas", "rep")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("orphan.sql"),
+      "SELECT n_name, COUNT(*) AS n FROM fw_nation GROUP BY n_name"
+        .getBytes(StandardCharsets.UTF_8))
+    val made = Bootstrap.bootstrapTransformations(spark, root)
+    assert(made.map(_.identifier) == Seq("rep.orphan"))
+    val rels = FileSets.discover(root)
+    assert(rels.map(_.identifier) == Seq("rep.orphan"))
+    assert(rels.head.design.isCtas)
+    assert(rels.head.design.columns.map(_.tpe) == Seq("string", "long"))
+    assert(rels.head.design.query.contains("GROUP BY"))
+    // idempotent: a second run finds nothing orphaned
+    assert(Bootstrap.bootstrapTransformations(spark, root).isEmpty)
+  }
+
   test("Q6: filename regex matches the reference convention (file_sets.py:60-68)") {
     def parse(s: String) = FileSets.parseFilename(Paths.get(s))
     val fi = parse("/w/schemas/www/src-orders.yaml").get

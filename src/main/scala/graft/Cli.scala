@@ -20,7 +20,7 @@ object Cli {
       """usage: graft.Cli <command> [options]
         |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT]
         |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN
-        |  extract        --designs DIR --data DIR --out DIR [--select PATTERN]
+        |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro]
         |  unload         --designs DIR --out DIR [--select PATTERN]
         |  validate       --designs DIR
         |  show_ddl       --designs DIR [--select PATTERN]
@@ -103,7 +103,10 @@ object Cli {
         designs.filter(r => r.design.isSourceTable && selector.matches(r.name))
           .foreach { r =>
             val df = Extract.sourceDataFrame(spark, data, r.design)
-            val n = Unload.unload(df, r.design, s"$out/${r.identifier}")
+            val n = opts.getOrElse("format", "csv") match {
+              case "avro" => AvroIO.write(df, s"$out/${r.identifier}")
+              case _ => Unload.unload(df, r.design, s"$out/${r.identifier}")
+            }
             println(s"[extract] ${r.identifier}: $n rows -> $out/${r.identifier}")
           }
       case "unload" =>

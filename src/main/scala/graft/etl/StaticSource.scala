@@ -61,6 +61,7 @@ object StaticSource {
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(prefix)
       case "json" => base.json(prefix)
       case "parquet" => base.parquet(prefix)
+      case "avro" => AvroIO.read(spark, prefix, design.toStructType)
       case other => throw new IllegalArgumentException(s"unsupported format '$other'")
     })
   }

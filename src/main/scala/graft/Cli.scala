@@ -29,6 +29,7 @@ object Cli {
         |  explain        --designs DIR [--select PATTERN]
         |  create_index   --designs DIR
         |  show_dependents --designs DIR --select PATTERN
+        |  query_events   --events FILE [--target PATTERN] [--step STEP] [--tail N]
         |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
         |  bootstrap_transformations --designs DIR [--as-view]
         |""".stripMargin)
@@ -117,6 +118,22 @@ object Cli {
           val df = spark.table(r.name.quoted)
           val n = Unload.unload(df, r.design, s"$out/${r.identifier}")
           println(s"[unload] ${r.identifier}: $n rows -> $out/${r.identifier}")
+        }
+      case "query_events" =>
+        // Q7 (monitor.py:720-975): ask a previous run's event log
+        // "what happened to relation X", or tail the last n events.
+        val log = opts.getOrElse("events", usage())
+        val all = Monitor.readLog(log)
+        val filtered = Monitor.filter(all, opts.get("target"), opts.get("step"))
+        val shown = opts.get("tail").map(n => filtered.takeRight(n.toInt))
+          .getOrElse(filtered)
+        shown.foreach { e =>
+          val extra = e.rowcount.map(r => s" rows=$r").getOrElse("") +
+            e.metrics.map(m => s" read=${m.bytesRead}B/${m.filesRead}f" +
+              s" shuffle=${m.shuffleBytesWritten}B written=${m.rowsWritten}")
+              .getOrElse("") +
+            e.message.map(m => s" message=$m").getOrElse("")
+          println(f"[events] ${e.target} ${e.step} ${e.event} ${e.elapsedSeconds}%.2fs$extra")
         }
       case "bootstrap_sources" =>
         val root = opts.getOrElse("designs", usage())

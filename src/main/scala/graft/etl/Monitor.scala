@@ -5,32 +5,39 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Monitor events (reference monitor.py:111-261): every step on every
   * relation emits start/finish/fail with elapsed time and extras
-  * (rowcount). The reference ships these to DynamoDB; here they land
-  * in a JSON-lines file (and memory) with the same query surface:
-  * tail, summarize per step. */
+  * (rowcount, load metrics). The reference ships these to DynamoDB;
+  * here they land in a JSON-lines file (and memory) with the same
+  * query surface: query by target/step, tail, summarize per step
+  * (monitor.py:656-930 `scan_etl_events` / `tail_events` /
+  * `EventsQuery`). */
 final case class MonitorEvent(
     target: String,
     step: String,               // load | extract | unload | ...
     event: String,              // start | finish | fail
     elapsedSeconds: Double,
     rowcount: Option[Long] = None,
-    message: Option[String] = None)
+    message: Option[String] = None,
+    metrics: Option[LoadMetrics] = None)   // S11 load diagnostics
 
 final class Monitor(logPath: Option[String] = None) {
   private val buf = scala.collection.mutable.Buffer[MonitorEvent]()
 
-  def events: Seq[MonitorEvent] = buf.toSeq
+  /** Metrics staged by the build running on this thread, consumed by
+    * its finish event. Thread-local because D5 builds relations on
+    * parallel threads, each monitored on its own thread. */
+  private val pending = new ThreadLocal[Option[LoadMetrics]] {
+    override def initialValue(): Option[LoadMetrics] = None
+  }
+
+  def attachMetrics(m: Option[LoadMetrics]): Unit = pending.set(m)
+
+  def events: Seq[MonitorEvent] = synchronized { buf.toSeq }
 
   private def emit(e: MonitorEvent): Unit = synchronized {
     buf += e
     logPath.foreach { p =>
-      val json = {
-        val rc = e.rowcount.map(r => s""","rowcount":$r""").getOrElse("")
-        val msg = e.message.map(m =>
-          s""","message":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
-        s"""{"target":"${e.target}","step":"${e.step}","event":"${e.event}","elapsed":${e.elapsedSeconds}$rc$msg}"""
-      }
-      Files.write(Paths.get(p), (json + "\n").getBytes(StandardCharsets.UTF_8),
+      Files.write(Paths.get(p),
+        (Monitor.toJson(e) + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
   }
@@ -40,16 +47,18 @@ final class Monitor(logPath: Option[String] = None) {
   def monitored[T](target: String, step: String)(body: => (T, Option[Long])): T = {
     emit(MonitorEvent(target, step, "start", 0.0))
     val t0 = System.nanoTime()
+    pending.set(None)
     try {
       val (result, rowcount) = body
-      emit(MonitorEvent(target, step, "finish", (System.nanoTime() - t0) / 1e9, rowcount))
+      emit(MonitorEvent(target, step, "finish", (System.nanoTime() - t0) / 1e9,
+        rowcount, None, pending.get()))
       result
     } catch {
       case e: Throwable =>
         emit(MonitorEvent(target, step, "fail", (System.nanoTime() - t0) / 1e9,
           None, Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
         throw e
-    }
+    } finally pending.set(None)
   }
 
   /** Per-step rollup (monitor.py:862-930 EventsQuery/summarize). */
@@ -58,4 +67,73 @@ final class Monitor(logPath: Option[String] = None) {
       (step, es.count(_.event == "finish"), es.count(_.event == "fail"),
         es.map(_.elapsedSeconds).sum)
     }.toSeq.sortBy(_._1)
+
+  /** Q7 query surface (monitor.py:720-860 `scan_etl_events`): filter
+    * by relation glob and/or step. */
+  def query(target: Option[String] = None,
+            step: Option[String] = None): Seq[MonitorEvent] =
+    Monitor.filter(events, target, step)
+
+  /** Q7 `tail_events` (monitor.py:926-975): the last n events. */
+  def tail(n: Int): Seq[MonitorEvent] = events.takeRight(n)
+}
+
+object Monitor {
+
+  private[graft] def filter(es: Seq[MonitorEvent], target: Option[String],
+                          step: Option[String]): Seq[MonitorEvent] = {
+    val sel = target.map(t => TableSelector(t.split(',').toSeq))
+    es.filter(e => sel.forall(s =>
+        scala.util.Try(TableName.parse(e.target)).toOption.exists(s.matches)))
+      .filter(e => step.forall(_ == e.step))
+  }
+
+  /** Read a JSON-lines event log back — the cross-run query path: a
+    * fresh CLI process asking "what happened to relation X in the
+    * last run" reads the previous run's log. */
+  def readLog(path: String): Seq[MonitorEvent] = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Seq.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.trim.nonEmpty).map { line =>
+        val n = mapper.readTree(line)
+        def optLong(f: String) = Option(n.get(f)).map(_.asLong)
+        MonitorEvent(
+          n.get("target").asText, n.get("step").asText, n.get("event").asText,
+          n.get("elapsed").asDouble,
+          optLong("rowcount"),
+          Option(n.get("message")).map(_.asText),
+          Option(n.get("metrics")).map { m =>
+            def l(f: String) = Option(m.get(f)).map(_.asLong).getOrElse(0L)
+            LoadMetrics(l("files_read"), l("bytes_read"),
+              l("shuffle_bytes_written"), l("files_written"),
+              l("bytes_written"), l("rows_written"))
+          })
+      }
+  }
+
+  private[etl] def toJson(e: MonitorEvent): String = {
+    val rc = e.rowcount.map(r => s""","rowcount":$r""").getOrElse("")
+    val msg = e.message.map(m => s""","message":"${jsonEscape(m)}"""").getOrElse("")
+    val met = e.metrics.map(m =>
+      s""","metrics":{"files_read":${m.filesRead},"bytes_read":${m.bytesRead}""" +
+      s""","shuffle_bytes_written":${m.shuffleBytesWritten}""" +
+      s""","files_written":${m.filesWritten},"bytes_written":${m.bytesWritten}""" +
+      s""","rows_written":${m.rowsWritten}}""").getOrElse("")
+    s"""{"target":"${jsonEscape(e.target)}","step":"${e.step}","event":"${e.event}"""" +
+      s""","elapsed":${e.elapsedSeconds}$rc$msg$met}"""
+  }
+
+  /** Exception messages routinely contain newlines/tabs; escaping
+    * only quote+backslash would emit broken JSON lines. Same rule as
+    * Verify's dump: all control chars < 0x20 become \\uXXXX. */
+  private[etl] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 }

@@ -200,6 +200,7 @@ final class Warehouse(
   def writeTable(target: TableName, df: DataFrame,
                  design: Option[TableDesign] = None): Long = {
     val loc = dataLocation(target, buildCounter.incrementAndGet())
+    val capture = LoadMetricsCapture.install(spark)   // before the action
     val distKeys = design.flatMap(_.distribution).getOrElse(Seq.empty)
     if (distKeys.nonEmpty) {
       ensureDatabase(target.schema)
@@ -214,6 +215,10 @@ final class Warehouse(
       df.write.mode("overwrite").parquet(loc)
       registerAt(target, loc)
     }
+    // S11 load diagnostics: pick up this build's SQL metrics (keyed
+    // by output location, so parallel D5 builds never cross-read) and
+    // stage them for the monitor's finish event.
+    monitor.attachMetrics(capture.await(loc))
     spark.table(target.quoted).count()
   }
 

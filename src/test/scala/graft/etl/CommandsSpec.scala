@@ -52,6 +52,33 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       |query: SELECT n_name FROM src.nation WHERE n_nationkey < 5
       |""".stripMargin)
 
+  test("Q7: events log round-trips; query filters by glob+step; tail") {
+    val log = Files.createTempDirectory("graft_ev_").resolve("events.jsonl").toString
+    val mon = new Monitor(Some(log))
+    mon.monitored("src.nation", "load") { ((), Some(25L)) }
+    mon.monitored("rep.top_n", "load") { ((), Some(5L)) }
+    intercept[RuntimeException] {
+      mon.monitored("rep.bad", "load") {
+        throw new RuntimeException("boom\nwith \"newline\"\tand tab")
+      }
+    }
+    mon.monitored("src.nation", "unload") { ((), Some(25L)) }
+    // in-memory query surface
+    assert(mon.query(target = Some("src.*")).map(_.step).distinct.sorted ==
+      Seq("load", "unload"))
+    assert(mon.query(step = Some("load")).count(_.event == "fail") == 1)
+    assert(mon.tail(2).map(_.event) == Seq("start", "finish"))
+    // the log file parses back identically — including the control
+    // chars in the failure message (broken-JSON regression guard)
+    val back = Monitor.readLog(log)
+    assert(back == mon.events)
+    assert(back.find(_.event == "fail").get.message.get.contains("\n"))
+    // cross-run query: filter over the re-read log
+    val failed = Monitor.filter(back, Some("rep.*"), Some("load"))
+      .filter(_.event == "fail")
+    assert(failed.map(_.target) == Seq("rep.bad"))
+  }
+
   test("Q1: run_query applies the LIMIT; None means all rows") {
     spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("cmd_nation")
     assert(Commands.runQuery(spark, "SELECT n_name FROM cmd_nation", Some(3)).count() == 3)

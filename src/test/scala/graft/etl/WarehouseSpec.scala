@@ -92,6 +92,29 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep`.`top_nations`").count() == 5)
   }
 
+  test("S11: build finish events carry files/bytes read and rows written") {
+    val wh = freshWarehouse()
+    wh.loadRelations(Seq(srcNation,
+      ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5")))
+    val finishes = wh.monitor.events.filter(e =>
+      e.step == "load" && e.event == "finish")
+    assert(finishes.size == 2)
+    val metrics = finishes.flatMap(_.metrics)
+    assert(metrics.size == 2, s"expected metrics on both builds: $finishes")
+    // the source load scans nation.parquet: bytes+files read > 0,
+    // 25 rows written; the CTAS scans the built table
+    metrics.foreach { m =>
+      assert(m.filesRead > 0 && m.bytesRead > 0,
+        s"scan metrics missing: $m")
+      assert(m.filesWritten > 0 && m.bytesWritten > 0 && m.rowsWritten > 0,
+        s"write metrics missing: $m")
+    }
+    assert(metrics.map(_.rowsWritten).toSet == Set(25L, 5L))
+    // and the JSON-lines serialization round-trips them
+    val line = Monitor.toJson(finishes.head)
+    assert(line.contains("\"metrics\":{\"files_read\":"))
+  }
+
   test("staging rewrite is plan-based: string literals survive, CTEs shadow") {
     val wh = freshWarehouse()
     val deps = Seq(TableName("src", "nation"), TableName("src", "orders"))

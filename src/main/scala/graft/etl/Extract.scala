@@ -64,11 +64,25 @@ object Extract {
   }
 
   /** Split expression for the key (sqoop.py:186-195): temporal keys
-    * are cast to epoch seconds so ranges are numeric. */
-  def splitExpression(design: TableDesign, key: String): String =
+    * are cast to epoch seconds so ranges are numeric. This expression
+    * is evaluated by the SOURCE database (it becomes the JDBC
+    * `partitionColumn` / boundary query), so it must be the source's
+    * dialect — the reference emits `DATE_PART('epoch', key)`
+    * (sqoop.py:191, Postgres); Spark's `unix_timestamp` does not
+    * exist there. `dialect` picks the shim; "postgres" covers the
+    * reference's upstream fleet. */
+  def splitExpression(design: TableDesign, key: String,
+                      dialect: String = "postgres"): String =
     design.columns.find(_.name == key) match {
       case Some(c) if c.tpe == "date" || c.tpe == "timestamp" =>
-        s"CAST(unix_timestamp($key) AS BIGINT)"
+        dialect match {
+          case "postgres" => s"""CAST(DATE_PART('epoch', $key) AS BIGINT)"""
+          case "mysql" => s"CAST(UNIX_TIMESTAMP($key) AS SIGNED)"
+          case "spark" => s"CAST(unix_timestamp($key) AS BIGINT)"
+          case other => throw new IllegalArgumentException(
+            s"no temporal split-key shim for dialect '$other'; " +
+              "use a numeric split_by or add a dialect mapping")
+        }
       case _ => key
     }
 
@@ -93,7 +107,8 @@ object Extract {
 
   def planPartitions(design: TableDesign, tableSize: Long,
                      maxPartitions: Int = DefaultMaxPartitions,
-                     useSampling: Boolean = false): PartitionPlan = {
+                     useSampling: Boolean = false,
+                     dialect: String = "postgres"): PartitionPlan = {
     val key = findPartitionKey(design)
     val explicitNum = design.extractSettings.flatMap(_.numPartitions)
     val num = key match {
@@ -106,7 +121,7 @@ object Extract {
       design.extractSettings.map(_.condition).filter(_.nonEmpty),
       if (useSamplingWithTable(tableSize, useSampling))
         key.map(samplingCondition) else None).flatten
-    PartitionPlan(key.map(splitExpression(design, _)), num,
+    PartitionPlan(key.map(splitExpression(design, _, dialect)), num,
       if (conds.nonEmpty) Some(conds.mkString(" AND ")) else None)
   }
 
@@ -155,6 +170,41 @@ object Extract {
       case Some(es) if es.condition.nonEmpty => raw.filter(es.condition)
       case _ => raw
     }
-    withCond.select(projected: _*)
+    val selected = withCond.select(projected: _*)
+    // TRUNCATECOLUMNS (dialect/redshift.py:348): the reference COPY
+    // always truncates strings to the declared varchar BYTE length.
+    val bounded = design.activeColumns.flatMap(c =>
+      varcharBytes(c).map(c.name -> _))
+    if (bounded.isEmpty) selected
+    else {
+      registerTrunc(spark)
+      bounded.foldLeft(selected) { case (df, (name, n)) =>
+        df.withColumn(name, expr(s"trunc_utf8_bytes(`$name`, $n)"))
+      }
+    }
   }
+
+  /** Make the native [[TruncateUtf8Bytes]] expression available to
+    * `expr(...)` in this session (idempotent; [[GraftExtensions]]
+    * injects the same builder for extension-configured sessions). */
+  private def registerTrunc(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trunc_utf8_bytes",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TruncateUtf8Bytes(children.head,
+          children(1).eval().asInstanceOf[Number].intValue),
+      "built-in")
+
+  private val VarcharRe =
+    raw"(?i)\s*(?:character\s+varying|varchar)\s*\(\s*(\d+)\s*\)\s*".r
+
+  /** Declared varchar byte length of a string column, if any. The
+    * bootstrap default `character varying(65535)` is skipped — it is
+    * the max, not an authored bound. */
+  private[etl] def varcharBytes(c: ColumnDef): Option[Int] =
+    if (c.tpe != "string") None
+    else c.sqlType match {
+      case VarcharRe(n) if n.toInt < 65535 => Some(n.toInt)
+      case _ => None
+    }
 }

@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("getdate"),
       new ExpressionInfo(classOf[CurrentTimestamp].getName, "getdate"),
       (_: Seq[Expression]) => CurrentTimestamp()))
+    ext.injectFunction((
+      FunctionIdentifier("trunc_utf8_bytes"),
+      new ExpressionInfo(classOf[TruncateUtf8Bytes].getName, "trunc_utf8_bytes"),
+      (children: Seq[Expression]) => TruncateUtf8Bytes(children.head,
+        children(1).eval().asInstanceOf[Number].intValue)))
   }
 }

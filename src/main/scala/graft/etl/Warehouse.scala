@@ -317,11 +317,18 @@ final class Warehouse(
       val bak = rel.name.inPosition(SchemaPosition.Backup)
       if (rel.isView) {
         // Views re-point at standard-position references on promote.
+        // CREATE OR REPLACE (not drop-then-create): a concurrent
+        // reader never observes a missing relation.
         spark.sql(s"DROP VIEW IF EXISTS ${bak.quoted}")
-        spark.sql(s"DROP VIEW IF EXISTS ${std.quoted}")
         val q = rewriteQuery(rel.design.query, rel.design.dependsOn,
           SchemaPosition.Standard)
-        spark.sql(s"CREATE VIEW ${std.quoted} AS $q")
+        try spark.sql(s"CREATE OR REPLACE VIEW ${std.quoted} AS $q")
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          // the standard name currently holds a TABLE (relation kind
+          // changed between runs): fall back to drop-then-create
+          spark.sql(s"DROP TABLE IF EXISTS ${std.quoted}")
+          spark.sql(s"CREATE VIEW ${std.quoted} AS $q")
+        }
         spark.sql(s"DROP VIEW IF EXISTS ${stg.quoted}")
       } else {
         val d = Some(rel.design)

@@ -82,10 +82,18 @@ object DedupOps {
     val sh = shingleDf(spark, sfDir)
       .select($"doc_id",
         conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long").as("shingle"))
-    val kept = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // df via groupBy, NOT count(*) over (partition by shingle): the
+    // window would buffer every occurrence of a hot shingle on one
+    // task — the exact skew this guard exists to prevent. The groupBy
+    // partial-aggregates map-side (a hot shingle arrives as ~one row
+    // per map task), and the semi-join back is AQE-skew-splittable.
+    val keptShingles = sh.groupBy($"shingle")
+      .agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf)
-      .drop("df")
+      .select($"shingle")
+    val kept = sh.hint("shuffle_hash")
+      .join(keptShingles, Seq("shingle"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // All joins below are shuffle joins: the shingle index, the pair
     // list and the per-doc sizes all scale with the corpus, so none

@@ -77,9 +77,16 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.findPartitionKey(strPk).isEmpty)
   }
 
-  test("temporal split keys are cast to epoch (sqoop.py:186-195)") {
+  test("temporal split keys are cast to epoch IN THE SOURCE DIALECT (sqoop.py:186-195)") {
     val ts = designWith("extract_settings:\n  split_by: [k]", colType = "timestamp")
-    assert(Extract.splitExpression(ts, "k") == "CAST(unix_timestamp(k) AS BIGINT)")
+    // the split expression runs on the remote database, not Spark
+    assert(Extract.splitExpression(ts, "k") ==
+      "CAST(DATE_PART('epoch', k) AS BIGINT)")
+    assert(Extract.splitExpression(ts, "k", dialect = "spark") ==
+      "CAST(unix_timestamp(k) AS BIGINT)")
+    intercept[IllegalArgumentException] {
+      Extract.splitExpression(ts, "k", dialect = "oracle")
+    }
     val lng = designWith("")
     assert(Extract.splitExpression(lng, "k") == "k")
   }

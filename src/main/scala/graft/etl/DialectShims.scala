@@ -29,6 +29,18 @@ object DialectShims {
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION datediff_days(a TIMESTAMP, b TIMESTAMP)
         |RETURNS BIGINT RETURN timestampdiff(DAY, a, b)""".stripMargin)
+    // Redshift DATEDIFF counts BOUNDARY CROSSINGS, not complete
+    // intervals: datediff(day, 23:00, next 01:00) = 1. Truncating
+    // both sides to the unit boundary first makes Spark's
+    // complete-interval timestampdiff count exactly the crossings.
+    // One function per unit — [[rewriteDateDiff]] folds the unit
+    // argument into the name so no SQL argument parsing is needed.
+    CanonicalUnits.foreach { u =>
+      spark.sql(
+        s"""CREATE OR REPLACE TEMPORARY FUNCTION rs_datediff_$u(a TIMESTAMP, b TIMESTAMP)
+           |RETURNS BIGINT RETURN timestampdiff(${u.toUpperCase},
+           |  date_trunc('${u.toUpperCase}', a), date_trunc('${u.toUpperCase}', b))""".stripMargin)
+    }
     Commands.registerUdfs(spark)
     // LISTAGG has no scalar-function shim (it is an aggregate):
     // rewrite `LISTAGG(x, ',') WITHIN GROUP (ORDER BY x)` to
@@ -49,4 +61,61 @@ object DialectShims {
     ListaggRe.replaceAllIn(sql, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"array_join(array_sort(collect_list(${m.group(1).trim})), ${m.group(2)})"))
+
+  // ------------------------------------------------- DATEADD/DATEDIFF
+  /** Redshift's unit spellings → the canonical unit. */
+  private[etl] val UnitAliases: Map[String, String] = Map(
+    "y" -> "year", "yr" -> "year", "yrs" -> "year",
+    "year" -> "year", "years" -> "year",
+    "qtr" -> "quarter", "qtrs" -> "quarter",
+    "quarter" -> "quarter", "quarters" -> "quarter",
+    "mon" -> "month", "mons" -> "month",
+    "month" -> "month", "months" -> "month",
+    "w" -> "week", "week" -> "week", "weeks" -> "week",
+    "d" -> "day", "day" -> "day", "days" -> "day",
+    "h" -> "hour", "hr" -> "hour", "hrs" -> "hour",
+    "hour" -> "hour", "hours" -> "hour",
+    "m" -> "minute", "min" -> "minute", "mins" -> "minute",
+    "minute" -> "minute", "minutes" -> "minute",
+    "s" -> "second", "sec" -> "second", "secs" -> "second",
+    "second" -> "second", "seconds" -> "second",
+    "ms" -> "millisecond", "msec" -> "millisecond",
+    "millisecond" -> "millisecond", "milliseconds" -> "millisecond",
+    "us" -> "microsecond", "usec" -> "microsecond",
+    "microsecond" -> "microsecond", "microseconds" -> "microsecond")
+
+  private[etl] val CanonicalUnits: Seq[String] = Seq("year", "quarter",
+    "month", "week", "day", "hour", "minute", "second",
+    "millisecond", "microsecond")
+
+  private val DateAddRe = raw"(?i)\bDATEADD\s*\(\s*(\w+)\s*,".r
+  private val DateDiffRe = raw"(?i)\bDATEDIFF\s*\(\s*(\w+)\s*,".r
+
+  /** `DATEADD(unit, n, ts)` → `timestampadd(UNIT, n, ts)`: only the
+    * function name and unit token are rewritten — the argument
+    * expressions are untouched, so nesting is safe. Plain addition,
+    * no boundary semantics to fix up. */
+  def rewriteDateAdd(sql: String): String =
+    DateAddRe.replaceAllIn(sql, m =>
+      UnitAliases.get(m.group(1).toLowerCase) match {
+        case Some(u) => s"timestampadd(${u.toUpperCase},"
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+
+  /** `DATEDIFF(unit, a, b)` → `rs_datediff_<unit>(a, b)` (registered
+    * above, boundary-crossing semantics). A first argument that is
+    * not a unit keyword — Spark's own two-argument `DATEDIFF(end,
+    * start)` — is left alone. */
+  def rewriteDateDiff(sql: String): String =
+    DateDiffRe.replaceAllIn(sql, m =>
+      UnitAliases.get(m.group(1).toLowerCase) match {
+        case Some(u) => s"rs_datediff_$u("
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+
+  /** The full dialect pass for a transform query as loaded from its
+    * `.sql` file (relation.py:279-293 loads query text; the rewrite
+    * happens once here, never at run time). */
+  def rewriteRedshiftSql(sql: String): String =
+    rewriteDateDiff(rewriteDateAdd(rewriteListagg(sql)))
 }

@@ -47,8 +47,14 @@ object FileSets {
               new String(Files.readAllBytes(q.path), StandardCharsets.UTF_8))
           case _ => design
         }
-        withQuery.validate()
-        Relation(withQuery)
+        // Queries are authored in the reference's Redshift dialect;
+        // the shim rewrite runs once at load, not per execution.
+        val shimmed =
+          if (withQuery.query.nonEmpty)
+            withQuery.copy(query = DialectShims.rewriteRedshiftSql(withQuery.query))
+          else withQuery
+        shimmed.validate()
+        Relation(shimmed)
       }
     }
   }

@@ -47,4 +47,43 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // untouched SQL passes through
     assert(DialectShims.rewriteListagg("SELECT 1") == "SELECT 1")
   }
+
+  test("DATEADD rewrite: any Redshift unit spelling, args untouched") {
+    assert(DialectShims.rewriteDateAdd("DATEADD(hour, 2, ts)") ==
+      "timestampadd(HOUR, 2, ts)")
+    assert(DialectShims.rewriteDateAdd("dateadd(mons, f(x, y), t.c)") ==
+      "timestampadd(MONTH, f(x, y), t.c)")
+    // unknown first token: not a unit call — leave it alone
+    assert(DialectShims.rewriteDateAdd("DATEADD(colname, 2, ts)") ==
+      "DATEADD(colname, 2, ts)")
+    val r = spark.sql(DialectShims.rewriteDateAdd(
+      "SELECT DATEADD(hr, 25, TIMESTAMP '2020-01-01 00:00:00') AS t")).collect().head
+    assert(r.getTimestamp(0).toString.startsWith("2020-01-02 01:00"))
+  }
+
+  test("DATEDIFF rewrite counts boundary crossings (Redshift semantics)") {
+    // 23:30 -> next 00:30 is one DAY boundary crossed though only 1h
+    val sql = DialectShims.rewriteDateDiff(
+      """SELECT
+        |  DATEDIFF(day,  TIMESTAMP '2020-01-01 23:30:00', TIMESTAMP '2020-01-02 00:30:00') AS dd,
+        |  DATEDIFF(hour, TIMESTAMP '2020-01-01 10:59:00', TIMESTAMP '2020-01-01 11:01:00') AS dh,
+        |  DATEDIFF(year, TIMESTAMP '2019-12-31 23:59:59', TIMESTAMP '2020-01-01 00:00:01') AS dy,
+        |  DATEDIFF(mon,  TIMESTAMP '2020-01-31 00:00:00', TIMESTAMP '2020-02-01 00:00:00') AS dm
+        |""".stripMargin)
+    assert(sql.contains("rs_datediff_day(") && sql.contains("rs_datediff_hour("))
+    val r = spark.sql(sql).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 1L)))
+    // Spark's own two-argument DATEDIFF is not mistaken for a unit call
+    assert(DialectShims.rewriteDateDiff("DATEDIFF(end_col, start_col)") ==
+      "DATEDIFF(end_col, start_col)")
+  }
+
+  test("rewriteRedshiftSql composes all passes (FileSets load path)") {
+    val in = "SELECT DATEADD(d, 1, t), DATEDIFF(sec, a, b), " +
+      "LISTAGG(x, '|') WITHIN GROUP (ORDER BY x) FROM t GROUP BY 1, 2"
+    val out = DialectShims.rewriteRedshiftSql(in)
+    assert(out.contains("timestampadd(DAY, 1, t)"))
+    assert(out.contains("rs_datediff_second( a, b)"))
+    assert(out.contains("array_join"))
+  }
 }

@@ -203,14 +203,20 @@ object DedupOps {
     * is a hinted sort-merge join: the band table scales with the
     * corpus (docs × 4 bands), so broadcasting it cannot survive
     * 100 TB; AQE skew-join splits any hot band signature at runtime. */
-  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The candidate edge set without presentation ordering — shared by
+    * the pairs query and the cluster builder below. */
+  private def minhashCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val bands = minhashBands(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
     bands.as("a").hint("shuffle_merge").join(bands.as("b"),
       $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
-      .orderBy($"d1", $"d2")
+  }
+
+  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    minhashCandidatePairs(spark, sfDir).orderBy($"d1", $"d2")
   }
 
   val dedupMinhashPairsSql: String =
@@ -389,13 +395,79 @@ object DedupOps {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  // ------------------------------------------------- duplicate clusters
+  /** Connected components over the near-dup candidate pairs: the step
+    * a real dedup pipeline runs AFTER pair generation. Pairs alone
+    * over-drop on chains (A~B, B~C would drop B and C against
+    * different keepers); clustering picks ONE representative per
+    * component.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the minimum label among itself and its neighbours.
+    * Rounds needed = graph diameter; near-dup components are stars
+    * and short chains, so a handful of shuffles ends it. Each round
+    * is one shuffle join + one partial-aggregated groupBy, fully
+    * distributed; the only driver value is the scalar convergence
+    * count. (The large-star/small-star algorithm halves diameters for
+    * adversarially long paths; for dedup graphs the plain propagation
+    * is the right trade.) */
+  val MaxClusterRounds = 25
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashCandidatePairs(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"d1".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxClusterRounds) {
+      round += 1
+      val neighborMin = edges.join(labels, $"d2" === $"node")
+        .groupBy($"d1").agg(min($"label").as("nmin"))
+      val next = labels.as("l")
+        .join(neighborMin.as("n"), $"node" === $"n.d1", "left")
+        .select($"node",
+          least($"l.label", coalesce($"n.nmin", $"l.label")).as("label"),
+          coalesce($"n.nmin" < $"l.label", lit(false)).as("improved"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter($"improved").limit(1).isEmpty
+      val prev = labels
+      labels = next.select($"node", $"label")
+      prev.unpersist()
+    }
+    require(converged,
+      s"label propagation did not converge in $MaxClusterRounds rounds")
+    labels.select($"node".as("doc_id"), $"label".as("cluster"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: reachability closure via a recursive CTE, then min per
+    * node — same fixpoint the propagation loop computes. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |  pairs AS (SELECT * FROM ($dedupMinhashPairsSql)),
+       |  edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs),
+       |  reach(node, r) AS (
+       |    SELECT d1 AS node, d1 AS r FROM edges
+       |    UNION
+       |    SELECT e.d1 AS node, r.r AS r FROM edges e JOIN reach r ON e.d2 = r.node
+       |  )
+       |SELECT node AS doc_id, MIN(r) AS cluster
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupJaccard _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash_docs" -> (simhashDocs _),
-    "dedup_simhash_pairs" -> (simhashPairs _))
+    "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -403,5 +475,6 @@ object DedupOps {
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_simhash_docs" -> simhashDocsSql,
-    "dedup_simhash_pairs" -> simhashPairsSql)
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

@@ -165,15 +165,59 @@ object TextOps {
   val fingerprintSql: String =
     s"SELECT doc_id, md5($normTextSql) AS fp FROM documents ORDER BY doc_id"
 
+  // ------------------------------------------------ stratified sampling
+  /** Deterministic stratified sampling — training-data curation's
+    * rebalancing step: downsample the dominant language, keep the
+    * rest at a higher rate. The per-document coin is a HASH of the
+    * doc id, not rand(): reproducible across runs, engines, and
+    * retries (a re-run keeps the same sample — the property that
+    * makes incremental re-processing possible), and independent of
+    * partitioning. Per-row, shuffle-free, fully pushed into one
+    * codegen'd stage. Rates are percent out of 100. */
+  val SampleRates: Map[String, Int] = Map("en" -> 20)
+  val DefaultSampleRate: Int = 60
+
+  private def rateCase(langCol: Column): Column =
+    SampleRates.foldLeft(lit(DefaultSampleRate)) { case (acc, (l, r)) =>
+      when(langCol === l, r).otherwise(acc)
+    }
+
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // bucket in [0,100) from the first 8 md5 hex digits of the doc id
+    // (salted so this coin is independent of any other hash use)
+    val bucket = (conv(substring(
+      md5(concat(lit("smp:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", bucket)
+      .filter($"bucket" < rateCase($"lang"))
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val sampleStratifiedSql: String = {
+    val rates = SampleRates.foldLeft(s"$DefaultSampleRate") {
+      case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+       |  FROM documents
+       |) WHERE bucket < $rates ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "sample_stratified" -> (sampleStratified _))
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "sample_stratified" -> sampleStratifiedSql)
 }

@@ -51,7 +51,8 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // static plan must be pure shuffle joins (VERDICT r2 "What's
     // wrong" #1). Same property for the other pair-generating dedups.
     for (name <- Seq("dedup_simhash_pairs", "dedup_minhash_pairs",
-                     "dedup_ngram_jaccard", "dedup_embedding_cosine")) {
+                     "dedup_ngram_jaccard", "dedup_embedding_cosine",
+                     "dedup_clusters")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val bcasts = Explain.broadcastJoins(df)
       spark.catalog.clearCache()

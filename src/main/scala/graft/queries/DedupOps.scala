@@ -417,29 +417,67 @@ object DedupOps {
     import spark.implicits._
     val pairs = minhashCandidatePairs(spark, sfDir)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs
-      .union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+    // The dup graph is orders of magnitude smaller than the corpus —
+    // only documents in ≥1 candidate pair. Size the propagation's
+    // parallelism to the GRAPH (one task per ~100k edges, capped at
+    // the session's shuffle parallelism): at toy scale one task per
+    // round beats 32 near-empty sort-merge tasks; at 100 TB the same
+    // formula saturates the cluster. The count is a scalar on a
+    // persisted frame — it doubles as the materialization step.
+    val tP = System.nanoTime()
+    val rawEdges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+    val parts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (rawEdges.count() / 100000L + 1).toInt))
+    if (sys.env.contains("GRAFT_DEBUG"))
+      println(f"[clusters] edge count ${(System.nanoTime() - tP) / 1e9}%.2fs parts=$parts")
+    val edges = rawEdges.repartition(parts, $"d2")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // `labels` is ALWAYS the exact persisted Dataset (never a
+    // projection of one): unpersist() removes cache entries by plan
+    // match, and unpersisting a derived projection silently leaves
+    // every round's cache in place while later lookups miss.
     var labels = edges.select($"d1".as("node")).distinct()
-      .select($"node", $"node".as("label"))
+      .repartition(parts, $"node")
+      .select($"node", $"node".as("label"), lit(false).as("improved"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // AQE's per-exchange query stages add several sequentially
+    // scheduled jobs to every round; the loop's shuffles are already
+    // explicitly sized to the graph (`parts`), so adaptivity buys
+    // nothing here and its scheduling overhead dominates at small
+    // scale. Off for the loop only, restored after.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     var round = 0
     var converged = false
     while (!converged && round < MaxClusterRounds) {
       round += 1
-      val neighborMin = edges.join(labels, $"d2" === $"node")
+      val t0 = System.nanoTime()
+      // edges and labels are co-partitioned on (d2 / node, parts) —
+      // the big join is exchange-free every round. The groupBy keeps
+      // its map-side partial aggregation; only the ≤|nodes| aggregated
+      // rows are re-shuffled to line up with labels for the update.
+      val neighborMin = edges.join(
+          labels.select($"node", $"label"), $"d2" === $"node")
         .groupBy($"d1").agg(min($"label").as("nmin"))
+        .repartition(parts, $"d1")
       val next = labels.as("l")
         .join(neighborMin.as("n"), $"node" === $"n.d1", "left")
         .select($"node",
           least($"l.label", coalesce($"n.nmin", $"l.label")).as("label"),
           coalesce($"n.nmin" < $"l.label", lit(false)).as("improved"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.filter($"improved").limit(1).isEmpty
+      // full count, not limit(1).isEmpty: this action is also what
+      // fills next's cache — an early-exit limit could leave
+      // partitions unmaterialized for later rounds to recompute
+      converged = next.filter($"improved").count() == 0L
       val prev = labels
-      labels = next.select($"node", $"label")
+      labels = next
       prev.unpersist()
+      if (sys.env.contains("GRAFT_DEBUG"))
+        println(f"[clusters] round $round ${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
     }
+    spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     require(converged,
       s"label propagation did not converge in $MaxClusterRounds rounds")
     labels.select($"node".as("doc_id"), $"label".as("cluster"))

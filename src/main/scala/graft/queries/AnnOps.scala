@@ -313,6 +313,139 @@ object AnnOps {
        |WHERE (${pairDotSql("a", "b")} / (a.nrm * b.nrm)) >= $NearDupThreshold
        |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------------------- IVF
+  /** IVF (inverted-file) coarse quantization — the other standard ANN
+    * scale path beside LSH. nlist ≈ √n centroid seeds are picked
+    * deterministically (the √n smallest md5('ivf:'||vec_id) values —
+    * a pseudo-random sample with no RNG), every vector is assigned to
+    * its nearest centroid by cosine, and a query scans only the
+    * `NProbe` nearest cells instead of the corpus.
+    *
+    * Scale shape: assignment is the classic n × nlist score — pure
+    * per-row compute against a BROADCAST centroid table (√n rows:
+    * ~16 MB of floats at n = 10⁹, the one broadcast here that is
+    * sublinear in the corpus), and the per-vector argmax is
+    * max(struct(cosine, -cent_id)) under groupBy — partial-aggregated
+    * map-side, so the shuffle carries n rows, not n × nlist. The
+    * struct ordering (highest cosine, then lowest cent_id) is exactly
+    * the oracle window's ORDER BY cosine DESC, cent_id — no tie
+    * ambiguity since cent_ids are distinct. Seed selection is
+    * orderBy().limit() = TakeOrdered partial top-k, not a global
+    * window. */
+  val NProbe = 2
+
+  private def nlistFor(n: Long): Int = math.ceil(math.sqrt(n.toDouble)).toInt
+
+  private def centroids(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
+    import spark.implicits._
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val nlist = nlistFor(vecs.count())
+    val cents = vecs
+      .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"),
+        md5(concat(lit("ivf:"), $"vec_id".cast("string"))).as("seed"))
+      .orderBy($"seed", $"cent_id").limit(nlist)
+      .select($"cent_id", $"c_emb")
+    (cents, nlist)
+  }
+
+  private val centsSqlPrologue: String =
+    s"""params AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb FROM (
+       |    SELECT vec_id, embedding,
+       |      row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM embeddings), params
+       |  WHERE rn <= nlist
+       |),
+       |cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosineSql("v.embedding", "c.c_emb")} DESC, c.cent_id) AS rk
+       |    FROM embeddings v, cents c)
+       |  WHERE rk = 1
+       |)""".stripMargin
+
+  private def cellsDf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cents, _) = centroids(spark, sfDir)
+    Tables.load(spark, sfDir, "embeddings")
+      .crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id", cosine($"embedding", $"c_emb").as("cosine"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"cosine", (-$"cent_id").as("neg_cent"))).as("best"))
+      .select($"vec_id", (-$"best.neg_cent").as("cell"))
+  }
+
+  /** Cell assignment per vector (the IVF index itself, hash-checked
+    * like the LSH buckets). */
+  def annIvfCells(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    cellsDf(spark, sfDir).orderBy($"vec_id")
+  }
+
+  val annIvfCellsSql: String =
+    s"""WITH $centsSqlPrologue
+       |SELECT vec_id, cell FROM cells ORDER BY vec_id""".stripMargin
+
+  /** IVF approximate top-k: each query ranks the centroids, scans
+    * only its NProbe nearest cells, and rescoring is exact cosine on
+    * that ~NProbe/nlist fraction of the corpus. The probe table is
+    * queries × NProbe rows (tiny, broadcast); candidate lookup is an
+    * equi-join on the cell id against the assignment — the same
+    * banded shape as every candidate generator here. */
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cents, _) = centroids(spark, sfDir)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cells = cellsDf(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = vecs.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val wq = Window.partitionBy($"query_id")
+      .orderBy($"q_cos".desc, $"cent_id")
+    val probes = queries.crossJoin(broadcast(cents))
+      .select($"query_id", $"q_emb", $"cent_id",
+        cosine($"q_emb", $"c_emb").as("q_cos"))
+      .withColumn("rk", row_number().over(wq))
+      .filter($"rk" <= NProbe)
+      .select($"query_id", $"q_emb", $"cent_id".as("cell"))
+    val cands = cells.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+    val scored = cands.join(vecs, Seq("vec_id"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine($"q_emb", $"embedding").as("cosine"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annIvfTopkSql: String =
+    s"""WITH $centsSqlPrologue,
+       |probes AS (
+       |  SELECT query_id, q_emb, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "c.c_emb")} DESC, c.cent_id) AS rk
+       |    FROM embeddings q, cents c WHERE q.vec_id < $NumQueries)
+       |  WHERE rk <= $NProbe
+       |), scored AS (
+       |  SELECT p.query_id, m.vec_id AS neighbor_id,
+       |    ${cosineSql("p.q_emb", "v.embedding")} AS cosine
+       |  FROM probes p JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_id
+       |  JOIN embeddings v ON v.vec_id = m.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------ array stats
   /** Array/struct operators over the embedding column: length, L2
     * norm, min/max/mean element — per-row folds, shuffle-free. */
@@ -344,12 +477,16 @@ object AnnOps {
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_topk" -> (annLshTopk _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
-    "embedding_stats" -> (embeddingStats _))
+    "embedding_stats" -> (embeddingStats _),
+    "ann_ivf_cells" -> (annIvfCells _),
+    "ann_ivf_topk" -> (annIvfTopk _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
-    "embedding_stats" -> embeddingStatsSql)
+    "embedding_stats" -> embeddingStatsSql,
+    "ann_ivf_cells" -> annIvfCellsSql,
+    "ann_ivf_topk" -> annIvfTopkSql)
 }

@@ -17,8 +17,12 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Brute-force ANN scoring broadcasts a k-row query set and loops
     * it per corpus row — a deliberate, bounded BNLJ (build side =
-    * NumQueries rows). Everything else must stay equi-join. */
-  private val bnljAllowed = Set("ann_topk_cosine")
+    * NumQueries rows). IVF's assignment/probe scans are the same
+    * shape with a √n-row centroid build side (sublinear in the
+    * corpus, ~16 MB at n=10⁹ — the algorithm's defining scan).
+    * Everything else must stay equi-join. */
+  private val bnljAllowed =
+    Set("ann_topk_cosine", "ann_ivf_cells", "ann_ivf_topk")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

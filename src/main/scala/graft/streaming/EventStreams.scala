@@ -86,6 +86,20 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of `dedup_exact`:
+    * keep the FIRST arrival per content fingerprint, drop every later
+    * copy. `dropDuplicatesWithinWatermark` bounds the state store to
+    * one entry per distinct fingerprint seen within the watermark
+    * horizon (a plain dropDuplicates would grow state forever — the
+    * 100 TB failure mode), so duplicates separated by more than the
+    * horizon can both survive: the batch dedup is the ground truth,
+    * this is the low-latency prefilter in front of it. */
+  def dedupStream(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", md5(graft.queries.TextOps.normText(col("text"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** The `update` refresh loop as a stream (load.py:1343-1367 →
     * Trigger.AvailableNow): drain whatever extract files have landed
     * under `sourceDir`, run `apply` on each micro-batch (e.g. build a

@@ -49,6 +49,34 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
   }
 
+  test("dedupStream keeps first arrival per fingerprint within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF.toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupStream(docs).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "Hello,  WORLD!"),
+      (2L, ts("2024-01-01 10:01:00"), "hello world"),   // same normText
+      (3L, ts("2024-01-01 10:02:00"), "something else"))
+    q.processAllAvailable()
+    // advance the watermark to 13:00 — fp state from 10:00 (+2h
+    // horizon) is evicted after this batch
+    input.addData((5L, ts("2024-01-01 15:00:00"), "watermark advancer"))
+    q.processAllAvailable()
+    input.addData((4L, ts("2024-01-01 15:01:00"), "hello world"))
+    q.processAllAvailable()
+    val kept = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+    q.stop()
+    // doc 2 dropped (duplicate of 1 inside the horizon); doc 4's
+    // duplicate arrived beyond the watermark horizon, so it SURVIVES —
+    // the documented prefilter semantics, batch dedup is ground truth
+    assert(kept == Set(1L, 3L, 5L, 4L))
+  }
+
   test("sessionize: 30-min gaps split sessions; timeout closes the last one") {
     val s = spark
     import s.implicits._

@@ -22,6 +22,7 @@ object Unload {
   def unload(df: DataFrame, design: TableDesign, destDir: String): Long = {
     val cols = design.activeColumns.map(_.name)
     val out = df.selectExpr(cols: _*)
+    val capture = LoadMetricsCapture.install(df.sparkSession)
     out.write.mode("overwrite")
       .option("compression", "gzip")
       .option("quoteAll", "true")
@@ -33,7 +34,9 @@ object Unload {
       .csv(destDir)
     writeColumnsYaml(design, destDir)
     writeManifest(destDir)
-    out.count()
+    // rowcount from the write's own metrics — recounting would
+    // re-execute the source query end to end
+    capture.await(destDir).map(_.rowsWritten).getOrElse(out.count())
   }
 
   private def writeColumnsYaml(design: TableDesign, destDir: String): Unit = {

@@ -218,8 +218,14 @@ final class Warehouse(
     // S11 load diagnostics: pick up this build's SQL metrics (keyed
     // by output location, so parallel D5 builds never cross-read) and
     // stage them for the monitor's finish event.
-    monitor.attachMetrics(capture.await(loc))
-    spark.table(target.quoted).count()
+    val metrics = capture.await(loc)
+    monitor.attachMetrics(metrics)
+    // Rowcount from the write command's own metrics — re-scanning the
+    // table just to count it would read every build's output twice
+    // (the reference likewise reads stl_load_commits, not the table).
+    // Fallback scan only if the listener missed the build.
+    metrics.map(_.rowsWritten)
+      .getOrElse(spark.table(target.quoted).count())
   }
 
   private def registerAt(target: TableName, location: String,

@@ -366,9 +366,9 @@ object AnnOps {
        |  WHERE rk = 1
        |)""".stripMargin
 
-  private def cellsDf(spark: SparkSession, sfDir: String): DataFrame = {
+  private def cellsDf(spark: SparkSession, sfDir: String,
+                      cents: DataFrame): DataFrame = {
     import spark.implicits._
-    val (cents, _) = centroids(spark, sfDir)
     Tables.load(spark, sfDir, "embeddings")
       .crossJoin(broadcast(cents))
       .select($"vec_id", $"cent_id", cosine($"embedding", $"c_emb").as("cosine"))
@@ -381,7 +381,7 @@ object AnnOps {
     * like the LSH buckets). */
   def annIvfCells(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    cellsDf(spark, sfDir).orderBy($"vec_id")
+    cellsDf(spark, sfDir, centroids(spark, sfDir)._1).orderBy($"vec_id")
   }
 
   val annIvfCellsSql: String =
@@ -396,9 +396,12 @@ object AnnOps {
     * banded shape as every candidate generator here. */
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (cents, _) = centroids(spark, sfDir)
+    // the centroid table is reused by assignment and probe ranking —
+    // persist so the TakeOrdered seed selection scans the corpus once
+    val cents = centroids(spark, sfDir)._1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = Tables.load(spark, sfDir, "embeddings")
-    val cells = cellsDf(spark, sfDir)
+    val cells = cellsDf(spark, sfDir, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = vecs.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))

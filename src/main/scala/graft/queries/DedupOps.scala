@@ -414,9 +414,17 @@ object DedupOps {
   val MaxClusterRounds = 25
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val pairs = minhashCandidatePairs(spark, sfDir)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    connectedComponents(spark, pairs)
+  }
+
+  /** Connected components over an undirected pair list (d1, d2) →
+    * (doc_id, cluster = component min). Factored from the dedup path
+    * so the propagation is testable on synthetic graphs (chains need
+    * multiple rounds; the minhash corpus mostly yields stars). */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
     // The dup graph is orders of magnitude smaller than the corpus —
     // only documents in ≥1 candidate pair. Size the propagation's
     // parallelism to the GRAPH (one task per ~100k edges, capped at

@@ -26,6 +26,23 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("connectedComponents: chains (multi-round), stars, singleton-free") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4-5-6 (diameter 5 → several propagation rounds),
+    // star 10-{11,12,13}, isolated pair 20-21; edges given min->max only
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)).toDF("d1", "d2")
+    val got = DedupOps.connectedComponents(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("Num.dsum is order-independent: decimal accumulation, double result") {
     val s = spark
     import s.implicits._

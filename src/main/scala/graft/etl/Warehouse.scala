@@ -129,15 +129,30 @@ final class Warehouse(
               spark.sparkContext.emptyRDD[Row], design.toStructType)
             else if (design.isCtas) ctasDataFrame(design, pos)
             else sourceDataFrame(design)
-          if (!skipCopy) verifyConstraints(df, design)
-          // The missing-dimension NA row is appended AFTER the
-          // constraint check: it is engine-generated (T3) and would
-          // otherwise false-positive when a source key 0 exists.
-          val out =
-            if (!skipCopy && design.isCtas && design.name.table.startsWith("dim_"))
-              withNaRow(design, df)
-            else df
+          val hasNaRow =
+            !skipCopy && design.isCtas && design.name.table.startsWith("dim_")
+          val out = if (hasNaRow) withNaRow(design, df) else df
           val rowcount = writeTable(target, out, Some(design))
+          // Constraints are verified against the WRITTEN table, as
+          // the reference does (load.py:564-634 queries the loaded
+          // relation): checking the DataFrame pre-write would execute
+          // the whole CTAS/COPY plan twice, and a failed build is
+          // already isolated by staging (never published). The
+          // engine-generated NA row (T3) is excluded from the check —
+          // identity keys start at 1, so sk=0 IS the NA row — else a
+          // real source key 0 would false-positive against it.
+          if (!skipCopy) {
+            val written = spark.table(target.quoted)
+            val checked = (design.identityColumn, hasNaRow) match {
+              case (Some(ic), true) => written.filter(col(ic.name) =!= 0)
+              // identity-less dim: no column marks the NA row in the
+              // written table — check the pre-NA frame (re-executes
+              // the plan, but only for this rare design shape)
+              case (None, true) => df
+              case _ => written
+            }
+            verifyConstraints(checked, design)
+          }
           BuildResult(rel.identifier, if (design.isCtas) "ctas" else "table",
             rowcount, skipCopy)
         }

@@ -440,8 +440,61 @@ object SqlSurface {
        |  ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS total_p
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q17
+  /** GROUPING SETS beyond ROLLUP (q9): disjoint grouping combinations
+    * in one pass — Spark expands to a single Expand + one aggregate
+    * (one shuffle), not one scan per set. `grouping()` flags
+    * disambiguate the NULLs of a set from real NULLs. */
+  def q17GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("gs_orders")
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+         |  COUNT(*) AS n, ${Num.dsumSql("o_totalprice")} AS total
+         |FROM gs_orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val q17GroupingSetsSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+       |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Latest-record-per-key — the change-data/dedup staple: one row
+    * per customer, their most recent order. row_number over a
+    * high-cardinality partition key (one shuffle, no global window);
+    * ties broken by key for determinism. */
+  def q18LatestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.load(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
+  val q18LatestPerKeySql: String =
+    s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+       |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |  FROM orders)
+       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_grouping_sets" -> (q17GroupingSets _),
+    "q18_latest_per_key" -> (q18LatestPerKey _),
     "q16_pivot" -> (q16Pivot _),
     "q1_agg" -> (q1Agg _),
     "q2_join_agg" -> (q2JoinAgg _),
@@ -460,6 +513,8 @@ object SqlSurface {
     "q15_events_sessions" -> (q15EventsSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q17_grouping_sets" -> q17GroupingSetsSql,
+    "q18_latest_per_key" -> q18LatestPerKeySql,
     "q16_pivot" -> q16PivotSql,
     "q1_agg" -> q1AggSql,
     "q2_join_agg" -> q2JoinAggSql,

@@ -105,7 +105,11 @@ object Cli {
           .foreach { r =>
             val df = Extract.sourceDataFrame(spark, data, r.design)
             val n = opts.getOrElse("format", "csv") match {
-              case "avro" => AvroIO.write(df, s"$out/${r.identifier}")
+              case "avro" =>
+                val dest = s"$out/${r.identifier}"
+                val rows = AvroIO.write(df, dest)
+                StaticSource.writeManifest(dest)   // same S9 contract as CSV
+                rows
               case _ => Unload.unload(df, r.design, s"$out/${r.identifier}")
             }
             println(s"[extract] ${r.identifier}: $n rows -> $out/${r.identifier}")

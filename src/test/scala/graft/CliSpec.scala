@@ -88,6 +88,16 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       _.getFileName.toString.endsWith(".gz")))
     assert(Files.exists(dest.resolve("manifest.json")))
     assert(Files.exists(dest.resolve("columns.yaml")))
+    // avro extract: container part files + the same manifest contract
+    val outA = Files.createTempDirectory("graft_cli_exa_").toString
+    Cli.run(spark, "extract", Map(
+      "designs" -> designsDir, "data" -> dataDir, "out" -> outA,
+      "select" -> "cli.region", "format" -> "avro"))
+    val destA = Paths.get(outA, "cli.region")
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(destA).iterator().asScala.exists(
+      _.getFileName.toString.endsWith(".avro")))
+    assert(Files.exists(destA.resolve("manifest.json")))
   }
 
   test("cli unload writes the published relation; continue-from skips") {

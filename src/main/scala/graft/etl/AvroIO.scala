@@ -86,6 +86,9 @@ object AvroIO {
         v.getTime * 1000L + (v.getNanos / 1000) % 1000
       case v: java.time.Instant =>
         v.getEpochSecond * 1000000L + v.getNano / 1000
+      case v: java.time.LocalDateTime =>   // TimestampNTZType rows
+        val i = v.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000
       case v: java.math.BigDecimal =>
         val lt = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal]
         ByteBuffer.wrap(v.setScale(lt.getScale).unscaledValue.toByteArray)
@@ -122,10 +125,14 @@ object AvroIO {
     case (v: String, StringType) => v
     case (v: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.longValue))
-    case (v: java.lang.Long, TimestampType | TimestampNTZType) =>
+    case (v: java.lang.Long, TimestampType) =>
       val ts = new java.sql.Timestamp(Math.floorDiv(v, 1000000L) * 1000L)
       ts.setNanos((Math.floorMod(v, 1000000L) * 1000).toInt)
       ts
+    case (v: java.lang.Long, TimestampNTZType) =>   // NTZ rows want LocalDateTime
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v, 1000000L),
+        (Math.floorMod(v, 1000000L) * 1000).toInt, java.time.ZoneOffset.UTC)
     case (v: ByteBuffer, d: DecimalType) =>
       val bytes = new Array[Byte](v.remaining); v.duplicate.get(bytes)
       new JBigDecimal(new BigInteger(bytes), d.scale,
@@ -164,6 +171,12 @@ object AvroIO {
       spark.sparkContext.hadoopConfiguration)
     val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val dest = destDir
+    // overwrite semantics like every Spark file sink: a re-extract
+    // that produces fewer partitions must not leave stale part files
+    // for the manifest/reader globs to silently include
+    val destPath = new Path(dest)
+    val destFs = destPath.getFileSystem(hconf)
+    if (destFs.exists(destPath)) destFs.delete(destPath, true)
     val counts = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new Schema.Parser().parse(avroJson)
       val fs = new Path(dest).getFileSystem(serConf.value)

@@ -207,8 +207,11 @@ object Bootstrap {
     byTable.toSeq.sortBy(_._1).flatMap { case ((schema, table), fs) =>
       fs.find(_.ext == "sql") match {
         case Some(sqlFile) if !fs.exists(_.ext == "yaml") =>
-          val query = new String(Files.readAllBytes(sqlFile.path),
-            StandardCharsets.UTF_8).trim
+          // same dialect pass FileSets.discover applies: the analyzer
+          // must see Spark SQL, not raw Redshift spellings
+          val query = DialectShims.rewriteRedshiftSql(
+            new String(Files.readAllBytes(sqlFile.path),
+              StandardCharsets.UTF_8).trim)
           val name = TableName(schema, table)
           val design = designFromQuery(spark, name, query, asView = asView)
           // the query stays in the existing .sql (saveTableDesign will

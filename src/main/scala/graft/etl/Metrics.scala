@@ -45,6 +45,11 @@ final class LoadMetricsCapture extends QueryExecutionListener {
   override def onFailure(funcName: String, qe: QueryExecution,
                          exception: Exception): Unit = ()
 
+  /** Drop any stale entry for `path` BEFORE running a write to it: a
+    * previous write whose await() timed out may deliver late, and a
+    * later build at the same path must not consume those numbers. */
+  def discard(path: String): Unit = byPath.remove(normalize(path))
+
   /** Collect the metrics for the build that wrote `path`. The
     * listener bus delivers asynchronously, so poll briefly; a miss
     * yields None rather than failing the build. */

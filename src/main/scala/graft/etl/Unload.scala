@@ -23,6 +23,7 @@ object Unload {
     val cols = design.activeColumns.map(_.name)
     val out = df.selectExpr(cols: _*)
     val capture = LoadMetricsCapture.install(df.sparkSession)
+    capture.discard(destDir)
     out.write.mode("overwrite")
       .option("compression", "gzip")
       .option("quoteAll", "true")

@@ -79,9 +79,20 @@ final class Warehouse(
     * PLAN-based — parser origins give the exact character span of
     * each relation reference ([[Bootstrap.rewriteReferences]]), so
     * literals and comments are structurally out of reach. */
-  def rewriteQuery(query: String, deps: Seq[TableName], pos: SchemaPosition.Value): String =
+  def rewriteQuery(query: String, deps: Seq[TableName], pos: SchemaPosition.Value,
+                   inRun: Option[Set[String]] = None): String =
     Bootstrap.rewriteReferences(spark, query,
-      deps.map(d => d.identifier.toLowerCase -> d.inPosition(pos)).toMap)
+      deps.map { d =>
+        // A dependency OUTSIDE the current load set has no staging
+        // table (the last publish dropped it) — it resolves at its
+        // published standard position. This is what makes
+        // --continue-from work under staging: upstream relations
+        // skipped by the fast-forward are read where they live.
+        val effective =
+          if (inRun.forall(_.contains(d.identifier))) pos
+          else SchemaPosition.Standard
+        d.identifier.toLowerCase -> d.inPosition(effective)
+      }.toMap)
 
   // ------------------------------------------------------ constraint (C1)
   /** Duplicate check per declared constraint (load.py:564-634):
@@ -117,30 +128,36 @@ final class Warehouse(
     * create-or-replace, load (COPY stand-in or CTAS insert), verify
     * constraints, count rows. */
   def buildOneRelation(rel: Relation, pos: SchemaPosition.Value = SchemaPosition.Standard,
-                       skipCopy: Boolean = false): BuildResult =
+                       skipCopy: Boolean = false,
+                       inRun: Option[Set[String]] = None): BuildResult =
     monitor.monitored(rel.identifier, "load") {
       val design = rel.design
       val target = rel.name.inPosition(pos)
       val r =
-        if (design.isView) buildView(design, pos, target)
+        if (design.isView) buildView(design, pos, target, inRun)
         else {
           val df =
             if (skipCopy) spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], design.toStructType)
-            else if (design.isCtas) ctasDataFrame(design, pos)
+            else if (design.isCtas) ctasDataFrame(design, pos, inRun)
             else sourceDataFrame(design)
           val hasNaRow =
             !skipCopy && design.isCtas && design.name.table.startsWith("dim_")
           val out = if (hasNaRow) withNaRow(design, df) else df
-          val rowcount = writeTable(target, out, Some(design))
           // Constraints are verified against the WRITTEN table, as
           // the reference does (load.py:564-634 queries the loaded
           // relation): checking the DataFrame pre-write would execute
-          // the whole CTAS/COPY plan twice, and a failed build is
-          // already isolated by staging (never published). The
+          // the whole CTAS/COPY plan twice. A failing check must then
+          // UNDO the registration — publish() promotes whatever
+          // staging location exists, and a direct standard build has
+          // already re-pointed the live name — so the pointer is
+          // restored to the pre-build location (or dropped if the
+          // relation is new) before the error propagates. The
           // engine-generated NA row (T3) is excluded from the check —
           // identity keys start at 1, so sk=0 IS the NA row — else a
           // real source key 0 would false-positive against it.
+          val prevLocation = locationOf(target)
+          val rowcount = writeTable(target, out, Some(design))
           if (!skipCopy) {
             val written = spark.table(target.quoted)
             val checked = (design.identityColumn, hasNaRow) match {
@@ -151,7 +168,14 @@ final class Warehouse(
               case (None, true) => df
               case _ => written
             }
-            verifyConstraints(checked, design)
+            try verifyConstraints(checked, design)
+            catch { case e: FailedConstraintError =>
+              prevLocation match {
+                case Some(loc) => registerAt(target, loc, Some(design))
+                case None => spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
+              }
+              throw e
+            }
           }
           BuildResult(rel.identifier, if (design.isCtas) "ctas" else "table",
             rowcount, skipCopy)
@@ -170,8 +194,9 @@ final class Warehouse(
     * rewritten query, enforce design column order, assign the
     * identity surrogate key over the design's sort order if declared,
     * and append the missing-dimension NA row for `dim_*` tables. */
-  def ctasDataFrame(design: TableDesign, pos: SchemaPosition.Value): DataFrame = {
-    val q = rewriteQuery(design.query, design.dependsOn, pos)
+  def ctasDataFrame(design: TableDesign, pos: SchemaPosition.Value,
+                    inRun: Option[Set[String]] = None): DataFrame = {
+    val q = rewriteQuery(design.query, design.dependsOn, pos, inRun)
     var df = spark.sql(q)
     design.identityColumn.foreach { idCol =>
       val orderCols =
@@ -192,8 +217,9 @@ final class Warehouse(
   }
 
   private def buildView(design: TableDesign, pos: SchemaPosition.Value,
-                        target: TableName): BuildResult = {
-    val q = rewriteQuery(design.query, design.dependsOn, pos)
+                        target: TableName,
+                        inRun: Option[Set[String]] = None): BuildResult = {
+    val q = rewriteQuery(design.query, design.dependsOn, pos, inRun)
     spark.sql(s"CREATE OR REPLACE VIEW ${target.quoted} AS $q")
     BuildResult(design.name.identifier, "view", 0L)
   }
@@ -216,6 +242,7 @@ final class Warehouse(
                  design: Option[TableDesign] = None): Long = {
     val loc = dataLocation(target, buildCounter.incrementAndGet())
     val capture = LoadMetricsCapture.install(spark)   // before the action
+    capture.discard(loc)   // a late delivery from a prior run must not leak in
     val distKeys = design.flatMap(_.distribution).getOrElse(Seq.empty)
     if (distKeys.nonEmpty) {
       ensureDatabase(target.schema)
@@ -276,6 +303,9 @@ final class Warehouse(
                     maxConcurrency: Int = 4): Seq[BuildResult] = {
     val ordered = Dag.orderByDependencies(relations)
     createSchemas(ordered, pos)
+    // Dependencies outside this run (continue-from fast-forwards past
+    // them) resolve at their published standard position.
+    val inRun = Some(ordered.map(_.identifier).toSet)
     val failed = mutable.Set[String]()
     val skipCopy = mutable.Set[String]()
     val results = mutable.Buffer[BuildResult]()
@@ -284,7 +314,7 @@ final class Warehouse(
       val levelResults = parallelMap(levelRels, maxConcurrency) { rel =>
         val mustSkip = rel.dependencies.exists(d => failed.contains(d.identifier)) ||
           rel.dependencies.exists(d => skipCopy.contains(d.identifier))
-        try Right(buildOneRelation(rel, pos, skipCopy = mustSkip))
+        try Right(buildOneRelation(rel, pos, skipCopy = mustSkip, inRun = inRun))
         catch { case e: Exception => Left((rel, e)) }
       }
       levelResults.foreach {
@@ -343,13 +373,13 @@ final class Warehouse(
         spark.sql(s"DROP VIEW IF EXISTS ${bak.quoted}")
         val q = rewriteQuery(rel.design.query, rel.design.dependsOn,
           SchemaPosition.Standard)
-        try spark.sql(s"CREATE OR REPLACE VIEW ${std.quoted} AS $q")
-        catch { case _: org.apache.spark.sql.AnalysisException =>
-          // the standard name currently holds a TABLE (relation kind
-          // changed between runs): fall back to drop-then-create
-          spark.sql(s"DROP TABLE IF EXISTS ${std.quoted}")
-          spark.sql(s"CREATE VIEW ${std.quoted} AS $q")
-        }
+        // if the standard name currently holds a TABLE (relation kind
+        // changed between runs), replace-view would fail — clear it
+        // first; any OTHER failure must surface untouched
+        val holdsTable = spark.catalog.tableExists(std.identifier) &&
+          spark.catalog.getTable(std.identifier).tableType != "VIEW"
+        if (holdsTable) spark.sql(s"DROP TABLE ${std.quoted}")
+        spark.sql(s"CREATE OR REPLACE VIEW ${std.quoted} AS $q")
         spark.sql(s"DROP VIEW IF EXISTS ${stg.quoted}")
       } else {
         val d = Some(rel.design)

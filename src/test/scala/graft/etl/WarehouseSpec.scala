@@ -210,6 +210,45 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       wh.buildOneRelation(dupKey)
     }
     assert(e.getMessage.contains("primary_key"))
+    // the failed build must not leave a registered table behind —
+    // verification runs post-write, so the registration is undone
+    assert(!spark.catalog.tableExists("`rep`.`dup`"))
+  }
+
+  test("constraint-violating staged build is NOT published; prior data survives") {
+    val wh = freshWarehouse()
+    // v1: clean build of rep.counts publishes 5 rows
+    val clean = rel(
+      """name: rep.counts
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: k
+        |    type: int
+        |    not_null: true
+        |constraints:
+        |  - primary_key: [k]
+        |query: SELECT CAST(n_nationkey AS INT) AS k FROM src.nation WHERE n_nationkey < 5
+        |""".stripMargin)
+    wh.loadWithStagingAndPublish(Seq(srcNation, clean))
+    assert(spark.table("`rep`.`counts`").count() == 5)
+    // v2: same relation now violates its PK; it is NOT required, so
+    // the load completes — but publish must keep promoting v1
+    val violating = rel(
+      """name: rep.counts
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: k
+        |    type: int
+        |    not_null: true
+        |constraints:
+        |  - primary_key: [k]
+        |query: SELECT CAST(n_nationkey % 5 AS INT) AS k FROM src.nation
+        |""".stripMargin)
+    wh.loadWithStagingAndPublish(Seq(srcNation, violating))
+    // published table still holds the clean v1 rows, not 25 dup rows
+    assert(spark.table("`rep`.`counts`").count() == 5)
   }
 
   test("restore from backup brings back the pre-publish table") {

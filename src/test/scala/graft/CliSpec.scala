@@ -106,9 +106,20 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must be skipped — so build everything first, then re-load.
     Cli.run(spark, "load", Map(
       "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh))
+    // fast-forwarded load: cli.region is OUTSIDE the run (its staging
+    // table was dropped at the previous publish) — the rebuild must
+    // read it at the published standard position and actually happen
+    val events = Files.createTempDirectory("graft_cli_ev_")
+      .resolve("ev.jsonl").toString
     Cli.run(spark, "load", Map(
       "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
-      "continue-from" -> "cli.summary"))
+      "continue-from" -> "cli.summary", "events" -> events))
+    val evs = graft.etl.Monitor.readLog(events)
+    assert(evs.exists(e => e.target == "cli.summary" &&
+      e.event == "finish" && e.rowcount.contains(1L)),
+      s"summary was not rebuilt: $evs")
+    assert(!evs.exists(_.event == "fail"), s"silent failure: $evs")
+    assert(spark.table("`cli`.`summary`").collect().head.getLong(0) == 5L)
     val out = Files.createTempDirectory("graft_cli_un_").toString
     Cli.run(spark, "unload", Map(
       "designs" -> designsDir, "out" -> out, "select" -> "cli.summary"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -207,7 +208,64 @@ object TextOps {
        |) WHERE bucket < $rates ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ curation pipeline
+  /** The composed curation pass a training-data pipeline actually
+    * runs: language filter → quality gate → exact-dedup keep-first →
+    * token stats, in ONE plan. Everything up to the dedup window is a
+    * single codegen'd scan stage (filters fold into the parquet
+    * read); the only shuffle is the fingerprint window, partitioned
+    * by fp (high cardinality, skew-free by construction of md5). */
+  val CurationMinQuality = 0.5
+
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(trim(lower($"text")), "\\s+")
+    val nToks = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val alphaChars = length(regexp_replace($"text", "[^A-Za-z]", "")).cast("double")
+    val nChars = length($"text").cast("double")
+    val qs = (alphaChars / nChars) * 0.4 + (nStop / nToks) * 0.4 +
+      when(nChars >= 100.0 && nChars <= 2000.0, 0.2).otherwise(0.0)
+    val scored = docs.filter($"lang" === "en")
+      .select($"doc_id", qs.as("quality_score"),
+        size(toks).cast("long").as("n_tokens"),
+        md5(normText($"text")).as("fp"))
+      .filter($"quality_score" >= CurationMinQuality)
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"n_tokens", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  val curationPipelineSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, n_tokens, quality_score FROM (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(n_toks AS BIGINT) AS n_tokens,
+       |      (alpha_chars / n_chars) * 0.4 + (n_stop / n_toks) * 0.4 +
+       |        (CASE WHEN n_chars >= 100.0 AND n_chars <= 2000.0 THEN 0.2 ELSE 0.0 END) AS quality_score,
+       |      fp
+       |    FROM (
+       |      SELECT doc_id,
+       |        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+       |        CAST(length(text) AS DOUBLE) AS n_chars,
+       |        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ($stopList))) AS DOUBLE) AS n_stop,
+       |        CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_toks,
+       |        md5($normTextSql) AS fp
+       |      FROM documents WHERE lang = 'en'
+       |    )
+       |  ) WHERE quality_score >= $CurationMinQuality
+       |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pipeline" -> (curationPipeline _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langId _),
@@ -215,6 +273,7 @@ object TextOps {
     "sample_stratified" -> (sampleStratified _))
 
   val oracles: Map[String, String] = Map(
+    "curation_pipeline" -> curationPipelineSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,

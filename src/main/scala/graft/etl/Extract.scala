@@ -78,6 +78,8 @@ object Extract {
         dialect match {
           case "postgres" => s"""CAST(DATE_PART('epoch', $key) AS BIGINT)"""
           case "mysql" => s"CAST(UNIX_TIMESTAMP($key) AS SIGNED)"
+          case "derby" =>   // JDBC escape syntax; Derby has no epoch fn
+            s"{fn TIMESTAMPDIFF(SQL_TSI_SECOND, TIMESTAMP('1970-01-01 00:00:00'), $key)}"
           case "spark" => s"CAST(unix_timestamp($key) AS BIGINT)"
           case other => throw new IllegalArgumentException(
             s"no temporal split-key shim for dialect '$other'; " +
@@ -134,9 +136,17 @@ object Extract {
   def jdbcReader(spark: SparkSession, url: String, design: TableDesign,
                  plan: PartitionPlan, lowerBound: Long, upperBound: Long,
                  props: Map[String, String] = Map.empty): DataFrameReader = {
-    val cols = design.activeColumns.map { c =>
+    val baseCols = design.activeColumns.map { c =>
       if (c.expression.nonEmpty) s"${c.expression} AS ${c.name}" else c.name
-    }.mkString(", ")
+    }
+    // A temporal split key is an EXPRESSION (source-dialect epoch
+    // cast) — Spark resolves partitionColumn against the subquery's
+    // schema, so the expression must be projected as a column of the
+    // subquery. Readers drop `graft_split_epoch` after load.
+    val splitProjection = plan.partitionColumn
+      .filterNot(e => design.activeColumns.exists(_.name == e))
+      .map(e => s"$e AS graft_split_epoch")
+    val cols = (baseCols ++ splitProjection).mkString(", ")
     val where = plan.condition.map(c => s" WHERE $c").getOrElse("")
     val dbtable = s"(SELECT $cols FROM ${design.name.table}$where) sub"
     val r0 = spark.read.format("jdbc")
@@ -145,7 +155,8 @@ object Extract {
     val r1 = props.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }
     plan.partitionColumn match {
       case Some(keyExpr) if plan.numPartitions > 1 =>
-        r1.option("partitionColumn", keyExpr)
+        r1.option("partitionColumn",
+            if (splitProjection.isDefined) "graft_split_epoch" else keyExpr)
           .option("lowerBound", lowerBound)
           .option("upperBound", upperBound)
           .option("numPartitions", plan.numPartitions)

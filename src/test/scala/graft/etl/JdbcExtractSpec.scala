@@ -93,6 +93,53 @@ class JdbcExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 100)
   }
 
+  test("temporal split key: live partitioned read via source-dialect epoch expr") {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE upstream_events (e_id BIGINT NOT NULL, ts TIMESTAMP NOT NULL)")
+    val ins = conn.prepareStatement("INSERT INTO upstream_events VALUES (?, ?)")
+    (0 until 400).foreach { i =>
+      ins.setLong(1, i.toLong)
+      // one event per hour across ~17 days
+      ins.setTimestamp(2, new java.sql.Timestamp(1700000000000L + i * 3600L * 1000L))
+      ins.addBatch()
+    }
+    ins.executeBatch()
+    conn.close()
+    val tsDesign = TableDesign.load(
+      """name: src.upstream_events
+        |source_name: src
+        |columns:
+        |  - name: e_id
+        |    type: long
+        |    not_null: true
+        |  - name: ts
+        |    type: timestamp
+        |    not_null: true
+        |extract_settings:
+        |  split_by: [ts]
+        |""".stripMargin)
+    val plan = Extract.planPartitions(tsDesign, 200L * 1024 * 1024,
+      maxPartitions = 4, dialect = "derby")
+    assert(plan.partitionColumn.exists(_.contains("TIMESTAMPDIFF")),
+      s"temporal key must split on the source-dialect epoch: $plan")
+    // boundary query evaluated BY DERBY over the epoch expression (S5)
+    val bounds = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable",
+        s"(${Extract.boundaryQuery(tsDesign, plan.partitionColumn.get, "upstream_events")}) b")
+      .load().collect().head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    assert(hi - lo == 399L * 3600L)
+    val df = Extract.jdbcReader(spark, url, tsDesign, plan, lo, hi).load()
+      .drop("graft_split_epoch")
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 400)
+    assert(df.schema.fieldNames.toSeq.map(_.toLowerCase) == Seq("e_id", "ts"))
+    val sizes = df.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.count(_ > 0) == 4 && sizes.sum == 400, sizes.mkString(","))
+  }
+
   test("sampling predicate composes with the condition (S6)") {
     val es = Some(ExtractSettings(condition = "o_id <= 100", splitBy = Some("o_id")))
     val sampled = design.copy(extractSettings = es)

@@ -29,7 +29,7 @@ object Cli {
         |  explain        --designs DIR [--select PATTERN]
         |  create_index   --designs DIR
         |  show_dependents --designs DIR --select PATTERN
-        |  query_events   --events FILE [--target PATTERN] [--step STEP] [--tail N]
+        |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N]
         |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
         |  bootstrap_transformations --designs DIR [--as-view]
         |""".stripMargin)
@@ -128,7 +128,8 @@ object Cli {
         // "what happened to relation X", or tail the last n events.
         val log = opts.getOrElse("events", usage())
         val all = Monitor.readLog(log)
-        val filtered = Monitor.filter(all, opts.get("target"), opts.get("step"))
+        val filtered = Monitor.filter(all, opts.get("target"), opts.get("step"),
+          opts.get("since").map(_.toLong))
         val shown = opts.get("tail").map(n => filtered.takeRight(n.toInt))
           .getOrElse(filtered)
         shown.foreach { e =>

@@ -17,7 +17,8 @@ final case class MonitorEvent(
     elapsedSeconds: Double,
     rowcount: Option[Long] = None,
     message: Option[String] = None,
-    metrics: Option[LoadMetrics] = None)   // S11 load diagnostics
+    metrics: Option[LoadMetrics] = None,   // S11 load diagnostics
+    ts: Option[Long] = None)               // epoch millis, stamped at emit
 
 final class Monitor(logPath: Option[String] = None) {
   private val buf = scala.collection.mutable.Buffer[MonitorEvent]()
@@ -33,7 +34,8 @@ final class Monitor(logPath: Option[String] = None) {
 
   def events: Seq[MonitorEvent] = synchronized { buf.toSeq }
 
-  private def emit(e: MonitorEvent): Unit = synchronized {
+  private def emit(e0: MonitorEvent): Unit = synchronized {
+    val e = e0.copy(ts = Some(System.currentTimeMillis))
     buf += e
     logPath.foreach { p =>
       Files.write(Paths.get(p),
@@ -71,8 +73,9 @@ final class Monitor(logPath: Option[String] = None) {
   /** Q7 query surface (monitor.py:720-860 `scan_etl_events`): filter
     * by relation glob and/or step. */
   def query(target: Option[String] = None,
-            step: Option[String] = None): Seq[MonitorEvent] =
-    Monitor.filter(events, target, step)
+            step: Option[String] = None,
+            since: Option[Long] = None): Seq[MonitorEvent] =
+    Monitor.filter(events, target, step, since)
 
   /** Q7 `tail_events` (monitor.py:926-975): the last n events. */
   def tail(n: Int): Seq[MonitorEvent] = events.takeRight(n)
@@ -81,11 +84,13 @@ final class Monitor(logPath: Option[String] = None) {
 object Monitor {
 
   private[graft] def filter(es: Seq[MonitorEvent], target: Option[String],
-                          step: Option[String]): Seq[MonitorEvent] = {
+                          step: Option[String],
+                          since: Option[Long] = None): Seq[MonitorEvent] = {
     val sel = target.map(t => TableSelector(t.split(',').toSeq))
     es.filter(e => sel.forall(s =>
         scala.util.Try(TableName.parse(e.target)).toOption.exists(s.matches)))
       .filter(e => step.forall(_ == e.step))
+      .filter(e => since.forall(cut => e.ts.exists(_ >= cut)))
   }
 
   /** Read a JSON-lines event log back — the cross-run query path: a
@@ -110,7 +115,8 @@ object Monitor {
             LoadMetrics(l("files_read"), l("bytes_read"),
               l("shuffle_bytes_written"), l("files_written"),
               l("bytes_written"), l("rows_written"))
-          })
+          },
+          optLong("ts"))
       }
   }
 
@@ -122,8 +128,9 @@ object Monitor {
       s""","shuffle_bytes_written":${m.shuffleBytesWritten}""" +
       s""","files_written":${m.filesWritten},"bytes_written":${m.bytesWritten}""" +
       s""","rows_written":${m.rowsWritten}}""").getOrElse("")
+    val ts = e.ts.map(t => s""","ts":$t""").getOrElse("")
     s"""{"target":"${jsonEscape(e.target)}","step":"${e.step}","event":"${e.event}"""" +
-      s""","elapsed":${e.elapsedSeconds}$rc$msg$met}"""
+      s""","elapsed":${e.elapsedSeconds}$rc$msg$met$ts}"""
   }
 
   /** Exception messages routinely contain newlines/tabs; escaping

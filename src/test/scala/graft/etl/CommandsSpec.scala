@@ -77,6 +77,12 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val failed = Monitor.filter(back, Some("rep.*"), Some("load"))
       .filter(_.event == "fail")
     assert(failed.map(_.target) == Seq("rep.bad"))
+    // since-filter: every event is stamped; a cut at the last event's
+    // ts keeps only it, a cut beyond keeps none
+    assert(back.forall(_.ts.nonEmpty))
+    val lastTs = back.last.ts.get
+    assert(Monitor.filter(back, None, None, Some(lastTs)).nonEmpty)
+    assert(Monitor.filter(back, None, None, Some(lastTs + 1000)).isEmpty)
   }
 
   test("Q1: run_query applies the LIMIT; None means all rows") {

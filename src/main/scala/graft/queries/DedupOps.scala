@@ -73,7 +73,10 @@ object DedupOps {
     * unguarded Jaccard. */
   val MaxShingleDf = 100
 
-  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared tail of the inverted-index pipeline: candidate pairs with
+    * common-shingle counts and both set sizes (d1, d2, common, na,
+    * nb) — jaccard and containment are projections over it. */
+  private def pairCommonCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // Join on a 60-bit md5 fingerprint of the shingle, not the string:
     // the inverted-index shuffle then carries 8 bytes per row instead
@@ -108,11 +111,62 @@ object DedupOps {
     pairs
       .join(sizes.as("sa").hint("shuffle_hash"), $"d1" === $"sa.doc_id")
       .join(sizes.as("sb").hint("shuffle_hash"), $"d2" === $"sb.doc_id")
+      .select($"d1", $"d2", $"common", $"sa.n".as("na"), $"sb.n".as("nb"))
+  }
+
+  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pairCommonCounts(spark, sfDir)
       .select($"d1", $"d2", $"common",
-        ($"common".cast("double") / ($"sa.n" + $"sb.n" - $"common")).as("jaccard"))
+        ($"common".cast("double") / ($"na" + $"nb" - $"common")).as("jaccard"))
       .filter($"jaccard" >= 0.8)
       .orderBy($"d1", $"d2")
   }
+
+  // ------------------------------------------------------- containment
+  /** Asymmetric near-dup: containment(A⊆B) = |A∩B| / |A| — catches a
+    * document swallowed by another (boilerplate wrappers, quoted
+    * posts) that symmetric Jaccard misses when the container is much
+    * larger. Same inverted-index candidates, one extra projection;
+    * `contained_doc` names the swallowed side. */
+  val ContainmentThreshold = 0.9
+
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pairCommonCounts(spark, sfDir)
+      .select($"d1", $"d2",
+        greatest($"common".cast("double") / $"na",
+          $"common".cast("double") / $"nb").as("containment"),
+        when($"common".cast("double") / $"na" >=
+          $"common".cast("double") / $"nb", $"d1").otherwise($"d2")
+          .as("contained_doc"))
+      .filter($"containment" >= ContainmentThreshold)
+      .orderBy($"d1", $"d2")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+       |  FROM ($shingleSql)
+       |),
+       |kept AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+       |  ) WHERE df <= $MaxShingleDf
+       |),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2,
+       |  greatest(CAST(common AS DOUBLE) / sa.n, CAST(common AS DOUBLE) / sb.n) AS containment,
+       |  CASE WHEN CAST(common AS DOUBLE) / sa.n >= CAST(common AS DOUBLE) / sb.n
+       |       THEN d1 ELSE d2 END AS contained_doc
+       |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+       |WHERE greatest(CAST(common AS DOUBLE) / sa.n, CAST(common AS DOUBLE) / sb.n) >= $ContainmentThreshold
+       |ORDER BY d1, d2""".stripMargin
 
   val dedupJaccardSql: String =
     s"""WITH sh AS (
@@ -514,7 +568,8 @@ object DedupOps {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash_docs" -> (simhashDocs _),
     "dedup_simhash_pairs" -> (simhashPairs _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_containment" -> (dedupContainment _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -523,5 +578,6 @@ object DedupOps {
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_simhash_docs" -> simhashDocsSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_containment" -> dedupContainmentSql)
 }

@@ -56,7 +56,7 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // wrong" #1). Same property for the other pair-generating dedups.
     for (name <- Seq("dedup_simhash_pairs", "dedup_minhash_pairs",
                      "dedup_ngram_jaccard", "dedup_embedding_cosine",
-                     "dedup_clusters")) {
+                     "dedup_clusters", "dedup_containment")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val bcasts = Explain.broadcastJoins(df)
       spark.catalog.clearCache()

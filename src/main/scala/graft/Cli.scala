@@ -18,8 +18,9 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       """usage: graft.Cli <command> [options]
-        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT]
-        |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN
+        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum]
+        |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N]
+        |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN]
         |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro]
         |  unload         --designs DIR --out DIR [--select PATTERN]
         |  validate       --designs DIR
@@ -35,6 +36,14 @@ object Cli {
         |""".stripMargin)
     sys.exit(2)
   }
+
+  /** `--scheduled-start-time` accepts epoch millis or an ISO-8601
+    * local timestamp (the reference's `%Y-%m-%dT%H:%M:%S`,
+    * commands.py), read as UTC. */
+  private[graft] def parseEpochMs(s: String): Long =
+    s.toLongOption.getOrElse(
+      java.time.LocalDateTime.parse(s)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
 
   /** `--key value` pairs plus valueless boolean flags (`--no-staging`)
     * in any position: a `--flag` followed by another `--option` (or
@@ -86,15 +95,33 @@ object Cli {
       case "load" =>
         val rels = Dag.selectInExecutionOrder(designs, selector,
           includeDependents = true, continueFrom = opts.get("continue-from"))
+        val wh = warehouse
+        val conc = opts.get("max-concurrency").map(_.toInt).getOrElse(4)
+        val doAnalyze = opts.contains("analyze")
         val results =
-          if (opts.contains("no-staging")) warehouse.loadRelations(rels)
-          else warehouse.loadWithStagingAndPublish(rels)
+          if (opts.contains("no-staging"))
+            wh.loadRelations(rels, maxConcurrency = conc,
+              analyzeAfter = doAnalyze)
+          else wh.loadWithStagingAndPublish(rels, maxConcurrency = conc,
+            analyzeAfter = doAnalyze)
         results.foreach(r =>
           println(s"[load] ${r.identifier}: ${r.rowcount} rows" +
             (if (r.skipped) " (skip copy)" else "")))
+        if (opts.contains("vacuum"))
+          wh.vacuum(rels).foreach(p => println(s"[vacuum] deleted $p"))
       case "update" =>
-        warehouse.updateRelations(designs, selector).foreach(r =>
-          println(s"[update] ${r.identifier}: ${r.rowcount} rows"))
+        warehouse.updateRelations(designs, selector,
+          scheduledStartMs = opts.get("scheduled-start-time").map(parseEpochMs),
+          eventLog = opts.get("events"),
+          waitTimeoutMs =
+            opts.get("wait-timeout-ms").map(_.toLong).getOrElse(3600 * 1000L))
+          .foreach(r =>
+            println(s"[update] ${r.identifier}: ${r.rowcount} rows"))
+      case "vacuum" =>
+        val dead = warehouse.vacuum(
+          designs.filter(r => selector.matches(r.name)))
+        dead.foreach(p => println(s"[vacuum] deleted $p"))
+        println(s"[vacuum] ${dead.size} superseded build location(s) removed")
       case "extract" =>
         // The reference's extract lands gzip-CSV + manifest per
         // relation (extract/extractor.py:203-260); same artifact shape

@@ -30,7 +30,9 @@ final case class LoadMetrics(
     bytesWritten: Long,
     rowsWritten: Long)
 
-final class LoadMetricsCapture extends QueryExecutionListener {
+final class LoadMetricsCapture(
+    hadoopConf: org.apache.hadoop.conf.Configuration)
+    extends QueryExecutionListener {
 
   private val byPath = new ConcurrentHashMap[String, LoadMetrics]()
 
@@ -64,16 +66,35 @@ final class LoadMetricsCapture extends QueryExecutionListener {
     found
   }
 
-  private def normalize(p: String): String = new Path(p).toUri.getPath
+  /** Keys must agree between discard/await (registered with the
+    * warehouse's — possibly RELATIVE — location string) and onSuccess
+    * (the write command's resolved absolute path): qualify through the
+    * filesystem so both normalize identically, else every build blocks
+    * the full await poll and falls back to a rescan count. */
+  private def normalize(p: String): String = {
+    val path = new Path(p)
+    path.getFileSystem(hadoopConf).makeQualified(path).toUri.getPath
+  }
 
-  /** Every node in the executed plan, descending through AQE stages
-    * and reused exchanges (plain `children` stops at those leaves). */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-    case q: QueryStageExec => allNodes(q.plan)
-    case r: ReusedExchangeExec => allNodes(r.child)
-    case _ => p.children.flatMap(allNodes)
-  })
+  /** Every node in the executed plan, descending through AQE stages.
+    * A [[ReusedExchangeExec]] is skipped outright: its metrics ARE the
+    * original exchange's (same SQLMetric objects), and its subtree is
+    * the original's subtree — counting either side of the reuse twice
+    * would double scan and shuffle numbers. The identity-visited set
+    * guards any other shape that aliases one plan fragment from two
+    * parents. */
+  private def allNodes(root: SparkPlan): Seq[SparkPlan] = {
+    val visited = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def go(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: ReusedExchangeExec => Seq.empty
+      case _ if !visited.add(p) => Seq.empty
+      case a: AdaptiveSparkPlanExec => p +: go(a.executedPlan)
+      case q: QueryStageExec => p +: go(q.plan)
+      case _ => p +: p.children.flatMap(go)
+    }
+    go(root)
+  }
 
   private def outputPathOf(nodes: Seq[SparkPlan]): Option[String] =
     nodes.collectFirst {
@@ -115,7 +136,7 @@ object LoadMetricsCapture {
     * registrations must not accumulate. */
   def install(spark: SparkSession): LoadMetricsCapture =
     bySession.computeIfAbsent(spark, s => {
-      val c = new LoadMetricsCapture
+      val c = new LoadMetricsCapture(s.sparkContext.hadoopConfiguration)
       s.listenerManager.register(c)
       c
     })

@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
 
 final class FailedConstraintError(msg: String) extends RuntimeException(msg)
 final class RequiredRelationLoadError(msg: String) extends RuntimeException(msg)
+/** `update --scheduled-start-time` found no extract event newer than
+  * the scheduled time within the wait budget (the reference's
+  * MissingExtractEventError, monitor.py:825-859). */
+final class MissingExtractEventError(msg: String) extends RuntimeException(msg)
 
 /** Result of one relation build (feeds the monitor + audits). */
 final case class BuildResult(
@@ -255,7 +259,7 @@ final class Warehouse(
       sorted.saveAsTable(target.quoted)
     } else {
       df.write.mode("overwrite").parquet(loc)
-      registerAt(target, loc)
+      registerAt(target, loc, design)
     }
     // S11 load diagnostics: pick up this build's SQL metrics (keyed
     // by output location, so parallel D5 builds never cross-read) and
@@ -270,17 +274,52 @@ final class Warehouse(
       .getOrElse(spark.table(target.quoted).count())
   }
 
+  /** (Re-)point `target` at `location`. When the name already holds a
+    * parquet table with the same bucketing shape this is a single
+    * `ALTER TABLE ... SET LOCATION` — an atomic metadata call, so a
+    * concurrent reader never observes a missing relation (the table
+    * analog of the CREATE OR REPLACE VIEW promote). Only a shape
+    * change (bucketing added/removed/rekeyed, or a view occupying the
+    * name) falls back to drop-then-create. */
   private def registerAt(target: TableName, location: String,
                          design: Option[TableDesign] = None): Unit = {
     ensureDatabase(target.schema)
-    spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
-    val clustered = design.flatMap(_.distribution).filter(_.nonEmpty).map { d =>
-      val sortSpec = design.map(_.sortKeys).filter(_.nonEmpty)
-        .map(sk => s" SORTED BY (${sk.mkString(", ")})").getOrElse("")
-      s" CLUSTERED BY (${d.mkString(", ")})$sortSpec INTO $BucketCount BUCKETS"
-    }.getOrElse("")
-    spark.sql(
-      s"CREATE TABLE ${target.quoted} USING parquet$clustered LOCATION '$location'")
+    val wantBuckets = design.flatMap(_.distribution).filter(_.nonEmpty)
+      .map(d => (d, design.map(_.sortKeys).filter(_.nonEmpty).getOrElse(Seq.empty)))
+    val existing =
+      try Some(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(target.table, Some(target.schema))))
+      catch { case _: Exception => None }
+    // ALTER keeps the catalog's stored schema, so it is only safe when
+    // that schema already equals the design's (nullability aside) —
+    // any drift falls back to drop-then-create, which re-infers.
+    val wantSchema = design.map(_.toStructType)
+    val sameShape = existing.exists { t =>
+      t.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL &&
+        t.provider.exists(_.equalsIgnoreCase("parquet")) &&
+        t.bucketSpec.map(b => (b.bucketColumnNames, b.sortColumnNames)) ==
+          wantBuckets &&
+        t.bucketSpec.forall(_.numBuckets == BucketCount) &&
+        wantSchema.exists(s =>
+          t.schema.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType)) ==
+            s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType)))
+    }
+    if (sameShape) {
+      spark.sql(s"ALTER TABLE ${target.quoted} SET LOCATION '$location'")
+      spark.catalog.refreshTable(target.quoted)
+    } else {
+      if (existing.exists(_.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW))
+        spark.sql(s"DROP VIEW IF EXISTS ${target.quoted}")
+      else spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
+      val clustered = wantBuckets.map { case (d, sk) =>
+        val sortSpec =
+          if (sk.nonEmpty) s" SORTED BY (${sk.mkString(", ")})" else ""
+        s" CLUSTERED BY (${d.mkString(", ")})$sortSpec INTO $BucketCount BUCKETS"
+      }.getOrElse("")
+      spark.sql(
+        s"CREATE TABLE ${target.quoted} USING parquet$clustered LOCATION '$location'")
+    }
   }
 
   private def locationOf(target: TableName): Option[String] =
@@ -300,7 +339,8 @@ final class Warehouse(
     * Spark's thread-safe job submission. */
   def loadRelations(relations: Seq[Relation],
                     pos: SchemaPosition.Value = SchemaPosition.Standard,
-                    maxConcurrency: Int = 4): Seq[BuildResult] = {
+                    maxConcurrency: Int = 4,
+                    analyzeAfter: Boolean = false): Seq[BuildResult] = {
     val ordered = Dag.orderByDependencies(relations)
     createSchemas(ordered, pos)
     // Dependencies outside this run (continue-from fast-forwards past
@@ -330,10 +370,14 @@ final class Warehouse(
           failed += rel.identifier
       }
     }
+    // Post-build ANALYZE (load.py:554-561) behind a flag: CBO stats
+    // for downstream transformations, skipping failed/empty builds.
+    if (analyzeAfter) results.filter(r => r.kind != "view" && !r.skipped)
+      .foreach(r => analyze(TableName.parse(r.identifier).inPosition(pos)))
     results.toSeq
   }
 
-  private def parallelMap[A, B](xs: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+  private[etl] def parallelMap[A, B](xs: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
     if (xs.size <= 1 || parallelism <= 1) xs.map(f)
     else {
       import java.util.concurrent.Executors
@@ -351,9 +395,14 @@ final class Warehouse(
     * (data_warehouse.py:105-205, load.py:1202-1214). On failure the
     * standard schemas are untouched — staging IS the isolation. */
   def loadWithStagingAndPublish(relations: Seq[Relation],
-                                maxConcurrency: Int = 4): Seq[BuildResult] = {
+                                maxConcurrency: Int = 4,
+                                analyzeAfter: Boolean = false): Seq[BuildResult] = {
     val results = loadRelations(relations, SchemaPosition.Staging, maxConcurrency)
     publish(relations)
+    // Stats must attach to the PUBLISHED catalog entries: the staging
+    // names are dropped by the promote, taking any stats with them.
+    if (analyzeAfter) analyzeAll(relations.filter(rel =>
+      results.exists(r => r.identifier == rel.identifier && !r.skipped)))
     results
   }
 
@@ -412,11 +461,51 @@ final class Warehouse(
     * swap (write new location → re-register), so readers never see a
     * partially-loaded table — the swap-per-table emulation SURVEY
     * §7.3 calls for. */
-  def updateRelations(relations: Seq[Relation], selector: TableSelector): Seq[BuildResult] = {
+  def updateRelations(relations: Seq[Relation], selector: TableSelector,
+                      scheduledStartMs: Option[Long] = None,
+                      eventLog: Option[String] = None,
+                      waitTimeoutMs: Long = 3600 * 1000L,
+                      pollMs: Long = 30 * 1000L): Seq[BuildResult] = {
     val selected = Dag.selectInExecutionOrder(relations, selector,
       includeDependents = true)
+    // `update --scheduled-start-time T`: the reference blocks until
+    // every selected SOURCE table has an extract-finish event newer
+    // than T (monitor.py:825-859, load.py:1343-1355) — the daily
+    // refresh must not reload yesterday's extract. Events come from
+    // the in-memory monitor and/or a cross-process JSON-lines log.
+    scheduledStartMs.foreach { since =>
+      awaitExtractEvents(
+        selected.filterNot(_.isTransformation).map(_.identifier),
+        since, eventLog, waitTimeoutMs, pollMs)
+    }
     selected.filterNot(_.isView).map(rel =>
       buildOneRelation(rel, SchemaPosition.Standard))
+  }
+
+  /** Block until every id in `ids` has an extract `finish` event
+    * stamped at or after `sinceMs`, polling the monitor buffer and the
+    * optional cross-run event log; [[MissingExtractEventError]] after
+    * `timeoutMs` (reference: 30 s poll / 1 h timeout). */
+  private[etl] def awaitExtractEvents(ids: Seq[String], sinceMs: Long,
+                                      eventLog: Option[String],
+                                      timeoutMs: Long, pollMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var pending = ids.toSet
+    while (pending.nonEmpty) {
+      val seen = (monitor.events ++
+          eventLog.toSeq.flatMap(Monitor.readLog))
+        .filter(e => e.step == "extract" && e.event == "finish" &&
+          e.ts.exists(_ >= sinceMs))
+        .map(_.target).toSet
+      pending = pending.filterNot(seen)
+      if (pending.nonEmpty) {
+        if (System.currentTimeMillis() >= deadline)
+          throw new MissingExtractEventError(
+            s"no extract event at/after epoch-ms $sinceMs for: " +
+              pending.toSeq.sorted.mkString(", "))
+        Thread.sleep(pollMs)
+      }
+    }
   }
 
   // ------------------------------------------------------------ D6
@@ -434,11 +523,17 @@ final class Warehouse(
     val sources = ordered.filterNot(_.isTransformation)
     val results = mutable.Buffer[BuildResult]()
     val pending = mutable.Set[String](sources.map(_.identifier): _*)
+    // Markers through the Hadoop FS API (not java.nio): the marker
+    // directory lives wherever the extractor runs — HDFS or an object
+    // store in production, file: in tests — and all schemes must work.
+    val markerBase = new org.apache.hadoop.fs.Path(markerDir)
+    val markerFs =
+      markerBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var lastProgress = System.currentTimeMillis()
     while (pending.nonEmpty) {
       val arrived = pending.toSeq.sorted.filter { id =>
-        java.nio.file.Files.exists(
-          java.nio.file.Paths.get(markerDir, s"$id.extracted"))
+        markerFs.exists(
+          new org.apache.hadoop.fs.Path(markerBase, s"$id.extracted"))
       }
       if (arrived.nonEmpty) {
         arrived.foreach { id =>
@@ -460,7 +555,64 @@ final class Warehouse(
   /** ANALYZE (load.py:554-561): refresh table statistics so the CBO
     * has row counts/sizes — the reference runs this after every
     * build. VACUUM's Spark analog (small-file compaction) is
-    * unnecessary here: each build writes fresh, right-sized files. */
+    * unnecessary here: each build writes fresh, right-sized files —
+    * but see [[vacuum]] for the storage-reclamation half of the
+    * reference's VACUUM. */
   def analyze(target: TableName): Unit =
     spark.sql(s"ANALYZE TABLE ${target.quoted} COMPUTE STATISTICS")
+
+  /** ANALYZE every table built by a load, at its LIVE (post-publish)
+    * position — stats live on the catalog entry, so they must be
+    * computed after the pointer swap, not on the dropped staging
+    * name. Views carry no stats. */
+  def analyzeAll(relations: Seq[Relation]): Unit =
+    relations.filterNot(_.isView).foreach(rel => analyze(rel.name))
+
+  /** Storage reclamation — the role the reference's VACUUM plays
+    * (load.py:767-784). Every [[writeTable]] lands at a fresh
+    * versioned location and publish keeps only the standard + one
+    * backup pointer, so superseded build directories accumulate: a
+    * nightly-rebuilt warehouse would leak a full copy of every table
+    * per day. This deletes, per relation, every build directory under
+    * `data/<positionSchema>.<table>/` — writeTable keys the data dir
+    * by the BUILD position's name, so a staged build lands under
+    * `data/etl_staging__<schema>.<table>/` and publish re-points the
+    * standard name there — that no lifecycle pointer (standard,
+    * staging, backup) references. Hadoop FS API throughout — one LIST
+    * + O(#dead builds) deletes per position dir, any scheme.
+    *
+    * Run it after publish (or offline); it must not run concurrently
+    * with a load, whose newest build directory is unreferenced until
+    * the write's own registration. Returns the deleted locations. */
+  def vacuum(relations: Seq[Relation]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: Path): String = {
+      val fs = p.getFileSystem(hadoopConf)
+      fs.makeQualified(p).toUri.getPath
+    }
+    val positions =
+      Seq(SchemaPosition.Standard, SchemaPosition.Staging, SchemaPosition.Backup)
+    val deleted = mutable.Buffer[String]()
+    relations.filterNot(_.isView).foreach { rel =>
+      val live: Set[String] = positions
+        .flatMap(pos => locationOf(rel.name.inPosition(pos)))
+        .map(loc => qualified(new Path(loc)))
+        .toSet
+      positions.map(rel.name.inPosition).foreach { posName =>
+        val tableDir =
+          new Path(s"$warehouseDir/data/${posName.schema}.${posName.table}")
+        val fs = tableDir.getFileSystem(hadoopConf)
+        if (fs.exists(tableDir)) {
+          fs.listStatus(tableDir).filter(_.isDirectory).foreach { st =>
+            if (!live.contains(qualified(st.getPath))) {
+              fs.delete(st.getPath, true)
+              deleted += st.getPath.toString
+            }
+          }
+        }
+      }
+    }
+    deleted.toSeq
+  }
 }

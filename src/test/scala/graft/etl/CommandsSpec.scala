@@ -170,6 +170,35 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep`.`top_n`").count() == before)
   }
 
+  test("update --scheduled-start-time waits for a fresh extract event") {
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_updw_").toString, sfDir)
+    wh.loadRelations(Seq(srcNation, repTop))
+    // a STALE extract event (older than the scheduled start) must not
+    // satisfy the gate
+    wh.monitor.monitored("src.nation", "extract") { ((), Some(25L)) }
+    val since = wh.monitor.events.last.ts.get + 1
+    intercept[MissingExtractEventError] {
+      wh.updateRelations(Seq(srcNation, repTop), TableSelector(Seq("src.nation")),
+        scheduledStartMs = Some(since), waitTimeoutMs = 200, pollMs = 20)
+    }
+    // a fresh event landing in the CROSS-PROCESS log (the extractor
+    // runs elsewhere) releases the wait and the update proceeds
+    val log = Files.createTempDirectory("graft_updw_ev_")
+      .resolve("events.jsonl").toString
+    val extractor = new Thread(() => {
+      Thread.sleep(120)
+      new Monitor(Some(log)).monitored("src.nation", "extract") { ((), Some(25L)) }
+    })
+    extractor.start()
+    val results = wh.updateRelations(Seq(srcNation, repTop),
+      TableSelector(Seq("src.nation")),
+      scheduledStartMs = Some(since), eventLog = Some(log),
+      waitTimeoutMs = 10000, pollMs = 20)
+    extractor.join()
+    assert(results.map(_.identifier) == Seq("src.nation", "rep.top_n"))
+  }
+
   test("D6: event-driven load builds sources as markers land, then transforms") {
     val wh = new Warehouse(spark,
       Files.createTempDirectory("graft_evt_").toString, sfDir)

@@ -316,6 +316,90 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("vacuum deletes superseded builds; standard, backup, restore survive") {
+    val dir = Files.createTempDirectory("graft_vac_").toString
+    val wh = new Warehouse(spark, dir, sfDir)
+    def gen(n: Int) =
+      Seq(srcNation, ctasTop(s"SELECT n_name FROM src.nation WHERE n_nationkey < $n"))
+    // Three publishes -> three build dirs per table; live = standard
+    // (v3) + backup (v2); v1 is the leaked superseded build.
+    wh.loadWithStagingAndPublish(gen(5))
+    wh.loadWithStagingAndPublish(gen(3))
+    wh.loadWithStagingAndPublish(gen(7))
+    // Staged builds land under the STAGING position's data dir
+    // (writeTable keys the location by the build-position name);
+    // publish only re-points catalog names at those locations.
+    def buildDirs(table: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/data/etl_staging__$table")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    }
+    assert(buildDirs("rep.top_nations").size == 3)
+    val deleted = wh.vacuum(gen(7))
+    // exactly the one unreferenced build per table is gone
+    assert(buildDirs("rep.top_nations").size == 2,
+      s"expected 2 live builds, got ${buildDirs("rep.top_nations")}; deleted=$deleted")
+    assert(buildDirs("src.nation").size == 2)
+    assert(deleted.size == 2)
+    // standard and backup still read correctly after the deletes
+    assert(spark.table("`rep`.`top_nations`").count() == 7)
+    assert(spark.table("`etl_backup__rep`.`top_nations`").count() == 3)
+    // idempotent: a second vacuum finds nothing to delete
+    assert(wh.vacuum(gen(7)).isEmpty)
+    // and restore still works (backup location was kept)
+    wh.restoreFromBackup(gen(7))
+    assert(spark.table("`rep`.`top_nations`").count() == 3)
+    // restore re-points standard at the backup location, orphaning the
+    // v3 builds — the next vacuum reclaims exactly those
+    assert(wh.vacuum(gen(7)).size == 2)
+    assert(spark.table("`rep`.`top_nations`").count() == 3)
+  }
+
+  test("publish re-points an existing table without dropping it (no reader gap)") {
+    val wh = freshWarehouse()
+    val rels = Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5"))
+    wh.loadWithStagingAndPublish(rels)
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier("top_nations", Some("rep"))
+    val locBefore =
+      spark.sessionState.catalog.getTableMetadata(ident).location.toString
+    // A table property survives ALTER ... SET LOCATION but not a
+    // DROP+CREATE: its persistence proves the swap was a single
+    // metadata call with no window where the relation is missing.
+    spark.sql("ALTER TABLE `rep`.`top_nations` SET TBLPROPERTIES ('graft_test_marker'='v1')")
+    wh.loadWithStagingAndPublish(Seq(srcNation,
+      ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 3")))
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    assert(meta.location.toString != locBefore, "publish must re-point the location")
+    assert(meta.properties.get("graft_test_marker").contains("v1"),
+      "table was dropped and recreated instead of ALTER ... SET LOCATION")
+    assert(spark.table("`rep`.`top_nations`").count() == 3)
+  }
+
+  test("analyzeAfter load leaves CBO stats on the published tables") {
+    val wh = freshWarehouse()
+    wh.loadWithStagingAndPublish(
+      Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5")),
+      analyzeAfter = true)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("top_nations", Some("rep")))
+    assert(meta.stats.isDefined, "ANALYZE must record stats post-publish")
+    assert(meta.stats.get.rowCount.contains(BigInt(5)))
+  }
+
+  test("maxConcurrency bounds the level-parallel build fan-out") {
+    val wh = freshWarehouse()
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger
+    wh.parallelMap((1 to 12).toSeq, 3) { _ =>
+      val cur = inFlight.incrementAndGet()
+      maxSeen.accumulateAndGet(cur, math.max _)
+      Thread.sleep(25)
+      inFlight.decrementAndGet()
+    }
+    assert(maxSeen.get() <= 3, s"concurrency ${maxSeen.get()} exceeded the bound")
+    assert(maxSeen.get() >= 2, "expected some parallelism under the bound")
+  }
+
   test("update (delete-then-reload, T6) refreshes only selected tables in place") {
     val wh = freshWarehouse()
     val rels = Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5"))

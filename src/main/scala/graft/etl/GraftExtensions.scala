@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TruncateUtf8Bytes].getName, "trunc_utf8_bytes"),
       (children: Seq[Expression]) => TruncateUtf8Bytes(children.head,
         children(1).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_topk"),
+      new ExpressionInfo(classOf[graft.queries.BoundedTopK].getName, "bounded_topk"),
+      graft.queries.BoundedTopK.builder))
   }
 }

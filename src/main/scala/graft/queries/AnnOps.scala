@@ -89,22 +89,28 @@ object AnnOps {
   // ------------------------------------------------------ brute force
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * Plan: broadcast the query set against the corpus scan (no
-    * shuffle for scoring), then a per-query top-k window over
-    * #queries partitions. At scale replace the final window with
-    * per-partition partial top-k + merge (TakeOrdered shape). */
+    * shuffle for scoring), then per-query top-k via the native
+    * [[BoundedTopK]] aggregate — NOT a `row_number` window, which
+    * would funnel the entire scored corpus (n × #queries rows) onto
+    * #queries tasks. The aggregate's partial state is a bounded
+    * k-array, so map-side combine runs in the same stage as the
+    * scoring scan and the shuffle carries only
+    * ≤ #queries × #partitions × k tuples (the TakeOrdered shape,
+    * per query). Ties break by neighbor_id ASC in both engines. */
   def annTopkCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    BoundedTopK.register(spark)
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val queries = vecs.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val scored = vecs.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine($"q_emb", $"embedding").as("cosine"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cosine".desc, $"neighbor_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= TopK)
-      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+    scored.groupBy($"query_id")
+      .agg(expr(s"bounded_topk(cosine, neighbor_id, $TopK)").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.neighbor_id".as("neighbor_id"), $"col.cosine".as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 

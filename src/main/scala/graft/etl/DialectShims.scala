@@ -113,9 +113,131 @@ object DialectShims {
         case None => java.util.regex.Matcher.quoteReplacement(m.matched)
       })
 
+  // ------------------------------------------------------ SIMILAR TO
+  /** Translate a SQL-standard SIMILAR TO pattern to a Java regex.
+    * SIMILAR TO matches the WHOLE string (hence the anchors); `%`/`_`
+    * are the SQL wildcards; `|`, `*`, `+`, `?`, `()`, `[]`, `{}` carry
+    * their regex meaning already; characters special in regex but
+    * literal in SIMILAR TO (`.', `^`, `$`) are escaped. Inside a
+    * bracket expression everything passes through verbatim. The
+    * escape character (Postgres/Redshift default `\`) makes the next
+    * character literal. */
+  private[etl] def similarToRegex(pattern: String,
+                                  escape: Option[Char] = Some('\\')): String = {
+    val sb = new StringBuilder("^(?:")
+    var inClass = false
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (escape.contains(c) && i + 1 < pattern.length) {
+        val lit = pattern.charAt(i + 1)
+        if (".^$*+?()[]{}|\\".indexOf(lit.toInt) >= 0) sb.append('\\')
+        sb.append(lit)
+        i += 2
+      } else {
+        if (inClass) {
+          if (c == ']') inClass = false
+          sb.append(c)
+        } else c match {
+          case '[' => inClass = true; sb.append(c)
+          case '%' => sb.append(".*")
+          case '_' => sb.append('.')
+          case '.' | '^' | '$' | '\\' => sb.append('\\').append(c)
+          case _ => sb.append(c)
+        }
+        i += 1
+      }
+    }
+    sb.append(")$").toString
+  }
+
+  // ------------------------------------- literal/comment-safe rewriting
+  /** Mask string literals, double-quoted identifiers, and comments
+    * with indexed placeholders (`NUL idx NUL`, delimiters kept) so the
+    * regex passes above can never fire inside them — a literal such as
+    * `'uses DATEADD(day, ...)'` survives the dialect pass verbatim.
+    * Returns the masked text and the saved contents; [[unmask]]
+    * restores by index, so passes may reorder or duplicate
+    * placeholders freely. */
+  private[etl] def mask(sql: String): (String, IndexedSeq[String]) = {
+    val sb = new StringBuilder(sql.length)
+    val saved = scala.collection.mutable.ArrayBuffer[String]()
+    def save(content: String): String = {
+      saved += content; s"\u0000${saved.size - 1}\u0000"
+    }
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        // quoted run; doubled quotes ('' / "") are escapes
+        var j = i + 1
+        while (j < n && !(sql.charAt(j) == c &&
+            !(j + 1 < n && sql.charAt(j + 1) == c))) {
+          j += (if (sql.charAt(j) == c) 2 else 1)
+        }
+        val end = math.min(j, n)
+        sb.append(c).append(save(sql.substring(i + 1, end)))
+        if (end < n) sb.append(c)
+        i = end + 1
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i)
+        val end = if (e < 0) n else e
+        sb.append("--").append(save(sql.substring(i + 2, end)))
+        i = end
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2)
+        val end = if (e < 0) n else e
+        sb.append("/*").append(save(sql.substring(i + 2, end)))
+        if (e >= 0) { sb.append("*/"); i = end + 2 } else i = n
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    (sb.toString, saved.toIndexedSeq)
+  }
+
+  private val Placeholder = "\u0000(\\d+)\u0000".r
+
+  private[etl] def unmask(sql: String, saved: IndexedSeq[String]): String =
+    Placeholder.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(saved(m.group(1).toInt)))
+
+  /** `expr [NOT] SIMILAR TO 'pattern' [ESCAPE 'e']` → `expr [NOT]
+    * RLIKE '<anchored regex>'` (SURVEY §7.3's last Redshift delta).
+    * Operates on MASKED text: the pattern literal is a placeholder
+    * whose saved content gets translated in place, so quoting inside
+    * the pattern needs no special handling at this layer. Non-literal
+    * patterns (column refs) are left for the C5 dry-run to surface. */
+  private val SimilarToRe =
+    raw"(?i)\b(NOT\s+)?SIMILAR\s+TO\s+'\u0000(\d+)\u0000'(?:\s+ESCAPE\s+'\u0000(\d+)\u0000')?".r
+
+  private def rewriteSimilarTo(sql: String, saved: Array[String]): String =
+    SimilarToRe.replaceAllIn(sql, m => {
+      val patIdx = m.group(2).toInt
+      val escape = Option(m.group(3)).map(_.toInt)
+        .map(saved(_).replace("''", "'"))
+        .map(e => if (e.isEmpty) None else Some(e.charAt(0)))
+        .getOrElse(Some('\\'))
+      val regex = similarToRegex(saved(patIdx).replace("''", "'"), escape)
+      // Re-encode for Spark's string-literal lexer (C-style escapes
+      // active by default): backslashes double, quotes get \'.
+      saved(patIdx) = regex.replace("\\", "\\\\").replace("'", "\\'")
+      val not = if (m.group(1) != null) "NOT " else ""
+      java.util.regex.Matcher.quoteReplacement(
+        s"${not}RLIKE '\u0000$patIdx\u0000'")
+    })
+
   /** The full dialect pass for a transform query as loaded from its
     * `.sql` file (relation.py:279-293 loads query text; the rewrite
-    * happens once here, never at run time). */
-  def rewriteRedshiftSql(sql: String): String =
-    rewriteDateDiff(rewriteDateAdd(rewriteListagg(sql)))
+    * happens once here, never at run time). String literals,
+    * double-quoted identifiers, and comments are masked first, so no
+    * pass can corrupt their contents. */
+  def rewriteRedshiftSql(sql: String): String = {
+    val (masked, saved) = mask(sql)
+    val arr = saved.toArray
+    val rewritten = rewriteSimilarTo(
+      rewriteDateDiff(rewriteDateAdd(rewriteListagg(masked))), arr)
+    unmask(rewritten, scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+  }
 }

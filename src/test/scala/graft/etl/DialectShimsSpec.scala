@@ -86,4 +86,48 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains("rs_datediff_second( a, b)"))
     assert(out.contains("array_join"))
   }
+
+  test("string literals and comments survive the dialect pass verbatim") {
+    val in =
+      """SELECT 'uses DATEADD(day, 1, x) and LISTAGG(a, ',') WITHIN GROUP (ORDER BY a)' AS doc,
+        |  DATEADD(day, 1, ts) AS real_call, -- DATEDIFF(day, a, b) in a comment
+        |  /* block with GETDATE() and DATEADD(hr, 2, t) */
+        |  'it''s 5%' AS quoted
+        |FROM t""".stripMargin
+    val out = DialectShims.rewriteRedshiftSql(in)
+    assert(out.contains(
+      "'uses DATEADD(day, 1, x) and LISTAGG(a, ',') WITHIN GROUP (ORDER BY a)'"),
+      out)
+    assert(out.contains("timestampadd(DAY, 1, ts)"))
+    assert(out.contains("-- DATEDIFF(day, a, b) in a comment"))
+    assert(out.contains("/* block with GETDATE() and DATEADD(hr, 2, t) */"))
+    assert(out.contains("'it''s 5%'"))
+  }
+
+  test("SIMILAR TO rewrites to an anchored RLIKE with Redshift semantics") {
+    def eval(sql: String): Boolean =
+      spark.sql(DialectShims.rewriteRedshiftSql(s"SELECT $sql AS r"))
+        .collect().head.getBoolean(0)
+    // % and _ wildcards; whole-string anchoring (substring must fail)
+    assert(eval("'abc' SIMILAR TO 'ab%'"))
+    assert(eval("'abc' SIMILAR TO 'a_c'"))
+    assert(!eval("'xabcx' SIMILAR TO 'abc'"))
+    // regex-style alternation/quantifiers carry over
+    assert(eval("'abc' SIMILAR TO '%(b|d)%'"))
+    assert(eval("'abbbc' SIMILAR TO 'ab+c'"))
+    // characters literal in SIMILAR TO but special in regex
+    assert(eval("'a.c' SIMILAR TO 'a.c'"))
+    assert(!eval("'abc' SIMILAR TO 'a.c'"))
+    // escaped wildcard: \% is a literal percent
+    assert(eval("'10%' SIMILAR TO '10\\%'"))
+    assert(!eval("'10x' SIMILAR TO '10\\%'"))
+    // bracket expression passes through
+    assert(eval("'b' SIMILAR TO '[abc]'"))
+    // NOT SIMILAR TO keeps the negation
+    assert(eval("'xyz' NOT SIMILAR TO 'ab%'"))
+    // a SIMILAR TO mention inside a literal is NOT rewritten
+    val untouched = DialectShims.rewriteRedshiftSql(
+      "SELECT 'a SIMILAR TO b' AS s FROM t")
+    assert(untouched.contains("'a SIMILAR TO b'"))
+  }
 }

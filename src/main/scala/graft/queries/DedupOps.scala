@@ -462,10 +462,15 @@ object DedupOps {
     * and short chains, so a handful of shuffles ends it. Each round
     * is one shuffle join + one partial-aggregated groupBy, fully
     * distributed; the only driver value is the scalar convergence
-    * count. (The large-star/small-star algorithm halves diameters for
-    * adversarially long paths; for dedup graphs the plain propagation
-    * is the right trade.) */
+    * count. A component whose diameter outlives [[JumpAfterRound]]
+    * plain rounds (an adversarially long chain of near-dups) switches
+    * on pointer-jumping — `label := label(label)` folded into each
+    * subsequent round — which doubles the effective reach per round,
+    * so ANY diameter converges within [[MaxClusterRounds]] instead of
+    * aborting the job; the common star/short-chain case never pays
+    * the extra label self-join. */
   val MaxClusterRounds = 25
+  val JumpAfterRound = 5
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashCandidatePairs(spark, sfDir)
@@ -495,14 +500,26 @@ object DedupOps {
       println(f"[clusters] edge count ${(System.nanoTime() - tP) / 1e9}%.2fs parts=$parts")
     val edges = rawEdges.repartition(parts, $"d2")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // `labels` is ALWAYS the exact persisted Dataset (never a
-    // projection of one): unpersist() removes cache entries by plan
-    // match, and unpersisting a derived projection silently leaves
-    // every round's cache in place while later lookups miss.
-    var labels = edges.select($"d1".as("node")).distinct()
+    // Lineage truncation: every round references `labels` TWICE
+    // (neighbor aggregation + the update join, and the jump self-join
+    // past JumpAfterRound), so without truncation the analyzed
+    // logical plan DOUBLES per round — exponential analysis cost that
+    // OOMs the driver around round ~20 regardless of data size.
+    // Checkpointing rewraps the materialized partitions as a
+    // LogicalRDD (O(1) plan per round) and — crucially — preserves
+    // the physical outputPartitioning, keeping the edge join
+    // exchange-free. Reliable checkpoint when a checkpoint dir is
+    // configured (cluster operation, survives executor loss);
+    // localCheckpoint otherwise (this also caches, replacing
+    // persist). Superseded rounds' blocks are freed by the
+    // ContextCleaner once unreferenced — bounded by round count, and
+    // the label table is graph-sized, not corpus-sized.
+    def truncate(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var labels = truncate(edges.select($"d1".as("node")).distinct()
       .repartition(parts, $"node")
-      .select($"node", $"node".as("label"), lit(false).as("improved"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select($"node", $"node".as("label"), lit(false).as("improved")))
     // AQE's per-exchange query stages add several sequentially
     // scheduled jobs to every round; the loop's shuffles are already
     // explicitly sized to the graph (`parts`), so adaptivity buys
@@ -524,19 +541,34 @@ object DedupOps {
           labels.select($"node", $"label"), $"d2" === $"node")
         .groupBy($"d1").agg(min($"label").as("nmin"))
         .repartition(parts, $"d1")
-      val next = labels.as("l")
+      val propagated = labels.as("l")
         .join(neighborMin.as("n"), $"node" === $"n.d1", "left")
         .select($"node",
           least($"l.label", coalesce($"n.nmin", $"l.label")).as("label"),
           coalesce($"n.nmin" < $"l.label", lit(false)).as("improved"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // full count, not limit(1).isEmpty: this action is also what
-      // fills next's cache — an early-exit limit could leave
-      // partitions unmaterialized for later rounds to recompute
+      // Past JumpAfterRound the diameter is unusually large: fold in
+      // pointer-jumping (label := min(label, label(label))) — same
+      // fixpoint (the component min maps to itself), exponentially
+      // faster reach. Costs one extra graph-sized self-join per
+      // round, paid only on adversarial graphs.
+      val next0 =
+        if (round <= JumpAfterRound) propagated
+        else {
+          val base = truncate(propagated)
+          base.as("a").join(
+              base.select($"node".as("jn"), $"label".as("jl")).as("b"),
+              $"a.label" === $"b.jn", "left")
+            .select($"a.node".as("node"),
+              least($"a.label", coalesce($"b.jl", $"a.label")).as("label"),
+              ($"a.improved" ||
+                coalesce($"b.jl" < $"a.label", lit(false))).as("improved"))
+            .repartition(parts, $"node")
+        }
+      // truncate() materializes eagerly (the old persist+count role)
+      // and keeps the per-round plan O(1).
+      val next = truncate(next0)
       converged = next.filter($"improved").count() == 0L
-      val prev = labels
       labels = next
-      prev.unpersist()
       if (sys.env.contains("GRAFT_DEBUG"))
         println(f"[clusters] round $round ${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
     }

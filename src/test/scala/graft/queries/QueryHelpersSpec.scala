@@ -43,6 +43,19 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents converges on a chain longer than the plain-round cap") {
+    val s = spark
+    import s.implicits._
+    // A 60-node chain (diameter 59 ≫ MaxClusterRounds): plain
+    // propagation alone would abort; pointer-jumping from round
+    // JumpAfterRound+1 doubles reach per round and must converge.
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = DedupOps.connectedComponents(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 60)
+    assert(got.forall(_._2 == 1L))
+  }
+
   test("Num.dsum is order-independent: decimal accumulation, double result") {
     val s = spark
     import s.implicits._

@@ -43,17 +43,32 @@ object AnnOps {
     * (each probe set covers all buckets at hamming ≤ 1). */
   val TargetBucketSize = 16
 
-  /** Corpus row count per (sfDir) — a real scan job on vanilla
-    * parquet, so memoize: the count of a fixed input dataset is
-    * constant, and three ANN entry points each need it to size their
-    * structures. (Survives catalog.clearCache by design — it is a
+  /** Corpus row count, memoized per dataset FINGERPRINT (file names +
+    * lengths + mtimes of the parquet directory), not per path: a
+    * count scan on a fixed input is constant, and three ANN entry
+    * points each need it to size their structures — but a dataset
+    * regenerated at the same path within one JVM (a harness
+    * rebuilding scale factors in-process) must invalidate, else the
+    * Spark LSH bucket ids silently desynchronize from the oracle's
+    * count(*)-derived planes. The fingerprint listing is one
+    * metadata LIST (Hadoop FS API, any scheme) — cheap next to the
+    * scan it saves. (Survives catalog.clearCache by design — it is a
     * property of the input files, not of any cached plan.) */
   private val corpusCount =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private def embeddingCount(spark: SparkSession, sfDir: String): Long =
-    corpusCount.computeIfAbsent(sfDir,
+  private def embeddingCount(spark: SparkSession, sfDir: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing =
+      try fs.listStatus(dir).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+      catch { case _: java.io.IOException => "" }
+    val key = s"$sfDir|$listing"
+    corpusCount.computeIfAbsent(key,
       _ => Tables.load(spark, sfDir, "embeddings").count())
+  }
 
   def planesFor(n: Long): Int = {
     val ceilDiv = (n + TargetBucketSize - 1) / TargetBucketSize

@@ -41,7 +41,7 @@ object AnnOps {
     * in a `params` CTE, so both engines agree at every SF. Recall
     * loss from smaller buckets is recovered by 1-bit multi-probe
     * (each probe set covers all buckets at hamming ≤ 1). */
-  val TargetBucketSize = 16
+  val TargetBucketSize: Int = Tuning.default.targetBucketSize
 
   /** Corpus row count, memoized per dataset FINGERPRINT (file names +
     * lengths + mtimes of the parquet directory), not per path: a
@@ -70,8 +70,9 @@ object AnnOps {
       _ => Tables.load(spark, sfDir, "embeddings").count())
   }
 
-  def planesFor(n: Long): Int = {
-    val ceilDiv = (n + TargetBucketSize - 1) / TargetBucketSize
+  def planesFor(n: Long,
+                targetBucketSize: Int = Tuning.default.targetBucketSize): Int = {
+    val ceilDiv = (n + targetBucketSize - 1) / targetBucketSize
     (1 to 60).find(p => (1L << p) >= ceilDiv).getOrElse(60)
   }
 
@@ -79,9 +80,9 @@ object AnnOps {
     * power(2, p) is float but exact for p ≤ 52, and the comparison
     * against the exact integer ceil-div never sits on a rounding
     * boundary. */
-  private val planesParamsSql: String =
-    s"""SELECT CAST(p AS INT) AS planes FROM range(1, 61) t(p)
-       |  WHERE power(2, p) >= (SELECT (count(*) + ${TargetBucketSize - 1}) // $TargetBucketSize FROM embeddings)
+  private def planesParamsSql(t: Tuning): String =
+    s"""SELECT CAST(p AS INT) AS planes FROM range(1, 61) tp(p)
+       |  WHERE power(2, p) >= (SELECT (count(*) + ${t.targetBucketSize - 1}) // ${t.targetBucketSize} FROM embeddings)
        |  ORDER BY p LIMIT 1""".stripMargin
 
   /** THE dot product: a sequential left-to-right double fold — the
@@ -196,9 +197,9 @@ object AnnOps {
     * per vector — the candidate-pair cosine is then a single dot —
     * and the value is bit-identical to inlining sqrt(dot(v,v)) at
     * each use, so determinism is unaffected. */
-  private val bucketedSqlPrologue: String = {
+  private def bucketedSqlPrologue(t: Tuning): String = {
     val nrm = s"sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) FOR i IN range(1, ${Dim + 1})]))"
-    s"""params AS ($planesParamsSql),
+    s"""params AS (${planesParamsSql(t)}),
        |bucketed AS (
        |  SELECT vec_id, embedding, $nrm AS nrm, $bucketColSqlDyn AS bucket
        |  FROM embeddings, params
@@ -217,10 +218,11 @@ object AnnOps {
 
   /** Spark-side bucketed projection; `planes` from the corpus count
     * (a metadata-only parquet count, driver-side). */
-  private def bucketedDf(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
+  private def bucketedDf(spark: SparkSession, sfDir: String,
+                         t: Tuning = Tuning.default): (DataFrame, Int) = {
     import spark.implicits._
     val raw = Tables.load(spark, sfDir, "embeddings")
-    val planes = planesFor(embeddingCount(spark, sfDir))
+    val planes = planesFor(embeddingCount(spark, sfDir), t.targetBucketSize)
     val df = raw.select($"vec_id", $"embedding",
       sqrt(dot($"embedding", $"embedding")).as("nrm"),
       bucketCol($"embedding", planes).as("bucket"))
@@ -229,14 +231,15 @@ object AnnOps {
 
   /** Bucket assignment per vector (hash-checked: the LSH partitioning
     * itself, plus per-bucket population counts downstream). */
-  def annLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+  def annLshBuckets(spark: SparkSession, sfDir: String,
+                    t: Tuning = Tuning.default): DataFrame = {
     import spark.implicits._
-    val (bucketed, _) = bucketedDf(spark, sfDir)
+    val (bucketed, _) = bucketedDf(spark, sfDir, t)
     bucketed.select($"vec_id", $"bucket").orderBy($"vec_id")
   }
 
-  val annLshBucketsSql: String =
-    s"""WITH $bucketedSqlPrologue
+  def annLshBucketsSql(t: Tuning = Tuning.default): String =
+    s"""WITH ${bucketedSqlPrologue(t)}
        |SELECT vec_id, bucket FROM bucketed ORDER BY vec_id""".stripMargin
 
   /** LSH-bucketed approximate top-k with 1-bit multi-probe: each
@@ -247,9 +250,10 @@ object AnnOps {
     * query side (NumQueries × (planes+1) rows, still a broadcast);
     * the corpus side stays a scan + equi-join. Per-candidate cosine
     * is one dot over precomputed norms. */
-  def annLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  def annLshTopk(spark: SparkSession, sfDir: String,
+                 t: Tuning = Tuning.default): DataFrame = {
     import spark.implicits._
-    val (vecsRaw, planes) = bucketedDf(spark, sfDir)
+    val (vecsRaw, planes) = bucketedDf(spark, sfDir, t)
     val vecs = vecsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = vecs.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
@@ -269,8 +273,8 @@ object AnnOps {
   private def pairDotSql(a: String, b: String): String =
     s"list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) FOR i IN range(1, ${Dim + 1})])"
 
-  val annLshTopkSql: String =
-    s"""WITH $bucketedSqlPrologue,
+  def annLshTopkSql(t: Tuning = Tuning.default): String =
+    s"""WITH ${bucketedSqlPrologue(t)},
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
        |    unnest($probeSqlList) AS probe
@@ -302,7 +306,7 @@ object AnnOps {
     * the pair distribution to exercise the candidate + exact-rescore
     * path with a non-empty result; a production corpus would use
     * ~0.95. */
-  val NearDupThreshold = 0.45
+  val NearDupThreshold: Double = Tuning.default.nearDupThreshold
 
   /** Scale shape: with planes = log2(n/target), each bucket holds
     * ~target vectors, so candidates ≈ n · target · (planes+2)/2 —
@@ -312,9 +316,10 @@ object AnnOps {
     * set iff bucket-hamming ≤ 1, and probe values are distinct. Both
     * sides scale with the corpus → hinted shuffle join (no broadcast;
     * plan-gated), AQE splits any hot bucket. */
-  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String,
+                           t: Tuning = Tuning.default): DataFrame = {
     import spark.implicits._
-    val (vecsRaw, planes) = bucketedDf(spark, sfDir)
+    val (vecsRaw, planes) = bucketedDf(spark, sfDir, t)
     val vecs = vecsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = vecs.select($"vec_id", $"embedding", $"nrm",
       explode(probeArr($"bucket", planes)).as("probe"))
@@ -322,12 +327,12 @@ object AnnOps {
         $"a.bucket" === $"b.probe" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
         (dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cosine"))
-      .filter($"cosine" >= NearDupThreshold)
+      .filter($"cosine" >= t.nearDupThreshold)
       .orderBy($"d1", $"d2")
   }
 
-  val dedupEmbeddingCosineSql: String =
-    s"""WITH $bucketedSqlPrologue,
+  def dedupEmbeddingCosineSql(t: Tuning = Tuning.default): String =
+    s"""WITH ${bucketedSqlPrologue(t)},
        |probed AS (
        |  SELECT vec_id, embedding, nrm, unnest($probeSqlList) AS probe
        |  FROM bucketed, params
@@ -336,7 +341,7 @@ object AnnOps {
        |  (${pairDotSql("a", "b")} / (a.nrm * b.nrm)) AS cosine
        |FROM bucketed a JOIN probed b
        |  ON a.bucket = b.probe AND a.vec_id < b.vec_id
-       |WHERE (${pairDotSql("a", "b")} / (a.nrm * b.nrm)) >= $NearDupThreshold
+       |WHERE (${pairDotSql("a", "b")} / (a.nrm * b.nrm)) >= ${t.nearDupThreshold}
        |ORDER BY d1, d2""".stripMargin
 
   // ------------------------------------------------------------- IVF
@@ -503,18 +508,18 @@ object AnnOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> (annTopkCosine _),
-    "ann_lsh_buckets" -> (annLshBuckets _),
-    "ann_lsh_topk" -> (annLshTopk _),
-    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "ann_lsh_buckets" -> ((s, dir) => annLshBuckets(s, dir)),
+    "ann_lsh_topk" -> ((s, dir) => annLshTopk(s, dir)),
+    "dedup_embedding_cosine" -> ((s, dir) => dedupEmbeddingCosine(s, dir)),
     "embedding_stats" -> (embeddingStats _),
     "ann_ivf_cells" -> (annIvfCells _),
     "ann_ivf_topk" -> (annIvfTopk _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
-    "ann_lsh_buckets" -> annLshBucketsSql,
-    "ann_lsh_topk" -> annLshTopkSql,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "ann_lsh_buckets" -> annLshBucketsSql(),
+    "ann_lsh_topk" -> annLshTopkSql(),
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql(),
     "embedding_stats" -> embeddingStatsSql,
     "ann_ivf_cells" -> annIvfCellsSql,
     "ann_ivf_topk" -> annIvfTopkSql)

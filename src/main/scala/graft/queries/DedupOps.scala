@@ -71,12 +71,13 @@ object DedupOps {
     * applies the same cutoff); k is recorded here. At the test SFs the
     * max df is 25, so the cutoff drops nothing and values equal the
     * unguarded Jaccard. */
-  val MaxShingleDf = 100
+  val MaxShingleDf: Int = Tuning.default.maxShingleDf
 
   /** Shared tail of the inverted-index pipeline: candidate pairs with
     * common-shingle counts and both set sizes (d1, d2, common, na,
     * nb) — jaccard and containment are projections over it. */
-  private def pairCommonCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  private def pairCommonCounts(spark: SparkSession, sfDir: String,
+                               t: Tuning = Tuning.default): DataFrame = {
     import spark.implicits._
     // Join on a 60-bit md5 fingerprint of the shingle, not the string:
     // the inverted-index shuffle then carries 8 bytes per row instead
@@ -93,7 +94,7 @@ object DedupOps {
     // per map task), and the semi-join back is AQE-skew-splittable.
     val keptShingles = sh.groupBy($"shingle")
       .agg(count(lit(1)).as("df"))
-      .filter($"df" <= MaxShingleDf)
+      .filter($"df" <= t.maxShingleDf)
       .select($"shingle")
     val kept = sh.hint("shuffle_hash")
       .join(keptShingles, Seq("shingle"), "left_semi")
@@ -114,12 +115,13 @@ object DedupOps {
       .select($"d1", $"d2", $"common", $"sa.n".as("na"), $"sb.n".as("nb"))
   }
 
-  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupJaccard(spark: SparkSession, sfDir: String,
+                   t: Tuning = Tuning.default): DataFrame = {
     import spark.implicits._
-    pairCommonCounts(spark, sfDir)
+    pairCommonCounts(spark, sfDir, t)
       .select($"d1", $"d2", $"common",
         ($"common".cast("double") / ($"na" + $"nb" - $"common")).as("jaccard"))
-      .filter($"jaccard" >= 0.8)
+      .filter($"jaccard" >= t.jaccardThreshold)
       .orderBy($"d1", $"d2")
   }
 
@@ -129,22 +131,23 @@ object DedupOps {
     * posts) that symmetric Jaccard misses when the container is much
     * larger. Same inverted-index candidates, one extra projection;
     * `contained_doc` names the swallowed side. */
-  val ContainmentThreshold = 0.9
+  val ContainmentThreshold: Double = Tuning.default.containmentThreshold
 
-  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupContainment(spark: SparkSession, sfDir: String,
+                       t: Tuning = Tuning.default): DataFrame = {
     import spark.implicits._
-    pairCommonCounts(spark, sfDir)
+    pairCommonCounts(spark, sfDir, t)
       .select($"d1", $"d2",
         greatest($"common".cast("double") / $"na",
           $"common".cast("double") / $"nb").as("containment"),
         when($"common".cast("double") / $"na" >=
           $"common".cast("double") / $"nb", $"d1").otherwise($"d2")
           .as("contained_doc"))
-      .filter($"containment" >= ContainmentThreshold)
+      .filter($"containment" >= t.containmentThreshold)
       .orderBy($"d1", $"d2")
   }
 
-  val dedupContainmentSql: String =
+  def dedupContainmentSql(t: Tuning = Tuning.default): String =
     s"""WITH sh AS (
        |  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle
        |  FROM ($shingleSql)
@@ -152,7 +155,7 @@ object DedupOps {
        |kept AS (
        |  SELECT doc_id, shingle FROM (
        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
-       |  ) WHERE df <= $MaxShingleDf
+       |  ) WHERE df <= ${t.maxShingleDf}
        |),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
        |pairs AS (
@@ -165,10 +168,10 @@ object DedupOps {
        |  CASE WHEN CAST(common AS DOUBLE) / sa.n >= CAST(common AS DOUBLE) / sb.n
        |       THEN d1 ELSE d2 END AS contained_doc
        |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
-       |WHERE greatest(CAST(common AS DOUBLE) / sa.n, CAST(common AS DOUBLE) / sb.n) >= $ContainmentThreshold
+       |WHERE greatest(CAST(common AS DOUBLE) / sa.n, CAST(common AS DOUBLE) / sb.n) >= ${t.containmentThreshold}
        |ORDER BY d1, d2""".stripMargin
 
-  val dedupJaccardSql: String =
+  def dedupJaccardSql(t: Tuning = Tuning.default): String =
     s"""WITH sh AS (
        |  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle
        |  FROM ($shingleSql)
@@ -176,7 +179,7 @@ object DedupOps {
        |kept AS (
        |  SELECT doc_id, shingle FROM (
        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
-       |  ) WHERE df <= $MaxShingleDf
+       |  ) WHERE df <= ${t.maxShingleDf}
        |),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
        |pairs AS (
@@ -186,7 +189,7 @@ object DedupOps {
        |)
        |SELECT d1, d2, common, CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
        |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
-       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= ${t.jaccardThreshold}
        |ORDER BY d1, d2""".stripMargin
 
   // ------------------------------------------------------------ minhash
@@ -595,21 +598,21 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
-    "dedup_ngram_jaccard" -> (dedupJaccard _),
+    "dedup_ngram_jaccard" -> ((sp, dir) => dedupJaccard(sp, dir)),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash_docs" -> (simhashDocs _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_clusters" -> (dedupClusters _),
-    "dedup_containment" -> (dedupContainment _))
+    "dedup_containment" -> ((sp, dir) => dedupContainment(sp, dir)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
-    "dedup_ngram_jaccard" -> dedupJaccardSql,
+    "dedup_ngram_jaccard" -> dedupJaccardSql(),
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_simhash_docs" -> simhashDocsSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_containment" -> dedupContainmentSql)
+    "dedup_containment" -> dedupContainmentSql())
 }

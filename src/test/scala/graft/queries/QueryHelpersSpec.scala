@@ -56,6 +56,24 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("Tuning threads through operators and their oracle SQL coherently") {
+    // thresholds appear verbatim in the generated oracle text
+    val loose = Tuning(jaccardThreshold = 0.5, containmentThreshold = 0.5,
+      maxShingleDf = 7, nearDupThreshold = 0.2, targetBucketSize = 4)
+    assert(DedupOps.dedupJaccardSql(loose).contains(">= 0.5"))
+    assert(DedupOps.dedupJaccardSql(loose).contains("df <= 7"))
+    assert(AnnOps.dedupEmbeddingCosineSql(loose).contains(">= 0.2"))
+    // planesFor follows the configured bucket size
+    assert(AnnOps.planesFor(64, targetBucketSize = 4) == 4)
+    assert(AnnOps.planesFor(64, targetBucketSize = 16) == 2)
+    // a looser threshold yields a superset of the default's pairs
+    val strictRows = DedupOps.dedupJaccard(spark, sfDir).count()
+    val looseRows = DedupOps.dedupJaccard(spark, sfDir, loose).count()
+    assert(looseRows >= strictRows)
+    // default-arg surface is the registered (verified) surface
+    assert(DedupOps.dedupJaccardSql() == DedupOps.oracles("dedup_ngram_jaccard"))
+  }
+
   test("Num.dsum is order-independent: decimal accumulation, double result") {
     val s = spark
     import s.implicits._

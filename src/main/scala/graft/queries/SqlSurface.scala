@@ -491,10 +491,102 @@ object SqlSurface {
        |  FROM orders)
        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q19
+  /** As-of join — for each purchase event, the latest click by the
+    * same user at or before it. Spark has no native ASOF JOIN; the
+    * scalable composition is the UNION-WINDOW shape: tag both
+    * streams, union them, and carry the latest click forward with
+    * `last(_, ignoreNulls)` over a per-user ordered frame — ONE
+    * shuffle + sort on the (high-cardinality) user key, state bounded
+    * by a row. The naive alternative (range join on `c.ts <= p.ts`
+    * then max-per-pair) materializes every click×purchase pair per
+    * user before pruning — quadratic per key, a scale-killer. The
+    * oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the two engines
+    * compute the same semantics by entirely independent plans.
+    * (Events carry no duplicate (user_id, ts), so ordering by ts
+    * alone is total per user and tie-handling never diverges.) */
+  def q19AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast("long").as("click_id"),
+        $"event_id".as("purchase_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"purchase_id".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id",
+        last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when($"click_id".isNotNull, $"ts"), ignoreNulls = true).over(w))
+      .filter($"purchase_id".isNotNull)
+      // timestamp_ntz output: the oracle's timestamps are naive —
+      // Spark's default TimestampType would parquet-annotate
+      // isAdjustedToUTC and fail the arrow type compare
+      .select($"purchase_id", $"user_id",
+        $"ts".cast("timestamp_ntz").as("purchase_ts"),
+        $"last_click_id",
+        $"last_click_ts".cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy($"purchase_id")
+  }
+
+  val q19AsofJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |  c.event_id AS last_click_id, c.ts AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Exact discrete quantiles per group (SQL-standard
+    * PERCENTILE_DISC): distribution stats for quality scoring —
+    * median/p90/p99 of event values per type. Discrete (not
+    * interpolated) quantiles return actual data values, so the
+    * cross-engine hash is exact by construction — no float
+    * arithmetic to diverge. The oracle computes the standard
+    * definition (smallest value with cume_dist ≥ p) from first
+    * principles, independently checking Spark's implementation.
+    * Scale note: exact percentile aggregates buffer each group's
+    * values; at 100 TB the production path is approx_percentile
+    * (bounded mergeable sketch state, map-side combinable) — exact
+    * disc quantiles are the verification contract, not the
+    * billion-row-per-group plan. */
+  def q20Quantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("qt_events")
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(value) AS min_v,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+        |  MAX(value) AS max_v
+        |FROM qt_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q20QuantilesSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      |  FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n,
+      |  MIN(value) AS min_v,
+      |  MIN(CASE WHEN cd >= 0.5 THEN value END) AS p50,
+      |  MIN(CASE WHEN cd >= 0.9 THEN value END) AS p90,
+      |  MIN(CASE WHEN cd >= 0.99 THEN value END) AS p99,
+      |  MAX(value) AS max_v
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_grouping_sets" -> (q17GroupingSets _),
     "q18_latest_per_key" -> (q18LatestPerKey _),
+    "q19_asof_join" -> (q19AsofJoin _),
+    "q20_quantiles" -> (q20Quantiles _),
     "q16_pivot" -> (q16Pivot _),
     "q1_agg" -> (q1Agg _),
     "q2_join_agg" -> (q2JoinAgg _),
@@ -515,6 +607,8 @@ object SqlSurface {
   val oracles: Map[String, String] = Map(
     "q17_grouping_sets" -> q17GroupingSetsSql,
     "q18_latest_per_key" -> q18LatestPerKeySql,
+    "q19_asof_join" -> q19AsofJoinSql,
+    "q20_quantiles" -> q20QuantilesSql,
     "q16_pivot" -> q16PivotSql,
     "q1_agg" -> q1AggSql,
     "q2_join_agg" -> q2JoinAggSql,

@@ -377,6 +377,15 @@ final class Warehouse(
     results.toSeq
   }
 
+  /** The reference maps load concurrency onto Redshift WLM slots
+    * (commands.py: wlm_query_slot_count); the Spark analog is a FAIR
+    * scheduler pool. Every concurrent build thread tags its jobs with
+    * this pool name so that, when the session runs with
+    * `spark.scheduler.mode=FAIR`, parallel relation builds share
+    * executors fairly instead of FIFO-starving each other. Under the
+    * default FIFO mode the property is inert — safe to set always. */
+  val LoadSchedulerPool = "graft-load"
+
   private[etl] def parallelMap[A, B](xs: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
     if (xs.size <= 1 || parallelism <= 1) xs.map(f)
     else {
@@ -385,7 +394,14 @@ final class Warehouse(
       import scala.concurrent.duration.Duration
       val pool = Executors.newFixedThreadPool(math.min(parallelism, xs.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
+      try Await.result(Future.sequence(xs.map(x => Future {
+        // local properties are thread-local: each worker thread tags
+        // its Spark jobs with the load pool (and clears after, since
+        // executor threads are reused across levels)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", LoadSchedulerPool)
+        try f(x)
+        finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      })), Duration.Inf)
       finally pool.shutdown()
     }
 

@@ -264,8 +264,40 @@ object TextOps {
        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- vocab
+  /** Vocabulary induction: the top-[[VocabSize]] tokens by DOCUMENT
+    * frequency (with total occurrence counts) over normalized text —
+    * the tokenizer/vocab bootstrap step of a training pipeline.
+    * Scale shape: explode → two-phase distinct-aggregate (map-side
+    * partial on (token, doc) then (token)), then a
+    * TakeOrderedAndProject top-V — no global sort of the full
+    * vocabulary. The (df, tf, token) ordering is a total order, so
+    * the cut boundary is deterministic on both engines. */
+  val VocabSize = 200
+
+  def textVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", explode(split(normText($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf"))
+      .orderBy($"df".desc, $"tf".desc, $"token")
+      .limit(VocabSize)
+  }
+
+  val textVocabSql: String =
+    s"""SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+       |FROM (
+       |  SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS token
+       |  FROM documents
+       |) WHERE token <> ''
+       |GROUP BY token
+       |ORDER BY df DESC, tf DESC, token LIMIT $VocabSize""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pipeline" -> (curationPipeline _),
+    "text_vocab" -> (textVocab _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langId _),
@@ -274,6 +306,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "curation_pipeline" -> curationPipelineSql,
+    "text_vocab" -> textVocabSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,

@@ -86,6 +86,48 @@ object EventStreams {
       }
   }
 
+  final case class ClickOrPurchase(
+      user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+  final case class LastClick(clickId: Long, clickMillis: Long)
+  final case class AsofOut(
+      purchase_id: Long, user_id: Long, purchase_ts: Timestamp,
+      last_click_id: Option[Long], last_click_ts: Option[Timestamp])
+
+  /** Streaming as-of enrichment — the streaming twin of
+    * `q19_asof_join`: each purchase is emitted with the latest click
+    * its user made at or before it. State per user is two longs (the
+    * last click), so the state store holds |users| entries at any
+    * scale — the streaming form of the batch union-window shape,
+    * which needs no retained event history either. Rows are ordered
+    * within each micro-batch; clicks arriving later than a purchase
+    * in a subsequent batch do not retroactively re-enrich (append
+    * mode) — the batch q19 is the ground truth, this is the
+    * low-latency view. */
+  def asofEnrich(events: Dataset[ClickOrPurchase]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[ClickOrPurchase],
+         state: GroupState[LastClick]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.Buffer[AsofOut]()
+          var last = state.getOption
+          sorted.foreach { e =>
+            if (e.event_type == "click")
+              last = Some(LastClick(e.event_id, e.ts.getTime))
+            else if (e.event_type == "purchase")
+              out += AsofOut(e.event_id, userId, e.ts,
+                last.map(_.clickId),
+                last.map(l => new Timestamp(l.clickMillis)))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of `dedup_exact`:
     * keep the FIRST arrival per content fingerprint, drop every later
     * copy. `dropDuplicatesWithinWatermark` bounds the state store to

@@ -104,6 +104,37 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(EventStreams.SessionOut(1L, 1L, 0L)))
   }
 
+  test("asofEnrich: purchases carry the latest prior click; state spans batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def cp(u: Long, id: Long, t: String, ty: String) =
+      EventStreams.ClickOrPurchase(u, id, ts(t), ty)
+    val input = MemoryStream[EventStreams.ClickOrPurchase]
+    val q = EventStreams.asofEnrich(input.toDS).writeStream
+      .format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 clicks, purchases, clicks again, purchases again;
+    // user 2 purchases with NO prior click
+    input.addData(
+      cp(1L, 10L, "2024-01-01 10:00:00", "click"),
+      cp(1L, 11L, "2024-01-01 10:05:00", "purchase"),
+      cp(1L, 12L, "2024-01-01 10:10:00", "click"),
+      cp(1L, 13L, "2024-01-01 10:15:00", "purchase"),
+      cp(2L, 20L, "2024-01-01 10:00:00", "purchase"))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases again — the click STATE carries over
+    input.addData(cp(1L, 14L, "2024-01-01 11:00:00", "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("asof_out").as[EventStreams.AsofOut]
+      .collect().map(r => r.purchase_id -> r.last_click_id).toMap
+    q.stop()
+    assert(rows(11L).contains(10L))
+    assert(rows(13L).contains(12L))
+    assert(rows(20L).isEmpty)          // no prior click -> None
+    assert(rows(14L).contains(12L))    // state survived the batch boundary
+  }
+
   test("availableNowRefresh drains a directory once and applies each batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck_").toString

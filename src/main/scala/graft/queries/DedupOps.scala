@@ -596,8 +596,58 @@ object DedupOps {
        |SELECT node AS doc_id, MIN(r) AS cluster
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- decontamination
+  /** Benchmark decontamination — the training-data hygiene step: flag
+    * every training document sharing ≥ [[ContaminationMinShingles]]
+    * distinct 3-gram shingles with any document of the evaluation set
+    * (here doc_id < [[EvalDocMax]] stands in for the benchmark
+    * corpus). On this vocabulary the overlap distribution is sharply
+    * bimodal (background ≤ ~16 incidental shingles, true near-dups of
+    * eval docs ≥ ~22), so the threshold cleanly separates.
+    *
+    * Scale shape: the eval set is benchmark-sized (thousands of
+    * documents), so its distinct-shingle set is the ONE legitimately
+    * broadcastable side in the dedup family — the training corpus is
+    * scanned once, the membership probe rides the scan as a broadcast
+    * hash join, and the only shuffle is the per-doc overlap count
+    * (map-side partial aggregation). Contrast the pair-generating
+    * dedups, where both sides scale with the corpus and broadcasts
+    * are plan-gated away. */
+  val EvalDocMax = 50L
+  val ContaminationMinShingles = 20L
+
+  def dedupDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // (doc, shingle) is distinct by construction (shingleDf), so the
+    // overlap count is a plain count over the membership join
+    val sh = shingleDf(spark, sfDir)
+      .select($"doc_id",
+        conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long").as("shingle"))
+    val evalSh = sh.filter($"doc_id" < EvalDocMax).select($"shingle").distinct()
+    sh.filter($"doc_id" >= EvalDocMax)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter($"n_overlap" >= ContaminationMinShingles)
+      .orderBy($"doc_id")
+  }
+
+  val dedupDecontaminateSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+       |  FROM ($shingleSql)
+       |),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $EvalDocMax)
+       |SELECT s.doc_id, count(*) AS n_overlap
+       |FROM sh s JOIN ev USING (shingle)
+       |WHERE s.doc_id >= $EvalDocMax
+       |GROUP BY s.doc_id
+       |HAVING count(*) >= $ContaminationMinShingles
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_ngram_jaccard" -> ((sp, dir) => dedupJaccard(sp, dir)),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
@@ -608,6 +658,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql(),
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,

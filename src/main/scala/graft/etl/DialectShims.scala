@@ -160,6 +160,12 @@ object DialectShims {
     * restores by index, so passes may reorder or duplicate
     * placeholders freely. */
   private[etl] def mask(sql: String): (String, IndexedSeq[String]) = {
+    // The placeholders are NUL-delimited indices; a NUL already in the
+    // input would misalign placeholder parsing in unmask (or index
+    // into the wrong saved slot). NUL has no meaning in SQL text, so
+    // reject it outright rather than corrupt the rewrite.
+    require(sql.indexOf('\u0000') < 0,
+      "SQL text contains a NUL (U+0000) character; cannot rewrite")
     val sb = new StringBuilder(sql.length)
     val saved = scala.collection.mutable.ArrayBuffer[String]()
     def save(content: String): String = {

@@ -176,7 +176,9 @@ final class Warehouse(
             catch { case e: FailedConstraintError =>
               prevLocation match {
                 case Some(loc) => registerAt(target, loc, Some(design))
-                case None => spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
+                case None =>
+                  spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
+                  deletePointer(target)
               }
               throw e
             }
@@ -257,6 +259,7 @@ final class Warehouse(
       val sorted = design.map(_.sortKeys).filter(_.nonEmpty)
         .map(sk => w0.sortBy(sk.head, sk.tail: _*)).getOrElse(w0)
       sorted.saveAsTable(target.quoted)
+      writePointer(target, loc)
     } else {
       df.write.mode("overwrite").parquet(loc)
       registerAt(target, loc, design)
@@ -306,6 +309,15 @@ final class Warehouse(
     }
     if (sameShape) {
       spark.sql(s"ALTER TABLE ${target.quoted} SET LOCATION '$location'")
+      // SET LOCATION swaps the data but PRESERVES catalog stats from
+      // any prior ANALYZE — the CBO would then size joins (and flip
+      // broadcast decisions) from the previous build's row counts.
+      // Drop them; drop-then-create clears stats implicitly, and
+      // analyzeAfter re-ANALYZEs post-publish when requested.
+      if (existing.exists(_.stats.isDefined))
+        spark.sessionState.catalog.alterTableStats(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            target.table, Some(target.schema)), None)
       spark.catalog.refreshTable(target.quoted)
     } else {
       if (existing.exists(_.tableType ==
@@ -320,6 +332,7 @@ final class Warehouse(
       spark.sql(
         s"CREATE TABLE ${target.quoted} USING parquet$clustered LOCATION '$location'")
     }
+    writePointer(target, location)
   }
 
   private def locationOf(target: TableName): Option[String] =
@@ -328,6 +341,49 @@ final class Warehouse(
         org.apache.spark.sql.catalyst.TableIdentifier(target.table, Some(target.schema)))
       Some(t.location.toString)
     } catch { case _: Exception => None }
+
+  // ------------------------------------------------- pointers manifest
+  /** The session catalog is in-memory: a fresh JVM knows no live
+    * locations, so [[vacuum]] run standalone would resolve an empty
+    * live set and delete EVERYTHING — standard and backup builds
+    * included. Every (re-)registration therefore also persists the
+    * live location to `warehouseDir/pointers/<schema>.<table>`, the
+    * on-disk twin of the catalog pointer; vacuum unions both. One
+    * tiny file write per registration — publish stays O(#tables). */
+  private def pointerPath(name: TableName): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$warehouseDir/pointers/${name.schema}.${name.table}")
+
+  private def writePointer(name: TableName, location: String): Unit = {
+    val p = pointerPath(name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(location.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def deletePointer(name: TableName): Unit = {
+    val p = pointerPath(name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  private[etl] def readPointer(name: TableName): Option[String] = {
+    val p = pointerPath(name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
+          .filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
 
   // ------------------------------------------------------ full load (D1-D7)
   /** Load a set of relations in execution order (load.py:1131-1214):
@@ -453,6 +509,7 @@ final class Warehouse(
           case Some(loc) =>
             registerAt(std, loc, d)                           // L3 promote
             spark.sql(s"DROP TABLE IF EXISTS ${stg.quoted}")
+            deletePointer(stg)   // its build now lives behind the standard pointer
           case None => ()
         }
       }
@@ -611,11 +668,30 @@ final class Warehouse(
       Seq(SchemaPosition.Standard, SchemaPosition.Staging, SchemaPosition.Backup)
     val deleted = mutable.Buffer[String]()
     relations.filterNot(_.isView).foreach { rel =>
-      val live: Set[String] = positions
-        .flatMap(pos => locationOf(rel.name.inPosition(pos)))
+      // Live = session catalog ∪ the persisted pointers manifest: a
+      // standalone `Cli vacuum` runs with an EMPTY in-memory catalog,
+      // and before the manifest existed that resolved zero live
+      // locations — and deleted every build, standard and backup
+      // included. The manifest is the cross-JVM source of truth.
+      val posNames = positions.map(rel.name.inPosition)
+      val live: Set[String] = posNames
+        .flatMap(n => locationOf(n).toSeq ++ readPointer(n).toSeq)
         .map(loc => qualified(new Path(loc)))
         .toSet
-      positions.map(rel.name.inPosition).foreach { posName =>
+      val hasData = posNames.exists { posName =>
+        val tableDir =
+          new Path(s"$warehouseDir/data/${posName.schema}.${posName.table}")
+        tableDir.getFileSystem(hadoopConf).exists(tableDir)
+      }
+      if (live.isEmpty) {
+        // Fail-safe: data on disk but NO resolvable live pointer means
+        // we cannot tell dead builds from live ones (e.g. a pre-manifest
+        // warehouse vacuumed from a fresh JVM). Refuse to guess.
+        if (hasData) System.err.println(
+          s"[vacuum] refusing '${rel.identifier}': build data exists but no " +
+            "live location is resolvable (catalog or pointers manifest); " +
+            "re-run a load/publish to establish pointers first")
+      } else posNames.foreach { posName =>
         val tableDir =
           new Path(s"$warehouseDir/data/${posName.schema}.${posName.table}")
         val fs = tableDir.getFileSystem(hadoopConf)

@@ -70,7 +70,7 @@ case class BoundedTopK(
     if (score.dataType == DoubleType && id.dataType == LongType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"bounded_topk expects (double, long, int), got " +
+      s"bounded_topk expects (score: double, id: long), got " +
         s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
@@ -141,8 +141,20 @@ object BoundedTopK {
   def builder(children: Seq[Expression]): Expression = {
     require(children.size == 3,
       s"bounded_topk(score, id, k) takes 3 arguments, got ${children.size}")
-    BoundedTopK(children(0), children(1),
-      children(2).eval().asInstanceOf[Number].intValue)
+    // `k` sizes the aggregation buffer at plan time, so it must be a
+    // foldable integral literal — anything else would previously
+    // surface as an opaque ClassCastException from the cast below.
+    val kExpr = children(2)
+    val k = (if (kExpr.foldable) Option(kExpr.eval()) else None) match {
+      case Some(v: java.lang.Integer) => v.intValue
+      case Some(v: java.lang.Long) if v >= 1 && v <= Int.MaxValue => v.intValue
+      case Some(v: java.lang.Short) => v.intValue
+      case Some(v: java.lang.Byte) => v.intValue
+      case _ => throw new IllegalArgumentException(
+        s"bounded_topk k must be a foldable integral literal " +
+          s"(tinyint/smallint/int/bigint), got ${kExpr.sql}")
+    }
+    BoundedTopK(children(0), children(1), k)
   }
 
   /** Idempotent per-session registration (the [[graft.etl.Extract]]

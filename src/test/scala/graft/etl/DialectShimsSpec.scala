@@ -130,4 +130,15 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT 'a SIMILAR TO b' AS s FROM t")
     assert(untouched.contains("'a SIMILAR TO b'"))
   }
+
+  test("SQL containing a NUL character is rejected, not silently corrupted") {
+    // NUL is the mask placeholder delimiter: input NULs could misindex
+    // the saved-literal table. The shim must refuse up front.
+    val e = intercept[IllegalArgumentException](
+      DialectShims.rewriteRedshiftSql("SELECT 'a\u0000b' AS s FROM t"))
+    assert(e.getMessage.contains("NUL"))
+    // NUL-free SQL still passes through the same entry point
+    assert(DialectShims.rewriteRedshiftSql("SELECT 'ab' AS s FROM t")
+      .contains("'ab'"))
+  }
 }

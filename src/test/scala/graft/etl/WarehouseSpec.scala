@@ -355,6 +355,43 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep`.`top_nations`").count() == 3)
   }
 
+  test("vacuum is fail-safe without a session catalog (fresh-JVM Cli vacuum)") {
+    val dir = Files.createTempDirectory("graft_vac_safe_").toString
+    val wh = new Warehouse(spark, dir, sfDir)
+    def gen(n: Int) =
+      Seq(srcNation, ctasTop(s"SELECT n_name FROM src.nation WHERE n_nationkey < $n"))
+    wh.loadWithStagingAndPublish(gen(5))
+    wh.loadWithStagingAndPublish(gen(3))   // standard=v2, backup=v1: all live
+    def buildDirs(table: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/data/etl_staging__$table")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    }
+    assert(buildDirs("rep.top_nations").size == 2)
+    // Simulate a fresh JVM: the in-memory catalog knows nothing about
+    // this warehouse. (Dropping the tables is the closest a shared
+    // test session can get — a real fresh JVM starts with none.)
+    Seq("`src`.`nation`", "`rep`.`top_nations`",
+      "`etl_backup__src`.`nation`", "`etl_backup__rep`.`top_nations`")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // The pointers manifest keeps the live set non-empty: vacuum from a
+    // catalog-less JVM must delete NOTHING (both builds are live).
+    val deleted = new Warehouse(spark, dir, sfDir).vacuum(gen(3))
+    assert(deleted.isEmpty, s"fresh-JVM vacuum deleted live data: $deleted")
+    assert(buildDirs("rep.top_nations").size == 2)
+    assert(buildDirs("src.nation").size == 2)
+    // Without the manifest either (pre-manifest warehouse): the live
+    // set resolves empty over existing data — vacuum must REFUSE, not
+    // treat everything as dead.
+    val pointers = new java.io.File(s"$dir/pointers")
+    pointers.listFiles().foreach(_.delete())
+    assert(pointers.delete())
+    val deleted2 = new Warehouse(spark, dir, sfDir).vacuum(gen(3))
+    assert(deleted2.isEmpty, s"pointer-less vacuum deleted data: $deleted2")
+    assert(buildDirs("rep.top_nations").size == 2)
+    assert(buildDirs("src.nation").size == 2)
+  }
+
   test("publish re-points an existing table without dropping it (no reader gap)") {
     val wh = freshWarehouse()
     val rels = Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5"))
@@ -384,6 +421,24 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.catalyst.TableIdentifier("top_nations", Some("rep")))
     assert(meta.stats.isDefined, "ANALYZE must record stats post-publish")
     assert(meta.stats.get.rowCount.contains(BigInt(5)))
+  }
+
+  test("publish re-point clears stale CBO stats from a prior ANALYZE") {
+    val wh = freshWarehouse()
+    def gen(n: Int) =
+      Seq(srcNation, ctasTop(s"SELECT n_name FROM src.nation WHERE n_nationkey < $n"))
+    wh.loadWithStagingAndPublish(gen(5), analyzeAfter = true)
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier("top_nations", Some("rep"))
+    assert(spark.sessionState.catalog.getTableMetadata(ident)
+      .stats.get.rowCount.contains(BigInt(5)))
+    // Re-publish WITHOUT analyze: the ALTER ... SET LOCATION swap must
+    // not leave the 5-row stats describing the new 3-row data — the
+    // CBO would plan (and broadcast) against last night's counts.
+    wh.loadWithStagingAndPublish(gen(3))
+    val after = spark.sessionState.catalog.getTableMetadata(ident)
+    assert(after.stats.isEmpty,
+      s"stale stats survived the re-point: ${after.stats}")
+    assert(spark.table("`rep`.`top_nations`").count() == 3)
   }
 
   test("maxConcurrency bounds the level-parallel build fan-out") {

@@ -141,4 +141,20 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     val covered = specs.flatMap { case (_, start, width) => start until (start + width) }
     assert(covered.sorted == (0 until 60).toList)
   }
+
+  test("bounded_topk rejects a non-literal or non-integral k with a typed error") {
+    BoundedTopK.register(spark)
+    val df = spark.range(5).selectExpr("CAST(id AS DOUBLE) AS s", "id")
+    // non-foldable k (a column reference)
+    val e1 = intercept[Exception](
+      df.selectExpr("bounded_topk(s, id, id)").collect())
+    assert(e1.getMessage.contains("foldable integral literal"), e1.getMessage)
+    // non-integral k (a string literal)
+    val e2 = intercept[Exception](
+      df.selectExpr("bounded_topk(s, id, 'three')").collect())
+    assert(e2.getMessage.contains("foldable integral literal"), e2.getMessage)
+    // a bigint literal is fine
+    assert(df.groupBy().agg(expr("bounded_topk(s, id, 2L)").as("t"))
+      .selectExpr("size(t)").collect().head.getInt(0) == 2)
+  }
 }

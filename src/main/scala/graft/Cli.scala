@@ -107,8 +107,11 @@ object Cli {
         results.foreach(r =>
           println(s"[load] ${r.identifier}: ${r.rowcount} rows" +
             (if (r.skipped) " (skip copy)" else "")))
-        if (opts.contains("vacuum"))
-          wh.vacuum(rels).foreach(p => println(s"[vacuum] deleted $p"))
+        if (opts.contains("vacuum")) {
+          val vr = wh.vacuum(rels)
+          vr.deleted.foreach(p => println(s"[vacuum] deleted $p"))
+          vr.refused.foreach(id => System.err.println(s"[vacuum] refused $id"))
+        }
       case "update" =>
         warehouse.updateRelations(designs, selector,
           scheduledStartMs = opts.get("scheduled-start-time").map(parseEpochMs),
@@ -118,10 +121,17 @@ object Cli {
           .foreach(r =>
             println(s"[update] ${r.identifier}: ${r.rowcount} rows"))
       case "vacuum" =>
-        val dead = warehouse.vacuum(
+        val vr = warehouse.vacuum(
           designs.filter(r => selector.matches(r.name)))
-        dead.foreach(p => println(s"[vacuum] deleted $p"))
-        println(s"[vacuum] ${dead.size} superseded build location(s) removed")
+        vr.deleted.foreach(p => println(s"[vacuum] deleted $p"))
+        println(s"[vacuum] ${vr.deleted.size} superseded build location(s) removed")
+        // "refused to act" must be distinguishable from "nothing to
+        // reclaim" by automation: non-zero exit when anything was refused
+        if (vr.refused.nonEmpty) {
+          System.err.println(s"[vacuum] refused ${vr.refused.size} relation(s): " +
+            vr.refused.mkString(", "))
+          sys.exit(1)
+        }
       case "extract" =>
         // The reference's extract lands gzip-CSV + manifest per
         // relation (extract/extractor.py:203-260); same artifact shape

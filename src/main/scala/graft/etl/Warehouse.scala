@@ -19,6 +19,13 @@ final case class BuildResult(
     rowcount: Long,
     skipped: Boolean = false)
 
+/** Outcome of [[Warehouse.vacuum]]: `deleted` build locations, plus
+  * the relations it REFUSED to touch because no live location was
+  * resolvable (or a pointer file was unreadable). Automation must be
+  * able to tell "nothing to reclaim" from "refused to act" — `Cli
+  * vacuum` exits non-zero when `refused` is non-empty. */
+final case class VacuumResult(deleted: Seq[String], refused: Seq[String])
+
 /** The load engine: the reference's `build_one_relation` + schema
   * lifecycle, on the Spark catalog
   * (/root/reference/python/etl/load.py:703-744, 497-551,
@@ -354,12 +361,30 @@ final class Warehouse(
     new org.apache.hadoop.fs.Path(
       s"$warehouseDir/pointers/${name.schema}.${name.table}")
 
+  /** Pointer writes must be ATOMIC: `fs.create(p, overwrite)` truncates
+    * in place, so a crash mid-write leaves an empty pointer — and if any
+    * OTHER position's pointer survives, vacuum's live set is non-empty,
+    * the fail-safe does not trigger, and the build whose pointer was
+    * lost gets deleted. Write a temp file and rename over the target
+    * (atomic on HDFS/local; object stores emulate rename — their
+    * non-atomicity is why [[pointerState]] ALSO treats a
+    * present-but-empty pointer as unresolvable and vacuum refuses). */
   private def writePointer(name: TableName, location: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = pointerPath(name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(location.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // FileContext.rename(OVERWRITE): the only Hadoop rename with
+    // defined replace-existing semantics across schemes.
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(p).toUri, conf)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def deletePointer(name: TableName): Unit = {
@@ -368,22 +393,42 @@ final class Warehouse(
     if (fs.exists(p)) fs.delete(p, false)
   }
 
-  private[etl] def readPointer(name: TableName): Option[String] = {
+  /** What a position's on-disk pointer says. `Unresolvable` (present
+    * but empty/unreadable — a torn write) is distinct from `Absent`:
+    * vacuum must REFUSE the relation on an unresolvable pointer, never
+    * filter it down to "no pointer" and carry on. */
+  private[etl] sealed trait PointerState
+  private[etl] case object PointerAbsent extends PointerState
+  private[etl] case object PointerUnresolvable extends PointerState
+  private[etl] final case class PointerLive(location: String) extends PointerState
+
+  private[etl] def pointerState(name: TableName): PointerState = {
     val p = pointerPath(name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) PointerAbsent
     else {
-      val in = fs.open(p)
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
-          .filter(_.nonEmpty)
-      } finally in.close()
+      val content = try {
+        val in = fs.open(p)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+      content match {
+        case Some(loc) if loc.nonEmpty => PointerLive(loc)
+        case _ => PointerUnresolvable
+      }
     }
   }
+
+  private[etl] def readPointer(name: TableName): Option[String] =
+    pointerState(name) match {
+      case PointerLive(loc) => Some(loc)
+      case _ => None
+    }
 
   // ------------------------------------------------------ full load (D1-D7)
   /** Load a set of relations in execution order (load.py:1131-1214):
@@ -499,7 +544,14 @@ final class Warehouse(
         // first; any OTHER failure must surface untouched
         val holdsTable = spark.catalog.tableExists(std.identifier) &&
           spark.catalog.getTable(std.identifier).tableType != "VIEW"
-        if (holdsTable) spark.sql(s"DROP TABLE ${std.quoted}")
+        if (holdsTable) {
+          spark.sql(s"DROP TABLE ${std.quoted}")
+          // the dropped table's pointer would otherwise permanently
+          // mark its (now dead) build location live in vacuum's set —
+          // and pin a re-used location if the relation reverts to a
+          // table later
+          deletePointer(std)
+        }
         spark.sql(s"CREATE OR REPLACE VIEW ${std.quoted} AS $q")
         spark.sql(s"DROP VIEW IF EXISTS ${stg.quoted}")
       } else {
@@ -656,8 +708,10 @@ final class Warehouse(
     *
     * Run it after publish (or offline); it must not run concurrently
     * with a load, whose newest build directory is unreferenced until
-    * the write's own registration. Returns the deleted locations. */
-  def vacuum(relations: Seq[Relation]): Seq[String] = {
+    * the write's own registration. Returns the deleted locations plus
+    * the relations refused (unresolvable live set) — callers surface
+    * refusals, they are not "nothing to do". */
+  def vacuum(relations: Seq[Relation]): VacuumResult = {
     import org.apache.hadoop.fs.Path
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     def qualified(p: Path): String = {
@@ -667,6 +721,7 @@ final class Warehouse(
     val positions =
       Seq(SchemaPosition.Standard, SchemaPosition.Staging, SchemaPosition.Backup)
     val deleted = mutable.Buffer[String]()
+    val refused = mutable.Buffer[String]()
     relations.filterNot(_.isView).foreach { rel =>
       // Live = session catalog ∪ the persisted pointers manifest: a
       // standalone `Cli vacuum` runs with an EMPTY in-memory catalog,
@@ -674,8 +729,9 @@ final class Warehouse(
       // locations — and deleted every build, standard and backup
       // included. The manifest is the cross-JVM source of truth.
       val posNames = positions.map(rel.name.inPosition)
-      val live: Set[String] = posNames
-        .flatMap(n => locationOf(n).toSeq ++ readPointer(n).toSeq)
+      val states = posNames.map(pointerState)
+      val live: Set[String] = posNames.flatMap(n => locationOf(n).toSeq)
+        .++(states.collect { case PointerLive(loc) => loc })
         .map(loc => qualified(new Path(loc)))
         .toSet
       val hasData = posNames.exists { posName =>
@@ -683,14 +739,26 @@ final class Warehouse(
           new Path(s"$warehouseDir/data/${posName.schema}.${posName.table}")
         tableDir.getFileSystem(hadoopConf).exists(tableDir)
       }
-      if (live.isEmpty) {
+      if (states.contains(PointerUnresolvable)) {
+        // A pointer file EXISTS but cannot be read (torn write): one
+        // position's live location is unknown, so any delete might hit
+        // it. Refuse the whole relation — even if other positions
+        // resolve.
+        refused += rel.identifier
+        System.err.println(
+          s"[vacuum] refusing '${rel.identifier}': a pointer file exists but is " +
+            "empty/unreadable; re-run a load/publish to rewrite pointers first")
+      } else if (live.isEmpty) {
         // Fail-safe: data on disk but NO resolvable live pointer means
         // we cannot tell dead builds from live ones (e.g. a pre-manifest
         // warehouse vacuumed from a fresh JVM). Refuse to guess.
-        if (hasData) System.err.println(
-          s"[vacuum] refusing '${rel.identifier}': build data exists but no " +
-            "live location is resolvable (catalog or pointers manifest); " +
-            "re-run a load/publish to establish pointers first")
+        if (hasData) {
+          refused += rel.identifier
+          System.err.println(
+            s"[vacuum] refusing '${rel.identifier}': build data exists but no " +
+              "live location is resolvable (catalog or pointers manifest); " +
+              "re-run a load/publish to establish pointers first")
+        }
       } else posNames.foreach { posName =>
         val tableDir =
           new Path(s"$warehouseDir/data/${posName.schema}.${posName.table}")
@@ -705,6 +773,6 @@ final class Warehouse(
         }
       }
     }
-    deleted.toSeq
+    VacuumResult(deleted.toSeq, refused.toSeq)
   }
 }

@@ -335,7 +335,7 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
     }
     assert(buildDirs("rep.top_nations").size == 3)
-    val deleted = wh.vacuum(gen(7))
+    val deleted = wh.vacuum(gen(7)).deleted
     // exactly the one unreferenced build per table is gone
     assert(buildDirs("rep.top_nations").size == 2,
       s"expected 2 live builds, got ${buildDirs("rep.top_nations")}; deleted=$deleted")
@@ -344,14 +344,16 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // standard and backup still read correctly after the deletes
     assert(spark.table("`rep`.`top_nations`").count() == 7)
     assert(spark.table("`etl_backup__rep`.`top_nations`").count() == 3)
-    // idempotent: a second vacuum finds nothing to delete
-    assert(wh.vacuum(gen(7)).isEmpty)
+    // idempotent: a second vacuum finds nothing to delete (and nothing
+    // was refused — this is a genuine "nothing to reclaim")
+    val second = wh.vacuum(gen(7))
+    assert(second.deleted.isEmpty && second.refused.isEmpty)
     // and restore still works (backup location was kept)
     wh.restoreFromBackup(gen(7))
     assert(spark.table("`rep`.`top_nations`").count() == 3)
     // restore re-points standard at the backup location, orphaning the
     // v3 builds — the next vacuum reclaims exactly those
-    assert(wh.vacuum(gen(7)).size == 2)
+    assert(wh.vacuum(gen(7)).deleted.size == 2)
     assert(spark.table("`rep`.`top_nations`").count() == 3)
   }
 
@@ -376,20 +378,74 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     // The pointers manifest keeps the live set non-empty: vacuum from a
     // catalog-less JVM must delete NOTHING (both builds are live).
-    val deleted = new Warehouse(spark, dir, sfDir).vacuum(gen(3))
-    assert(deleted.isEmpty, s"fresh-JVM vacuum deleted live data: $deleted")
+    val res = new Warehouse(spark, dir, sfDir).vacuum(gen(3))
+    assert(res.deleted.isEmpty, s"fresh-JVM vacuum deleted live data: ${res.deleted}")
+    assert(res.refused.isEmpty)
     assert(buildDirs("rep.top_nations").size == 2)
     assert(buildDirs("src.nation").size == 2)
+    // A TORN pointer write (file present but empty) makes the relation's
+    // live set unresolvable: vacuum must refuse that relation even though
+    // the other positions' pointers survive — else the build whose
+    // pointer was lost looks dead and gets deleted.
+    val nationPtr = new java.io.File(s"$dir/pointers/src.nation")
+    assert(nationPtr.exists())
+    java.nio.file.Files.write(nationPtr.toPath, Array.emptyByteArray)
+    val torn = new Warehouse(spark, dir, sfDir).vacuum(gen(3))
+    assert(torn.refused == Seq("src.nation"),
+      s"empty pointer must refuse src.nation, got $torn")
+    assert(buildDirs("src.nation").size == 2,
+      "refusal must leave every build in place")
     // Without the manifest either (pre-manifest warehouse): the live
     // set resolves empty over existing data — vacuum must REFUSE, not
     // treat everything as dead.
     val pointers = new java.io.File(s"$dir/pointers")
     pointers.listFiles().foreach(_.delete())
     assert(pointers.delete())
-    val deleted2 = new Warehouse(spark, dir, sfDir).vacuum(gen(3))
-    assert(deleted2.isEmpty, s"pointer-less vacuum deleted data: $deleted2")
+    val res2 = new Warehouse(spark, dir, sfDir).vacuum(gen(3))
+    assert(res2.deleted.isEmpty, s"pointer-less vacuum deleted data: ${res2.deleted}")
+    assert(res2.refused.sorted == Seq("rep.top_nations", "src.nation"),
+      s"pointer-less vacuum over existing data must surface refusals, got $res2")
     assert(buildDirs("rep.top_nations").size == 2)
     assert(buildDirs("src.nation").size == 2)
+  }
+
+  test("pointer writes are temp+rename (no truncate-in-place window)") {
+    val dir = Files.createTempDirectory("graft_ptr_").toString
+    val wh = new Warehouse(spark, dir, sfDir)
+    wh.loadRelations(Seq(srcNation))
+    val pointers = new java.io.File(s"$dir/pointers")
+    // the rename cleaned up every temp file and the pointer is readable
+    assert(pointers.listFiles().map(_.getName).toSeq == Seq("src.nation"),
+      s"stray files in pointers dir: ${pointers.listFiles().map(_.getName).toSeq}")
+    assert(wh.readPointer(TableName.parse("src.nation")).exists(_.nonEmpty))
+    // overwrite (second build) goes through the same rename path
+    wh.loadRelations(Seq(srcNation))
+    assert(pointers.listFiles().map(_.getName).toSeq == Seq("src.nation"))
+  }
+
+  test("publish drops the standard pointer when a table becomes a view") {
+    val dir = Files.createTempDirectory("graft_kind_").toString
+    val wh = new Warehouse(spark, dir, sfDir)
+    val asTable = rel(
+      """name: rep.kind_change
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: n_name
+        |    type: string
+        |query: SELECT n_name FROM src.nation WHERE n_nationkey < 5
+        |""".stripMargin)
+    wh.loadWithStagingAndPublish(Seq(srcNation, asTable))
+    val ptr = new java.io.File(s"$dir/pointers/rep.kind_change")
+    assert(ptr.exists(), "published table must have a pointer")
+    // same name re-published as a VIEW: the DROP TABLE must take the
+    // stale pointer with it, else the dead build location stays "live"
+    // in vacuum's set forever
+    val asView = asTable.copy(design = asTable.design.copy(sourceName = "VIEW",
+      columns = asTable.design.columns.map(c => ColumnDef(c.name))))
+    wh.loadWithStagingAndPublish(Seq(srcNation, asView))
+    assert(!ptr.exists(), "table->view publish left a stale standard pointer")
+    assert(spark.table("`rep`.`kind_change`").count() == 5)
   }
 
   test("publish re-points an existing table without dropping it (no reader gap)") {

@@ -19,9 +19,9 @@ object Cli {
     System.err.println(
       """usage: graft.Cli <command> [options]
         |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum]
-        |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N]
+        |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
         |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN]
-        |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro]
+        |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro] [--use-sampling]
         |  unload         --designs DIR --out DIR [--select PATTERN]
         |  validate       --designs DIR
         |  show_ddl       --designs DIR [--select PATTERN]
@@ -110,7 +110,13 @@ object Cli {
         if (opts.contains("vacuum")) {
           val vr = wh.vacuum(rels)
           vr.deleted.foreach(p => println(s"[vacuum] deleted $p"))
-          vr.refused.foreach(id => System.err.println(s"[vacuum] refused $id"))
+          // same exit contract as the standalone vacuum command:
+          // "refused to act" must not look like "nothing to reclaim"
+          if (vr.refused.nonEmpty) {
+            System.err.println(s"[vacuum] refused ${vr.refused.size} relation(s): " +
+              vr.refused.mkString(", "))
+            sys.exit(1)
+          }
         }
       case "update" =>
         warehouse.updateRelations(designs, selector,
@@ -140,7 +146,8 @@ object Cli {
         val out = opts.getOrElse("out", usage())
         designs.filter(r => r.design.isSourceTable && selector.matches(r.name))
           .foreach { r =>
-            val df = Extract.sourceDataFrame(spark, data, r.design)
+            val df = Extract.sourceDataFrame(spark, data, r.design,
+              useSampling = opts.contains("use-sampling"))
             val n = opts.getOrElse("format", "csv") match {
               case "avro" =>
                 val dest = s"$out/${r.identifier}"

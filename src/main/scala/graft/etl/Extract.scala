@@ -127,15 +127,12 @@ object Extract {
       if (conds.nonEmpty) Some(conds.mkString(" AND ")) else None)
   }
 
-  /** Assemble a partitioned JDBC read from a design + plan: the whole
-    * of S1-S5 as reader options. The dbtable is the cast projection
-    * subquery (S2, database_extractor.py:122-154) so column
-    * expressions and the condition are pushed INTO the source query.
-    * Bounds come from running the boundary query through the same
-    * reader (caller supplies them to keep this function pure). */
-  def jdbcReader(spark: SparkSession, url: String, design: TableDesign,
-                 plan: PartitionPlan, lowerBound: Long, upperBound: Long,
-                 props: Map[String, String] = Map.empty): DataFrameReader = {
+  /** The cast-projection subquery pushed INTO the source database
+    * (S2, database_extractor.py:122-154): column expressions, the
+    * extract/sampling condition, and — for a temporal split key — the
+    * epoch-cast projection. Pure, so tests can assert what reaches
+    * the source verbatim. */
+  def subquery(design: TableDesign, plan: PartitionPlan): String = {
     val baseCols = design.activeColumns.map { c =>
       if (c.expression.nonEmpty) s"${c.expression} AS ${c.name}" else c.name
     }
@@ -148,7 +145,19 @@ object Extract {
       .map(e => s"$e AS graft_split_epoch")
     val cols = (baseCols ++ splitProjection).mkString(", ")
     val where = plan.condition.map(c => s" WHERE $c").getOrElse("")
-    val dbtable = s"(SELECT $cols FROM ${design.name.table}$where) sub"
+    s"(SELECT $cols FROM ${design.name.table}$where) sub"
+  }
+
+  /** Assemble a partitioned JDBC read from a design + plan: the whole
+    * of S1-S5 as reader options. Bounds come from running the boundary
+    * query through the same reader (caller supplies them to keep this
+    * function pure). */
+  def jdbcReader(spark: SparkSession, url: String, design: TableDesign,
+                 plan: PartitionPlan, lowerBound: Long, upperBound: Long,
+                 props: Map[String, String] = Map.empty): DataFrameReader = {
+    val splitProjection = plan.partitionColumn
+      .filterNot(e => design.activeColumns.exists(_.name == e))
+    val dbtable = subquery(design, plan)
     val r0 = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", dbtable)
@@ -164,13 +173,17 @@ object Extract {
     }
   }
 
-  /** COPY stand-in read (S10, dialect/redshift.py:297-369): read a
-    * relation's upstream extract (parquet stand-in), enforce the
-    * design's column set, order, types (schema-on-load) and the
-    * extract condition — shared by [[Warehouse.sourceDataFrame]] and
-    * the CLI `extract` command. */
+  /** Upstream stand-in read (the extract side of S1-S6 when the
+    * "database" is a parquet drop): enforce the design's column set,
+    * order, types (schema-on-load), the extract condition, and — with
+    * `useSampling` — the reference's `MOD(key, 10) = 1` predicate for
+    * tables over the 100 MB sampling floor
+    * (database_extractor.py:38-41, 141-152). Used by the CLI `extract`
+    * command and as the load path's fallback when no extract artifact
+    * exists. */
   def sourceDataFrame(spark: SparkSession, sourceDir: String,
-                      design: TableDesign): DataFrame = {
+                      design: TableDesign,
+                      useSampling: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val raw = spark.read.parquet(s"$sourceDir/${design.name.table}.parquet")
     val projected = design.activeColumns.map { c =>
@@ -181,9 +194,30 @@ object Extract {
       case Some(es) if es.condition.nonEmpty => raw.filter(es.condition)
       case _ => raw
     }
-    val selected = withCond.select(projected: _*)
-    // TRUNCATECOLUMNS (dialect/redshift.py:348): the reference COPY
-    // always truncates strings to the declared varchar BYTE length.
+    val sampled =
+      if (useSamplingWithTable(standInSize(spark, sourceDir, design), useSampling))
+        findPartitionKey(design)
+          .map(k => withCond.filter(expr(samplingCondition(k))))
+          .getOrElse(withCond)
+      else withCond
+    applyTruncateColumns(spark, design, sampled.select(projected: _*))
+  }
+
+  /** On-disk footprint of the parquet stand-in — the `table_size`
+    * input to the sampling floor and partition heuristics. */
+  private[etl] def standInSize(spark: SparkSession, sourceDir: String,
+                               design: TableDesign): Long = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$sourceDir/${design.name.table}.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** TRUNCATECOLUMNS (dialect/redshift.py:348): the reference COPY
+    * always truncates strings to the declared varchar BYTE length. */
+  private def applyTruncateColumns(spark: SparkSession, design: TableDesign,
+                                   selected: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
     val bounded = design.activeColumns.flatMap(c =>
       varcharBytes(c).map(c.name -> _))
     if (bounded.isEmpty) selected
@@ -192,6 +226,54 @@ object Extract {
       bounded.foldLeft(selected) { case (df, (name, n)) =>
         df.withColumn(name, expr(s"trunc_utf8_bytes(`$name`, $n)"))
       }
+    }
+  }
+
+  /** COPY (S10, dialect/redshift.py:297-369 + config/dw.py:33-50): the
+    * load-path read. When the source dir holds an extract ARTIFACT for
+    * this relation — `<schema>.<table>/manifest.json`, the exact shape
+    * `Cli extract` (and the reference's extractor) lands — ingest it
+    * the way the reference's `COPY ... FROM manifest` does, sniffing
+    * the format from the manifest's part files: gzip CSV (the default
+    * `DELIMITER ',' ... GZIP` contract), `AVRO 'auto'`, or
+    * `JSON 'auto'`. Expressions and extract conditions are NOT
+    * re-applied — the artifact already carries them (COPY is a straight
+    * load) — but TRUNCATECOLUMNS is, as in the reference's COPY
+    * statement. Falls back to the parquet stand-in when no artifact
+    * exists. */
+  def copyDataFrame(spark: SparkSession, sourceDir: String,
+                    design: TableDesign): DataFrame = {
+    val dir = s"$sourceDir/${design.name.identifier}"
+    manifestFormat(spark, dir) match {
+      case Some(format) =>
+        val raw = StaticSource.read(spark, design, dir, format)
+        applyTruncateColumns(spark, design, raw)
+      case None => sourceDataFrame(spark, sourceDir, design)
+    }
+  }
+
+  /** Sniff the COPY format from the manifest's entries (the manifest
+    * is metadata-sized — one line per part file). None ⇒ no artifact. */
+  private[etl] def manifestFormat(spark: SparkSession, dir: String): Option[String] = {
+    val m = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val urls = """"url"\s*:\s*"([^"]+)"""".r
+        .findAllMatchIn(text).map(_.group(1)).toSeq
+      Some(urls match {
+        case us if us.exists(_.endsWith(".avro")) => "avro"
+        case us if us.exists(u => u.endsWith(".json") || u.endsWith(".json.gz")) => "json"
+        case _ => "csv"   // the reference's default COPY contract
+      })
     }
   }
 

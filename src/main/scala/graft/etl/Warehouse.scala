@@ -196,12 +196,13 @@ final class Warehouse(
       (r, Some(r.rowcount))
     }
 
-  /** COPY stand-in (S10, dialect/redshift.py:297-369): read the
-    * upstream extract (parquet here; the reference reads gzip CSV/JSON
-    * from a manifest), enforce the design's column set, order, types
-    * (schema-on-load) and the extract condition/sampling predicate. */
+  /** COPY (S10, dialect/redshift.py:297-369): ingest the relation's
+    * upstream extract. A manifest artifact (`<schema>.<table>/` with
+    * gzip CSV / Avro / JSON part files — what `Cli extract` writes) is
+    * loaded as the reference's `COPY ... FROM manifest` would; a bare
+    * parquet stand-in is read directly. */
   def sourceDataFrame(design: TableDesign): DataFrame =
-    Extract.sourceDataFrame(spark, sourceDir, design)
+    Extract.copyDataFrame(spark, sourceDir, design)
 
   /** CTAS materialization (T1/T2/T3, load.py:467-551): run the
     * rewritten query, enforce design column order, assign the
@@ -361,6 +362,30 @@ final class Warehouse(
     new org.apache.hadoop.fs.Path(
       s"$warehouseDir/pointers/${name.schema}.${name.table}")
 
+  /** Pointer I/O goes through the RAW filesystem where the scheme has
+    * a checksumming wrapper (the local FS): `ChecksumFileSystem` writes
+    * a `.crc` sidecar next to every file and renames it with the
+    * target, so the pointers dir would accumulate sidecars — and a
+    * sidecar left stale by any raw-path write makes every later
+    * checksummed read fail (ChecksumException → pointer unresolvable →
+    * vacuum refuses a healthy relation). Pointers are self-validating
+    * (empty/unreadable ⇒ refuse), so client-side checksums add no
+    * safety here. HDFS/object stores are not `ChecksumFileSystem`s and
+    * pass through unchanged. */
+  private def pointerFs(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
+  /** Drop a `.crc` sidecar left by a pre-raw-path write, so legacy
+    * warehouses converge to sidecar-free pointer dirs. */
+  private def dropLegacySidecar(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): Unit = {
+    val crc = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+  }
+
   /** Pointer writes must be ATOMIC: `fs.create(p, overwrite)` truncates
     * in place, so a crash mid-write leaves an empty pointer — and if any
     * OTHER position's pointer survives, vacuum's live set is non-empty,
@@ -372,25 +397,37 @@ final class Warehouse(
   private def writePointer(name: TableName, location: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = pointerPath(name)
-    val fs = p.getFileSystem(conf)
+    val fs = pointerFs(p)
     fs.mkdirs(p.getParent)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
       s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(location.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // FileContext.rename(OVERWRITE): the only Hadoop rename with
-    // defined replace-existing semantics across schemes.
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(fs.makeQualified(p).toUri, conf)
-      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // POSIX rename(2) replaces the target atomically; Hadoop's
+        // FileContext route would re-wrap local in its checksum layer.
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"pointer rename failed: $tmp -> $p")
+        }
+      case _ =>
+        // FileContext.rename(OVERWRITE): the only Hadoop rename with
+        // defined replace-existing semantics across schemes.
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(fs.makeQualified(p).toUri, conf)
+          .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    dropLegacySidecar(fs, p)
   }
 
   private def deletePointer(name: TableName): Unit = {
     val p = pointerPath(name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = pointerFs(p)
     if (fs.exists(p)) fs.delete(p, false)
+    dropLegacySidecar(fs, p)
   }
 
   /** What a position's on-disk pointer says. `Unresolvable` (present
@@ -404,7 +441,7 @@ final class Warehouse(
 
   private[etl] def pointerState(name: TableName): PointerState = {
     val p = pointerPath(name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = pointerFs(p)
     if (!fs.exists(p)) PointerAbsent
     else {
       val content = try {
@@ -536,15 +573,22 @@ final class Warehouse(
         // Views re-point at standard-position references on promote.
         // CREATE OR REPLACE (not drop-then-create): a concurrent
         // reader never observes a missing relation.
-        spark.sql(s"DROP VIEW IF EXISTS ${bak.quoted}")
+        def holdsTable(n: TableName): Boolean =
+          spark.catalog.tableExists(n.identifier) &&
+            spark.catalog.getTable(n.identifier).tableType != "VIEW"
+        // A relation published as a table MORE than once also left a
+        // backup TABLE + pointer; a view is never restored from backup,
+        // and a stale backup pointer pins a dead build location as
+        // live if the relation reverts to a table.
+        if (holdsTable(bak)) spark.sql(s"DROP TABLE ${bak.quoted}")
+        else spark.sql(s"DROP VIEW IF EXISTS ${bak.quoted}")
+        deletePointer(bak)
         val q = rewriteQuery(rel.design.query, rel.design.dependsOn,
           SchemaPosition.Standard)
         // if the standard name currently holds a TABLE (relation kind
         // changed between runs), replace-view would fail — clear it
         // first; any OTHER failure must surface untouched
-        val holdsTable = spark.catalog.tableExists(std.identifier) &&
-          spark.catalog.getTable(std.identifier).tableType != "VIEW"
-        if (holdsTable) {
+        if (holdsTable(std)) {
           spark.sql(s"DROP TABLE ${std.quoted}")
           // the dropped table's pointer would otherwise permanently
           // mark its (now dead) build location live in vacuum's set —

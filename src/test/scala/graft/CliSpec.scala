@@ -100,6 +100,41 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(destA.resolve("manifest.json")))
   }
 
+  test("extract output round-trips through the warehouse COPY path (S10)") {
+    // The reference workflow: `arthur extract` lands gzip CSV + a COPY
+    // manifest; `arthur load` COPYs those files into the warehouse
+    // (dialect/redshift.py:297-369). The engine's own extract artifact
+    // must therefore be loadable by its own load path.
+    for (format <- Seq("csv", "avro")) {
+      val out = Files.createTempDirectory(s"graft_cli_rt_${format}_").toString
+      Cli.run(spark, "extract", Map(
+        "designs" -> designsDir, "data" -> dataDir, "out" -> out,
+        "select" -> "cli.region", "format" -> format))
+      val wh = Files.createTempDirectory(s"graft_cli_rtwh_${format}_").toString
+      // load with --data pointing at the EXTRACT output, not parquet
+      Cli.run(spark, "load", Map(
+        "designs" -> designsDir, "data" -> out, "warehouse" -> wh,
+        "select" -> "cli.region"))
+      val loaded = spark.table("`cli`.`region`")
+        .orderBy("r_regionkey").collect().toSeq
+      val expected = spark.read.parquet(s"$dataDir/region.parquet")
+        .selectExpr("CAST(r_regionkey AS INT) AS r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect().toSeq
+      assert(loaded == expected, s"$format round-trip mismatch")
+    }
+  }
+
+  test("extract --use-sampling is accepted; below 100MB the extract is complete") {
+    // database_extractor.py:38-41: sampling only kicks in over 100 MB —
+    // a small table must come through whole even with the flag set.
+    val out = Files.createTempDirectory("graft_cli_smp_").toString
+    Cli.run(spark, "extract", Map(
+      "designs" -> designsDir, "data" -> dataDir, "out" -> out,
+      "select" -> "cli.region", "use-sampling" -> "true"))
+    val back = graft.etl.Unload.reload(spark, s"$out/cli.region")
+    assert(back.count() == 5)
+  }
+
   test("cli unload writes the published relation; continue-from skips") {
     val wh = Files.createTempDirectory("graft_cli_wh2_").toString
     // continue-from cli.summary: region (earlier in execution order)

@@ -117,4 +117,17 @@ class ExtractSpec extends AnyFunSuite {
     val big = Extract.planPartitions(d, 1L << 31, useSampling = true)
     assert(big.condition.contains("v IS NOT NULL AND (MOD(k, 10) = 1)"))
   }
+
+  test("--use-sampling: the MOD(key,10)=1 predicate reaches the JDBC subquery") {
+    // commands.py:1022-1027 → database_extractor.py:141-152: the
+    // sampling predicate must be evaluated BY THE SOURCE, inside the
+    // pushed-down subquery — never client-side after a full read.
+    val d = designWith("")
+    val plan = Extract.planPartitions(d, 200L * 1024 * 1024, useSampling = true)
+    val sub = Extract.subquery(d, plan)
+    assert(sub.contains("WHERE (MOD(k, 10) = 1)"), sub)
+    // and without the flag the subquery is unfiltered
+    val plain = Extract.subquery(d, Extract.planPartitions(d, 200L * 1024 * 1024))
+    assert(!plain.contains("MOD"), plain)
+  }
 }

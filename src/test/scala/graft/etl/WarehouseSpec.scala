@@ -436,15 +436,22 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
         |query: SELECT n_name FROM src.nation WHERE n_nationkey < 5
         |""".stripMargin)
     wh.loadWithStagingAndPublish(Seq(srcNation, asTable))
+    // publish a SECOND time so a backup table + pointer exist
+    wh.loadWithStagingAndPublish(Seq(srcNation, asTable))
     val ptr = new java.io.File(s"$dir/pointers/rep.kind_change")
+    val bakPtr = new java.io.File(s"$dir/pointers/etl_backup__rep.kind_change")
     assert(ptr.exists(), "published table must have a pointer")
+    assert(bakPtr.exists(), "second publish must have backed up the table")
     // same name re-published as a VIEW: the DROP TABLE must take the
     // stale pointer with it, else the dead build location stays "live"
-    // in vacuum's set forever
+    // in vacuum's set forever — and the BACKUP pointer must go too, or
+    // it pins a dead build location live if the relation ever reverts
+    // to a table
     val asView = asTable.copy(design = asTable.design.copy(sourceName = "VIEW",
       columns = asTable.design.columns.map(c => ColumnDef(c.name))))
     wh.loadWithStagingAndPublish(Seq(srcNation, asView))
     assert(!ptr.exists(), "table->view publish left a stale standard pointer")
+    assert(!bakPtr.exists(), "table->view publish left a stale backup pointer")
     assert(spark.table("`rep`.`kind_change`").count() == 5)
   }
 

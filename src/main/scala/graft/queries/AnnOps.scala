@@ -436,24 +436,36 @@ object AnnOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = vecs.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val wq = Window.partitionBy($"query_id")
-      .orderBy($"q_cos".desc, $"cent_id")
+    // Probe ranking via BoundedTopK as well — the windowless plan:
+    // the per-query NProbe-nearest centroids fall out of a k-bounded
+    // aggregate over the (queries × nlist) probe table; same
+    // tie-break (q_cos DESC, cent_id ASC) as the oracle's window.
+    BoundedTopK.register(spark)
     val probes = queries.crossJoin(broadcast(cents))
-      .select($"query_id", $"q_emb", $"cent_id",
+      .select($"query_id", $"cent_id",
         cosine($"q_emb", $"c_emb").as("q_cos"))
-      .withColumn("rk", row_number().over(wq))
-      .filter($"rk" <= NProbe)
-      .select($"query_id", $"q_emb", $"cent_id".as("cell"))
+      .groupBy($"query_id")
+      .agg(expr(s"bounded_topk(q_cos, cent_id, $NProbe)").as("top"))
+      .select($"query_id", explode($"top").as("t"))
+      .select($"query_id", $"t.neighbor_id".as("cell"))
+      .join(queries, Seq("query_id"))   // re-attach q_emb (tiny side)
     val cands = cells.join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
     val scored = cands.join(vecs, Seq("vec_id"))
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine($"q_emb", $"embedding").as("cosine"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cosine".desc, $"neighbor_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= TopK)
-      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+    // Final ranking on the native BoundedTopK aggregate, like the
+    // brute-force path: the k-bounded partial state combines map-side
+    // in the rescore stage itself, so the shuffle carries
+    // ≤ #queries × #partitions × k tuples — a row_number window here
+    // would funnel every rescored candidate row through #queries
+    // window partitions first. Same tie-break (cosine DESC,
+    // neighbor_id ASC) as the oracle window.
+    scored.groupBy($"query_id")
+      .agg(expr(s"bounded_topk(cosine, neighbor_id, $TopK)").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.neighbor_id".as("neighbor_id"), $"col.cosine".as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 

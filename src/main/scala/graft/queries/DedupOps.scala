@@ -596,6 +596,47 @@ object DedupOps {
        |SELECT node AS doc_id, MIN(r) AS cluster
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- keep policy
+  /** The keep-policy step a real pipeline SHIPS: clusters → keep the
+    * min-`doc_id` representative of each dup cluster (plus every
+    * document the dedup never touched) → the filtered corpus with
+    * per-doc token counts. Composes [[dedupClusters]] end to end —
+    * the cluster id IS the component min, so "representative" is the
+    * predicate `cluster = doc_id`, no extra aggregation.
+    *
+    * Scale shape: one equi-join of the corpus against the label table
+    * on `doc_id`. The label table is dup-graph-sized — usually far
+    * smaller than the corpus but NOT provably sublinear (a heavily
+    * duplicated crawl can put most documents in pairs), so the join is
+    * hinted shuffle-hash, never broadcast, like the other corpus-scale
+    * dedup joins. Token counting rides the same scan that feeds the
+    * join — no second pass over the corpus. */
+  def dedupKeepPolicy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = minhashCandidatePairs(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = connectedComponents(spark, clusters)
+      .select($"doc_id".as("cdoc"), $"cluster")
+    Tables.load(spark, sfDir, "documents")
+      .join(labels.hint("shuffle_hash"), $"doc_id" === $"cdoc", "left")
+      .filter($"cdoc".isNull || $"cluster" === $"doc_id")
+      .select($"doc_id",
+        size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_tokens"),
+        coalesce($"cluster", $"doc_id").as("cluster"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle reuses the clusters closure verbatim, then applies the
+    * same keep predicate. */
+  val dedupKeepPolicySql: String =
+    s"""WITH labels AS (SELECT * FROM ($dedupClustersSql))
+       |SELECT d.doc_id,
+       |  CAST(len(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS BIGINT) AS n_tokens,
+       |  COALESCE(l.cluster, d.doc_id) AS cluster
+       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |WHERE l.doc_id IS NULL OR l.cluster = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------- decontamination
   /** Benchmark decontamination — the training-data hygiene step: flag
     * every training document sharing ≥ [[ContaminationMinShingles]]
@@ -654,6 +695,7 @@ object DedupOps {
     "dedup_simhash_docs" -> (simhashDocs _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_keep_policy" -> (dedupKeepPolicy _),
     "dedup_containment" -> ((sp, dir) => dedupContainment(sp, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -665,5 +707,6 @@ object DedupOps {
     "dedup_simhash_docs" -> simhashDocsSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_policy" -> dedupKeepPolicySql,
     "dedup_containment" -> dedupContainmentSql())
 }

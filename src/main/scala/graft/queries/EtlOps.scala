@@ -224,7 +224,61 @@ object EtlOps {
       |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_ts
       |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- S10
+  /** COPY format parity, end to end: `Cli extract` lands the
+    * reference's gzip-CSV artifact (quoted, `\N` nulls, COPY manifest,
+    * columns.yaml; /root/reference/python/etl/extract/extractor.py:203-260),
+    * and the WAREHOUSE load path ingests that artifact — not the
+    * parquet stand-in — exactly as the reference's
+    * `COPY ... FROM manifest` does (dialect/redshift.py:297-369).
+    * The emitted rows are the loaded table's: any format drift between
+    * the engine's own extract and its own COPY breaks the hash. */
+  def s10CopyCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.etl.{Relation, TableDesign, Warehouse}
+    val design = TableDesign.load(
+      """name: copysrc.supplier
+        |source_name: copysrc
+        |columns:
+        |  - name: s_suppkey
+        |    type: long
+        |    not_null: true
+        |  - name: s_name
+        |    type: string
+        |  - name: s_nationkey
+        |    type: int
+        |  - name: s_acctbal
+        |    type: double
+        |constraints:
+        |  - primary_key: [s_suppkey]
+        |""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("graft_copy_q_").toString
+    graft.Cli.run(spark, "extract", Map(
+      "designs" -> writeDesignDir(design), "data" -> sfDir, "out" -> out))
+    val whDir = java.nio.file.Files.createTempDirectory("graft_copy_wh_").toString
+    new Warehouse(spark, whDir, out).buildOneRelation(Relation(design))
+    spark.table("`copysrc`.`supplier`").orderBy($"s_suppkey")
+  }
+
+  /** A one-relation designs dir in the reference layout, so the entry
+    * exercises the REAL `Cli extract` command, not a shortcut. */
+  private def writeDesignDir(design: graft.etl.TableDesign): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_copy_designs_")
+    val schemaDir = root.resolve("schemas").resolve(design.name.schema)
+    java.nio.file.Files.createDirectories(schemaDir)
+    java.nio.file.Files.write(
+      schemaDir.resolve(s"${design.name.table}.yaml"),
+      graft.etl.TableDesign.toYaml(design)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    root.toString
+  }
+
+  val s10CopyCsvSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_copy_csv" -> (s10CopyCsv _),
     "s12_unload_roundtrip" -> (s12UnloadRoundtrip _),
     "c1_constraint_dup" -> (c1ConstraintDup _),
     "c1_pk_clean" -> (c1PkClean _),
@@ -236,6 +290,7 @@ object EtlOps {
     "p4_limit" -> (p4Limit _))
 
   val oracles: Map[String, String] = Map(
+    "s10_copy_csv" -> s10CopyCsvSql,
     "s12_unload_roundtrip" -> s12UnloadRoundtripSql,
     "c1_constraint_dup" -> c1ConstraintDupSql,
     "c1_pk_clean" -> c1PkCleanSql,

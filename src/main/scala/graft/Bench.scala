@@ -1,9 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private final case class Times(cold: Double, median: Double, spread: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Warm repetitions per query (median reported): multi-job queries
+    // (dedup_clusters, the dag_* lifecycle builds) show 2-7x
+    // run-to-run swing from GC/JIT/page-cache state, so a single
+    // sample cannot adjudicate a 2x regression. Median-of-3 plus the
+    // reported spread makes a real regression distinguishable from
+    // machine noise.
+    val warmRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,16 +31,18 @@ object Bench {
     // Failures are recorded (-1, excluded from total), never silently
     // folded into the timing.
     //
-    // Each query is executed TWICE, cache cleared between runs so the
-    // second run re-executes the full plan (persists re-materialize —
-    // nothing is reused); the reported time is the second run. The
-    // first execution of a query pays one-time costs unrelated to the
-    // plan — whole-stage-codegen compilation of its expressions and
-    // first-touch parquet footer reads — which land on whichever query
-    // alphabetically first touches a table/expression shape (round 2's
-    // "dedup_exact 9.9× regression" was exactly this: first query to
-    // read documents.parquet + compile normText, 4.2 s cold vs 0.4 s
-    // warm in a fresh JVM). Warm-but-fresh runs measure the plan.
+    // Each query is executed once COLD, then `warmRuns` more times,
+    // cache cleared between runs so every run re-executes the full
+    // plan (persists re-materialize — nothing is reused). The headline
+    // per-query number is the warm MEDIAN; cold and the warm spread
+    // (max - min) are reported alongside. The first execution of a
+    // query pays one-time costs unrelated to the plan — whole-stage
+    // codegen compilation of its expressions and first-touch parquet
+    // footer reads — which land on whichever query alphabetically
+    // first touches a table/expression shape (round 2's "dedup_exact
+    // 9.9x regression" was exactly this: first query to read
+    // documents.parquet + compile normText, 4.2 s cold vs 0.4 s warm
+    // in a fresh JVM). Warm-but-fresh runs measure the plan.
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
@@ -43,20 +54,24 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      try { val cold = once(); name -> (cold, once()) }
+      try {
+        val cold = once()
+        val warms = Seq.fill(warmRuns)(once()).sorted
+        name -> Times(cold, warms(warms.size / 2), warms.last - warms.head)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         failed ::= name
         spark.catalog.clearCache()
-        name -> (-1.0, -1.0)
+        name -> Times(-1.0, -1.0, -1.0)
       }
     }
-    def json(f: ((Double, Double)) => Double): String = results
+    def json(f: Times => Double): String = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, (_, w)) if w >= 0 => w }.sum
-    val coldTotal = results.collect { case (_, (c, _)) if c >= 0 => c }.sum
+    val total = results.collect { case (_, t) if t.median >= 0 => t.median }.sum
+    val coldTotal = results.collect { case (_, t) if t.cold >= 0 => t.cold }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._2)},"queries_cold":${json(_._1)},"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_spread":${json(_.spread)},"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

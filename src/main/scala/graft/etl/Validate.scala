@@ -54,9 +54,23 @@ object Validate {
   // ------------------------------------------------------------- C5
   /** Transform dry-run (validate.py:196-263): analyze the query
     * WITHOUT executing it; the dependencies derived from the plan and
-    * the output column order must match the design. */
-  def transformDryRun(spark: SparkSession, design: TableDesign): Seq[Finding] = {
+    * the output column order must match the design.
+    *
+    * Late-binding emulation (relation.py:475-498,
+    * validate.py:128,162-163,208): when the relation depends on a
+    * schema OUTSIDE the managed set, the reference validates it
+    * through a `WITH NO SCHEMA BINDING` view — creation succeeds and
+    * an unresolvable dependency is NOT an error. Spark views always
+    * bind at analysis, so the equivalent is: analyze, and if analysis
+    * fails for a relation with external dependencies, tolerate it
+    * (the query re-resolves at load time, when the external relation
+    * may exist). `managedSchemas = None` means every dependency is
+    * managed (strict binding — the standalone-call default). */
+  def transformDryRun(spark: SparkSession, design: TableDesign,
+                      managedSchemas: Option[Set[String]] = None): Seq[Finding] = {
     val id = design.name.identifier
+    val lateBinding = managedSchemas.exists(ms =>
+      design.dependsOn.exists(d => d.schema.nonEmpty && !ms.contains(d.schema)))
     try {
       val df = spark.sql(design.query)  // lazy: analysis only
       val actualCols = df.schema.fieldNames.toSeq
@@ -75,6 +89,8 @@ object Validate {
           Finding(id, "dry_run", s"depends_on lists '$d' which the query does not read"))
       colFindings ++ depFindings
     } catch {
+      case _: Exception if lateBinding =>
+        Seq.empty   // NO SCHEMA BINDING: unresolvable is not an error
       case e: Exception =>
         Seq(Finding(id, "dry_run", s"query failed analysis: ${e.getMessage}"))
     }
@@ -115,8 +131,12 @@ object Validate {
       catch { case e: TableDesignError =>
         Seq(Finding(r.identifier, "design", e.getMessage)) }
     }
+    // The managed set is the relation set's own schemas — anything
+    // else a query reads is an external source, validated with
+    // late-binding tolerance (validate.py:205-208).
+    val managed = relations.map(_.name.schema).filter(_.nonEmpty).toSet
     val dryRuns = relations.filter(_.isTransformation)
-      .flatMap(r => transformDryRun(spark, r.design))
+      .flatMap(r => transformDryRun(spark, r.design, Some(managed)))
     designFindings ++ dryRuns ++ executionOrder(relations)
   }
 }

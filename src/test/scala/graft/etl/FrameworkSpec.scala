@@ -71,6 +71,36 @@ class FrameworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Validate.transformDryRun(spark, ok).isEmpty)
   }
 
+  test("C5: external dependencies validate with late-binding tolerance") {
+    // relation.py:475-498 + validate.py:128,162-163,208: a transform
+    // depending on a schema OUTSIDE the managed set is validated
+    // through a NO-SCHEMA-BINDING view — an unresolvable external
+    // relation is NOT an error (it re-resolves at load time).
+    val design = TableDesign.load(
+      """name: rep.ext_reader
+        |source_name: CTAS
+        |depends_on: [ext_raw.events_feed]
+        |columns:
+        |  - name: n
+        |    type: long
+        |query: SELECT COUNT(*) AS n FROM ext_raw.events_feed
+        |""".stripMargin)
+    // strict binding (standalone call): unresolvable is an error
+    assert(Validate.transformDryRun(spark, design)
+      .exists(_.message.contains("failed analysis")))
+    // managed set excludes ext_raw → late-binding: no finding
+    assert(Validate.transformDryRun(spark, design, Some(Set("rep"))).isEmpty)
+    // and validateAll derives the managed set from the relation set
+    assert(!Validate.validateAll(spark, Seq(Relation(design)))
+      .exists(_.check == "dry_run"))
+    // a MISSING MANAGED dep still fails under the same call
+    val managedMiss = design.copy(
+      dependsOn = Seq(TableName.parse("rep.phantom")),
+      query = "SELECT COUNT(*) AS n FROM rep.phantom")
+    assert(Validate.transformDryRun(spark, managedMiss, Some(Set("rep")))
+      .exists(_.message.contains("failed analysis")))
+  }
+
   test("C4: design keys must be enforced upstream (PK may serve as unique)") {
     val design = TableDesign(TableName.parse("src.t"), "src", Seq(
       ColumnDef("id", "long", notNull = true), ColumnDef("code", "string")),

@@ -295,7 +295,194 @@ object TextOps {
        |GROUP BY token
        |ORDER BY df DESC, tf DESC, token LIMIT $VocabSize""".stripMargin
 
+  // ---------------------------------------------------------------- PII
+  /** PII redaction — the scrub step a training pipeline runs before
+    * anything else ships: emails, NANP-style phone numbers, and IPv4
+    * addresses replaced by typed placeholders, with a per-doc match
+    * count. The corpus is synthetic (no real PII), so each document
+    * gets a deterministic contact block appended derived from its
+    * doc_id — the REDACTOR is the operator under test, and the oracle
+    * hash covers both the count and the full redacted text. Pure
+    * per-row regex work: codegen'd, shuffle-free, embarrassingly
+    * parallel at 100 TB. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com tel 555-"),
+      lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+      lit("-0199 host 10.2."), ($"doc_id" % 256).cast("string"), lit(".7"))
+    def matches(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        (matches($"raw", EmailRe) + matches($"raw", PhoneRe) +
+          matches($"raw", Ipv4Re)).cast("long").as("n_pii"),
+        md5(regexp_replace(regexp_replace(regexp_replace($"raw",
+          EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]"))
+          .as("redacted_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@example.com tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |    || '-0199 host 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(raw, '$EmailRe'))
+       |    + len(regexp_extract_all(raw, '$PhoneRe'))
+       |    + len(regexp_extract_all(raw, '$Ipv4Re')) AS n_pii,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'),
+       |    '$Ipv4Re', '[IP]', 'g')) AS redacted_fp
+       |FROM raw ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- repetition
+  /** Repetition-based quality rules (the Gopher/MassiveText family):
+    * per-doc distinct-token ratio and the fraction of bigram slots
+    * taken by the single most frequent bigram. Highly repetitive
+    * machine-generated text scores low distinct_ratio / high
+    * top_bigram_frac and gets filtered before training. Single-token
+    * documents are excluded (bigram repetition is undefined).
+    *
+    * Scale shape: the per-row ratios ride the scan; the bigram list is
+    * built shuffle-free with `zip_with` over two array slices, and the
+    * only shuffles are the two-level (doc, bigram) → (doc) aggregation
+    * with map-side partials — keyed by doc_id, skew-free. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", split(normText($"text"), " ").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", $"w", size($"w").cast("long").as("n_tokens"),
+        (size(array_distinct($"w")).cast("double") / size($"w"))
+          .as("distinct_ratio"))
+    base.select($"doc_id", $"n_tokens", $"distinct_ratio",
+        explode(zip_with(slice($"w", lit(1), size($"w") - 1),
+          slice($"w", lit(2), size($"w") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy($"doc_id", $"bigram")
+      .agg(count(lit(1)).as("c"), max($"n_tokens").as("n_tokens"),
+        max($"distinct_ratio").as("distinct_ratio"))
+      .groupBy($"doc_id")
+      .agg(max($"n_tokens").as("n_tokens"),
+        max($"distinct_ratio").as("distinct_ratio"),
+        (max($"c").cast("double") / (max($"n_tokens") - 1))
+          .as("top_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio
+       |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 2
+       |), bg AS (
+       |  SELECT doc_id, n_tokens, distinct_ratio,
+       |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+       |  FROM base
+       |), counted AS (
+       |  SELECT doc_id, bigram, count(*) AS c,
+       |    max(n_tokens) AS n_tokens, max(distinct_ratio) AS distinct_ratio
+       |  FROM bg GROUP BY doc_id, bigram
+       |)
+       |SELECT doc_id, max(n_tokens) AS n_tokens,
+       |  max(distinct_ratio) AS distinct_ratio,
+       |  CAST(max(c) AS DOUBLE) / (max(n_tokens) - 1) AS top_bigram_frac
+       |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- source mix
+  /** Domain-mix report — the per-source composition summary every
+    * corpus curation pass publishes: document count, token sum,
+    * within-source exact-dup count, and each source's share of the
+    * corpus. One groupBy on `source`; the corpus-total denominator is
+    * a re-aggregation of the (|sources|-row) per-source frame,
+    * cross-joined back as a broadcast of exactly ONE row — never a
+    * second corpus scan (allowlisted in ExplainSpec's BNLJ gate for
+    * that reason). */
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, sfDir, "documents")
+      .select($"source",
+        size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_tok"),
+        md5(normText($"text")).as("fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_dup_docs"))
+    val total = per.agg(sum($"n_docs").as("total_docs"))
+    per.crossJoin(broadcast(total))
+      .select($"source", $"n_docs", $"n_tokens", $"n_dup_docs",
+        ($"n_docs".cast("double") / $"total_docs").as("share"))
+      .orderBy($"source")
+  }
+
+  val sourceMixSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    count(*) - count(DISTINCT fp) AS n_dup_docs
+       |  FROM (SELECT source,
+       |          len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+       |          md5($normTextSql) AS fp
+       |        FROM documents)
+       |  GROUP BY source)
+       |SELECT source, n_docs, n_tokens, n_dup_docs,
+       |  CAST(n_docs AS DOUBLE) / (SELECT CAST(sum(n_docs) AS BIGINT) FROM per) AS share
+       |FROM per ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------- packing
+  /** Sequence-pack planning: assign documents to fixed token-budget
+    * packs by contiguous cumulative fill — the deterministic layout
+    * step before examples are concatenated into context windows. A
+    * document whose cumulative token count ends in pack p belongs to
+    * pack p.
+    *
+    * Scale shape: the running sum is a window PARTITIONED BY
+    * (source, shard-of-[[PackShardDocs]]-doc_ids) — partition size is
+    * bounded by construction regardless of corpus size, so no
+    * single-partition window and no skew from a dominant source.
+    * Pack ids are local to (source, shard), exactly how a sharded
+    * writer would consume them. */
+  val PackBudget = 2048L
+  val PackShardDocs = 100000L
+
+  def textPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source",
+        size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_tokens"),
+        ($"doc_id" / lit(PackShardDocs)).cast("long").as("shard"))
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"source", $"n_tokens",
+        expr(s"(cum - 1) div $PackBudget").as("pack_id"))
+      .orderBy($"doc_id")
+  }
+
+  val textPackSql: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  CAST((sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |     ROWS UNBOUNDED PRECEDING) - 1) // $PackBudget AS BIGINT) AS pack_id
+       |FROM (
+       |  SELECT doc_id, source, doc_id // $PackShardDocs AS shard,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_redact" -> (piiRedact _),
+    "text_repetition" -> (textRepetition _),
+    "source_mix" -> (sourceMix _),
+    "text_pack" -> (textPack _),
     "curation_pipeline" -> (curationPipeline _),
     "text_vocab" -> (textVocab _),
     "text_tokens" -> (textTokens _),
@@ -305,6 +492,10 @@ object TextOps {
     "sample_stratified" -> (sampleStratified _))
 
   val oracles: Map[String, String] = Map(
+    "pii_redact" -> piiRedactSql,
+    "text_repetition" -> textRepetitionSql,
+    "source_mix" -> sourceMixSql,
+    "text_pack" -> textPackSql,
     "curation_pipeline" -> curationPipelineSql,
     "text_vocab" -> textVocabSql,
     "text_tokens" -> textTokensSql,

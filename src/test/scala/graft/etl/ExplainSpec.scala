@@ -20,9 +20,11 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     * NumQueries rows). IVF's assignment/probe scans are the same
     * shape with a √n-row centroid build side (sublinear in the
     * corpus, ~16 MB at n=10⁹ — the algorithm's defining scan).
+    * source_mix joins its per-source frame against the ONE-row corpus
+    * total (Catalyst folds the constant-key equi-join to a BNLJ).
     * Everything else must stay equi-join. */
   private val bnljAllowed =
-    Set("ann_topk_cosine", "ann_ivf_cells", "ann_ivf_topk")
+    Set("ann_topk_cosine", "ann_ivf_cells", "ann_ivf_topk", "source_mix")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
@@ -56,11 +58,27 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // wrong" #1). Same property for the other pair-generating dedups.
     for (name <- Seq("dedup_simhash_pairs", "dedup_minhash_pairs",
                      "dedup_ngram_jaccard", "dedup_embedding_cosine",
-                     "dedup_clusters", "dedup_containment")) {
+                     "dedup_clusters", "dedup_containment",
+                     "dedup_keep_policy")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val bcasts = Explain.broadcastJoins(df)
       spark.catalog.clearCache()
       assert(bcasts.isEmpty, s"$name plans corpus-sized broadcasts: $bcasts")
+    }
+  }
+
+  test("ANN top-k plans are windowless (BoundedTopK, not row_number)") {
+    // The k-bounded aggregate combines map-side inside the scoring
+    // stage; a row_number window would funnel every scored candidate
+    // row through #queries window partitions. Gate both rankers so a
+    // refactor can't quietly reintroduce the window.
+    for (name <- Seq("ann_topk_cosine", "ann_ivf_topk")) {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+      }
+      spark.catalog.clearCache()
+      assert(windows.isEmpty, s"$name plans windows: $windows")
     }
   }
 

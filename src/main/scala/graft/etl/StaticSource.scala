@@ -1,10 +1,5 @@
 package graft.etl
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Static sources + manifests (S7, S8, S9): a static source's
@@ -29,23 +24,22 @@ object StaticSource {
   def extractManifestOnly(prefix: String): String = writeManifest(prefix)
 
   def requireSuccess(prefix: String): Unit =
-    if (!Files.exists(Paths.get(prefix, "_SUCCESS")))
+    if (!ArtifactIo.exists(s"$prefix/_SUCCESS"))
       throw new MissingSuccessError(s"no _SUCCESS marker under $prefix")
 
   /** S9: COPY-manifest JSON over the part files
-    * (`{"entries": [{"url": ..., "mandatory": true}]}`). */
+    * (`{"entries": [{"url": ..., "mandatory": true}]}`). Hadoop-FS
+    * I/O, so the prefix may live on any scheme, not just local
+    * disk. */
   def writeManifest(prefix: String): String = {
     requireSuccess(prefix)
-    val dir = Paths.get(prefix)
-    val entries = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    val entries = ArtifactIo.listNames(prefix)
       .filter(_.startsWith("part-"))
-      .toSeq.sorted
+      .sorted
       .map(n => s"""{"url": "$prefix/$n", "mandatory": true}""")
-    val path = dir.resolve("manifest.json")
-    Files.write(path,
-      s"""{"entries": [${entries.mkString(", ")}]}""".getBytes(StandardCharsets.UTF_8))
-    path.toString
+    val path = s"$prefix/manifest.json"
+    ArtifactIo.writeText(path, s"""{"entries": [${entries.mkString(", ")}]}""")
+    path
   }
 
   /** The read side: schema-enforced load of a static prefix in any of

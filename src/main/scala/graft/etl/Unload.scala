@@ -1,8 +1,5 @@
 package graft.etl
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** UNLOAD / reload (S12, S13): the reference exports with
@@ -46,33 +43,28 @@ object Unload {
       yaml.append(s"  - name: ${c.name}\n    type: ${c.tpe}\n")
       if (c.sqlType.nonEmpty) yaml.append(s"    sql_type: ${c.sqlType}\n")
     }
-    Files.write(Paths.get(destDir, "columns.yaml"),
-      yaml.toString.getBytes(StandardCharsets.UTF_8))
+    ArtifactIo.writeText(s"$destDir/columns.yaml", yaml.toString)
   }
 
   /** Redshift COPY manifest shape (extract/extractor.py:203-260):
     * `{"entries": [{"url": ..., "mandatory": true}]}` over part
-    * files; requires the `_SUCCESS` marker Spark wrote. */
+    * files; requires the `_SUCCESS` marker Spark wrote. Hadoop-FS
+    * I/O — the unload destination may be on any scheme. */
   private def writeManifest(destDir: String): Unit = {
-    val dir = Paths.get(destDir)
-    require(Files.exists(dir.resolve("_SUCCESS")),
+    require(ArtifactIo.exists(s"$destDir/_SUCCESS"),
       s"no _SUCCESS marker in $destDir")
-    val parts = Files.list(dir).iterator()
-    val entries = new scala.collection.mutable.ArrayBuffer[String]()
-    parts.forEachRemaining { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("part-")) entries += s"""{"url": "$p", "mandatory": true}"""
-    }
-    Files.write(dir.resolve("manifest.json"),
-      s"""{"entries": [${entries.sorted.mkString(", ")}]}"""
-        .getBytes(StandardCharsets.UTF_8))
+    val entries = ArtifactIo.listNames(destDir)
+      .filter(_.startsWith("part-"))
+      .sorted
+      .map(n => s"""{"url": "$destDir/$n", "mandatory": true}""")
+    ArtifactIo.writeText(s"$destDir/manifest.json",
+      s"""{"entries": [${entries.mkString(", ")}]}""")
   }
 
   /** Reload-ability (S13): read the unloaded CSV back with the
     * columns.yaml schema — the static-source extract path. */
   def reload(spark: SparkSession, destDir: String): DataFrame = {
-    val yamlText = new String(
-      Files.readAllBytes(Paths.get(destDir, "columns.yaml")), StandardCharsets.UTF_8)
+    val yamlText = ArtifactIo.readText(s"$destDir/columns.yaml")
     val design = columnsFromYaml(yamlText)
     spark.read
       .schema(org.apache.spark.sql.types.StructType(design.map(c =>

@@ -26,6 +26,27 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 
+  /** Whitespace tokens of the lowercased text — the shared tokenizer
+    * of quality scoring, token counting, source mix, and packing. */
+  def wsTokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  def tokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
+
+  /** The combined quality score (alpha ratio + stopword ratio +
+    * length band) — ONE expression shared by `text_quality`,
+    * `curation_pipeline`, and the streaming curation twin, so every
+    * surface scores identically. */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val nToks = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val alphaChars = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val nChars = length(text).cast("double")
+    (alphaChars / nChars) * 0.4 + (nStop / nToks) * 0.4 +
+      when(nChars >= 100.0 && nChars <= 2000.0, 0.2).otherwise(0.0)
+  }
+
   // ---------------------------------------------------------------- tokens
   /** Token counting: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation, the shape of a
@@ -220,17 +241,9 @@ object TextOps {
   def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")
-    val toks = split(trim(lower($"text")), "\\s+")
-    val nToks = size(toks).cast("double")
-    val stopArr = array(stopwords.map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
-    val alphaChars = length(regexp_replace($"text", "[^A-Za-z]", "")).cast("double")
-    val nChars = length($"text").cast("double")
-    val qs = (alphaChars / nChars) * 0.4 + (nStop / nToks) * 0.4 +
-      when(nChars >= 100.0 && nChars <= 2000.0, 0.2).otherwise(0.0)
     val scored = docs.filter($"lang" === "en")
-      .select($"doc_id", qs.as("quality_score"),
-        size(toks).cast("long").as("n_tokens"),
+      .select($"doc_id", qualityScore($"text").as("quality_score"),
+        tokenCount($"text").as("n_tokens"),
         md5(normText($"text")).as("fp"))
       .filter($"quality_score" >= CurationMinQuality)
     val w = Window.partitionBy($"fp").orderBy($"doc_id")
@@ -309,6 +322,18 @@ object TextOps {
   private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** The redactor and its match counter — shared by the batch
+    * `pii_redact` entry and the streaming curation twin. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]")
+
+  def piiMatchCount(c: Column): Column = {
+    def matches(re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    (matches(EmailRe) + matches(PhoneRe) + matches(Ipv4Re)).cast("long")
+  }
+
   def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val raw = concat($"text",
@@ -316,16 +341,11 @@ object TextOps {
       lit("@example.com tel 555-"),
       lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
       lit("-0199 host 10.2."), ($"doc_id" % 256).cast("string"), lit(".7"))
-    def matches(c: Column, re: String): Column =
-      size(regexp_extract_all(c, lit(re), lit(0)))
     Tables.load(spark, sfDir, "documents")
       .select($"doc_id", raw.as("raw"))
       .select($"doc_id",
-        (matches($"raw", EmailRe) + matches($"raw", PhoneRe) +
-          matches($"raw", Ipv4Re)).cast("long").as("n_pii"),
-        md5(regexp_replace(regexp_replace(regexp_replace($"raw",
-          EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]"))
-          .as("redacted_fp"))
+        piiMatchCount($"raw").as("n_pii"),
+        md5(redactPii($"raw")).as("redacted_fp"))
       .orderBy($"doc_id")
   }
 

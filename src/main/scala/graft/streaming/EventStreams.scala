@@ -142,6 +142,29 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming curation front-end — the streaming twin of
+    * `curation_pipeline`'s stateless prefix plus `pii_redact`:
+    * language filter → quality gate → PII redaction → token count,
+    * built from the SAME shared Column expressions as the batch
+    * operators ([[graft.queries.TextOps.qualityScore]] /
+    * [[graft.queries.TextOps.redactPii]]), so stream and batch score
+    * and scrub identically by construction. Entirely stateless
+    * per-row codegen'd work — no watermark, no state store; the one
+    * stateful curation step (dedup) is [[dedupStream]], composed
+    * after this when needed. */
+  def curateStream(docs: DataFrame,
+                   minQuality: Double = graft.queries.TextOps.CurationMinQuality)
+      : DataFrame = {
+    import graft.queries.TextOps
+    docs.filter(col("lang") === "en")
+      .withColumn("quality_score", TextOps.qualityScore(col("text")))
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("quality_score"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.piiMatchCount(col("text")).as("n_pii"),
+        TextOps.redactPii(col("text")).as("text"))
+  }
+
   /** The `update` refresh loop as a stream (load.py:1343-1367 →
     * Trigger.AvailableNow): drain whatever extract files have landed
     * under `sourceDir`, run `apply` on each micro-batch (e.g. build a

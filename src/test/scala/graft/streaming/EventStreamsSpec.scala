@@ -77,6 +77,37 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 3L, 5L, 4L))
   }
 
+  test("curateStream: lang+quality gate and PII redaction on a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF.toDF("doc_id", "lang", "text")
+    val q = EventStreams.curateStream(docs).writeStream
+      .format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append()).start()
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs off to the forest for a long rest in the shade of a tall tree"
+    input.addData(
+      (1L, "en", good + " mail me at fox@example.com or 555-123-4567"),
+      (2L, "de", good),                       // dropped: lang gate
+      (3L, "en", "%%% ### !!! @@@ ***"))      // dropped: quality gate
+    q.processAllAvailable()
+    val rows = spark.table("curate_out").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    q.stop()
+    assert(rows.map(_._1).toSeq == Seq(1L), s"wrong docs kept: ${rows.toSeq}")
+    val (_, nPii, redacted) = rows.head
+    assert(nPii == 2L)
+    assert(redacted.contains("[EMAIL]") && redacted.contains("[PHONE]"))
+    assert(!redacted.contains("fox@example.com") && !redacted.contains("555-123-4567"))
+    // batch/stream parity: the same frame through the batch expressions
+    // scores identically (shared Column functions)
+    val batch = EventStreams.curateStream(
+      Seq((1L, "en", good)).toDF("doc_id", "lang", "text"))
+    assert(batch.count() == 1L)
+  }
+
   test("sessionize: 30-min gaps split sessions; timeout closes the last one") {
     val s = spark
     import s.implicits._

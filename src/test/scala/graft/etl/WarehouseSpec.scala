@@ -455,6 +455,38 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep`.`kind_change`").count() == 5)
   }
 
+  test("publish replaces a view with a table when the relation kind reverts") {
+    val dir = Files.createTempDirectory("graft_kindrev_").toString
+    val wh = new Warehouse(spark, dir, sfDir)
+    val asView = rel(
+      """name: rep.kind_revert
+        |source_name: VIEW
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: n_name
+        |query: SELECT n_name FROM src.nation WHERE n_nationkey < 5
+        |""".stripMargin)
+    wh.loadWithStagingAndPublish(Seq(srcNation, asView))
+    assert(spark.catalog.getTable("rep.kind_revert").tableType == "VIEW")
+    // same name re-published as a TABLE: the drop-view fallback in
+    // registerAt must clear the view, and the promoted table gets a
+    // live pointer
+    val asTable = rel(
+      """name: rep.kind_revert
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: n_name
+        |    type: string
+        |query: SELECT n_name FROM src.nation WHERE n_nationkey < 3
+        |""".stripMargin)
+    wh.loadWithStagingAndPublish(Seq(srcNation, asTable))
+    assert(spark.catalog.getTable("rep.kind_revert").tableType != "VIEW")
+    assert(new java.io.File(s"$dir/pointers/rep.kind_revert").exists(),
+      "view->table publish must land a live pointer")
+    assert(spark.table("`rep`.`kind_revert`").count() == 3)
+  }
+
   test("publish re-points an existing table without dropping it (no reader gap)") {
     val wh = freshWarehouse()
     val rels = Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5"))

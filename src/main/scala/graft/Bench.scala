@@ -71,7 +71,15 @@ object Bench {
     val total = results.collect { case (_, t) if t.median >= 0 => t.median }.sum
     val coldTotal = results.collect { case (_, t) if t.cold >= 0 => t.cold }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_spread":${json(_.spread)},"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_spread":${json(_.spread)},"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // sbt wraps stdout (prefixes, epilogue), which can defeat a parser
+    // expecting a bare JSON line — mirror the result to a file too.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

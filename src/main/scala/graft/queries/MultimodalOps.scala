@@ -101,6 +101,60 @@ object MultimodalOps {
        |FROM cut WHERE length(frame_hex) > 0
        |ORDER BY doc_id, frame_no""".stripMargin
 
+  // ------------------------------------------------------ audio segments
+  /** Audio segmentation: split each payload into per-doc VARIABLE
+    * length segments (segment size derived from the object's fake
+    * "sample rate" metadata — the shape of real audio windowing,
+    * where segment count depends on duration), then "decode" each
+    * segment to features. DETERMINISTIC FAKE decode like the image
+    * path: md5 of the byte window plus a hash-derived energy in
+    * [0,1). The data-dependent `sequence` explode is the real
+    * distributed pattern — contrast the fixed-NumFrames video
+    * sampler. Everything is per-row then explode; no shuffle until
+    * the final presentation sort. */
+  def mmAudioSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", hex(binCol).as("payload_hex"),
+        length(binCol).cast("long").as("n_bytes"),
+        // fake per-object segment size (stands in for rate × width)
+        (lit(64L) + pmod($"doc_id", lit(3)).cast("long") * 32L).as("seg_bytes"))
+      .withColumn("n_segments",
+        expr("(n_bytes + seg_bytes - 1) div seg_bytes"))
+      .select($"doc_id", $"seg_bytes", $"n_segments",
+        explode(sequence(lit(0L), $"n_segments" - 1L)).as("seg_no"),
+        $"payload_hex")
+      .select($"doc_id", $"seg_no", $"n_segments",
+        md5(expr("substring(payload_hex, CAST(seg_no * seg_bytes * 2 + 1 AS INT), CAST(seg_bytes * 2 AS INT))"))
+          .as("seg_hash"))
+      .withColumn("fake_energy",
+        (conv(substring($"seg_hash", 1, 4), 16, 10).cast("long") % 256)
+          .cast("double") / 256.0)
+      .orderBy($"doc_id", $"seg_no")
+  }
+
+  val mmAudioSegmentsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, hex(encode(text)) AS payload_hex,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CAST(64 + (doc_id % 3) * 32 AS BIGINT) AS seg_bytes
+      |  FROM documents
+      |), segs AS (
+      |  SELECT doc_id, seg_bytes,
+      |    (n_bytes + seg_bytes - 1) // seg_bytes AS n_segments, payload_hex
+      |  FROM base
+      |), cut AS (
+      |  SELECT doc_id, unnest(range(n_segments)) AS seg_no, n_segments,
+      |    seg_bytes, payload_hex
+      |  FROM segs
+      |)
+      |SELECT doc_id, seg_no, n_segments,
+      |  md5(substring(payload_hex, CAST(seg_no * seg_bytes * 2 + 1 AS INT),
+      |    CAST(seg_bytes * 2 AS INT))) AS seg_hash,
+      |  (CAST(CAST(('0x' || substring(md5(substring(payload_hex,
+      |    CAST(seg_no * seg_bytes * 2 + 1 AS INT), CAST(seg_bytes * 2 AS INT))), 1, 4)) AS BIGINT) % 256 AS DOUBLE) / 256.0) AS fake_energy
+      |FROM cut ORDER BY doc_id, seg_no""".stripMargin
+
   // ------------------------------------------------------ JSON props
   /** Semi-structured column: parse events.props with a DECLARED
     * schema (`from_json` — schema-on-read with explicit contract, not
@@ -130,10 +184,12 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_image_meta" -> (mmImageMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio_segments" -> (mmAudioSegments _),
     "props_json_extract" -> (propsJsonExtract _))
 
   val oracles: Map[String, String] = Map(
     "mm_image_meta" -> mmImageMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_audio_segments" -> mmAudioSegmentsSql,
     "props_json_extract" -> propsJsonExtractSql)
 }

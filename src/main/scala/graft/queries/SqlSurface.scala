@@ -581,12 +581,46 @@ object SqlSurface {
       |  MAX(value) AS max_v
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q21
+  /** A query written in REDSHIFT dialect — `LISTAGG ... WITHIN GROUP`,
+    * `DATEADD(days, ...)`, boundary-crossing `DATEDIFF(day, ...)` —
+    * run through [[graft.etl.DialectShims.rewriteRedshiftSql]] into
+    * Catalyst. This is the reference's .sql-file compatibility path
+    * (relation.py:279-293 ships user SQL verbatim to the warehouse),
+    * exercised under the oracle hash rather than test-only: the shim's
+    * rewrite, the unit-alias mapping, and the datediff boundary
+    * semantics must all agree with DuckDB's native equivalents. */
+  def q21RedshiftDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)   // rs_datediff_* shims
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("rs_nation")
+    Tables.load(spark, sfDir, "region").createOrReplaceTempView("rs_region")
+    val redshiftSql =
+      """SELECT r_name,
+        |  LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations,
+        |  CAST(DATEADD(days, 30, TIMESTAMP '1995-01-01 00:00:00') AS VARCHAR(32)) AS plus_30d,
+        |  DATEDIFF(day, TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1995-03-01 12:00:00') AS diff_days
+        |FROM rs_nation JOIN rs_region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q21RedshiftDialectSql: String =
+    """SELECT r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n_nations,
+      |  CAST(TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 30 DAY AS VARCHAR) AS plus_30d,
+      |  date_diff('day', TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1995-03-01 12:00:00') AS diff_days
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_grouping_sets" -> (q17GroupingSets _),
     "q18_latest_per_key" -> (q18LatestPerKey _),
     "q19_asof_join" -> (q19AsofJoin _),
     "q20_quantiles" -> (q20Quantiles _),
+    "q21_redshift_dialect" -> (q21RedshiftDialect _),
     "q16_pivot" -> (q16Pivot _),
     "q1_agg" -> (q1Agg _),
     "q2_join_agg" -> (q2JoinAgg _),
@@ -609,6 +643,7 @@ object SqlSurface {
     "q18_latest_per_key" -> q18LatestPerKeySql,
     "q19_asof_join" -> q19AsofJoinSql,
     "q20_quantiles" -> q20QuantilesSql,
+    "q21_redshift_dialect" -> q21RedshiftDialectSql,
     "q16_pivot" -> q16PivotSql,
     "q1_agg" -> q1AggSql,
     "q2_join_agg" -> q2JoinAggSql,

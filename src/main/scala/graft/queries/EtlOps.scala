@@ -277,7 +277,32 @@ object EtlOps {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- skew
+  /** Salted two-phase aggregation under the oracle hash: the explicit
+    * skew-mitigation pattern for hot aggregation keys (AQE splits
+    * skewed JOIN partitions at runtime, but a hot GROUP BY key still
+    * lands on one reducer without salting). Phase 1 aggregates on
+    * (key, salt) — the hot key spreads over `factor` reducers; phase 2
+    * merges ≤ factor rows per key. The summed column is decimal, so
+    * the salt-dependent addition order cannot perturb the result —
+    * the salted plan is bit-equal to the plain GROUP BY oracle. */
+  def skewSaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_type", $"value".cast(DecimalType(18, 6)).as("v"))
+    graft.etl.Skew.saltedCountSum(ev, Seq("event_type"), Some("v"), factor = 8)
+      .select($"event_type", $"n",
+        $"sum".cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  val skewSaltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_agg" -> (skewSaltedAgg _),
     "s10_copy_csv" -> (s10CopyCsv _),
     "s12_unload_roundtrip" -> (s12UnloadRoundtrip _),
     "c1_constraint_dup" -> (c1ConstraintDup _),
@@ -290,6 +315,7 @@ object EtlOps {
     "p4_limit" -> (p4Limit _))
 
   val oracles: Map[String, String] = Map(
+    "skew_salted_agg" -> skewSaltedAggSql,
     "s10_copy_csv" -> s10CopyCsvSql,
     "s12_unload_roundtrip" -> s12UnloadRoundtripSql,
     "c1_constraint_dup" -> c1ConstraintDupSql,

@@ -30,7 +30,7 @@ object Cli {
         |  explain        --designs DIR [--select PATTERN]
         |  create_index   --designs DIR
         |  show_dependents --designs DIR --select PATTERN
-        |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N]
+        |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N] [--summarize]
         |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
         |  bootstrap_transformations --designs DIR [--as-view]
         |""".stripMargin)
@@ -174,15 +174,22 @@ object Cli {
         val all = Monitor.readLog(log)
         val filtered = Monitor.filter(all, opts.get("target"), opts.get("step"),
           opts.get("since").map(_.toLong))
-        val shown = opts.get("tail").map(n => filtered.takeRight(n.toInt))
-          .getOrElse(filtered)
-        shown.foreach { e =>
-          val extra = e.rowcount.map(r => s" rows=$r").getOrElse("") +
-            e.metrics.map(m => s" read=${m.bytesRead}B/${m.filesRead}f" +
-              s" shuffle=${m.shuffleBytesWritten}B written=${m.rowsWritten}")
-              .getOrElse("") +
-            e.message.map(m => s" message=$m").getOrElse("")
-          println(f"[events] ${e.target} ${e.step} ${e.event} ${e.elapsedSeconds}%.2fs$extra")
+        if (opts.contains("summarize")) {
+          // the reference's summarize_events rollup (monitor.py:862-930)
+          Monitor.summarizeEvents(filtered).foreach { case (step, ok, fail, secs) =>
+            println(f"[events] $step%-12s finish=$ok fail=$fail elapsed=$secs%.2fs")
+          }
+        } else {
+          val shown = opts.get("tail").map(n => filtered.takeRight(n.toInt))
+            .getOrElse(filtered)
+          shown.foreach { e =>
+            val extra = e.rowcount.map(r => s" rows=$r").getOrElse("") +
+              e.metrics.map(m => s" read=${m.bytesRead}B/${m.filesRead}f" +
+                s" shuffle=${m.shuffleBytesWritten}B written=${m.rowsWritten}")
+                .getOrElse("") +
+              e.message.map(m => s" message=$m").getOrElse("")
+            println(f"[events] ${e.target} ${e.step} ${e.event} ${e.elapsedSeconds}%.2fs$extra")
+          }
         }
       case "bootstrap_sources" =>
         val root = opts.getOrElse("designs", usage())

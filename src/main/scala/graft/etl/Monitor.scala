@@ -65,10 +65,7 @@ final class Monitor(logPath: Option[String] = None) {
 
   /** Per-step rollup (monitor.py:862-930 EventsQuery/summarize). */
   def summarize: Seq[(String, Int, Int, Double)] =
-    events.filter(_.event != "start").groupBy(_.step).map { case (step, es) =>
-      (step, es.count(_.event == "finish"), es.count(_.event == "fail"),
-        es.map(_.elapsedSeconds).sum)
-    }.toSeq.sortBy(_._1)
+    Monitor.summarizeEvents(events)
 
   /** Q7 query surface (monitor.py:720-860 `scan_etl_events`): filter
     * by relation glob and/or step. */
@@ -82,6 +79,15 @@ final class Monitor(logPath: Option[String] = None) {
 }
 
 object Monitor {
+
+  /** Per-step rollup over ANY event set — in-session (`summarize`) or
+    * a cross-run log file (`query_events --summarize`):
+    * (step, finishes, fails, total elapsed seconds). */
+  def summarizeEvents(es: Seq[MonitorEvent]): Seq[(String, Int, Int, Double)] =
+    es.filter(_.event != "start").groupBy(_.step).map { case (step, group) =>
+      (step, group.count(_.event == "finish"), group.count(_.event == "fail"),
+        group.map(_.elapsedSeconds).sum)
+    }.toSeq.sortBy(_._1)
 
   private[graft] def filter(es: Seq[MonitorEvent], target: Option[String],
                           step: Option[String],

@@ -135,6 +135,24 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == 5)
   }
 
+  test("query_events --summarize rolls up a run's event log per step") {
+    val wh = Files.createTempDirectory("graft_cli_sum_").toString
+    val events = Files.createTempDirectory("graft_cli_sumev_")
+      .resolve("ev.jsonl").toString
+    Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+      "events" -> events))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(spark, "query_events", Map(
+        "events" -> events, "summarize" -> "true"))
+    }
+    val lines = out.toString("UTF-8").linesIterator.toSeq
+    // both relations loaded under the "load" step, zero failures
+    assert(lines.exists(l => l.contains("load") && l.contains("finish=2")
+      && l.contains("fail=0")), s"unexpected summary: $lines")
+  }
+
   test("cli unload writes the published relation; continue-from skips") {
     val wh = Files.createTempDirectory("graft_cli_wh2_").toString
     // continue-from cli.summary: region (earlier in execution order)

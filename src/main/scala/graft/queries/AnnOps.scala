@@ -344,6 +344,37 @@ object AnnOps {
        |WHERE (${pairDotSql("a", "b")} / (a.nrm * b.nrm)) >= ${t.nearDupThreshold}
        |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------- semantic dup clusters
+  /** Semantic duplicate clusters: the embedding near-dup pair graph
+    * collapsed to connected components — ANN candidate generation
+    * composed with the dedup family's co-partitioned, exchange-free
+    * label propagation ([[DedupOps.connectedComponents]]). The cross-
+    * family composition a curation pipeline actually ships: "these k
+    * documents are paraphrases of one another" rather than a bag of
+    * pairwise edges. Scale shape inherits from both parts: LSH-bucket
+    * candidates (no all-pairs), graph-sized propagation state. */
+  def dedupEmbeddingClusters(spark: SparkSession, sfDir: String,
+                             t: Tuning = Tuning.default): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupEmbeddingCosine(spark, sfDir, t)
+      .select($"d1", $"d2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DedupOps.connectedComponents(spark, pairs)
+      .select($"doc_id".as("vec_id"), $"cluster")
+  }
+
+  def dedupEmbeddingClustersSql(t: Tuning = Tuning.default): String =
+    s"""WITH RECURSIVE
+       |  pairs AS (SELECT d1, d2 FROM (${dedupEmbeddingCosineSql(t)})),
+       |  edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs),
+       |  reach(node, r) AS (
+       |    SELECT d1 AS node, d1 AS r FROM edges
+       |    UNION
+       |    SELECT e.d1 AS node, r.r AS r FROM edges e JOIN reach r ON e.d2 = r.node
+       |  )
+       |SELECT node AS vec_id, MIN(r) AS cluster
+       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------- IVF
   /** IVF (inverted-file) coarse quantization — the other standard ANN
     * scale path beside LSH. nlist ≈ √n centroid seeds are picked
@@ -523,6 +554,7 @@ object AnnOps {
     "ann_lsh_buckets" -> ((s, dir) => annLshBuckets(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => annLshTopk(s, dir)),
     "dedup_embedding_cosine" -> ((s, dir) => dedupEmbeddingCosine(s, dir)),
+    "dedup_embedding_clusters" -> ((s, dir) => dedupEmbeddingClusters(s, dir)),
     "embedding_stats" -> (embeddingStats _),
     "ann_ivf_cells" -> (annIvfCells _),
     "ann_ivf_topk" -> (annIvfTopk _))
@@ -532,6 +564,7 @@ object AnnOps {
     "ann_lsh_buckets" -> annLshBucketsSql(),
     "ann_lsh_topk" -> annLshTopkSql(),
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql(),
+    "dedup_embedding_clusters" -> dedupEmbeddingClustersSql(),
     "embedding_stats" -> embeddingStatsSql,
     "ann_ivf_cells" -> annIvfCellsSql,
     "ann_ivf_topk" -> annIvfTopkSql)

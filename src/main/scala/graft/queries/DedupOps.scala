@@ -283,6 +283,43 @@ object DedupOps {
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------- incremental dedup
+  /** Incremental (delta) dedup — the daily-ingest shape: candidate
+    * pairs for an INCOMING batch (doc_id ≥ [[IncrementalSplit]] stands
+    * in for "today's crawl") against the existing corpus plus itself,
+    * WITHOUT regenerating existing×existing pairs. The join's right
+    * side is only the incoming batch's band rows — in steady state the
+    * batch is a small fraction of the corpus, so the daily cost is
+    * Θ(|batch| × band collision rate), not Θ(|corpus|²-ish); the
+    * corpus band index is exactly what a production pipeline persists
+    * between runs ([[minhashBands]] re-derives it here since queries
+    * are self-contained). The oracle states the SEMANTIC contract
+    * instead: the full pair set filtered to pairs touching the batch
+    * (d2 ≥ split, since d1 < d2 and batch ids are the high range) —
+    * the incremental plan must produce exactly that. */
+  val IncrementalSplit = 400L
+
+  def dedupMinhashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = minhashBands(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val incoming = bands.filter($"doc_id" >= IncrementalSplit)
+    bands.as("a").hint("shuffle_merge")
+      .join(incoming.as("b").hint("shuffle_merge"),
+        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+      .orderBy($"d1", $"d2")
+  }
+
+  val dedupMinhashIncrementalSql: String =
+    s"""WITH bands AS ($minhashBandsSql)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |WHERE b.doc_id >= $IncrementalSplit
+       |ORDER BY d1, d2""".stripMargin
+
   // ------------------------------------------------------------ simhash
   /** 60-bit SimHash per document over distinct word hashes (60 bits so
     * the value fits a signed BIGINT in every engine). Near-dup pairs =
@@ -692,6 +729,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> ((sp, dir) => dedupJaccard(sp, dir)),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
     "dedup_simhash_docs" -> (simhashDocs _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_clusters" -> (dedupClusters _),
@@ -704,6 +742,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> dedupJaccardSql(),
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
+    "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
     "dedup_simhash_docs" -> simhashDocsSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> dedupClustersSql,

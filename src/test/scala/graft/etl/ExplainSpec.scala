@@ -59,7 +59,8 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (name <- Seq("dedup_simhash_pairs", "dedup_minhash_pairs",
                      "dedup_ngram_jaccard", "dedup_embedding_cosine",
                      "dedup_clusters", "dedup_containment",
-                     "dedup_keep_policy", "dedup_embedding_clusters")) {
+                     "dedup_keep_policy", "dedup_embedding_clusters",
+                     "dedup_minhash_incremental")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val bcasts = Explain.broadcastJoins(df)
       spark.catalog.clearCache()

@@ -18,7 +18,7 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       """usage: graft.Cli <command> [options]
-        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum]
+        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum] [--events FILE]
         |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
         |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN]
         |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro] [--use-sampling]

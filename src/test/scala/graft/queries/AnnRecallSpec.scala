@@ -58,6 +58,55 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     perQuery.sum / perQuery.size
   }
 
+  /** The clustered-corpus regime the ANN methods actually target: a
+    * synthetic corpus where each query has [[AnnOps.TopK]] planted
+    * near-duplicates (small perturbations, cosine ≈ 0.99) among
+    * otherwise-random vectors. High per-bit hyperplane agreement puts
+    * a planted neighbor in the query's bucket/cell with high
+    * probability, so recall must be HIGH here — this measures the
+    * quality claim, while the random-data test above measures the
+    * worst-case floor. Deterministic: fixed seed, fixed planes. */
+  private val PlantedRecallFloor = 0.6
+
+  test(s"planted near-duplicate corpus: LSH and IVF recall >= $PlantedRecallFloor") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val n = 500
+    def randVec(): Array[Float] =
+      Array.fill(AnnOps.Dim)((rng.nextDouble() * 2 - 1).toFloat)
+    val base = Array.fill(n)(randVec())
+    // plant TopK near-dups of each query q at ids 100+q*TopK+j
+    for (q <- 0 until AnnOps.NumQueries; j <- 0 until AnnOps.TopK) {
+      val id = 100 + q * AnnOps.TopK + j
+      base(id) = base(q).map(x => x + (rng.nextDouble() * 0.02 - 0.01).toFloat)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted_").toString
+    base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .repartition(4)
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val exact = neighborSets(AnnOps.annTopkCosine(spark, dir))
+    // brute force must rank the planted dups first (cosine ≈ 0.99 vs
+    // random ≈ 0.4) — sanity-check the corpus construction itself
+    for (q <- 0L until AnnOps.NumQueries) {
+      val planted = (0 until AnnOps.TopK)
+        .map(j => 100L + q * AnnOps.TopK + j).toSet
+      assert(exact(q) == planted, s"query $q exact top-k != planted: ${exact(q)}")
+    }
+    val lshRecall = recallAgainst(exact,
+      neighborSets(AnnOps.annLshTopk(spark, dir)))
+    val ivfRecall = recallAgainst(exact,
+      neighborSets(AnnOps.annIvfTopk(spark, dir)))
+    info(f"planted recall@${AnnOps.TopK}: lsh=$lshRecall%.2f ivf=$ivfRecall%.2f")
+    assert(lshRecall >= PlantedRecallFloor,
+      f"LSH planted recall $lshRecall%.2f below $PlantedRecallFloor")
+    assert(ivfRecall >= PlantedRecallFloor,
+      f"IVF planted recall $ivfRecall%.2f below $PlantedRecallFloor")
+  }
+
   test(s"LSH and IVF top-k recall >= $RecallFloor vs brute force at sf0.01 (random-data worst case)") {
     val exact = neighborSets(AnnOps.annTopkCosine(spark, sfDir))
     assert(exact.size == AnnOps.NumQueries)

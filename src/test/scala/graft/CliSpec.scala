@@ -124,6 +124,30 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("COPY ingests a JSON 'auto' artifact and prefers artifacts over parquet") {
+    // the reference's third COPY format (JSON 'auto',
+    // dialect/redshift.py:307): field-name-matched, schema-on-load.
+    val out = Files.createTempDirectory("graft_cli_json_").toString
+    val dest = s"$out/cli.region"
+    val src = spark.read.parquet(s"$dataDir/region.parquet")
+      .selectExpr("CAST(r_regionkey AS INT) AS r_regionkey", "r_name")
+    src.write.json(dest)
+    // give the artifact the COPY manifest contract
+    graft.etl.StaticSource.writeManifest(dest)
+    // ALSO drop a decoy parquet stand-in with different content: the
+    // load path must prefer the manifest artifact, not silently fall
+    // back to parquet
+    src.limit(1).write.parquet(s"$out/region.parquet")
+    val wh = Files.createTempDirectory("graft_cli_jsonwh_").toString
+    Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> out, "warehouse" -> wh,
+      "select" -> "cli.region"))
+    val loaded = spark.table("`cli`.`region`")
+      .orderBy("r_regionkey").collect().toSeq
+    assert(loaded.size == 5, s"artifact not preferred: ${loaded.size} rows")
+    assert(loaded == src.orderBy("r_regionkey").collect().toSeq)
+  }
+
   test("extract --use-sampling is accepted; below 100MB the extract is complete") {
     // database_extractor.py:38-41: sampling only kicks in over 100 MB —
     // a small table must come through whole even with the flag set.

@@ -19,7 +19,9 @@ object Cli {
     System.err.println(
       """usage: graft.Cli <command> [options]
         |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum] [--events FILE]
-        |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
+        |  upgrade        --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--only-selected] [--include-immediate-views] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--events FILE]
+        |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--only-selected] [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
+        |  check_constraints --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--with-staging]
         |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN]
         |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro] [--use-sampling]
         |  unload         --designs DIR --out DIR [--select PATTERN]
@@ -30,6 +32,7 @@ object Cli {
         |  explain        --designs DIR [--select PATTERN]
         |  create_index   --designs DIR
         |  show_dependents --designs DIR --select PATTERN
+        |  show_upstream_dependencies --designs DIR --select PATTERN
         |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N] [--summarize]
         |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
         |  bootstrap_transformations --designs DIR [--as-view]
@@ -76,12 +79,16 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     DialectShims.registerAll(spark)
-    try run(spark, command, opts)
-    finally spark.stop()
+    val code = try run(spark, command, opts) finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
+  /** Returns the process exit code (main applies it): non-zero for
+    * vacuum refusals, validation findings, and constraint violations,
+    * so automation can branch on the result — and tests can assert it
+    * without the JVM dying under them. */
   private[graft] def run(spark: SparkSession, command: String,
-                         opts: Map[String, String]): Unit = {
+                         opts: Map[String, String]): Int = {
     def designs: Seq[Relation] =
       FileSets.discover(opts.getOrElse("designs", usage()))
     def selector: TableSelector =
@@ -115,17 +122,44 @@ object Cli {
           if (vr.refused.nonEmpty) {
             System.err.println(s"[vacuum] refused ${vr.refused.size} relation(s): " +
               vr.refused.mkString(", "))
-            sys.exit(1)
+            return 1
           }
         }
+        0
+      case "upgrade" =>
+        warehouse.upgradeRelations(designs, selector,
+          onlySelected = opts.contains("only-selected"),
+          includeImmediateViews = opts.contains("include-immediate-views"),
+          continueFrom = opts.get("continue-from"),
+          skipCopy = opts.contains("skip-copy"),
+          maxConcurrency = opts.get("max-concurrency").map(_.toInt).getOrElse(4))
+          .foreach(r =>
+            println(s"[upgrade] ${r.identifier}: ${r.rowcount} rows" +
+              (if (r.skipped) " (skip copy)" else "")))
+        0
       case "update" =>
         warehouse.updateRelations(designs, selector,
           scheduledStartMs = opts.get("scheduled-start-time").map(parseEpochMs),
           eventLog = opts.get("events"),
           waitTimeoutMs =
-            opts.get("wait-timeout-ms").map(_.toLong).getOrElse(3600 * 1000L))
+            opts.get("wait-timeout-ms").map(_.toLong).getOrElse(3600 * 1000L),
+          onlySelected = opts.contains("only-selected"))
           .foreach(r =>
             println(s"[update] ${r.identifier}: ${r.rowcount} rows"))
+        0
+      case "check_constraints" =>
+        val pos = if (opts.contains("with-staging")) SchemaPosition.Staging
+          else SchemaPosition.Standard
+        val failures = warehouse.checkConstraints(designs, selector, pos)
+        failures.foreach { case (id, msg) =>
+          System.err.println(s"[check_constraints] $id: $msg")
+        }
+        if (failures.nonEmpty) 1
+        else {
+          println(s"[check_constraints] " +
+            s"${designs.count(r => !r.isView && selector.matches(r.name))} relation(s) ok")
+          0
+        }
       case "vacuum" =>
         val vr = warehouse.vacuum(
           designs.filter(r => selector.matches(r.name)))
@@ -136,8 +170,8 @@ object Cli {
         if (vr.refused.nonEmpty) {
           System.err.println(s"[vacuum] refused ${vr.refused.size} relation(s): " +
             vr.refused.mkString(", "))
-          sys.exit(1)
-        }
+          1
+        } else 0
       case "extract" =>
         // The reference's extract lands gzip-CSV + manifest per
         // relation (extract/extractor.py:203-260); same artifact shape
@@ -158,6 +192,7 @@ object Cli {
             }
             println(s"[extract] ${r.identifier}: $n rows -> $out/${r.identifier}")
           }
+        0
       case "unload" =>
         // UNLOAD of warehouse relations (S12; commands.py:1279-1335):
         // reads the published table from the session catalog.
@@ -167,6 +202,7 @@ object Cli {
           val n = Unload.unload(df, r.design, s"$out/${r.identifier}")
           println(s"[unload] ${r.identifier}: $n rows -> $out/${r.identifier}")
         }
+        0
       case "query_events" =>
         // Q7 (monitor.py:720-975): ask a previous run's event log
         // "what happened to relation X", or tail the last n events.
@@ -191,6 +227,7 @@ object Cli {
             println(f"[events] ${e.target} ${e.step} ${e.event} ${e.elapsedSeconds}%.2fs$extra")
           }
         }
+        0
       case "bootstrap_sources" =>
         val root = opts.getOrElse("designs", usage())
         val db = opts.getOrElse("database", usage())
@@ -199,36 +236,49 @@ object Cli {
           println(s"[bootstrap] ${t.identifier}")
           warnings.foreach(w => println(s"[bootstrap]   warning: $w"))
         }
+        0
       case "bootstrap_transformations" =>
         Bootstrap.bootstrapTransformations(spark,
           opts.getOrElse("designs", usage()), asView = opts.contains("as-view"))
           .foreach(t => println(s"[bootstrap] ${t.identifier}"))
+        0
       case "validate" =>
         val findings = Validate.validateAll(spark, designs)
         findings.foreach(f =>
           println(s"[validate] ${f.identifier} ${f.check}: ${f.message}"))
-        if (findings.nonEmpty) sys.exit(1)
-        println(s"[validate] ${designs.size} relation(s) ok")
+        if (findings.nonEmpty) 1
+        else { println(s"[validate] ${designs.size} relation(s) ok"); 0 }
       case "show_ddl" =>
         designs.filter(r => selector.matches(r.name))
           .foreach(r => println(Ddl.showDdl(r.design) + ";\n"))
+        0
       case "ls" =>
         FileSets.ls(opts.getOrElse("designs", usage())).foreach {
           case (id, files) => println(s"$id\n" + files.map("  " + _).mkString("\n"))
         }
+        0
       case "run_query" =>
         println(Commands.runQueryText(spark, opts.getOrElse("sql", usage()),
           opts.get("limit").map(_.toInt).orElse(Some(100))))
+        0
       case "explain" =>
         designs.filter(r => r.isTransformation && selector.matches(r.name))
           .foreach { r =>
             println(s"-- ${r.identifier}")
             println(Explain.report(spark.sql(r.design.query)))
           }
+        0
       case "create_index" =>
         println(Commands.createIndex(designs))
+        0
       case "show_dependents" =>
         println(Commands.describeDependents(designs, selector))
+        0
+      case "show_upstream_dependencies" =>
+        // commands.py:1849-1868: chain everything the selection
+        // (transitively) depends on, selection included.
+        println(Commands.describeDependencies(designs, selector))
+        0
       case _ => usage()
     }
   }

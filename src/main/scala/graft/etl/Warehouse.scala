@@ -110,14 +110,19 @@ final class Warehouse(
     * `GROUP BY key HAVING COUNT(*) > 1 LIMIT 5`; for `unique`, null
     * keys are exempt (Redshift UNIQUE semantics). Non-empty ⇒
     * [[FailedConstraintError]] carrying sample keys. */
-  def verifyConstraints(df: DataFrame, design: TableDesign): Unit =
+  def verifyConstraints(df: DataFrame, design: TableDesign,
+                        trustEngineIdentity: Boolean = true): Unit =
     design.constraints.foreach { ct =>
       // A surrogate key on the engine's own identity column is unique
       // BY CONSTRUCTION (row_number over a total order, Identity.scala)
       // — re-checking would shuffle the whole fact table to prove a
       // tautology. Redshift's IDENTITY gives no such guarantee, which
       // is why the reference re-checks (load.py:564-634); ours does.
-      val engineGenerated = ct.kind == "surrogate_key" &&
+      // The standalone check_constraints path passes
+      // trustEngineIdentity=false: it audits tables AT REST, where
+      // "built by this engine's identity assignment" is a provenance
+      // claim, not a property of the data in front of it.
+      val engineGenerated = trustEngineIdentity && ct.kind == "surrogate_key" &&
         design.identityColumn.exists(ic => ct.columns == Seq(ic.name))
       if (!engineGenerated) {
       val keyCols = ct.columns.map(col)
@@ -140,8 +145,9 @@ final class Warehouse(
     * constraints, count rows. */
   def buildOneRelation(rel: Relation, pos: SchemaPosition.Value = SchemaPosition.Standard,
                        skipCopy: Boolean = false,
-                       inRun: Option[Set[String]] = None): BuildResult =
-    monitor.monitored(rel.identifier, "load") {
+                       inRun: Option[Set[String]] = None,
+                       step: String = "load"): BuildResult =
+    monitor.monitored(rel.identifier, step) {
       val design = rel.design
       val target = rel.name.inPosition(pos)
       val r =
@@ -478,7 +484,9 @@ final class Warehouse(
   def loadRelations(relations: Seq[Relation],
                     pos: SchemaPosition.Value = SchemaPosition.Standard,
                     maxConcurrency: Int = 4,
-                    analyzeAfter: Boolean = false): Seq[BuildResult] = {
+                    analyzeAfter: Boolean = false,
+                    skipCopyAll: Boolean = false,
+                    step: String = "load"): Seq[BuildResult] = {
     val ordered = Dag.orderByDependencies(relations)
     createSchemas(ordered, pos)
     // Dependencies outside this run (continue-from fast-forwards past
@@ -490,9 +498,11 @@ final class Warehouse(
     // Group by level: within a level there are no mutual deps (D5/D7).
     ordered.groupBy(_.executionLevel).toSeq.sortBy(_._1).foreach { case (_, levelRels) =>
       val levelResults = parallelMap(levelRels, maxConcurrency) { rel =>
-        val mustSkip = rel.dependencies.exists(d => failed.contains(d.identifier)) ||
+        val mustSkip = skipCopyAll ||
+          rel.dependencies.exists(d => failed.contains(d.identifier)) ||
           rel.dependencies.exists(d => skipCopy.contains(d.identifier))
-        try Right(buildOneRelation(rel, pos, skipCopy = mustSkip, inRun = inRun))
+        try Right(buildOneRelation(rel, pos, skipCopy = mustSkip, inRun = inRun,
+          step = step))
         catch { case e: Exception => Left((rel, e)) }
       }
       levelResults.foreach {
@@ -621,22 +631,73 @@ final class Warehouse(
       }
     }
 
+  // ------------------------------------------------------ upgrade
+  /** The reference's third core data-processing command: `upgrade`
+    * (commands.py:1152-1276, load.py:1217-1305) — in-place rebuild of
+    * a selection at the STANDARD position, each table visible to
+    * readers as its pointer swaps ("the rebuild is visible to users",
+    * i.e. outside a transaction — distinct from `load`'s
+    * staging+publish and `update`'s all-or-nothing refresh). By
+    * default the selection expands to everything transitively
+    * depending on it, like `load`; `onlySelected` restricts the
+    * rebuild to exactly the matched relations (the reference's
+    * `--only-selected`: "leaves warehouse in inconsistent state, for
+    * debugging only"), optionally widened by the dependent VIEWs with
+    * no CTAS in between (`--include-immediate-views` — what a
+    * Redshift `DROP TABLE .. CASCADE` would have taken down and the
+    * rebuild must put back). */
+  def upgradeRelations(relations: Seq[Relation], selector: TableSelector,
+                       onlySelected: Boolean = false,
+                       includeImmediateViews: Boolean = false,
+                       continueFrom: Option[String] = None,
+                       skipCopy: Boolean = false,
+                       maxConcurrency: Int = 4): Seq[BuildResult] = {
+    val selected = Dag.selectInExecutionOrder(relations, selector,
+      includeDependents = !onlySelected,
+      includeImmediateViews = includeImmediateViews,
+      continueFrom = continueFrom)
+    // load.py:1274-1285: surface which immediate views are NOT part
+    // of an --only-selected upgrade — their queries read tables this
+    // rebuild replaces underneath them.
+    if (onlySelected && !includeImmediateViews) {
+      val missed = Dag.findImmediateViews(
+        Dag.orderByDependencies(relations), selector)
+      if (missed.nonEmpty)
+        System.err.println("[upgrade] these views are not part of the upgrade: " +
+          missed.map(_.identifier).mkString(", "))
+    }
+    loadRelations(selected, SchemaPosition.Standard,
+      maxConcurrency = maxConcurrency, skipCopyAll = skipCopy,
+      step = "upgrade")
+  }
+
   // ------------------------------------------------------------ T6
   /** The `update` command (delete-then-reload,
     * load.py:1308-1367, 422-425): refresh the selected tables AND
-    * their downstream transformations in place, in execution order.
-    * Views are untouched. The reference wraps this in one Redshift
-    * transaction; here each table's refresh is a metadata pointer
-    * swap (write new location → re-register), so readers never see a
-    * partially-loaded table — the swap-per-table emulation SURVEY
-    * §7.3 calls for. */
+    * their downstream transformations in place, in execution order
+    * (`onlySelected` restricts to the matched tables, the reference's
+    * `--only-selected` debugging flag). Views are untouched.
+    *
+    * The reference wraps the whole refresh in ONE Redshift
+    * transaction — a failure anywhere rolls every table back
+    * (load.py:1357-1364). The pointer-swap equivalent (SURVEY §7.3):
+    * each table's pre-update location is captured up front, builds
+    * re-point the standard names in order (later CTAS reads earlier
+    * tables' fresh data, as inside the reference's transaction), and
+    * on ANY failure every already-swapped pointer is restored — after
+    * the command the warehouse holds either all-new or all-old data,
+    * never a mix. Rolled-back build locations are left for [[vacuum]]
+    * (no pointer references them). Readers DURING the run may see a
+    * mix — the price of updating in place without staging; `load`'s
+    * staging+publish is the isolation path. */
   def updateRelations(relations: Seq[Relation], selector: TableSelector,
                       scheduledStartMs: Option[Long] = None,
                       eventLog: Option[String] = None,
                       waitTimeoutMs: Long = 3600 * 1000L,
-                      pollMs: Long = 30 * 1000L): Seq[BuildResult] = {
+                      pollMs: Long = 30 * 1000L,
+                      onlySelected: Boolean = false): Seq[BuildResult] = {
     val selected = Dag.selectInExecutionOrder(relations, selector,
-      includeDependents = true)
+      includeDependents = !onlySelected)
     // `update --scheduled-start-time T`: the reference blocks until
     // every selected SOURCE table has an extract-finish event newer
     // than T (monitor.py:825-859, load.py:1343-1355) — the daily
@@ -647,9 +708,53 @@ final class Warehouse(
         selected.filterNot(_.isTransformation).map(_.identifier),
         since, eventLog, waitTimeoutMs, pollMs)
     }
-    selected.filterNot(_.isView).map(rel =>
-      buildOneRelation(rel, SchemaPosition.Standard))
+    val tables = selected.filterNot(_.isView)
+    val prior: Seq[(Relation, Option[String])] =
+      tables.map(r => r -> locationOf(r.name))
+    val done = mutable.Buffer[String]()
+    try tables.map { rel =>
+      val r = buildOneRelation(rel, SchemaPosition.Standard, step = "update")
+      done += rel.identifier
+      r
+    } catch { case e: Throwable =>
+      // the "rollback": restore every already-swapped table to its
+      // pre-update location; a table that did not exist before the
+      // update is dropped again. (buildOneRelation has already undone
+      // the FAILING table's own registration.)
+      prior.filter { case (r, _) => done.contains(r.identifier) }
+        .foreach {
+          case (r, Some(loc)) => registerAt(r.name, loc, Some(r.design))
+          case (r, None) =>
+            spark.sql(s"DROP TABLE IF EXISTS ${r.name.quoted}")
+            deletePointer(r.name)
+        }
+      throw e
+    }
   }
+
+  // ------------------------------------------------------------ C1 (standalone)
+  /** Standalone constraint re-verification over ALREADY-LOADED tables
+    * (commands.py:1552-1574, load.py:1407-1421): no rebuild — read
+    * each selected table at `pos` and run its declared constraints.
+    * Collects every violation instead of throwing on the first, so
+    * the CLI reports the full damage in one pass. Identity surrogate
+    * keys are NOT trusted here: the table at rest is being audited,
+    * not a build this engine just produced. */
+  def checkConstraints(relations: Seq[Relation], selector: TableSelector,
+                       pos: SchemaPosition.Value = SchemaPosition.Standard)
+      : Seq[(String, String)] =
+    relations.filter(r => !r.isView && selector.matches(r.name)).flatMap { rel =>
+      val target = rel.name.inPosition(pos)
+      try {
+        verifyConstraints(spark.table(target.quoted), rel.design,
+          trustEngineIdentity = false)
+        None
+      } catch {
+        case e: FailedConstraintError => Some(rel.identifier -> e.getMessage)
+        case e: Exception =>   // e.g. the table was never loaded at `pos`
+          Some(rel.identifier -> s"not checkable: ${e.getMessage}")
+      }
+    }
 
   /** Block until every id in `ids` has an extract `finish` event
     * stamped at or after `sinceMs`, polling the monitor buffer and the

@@ -177,6 +177,115 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       && l.contains("fail=0")), s"unexpected summary: $lines")
   }
 
+  test("cli upgrade: default expands to dependents, --only-selected does not") {
+    val wh = Files.createTempDirectory("graft_cli_upwh_").toString
+    Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh))
+    // default: upgrading cli.region rebuilds cli.summary too, like load
+    val ev1 = Files.createTempDirectory("graft_cli_upev1_")
+      .resolve("ev.jsonl").toString
+    Cli.run(spark, "upgrade", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+      "select" -> "cli.region", "events" -> ev1))
+    val targets1 = graft.etl.Monitor.readLog(ev1)
+      .filter(e => e.step == "upgrade" && e.event == "finish").map(_.target)
+    assert(targets1 == Seq("cli.region", "cli.summary"),
+      s"default upgrade must include dependents, got $targets1")
+    // --only-selected: ONLY the selection rebuilds — the reference's
+    // debugging flag `load` cannot express (commands.py:1180-1186)
+    val ev2 = Files.createTempDirectory("graft_cli_upev2_")
+      .resolve("ev.jsonl").toString
+    Cli.run(spark, "upgrade", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+      "select" -> "cli.region", "only-selected" -> "true", "events" -> ev2))
+    val targets2 = graft.etl.Monitor.readLog(ev2)
+      .filter(e => e.step == "upgrade" && e.event == "finish").map(_.target)
+    assert(targets2 == Seq("cli.region"),
+      s"--only-selected must not rebuild dependents, got $targets2")
+    assert(!graft.etl.Monitor.readLog(ev2).exists(_.event == "fail"))
+    // the standard tables still serve correct data after both upgrades
+    assert(spark.table("`cli`.`summary`").collect().head.getLong(0) == 5L)
+    // an --only-selected upgrade of the TRANSFORMATION reads its dep
+    // at the published standard position (outside the run)
+    val code = Cli.run(spark, "upgrade", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+      "select" -> "cli.summary", "only-selected" -> "true"))
+    assert(code == 0)
+    assert(spark.table("`cli`.`summary`").collect().head.getLong(0) == 5L)
+  }
+
+  test("cli check_constraints: zero on clean, non-zero with samples on violation") {
+    val wh = Files.createTempDirectory("graft_cli_ccwh_").toString
+    Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh))
+    assert(Cli.run(spark, "check_constraints", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh)) == 0)
+    // audit drift: a designs dir declaring a PK the loaded data
+    // violates (r_name is unique per region, but load 'cli2.dups'
+    // from orders where o_custkey repeats)
+    val designs2 = Files.createTempDirectory("graft_cli_ccd2_").toString
+    val schemaDir2 = Paths.get(designs2, "schemas", "cli")
+    Files.createDirectories(schemaDir2)
+    // same region relation, now claiming a PK on a non-key column of
+    // the ALREADY-PUBLISHED table: 5 distinct r_regionkey%2 values
+    Files.write(schemaDir2.resolve("region.yaml"),
+      """name: cli.region
+        |source_name: cli
+        |columns:
+        |  - name: r_regionkey
+        |    type: int
+        |    not_null: true
+        |  - name: r_name
+        |    type: string
+        |constraints:
+        |  - primary_key: [r_regionkey]
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    Files.write(schemaDir2.resolve("cli-summary.yaml"),
+      """name: cli.summary
+        |source_name: CTAS
+        |depends_on: [cli.region]
+        |columns:
+        |  - name: n
+        |    type: long
+        |    not_null: true
+        |constraints:
+        |  - primary_key: [n]
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    Files.write(schemaDir2.resolve("cli-summary.sql"),
+      "SELECT COUNT(*) AS n FROM cli.region".getBytes(StandardCharsets.UTF_8))
+    // summary holds ONE row -> PK [n] passes; seed a duplicate row by
+    // appending to the published table's location to simulate corruption
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("summary", Some("cli")))
+      .location.toString
+    spark.range(1).selectExpr("CAST(5 AS BIGINT) AS n")
+      .write.mode("append").parquet(loc)
+    spark.catalog.refreshTable("`cli`.`summary`")
+    val err = new java.io.ByteArrayOutputStream()
+    // Cli reports on java.lang.System.err (not scala.Console.err)
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(err, true, "UTF-8"))
+    val code = try Cli.run(spark, "check_constraints", Map(
+        "designs" -> designs2, "data" -> dataDir, "warehouse" -> wh))
+      finally System.setErr(realErr)
+    assert(code == 1, "violation must exit non-zero")
+    val msg = err.toString("UTF-8")
+    assert(msg.contains("cli.summary") && msg.contains("primary_key")
+      && msg.contains("examples:"), s"expected sample keys, got: $msg")
+  }
+
+  test("cli show_upstream_dependencies lists the feeding chain") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(spark, "show_upstream_dependencies", Map(
+        "designs" -> designsDir, "select" -> "cli.summary"))
+    }
+    val lines = out.toString("UTF-8").linesIterator.toSeq.filter(_.nonEmpty)
+    // the selected transformation AND the source feeding it
+    assert(lines.exists(_.contains("cli.region")), s"missing upstream: $lines")
+    assert(lines.exists(_.contains("cli.summary")), s"missing selection: $lines")
+  }
+
   test("cli unload writes the published relation; continue-from skips") {
     val wh = Files.createTempDirectory("graft_cli_wh2_").toString
     // continue-from cli.summary: region (earlier in execution order)

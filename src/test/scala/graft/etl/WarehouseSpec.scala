@@ -559,4 +559,134 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     wh.buildOneRelation(rels(1))
     assert(spark.table("`rep`.`top_nations`").count() == 5)
   }
+
+  test("upgrade rebuilds the selection in place at the standard position") {
+    val wh = freshWarehouse()
+    wh.loadWithStagingAndPublish(Seq(srcNation,
+      ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5")))
+    assert(spark.table("`rep`.`top_nations`").count() == 5)
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier("top_nations", Some("rep"))
+    val locBefore =
+      spark.sessionState.catalog.getTableMetadata(ident).location.toString
+    // the day-to-day "fix one transformation" workflow: edited query,
+    // upgrade just that relation — no staging, standard swaps in place
+    val results = wh.upgradeRelations(
+      Seq(srcNation, ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 3")),
+      TableSelector(Seq("rep.top_nations")))
+    assert(results.map(_.identifier) == Seq("rep.top_nations"))
+    assert(spark.table("`rep`.`top_nations`").count() == 3)
+    assert(spark.sessionState.catalog.getTableMetadata(ident).location.toString
+      != locBefore, "upgrade must re-point the standard table at a fresh build")
+    // no staging entries involved, and the step is monitored as "upgrade"
+    assert(!spark.catalog.tableExists("`etl_staging__rep`.`top_nations`"))
+    assert(wh.monitor.events.exists(e =>
+      e.target == "rep.top_nations" && e.step == "upgrade" && e.event == "finish"))
+  }
+
+  test("update is all-or-nothing: failure mid-list restores earlier tables") {
+    val wh = freshWarehouse()
+    def mid(query: String) = rel(
+      s"""name: rep.mid_t
+         |source_name: CTAS
+         |depends_on: [src.nation]
+         |columns:
+         |  - name: n_name
+         |    type: string
+         |query: $query
+         |""".stripMargin)
+    def tail(query: String) = rel(
+      s"""name: rep.tail_t
+         |source_name: CTAS
+         |depends_on: [rep.mid_t]
+         |columns:
+         |  - name: n_name
+         |    type: string
+         |query: $query
+         |""".stripMargin)
+    val v1 = Seq(srcNation,
+      ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5"),
+      mid("SELECT n_name FROM src.nation WHERE n_nationkey < 4"),
+      tail("SELECT n_name FROM rep.mid_t"))
+    wh.loadWithStagingAndPublish(v1)
+    assert(spark.table("`rep`.`top_nations`").count() == 5)
+    assert(spark.table("`rep`.`mid_t`").count() == 4)
+    // The edited design set: top_nations and mid_t now select MORE
+    // rows, but tail_t's query is broken — the reference's single
+    // transaction would roll everything back (load.py:1357-1364); the
+    // pointer emulation must restore every already-swapped table.
+    val v2 = Seq(srcNation,
+      ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 7"),
+      mid("SELECT n_name FROM src.nation WHERE n_nationkey < 6"),
+      tail("SELECT no_such_column FROM rep.mid_t"))
+    intercept[Exception] {
+      wh.updateRelations(v2, TableSelector.all)
+    }
+    // every table serves its PRE-update data — not a mix
+    assert(spark.table("`src`.`nation`").count() == 25)
+    assert(spark.table("`rep`.`top_nations`").count() == 5,
+      "top_nations must be rolled back to pre-update data")
+    assert(spark.table("`rep`.`mid_t`").count() == 4,
+      "mid_t must be rolled back to pre-update data")
+    assert(spark.table("`rep`.`tail_t`").count() == 4)
+    // and a clean update moves everything forward together
+    val v3 = Seq(srcNation,
+      ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 7"),
+      mid("SELECT n_name FROM src.nation WHERE n_nationkey < 6"),
+      tail("SELECT n_name FROM rep.mid_t"))
+    wh.updateRelations(v3, TableSelector.all)
+    assert(spark.table("`rep`.`top_nations`").count() == 7)
+    assert(spark.table("`rep`.`mid_t`").count() == 6)
+    assert(spark.table("`rep`.`tail_t`").count() == 6)
+  }
+
+  test("standalone check_constraints audits published tables without rebuilding") {
+    val wh = freshWarehouse()
+    wh.loadWithStagingAndPublish(Seq(srcNation,
+      ctasTop("SELECT n_name FROM src.nation WHERE n_nationkey < 5")))
+    // clean designs: no findings
+    assert(wh.checkConstraints(Seq(srcNation), TableSelector.all).isEmpty)
+    // the audit case: the design now declares a PK the data at rest
+    // violates (5 distinct n_name per nationkey%5 bucket → dups)
+    val drifted = rel(
+      """name: src.nation
+        |source_name: src
+        |columns:
+        |  - name: n_nationkey
+        |    type: int
+        |    not_null: true
+        |  - name: n_name
+        |    type: string
+        |constraints:
+        |  - primary_key: [n_nationkey]
+        |  - unique: [n_name]
+        |""".stripMargin)
+    // n_name IS unique in nation — force a violating published table
+    // instead: a CTAS of nation keyed on nationkey%5
+    val dupTable = rel(
+      """name: rep.dup_audit
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: k
+        |    type: int
+        |    not_null: true
+        |query: SELECT CAST(n_nationkey % 5 AS INT) AS k FROM src.nation
+        |""".stripMargin)
+    wh.loadWithStagingAndPublish(Seq(srcNation, dupTable))
+    val auditDesign = rel(
+      """name: rep.dup_audit
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |columns:
+        |  - name: k
+        |    type: int
+        |    not_null: true
+        |constraints:
+        |  - primary_key: [k]
+        |query: SELECT CAST(n_nationkey % 5 AS INT) AS k FROM src.nation
+        |""".stripMargin)
+    val findings = wh.checkConstraints(Seq(drifted, auditDesign), TableSelector.all)
+    assert(findings.map(_._1) == Seq("rep.dup_audit"), s"got $findings")
+    assert(findings.head._2.contains("primary_key"))
+  }
 }

@@ -291,6 +291,23 @@ final class Warehouse(
       .getOrElse(spark.table(target.quoted).count())
   }
 
+  /** Append rows IN PLACE to an existing (non-bucketed) external
+    * parquet table: new part files land in the LIVE location — no
+    * fresh versioned location, no rewrite of existing data. This is
+    * the O(batch) ingest path for ACCUMULATING tables (the MinHash
+    * band index an incremental dedup run extends each day): the cost
+    * is the batch's files, independent of the table's size. Such
+    * tables sit outside the build lifecycle — no backup/publish
+    * interplay — and are rebuilt via [[writeTable]] only when full
+    * re-derivation is intended. */
+  def appendToTable(target: TableName, df: DataFrame): Unit = {
+    val loc = locationOf(target).orElse(readPointer(target)).getOrElse(
+      throw new IllegalStateException(
+        s"no live location for '${target.identifier}' — build it with writeTable first"))
+    df.write.mode("append").parquet(loc)
+    spark.catalog.refreshTable(target.quoted)
+  }
+
   /** (Re-)point `target` at `location`. When the name already holds a
     * parquet table with the same bucketing shape this is a single
     * `ALTER TABLE ... SET LOCATION` — an atomic metadata call, so a

@@ -639,6 +639,33 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep`.`tail_t`").count() == 6)
   }
 
+  test("minhash band index is materialized; later batches see earlier batches") {
+    val s = spark   // stable identifier for the implicits import
+    import s.implicits._
+    val wh = freshWarehouse()
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words with no overlap at all in here"
+    def docs(ids: (Long, String)*) = ids.toSeq.toDF("doc_id", "text")
+    val index = TableName.parse("dedup.band_index_test")
+    // day 0: index the existing corpus as a stored warehouse table
+    graft.queries.DedupOps.buildBandIndex(wh, docs(1L -> dup, 2L -> other), index)
+    assert(spark.table(index.quoted).count() > 0)
+    // day 1: the batch's near-dup of doc 1 surfaces from the STORED index
+    val p1 = graft.queries.DedupOps
+      .incrementalAgainstIndex(wh, index, docs(401L -> dup))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1.contains((1L, 401L)), s"corpus x batch pair missing: $p1")
+    // day 2: the new batch must ALSO pair with day 1's docs — proving
+    // day 1's bands were appended to the index, not just read once
+    val p2 = graft.queries.DedupOps
+      .incrementalAgainstIndex(wh, index, docs(451L -> dup))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2.contains((1L, 451L)) && p2.contains((401L, 451L)),
+      s"day-2 batch must see day-1 bands through the stored index: $p2")
+    // the stored table accumulated all four documents' bands
+    assert(spark.table(index.quoted).select("doc_id").distinct().count() == 4)
+  }
+
   test("standalone check_constraints audits published tables without rebuilding") {
     val wh = freshWarehouse()
     wh.loadWithStagingAndPublish(Seq(srcNation,

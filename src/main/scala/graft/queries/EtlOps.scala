@@ -301,8 +301,36 @@ object EtlOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Salted JOIN under the oracle hash: the known-hot-key mitigation
+    * for a skew-heavy fact joining a relation too big to broadcast —
+    * the fact side gets a salt, the other side replicates across the
+    * `factor` salt values, and the key becomes (key, salt) so one hot
+    * key spreads over `factor` reducers ([[graft.etl.Skew.saltedJoin]]).
+    * The aggregate over the joined rows (decimal sums, so addition
+    * order cannot perturb it) must be bit-equal to the plain-join
+    * oracle: salting rearranges WHERE rows meet, never WHICH rows. */
+  def skewSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_totalprice".cast(DecimalType(18, 6)).as("p"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    graft.etl.Skew.saltedJoin(orders, cust, "o_custkey", factor = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"p").cast("double").as("sum_total"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_agg" -> (skewSaltedAgg _),
+    "skew_salted_join" -> (skewSaltedJoin _),
     "s10_copy_csv" -> (s10CopyCsv _),
     "s12_unload_roundtrip" -> (s12UnloadRoundtrip _),
     "c1_constraint_dup" -> (c1ConstraintDup _),
@@ -316,6 +344,7 @@ object EtlOps {
 
   val oracles: Map[String, String] = Map(
     "skew_salted_agg" -> skewSaltedAggSql,
+    "skew_salted_join" -> skewSaltedJoinSql,
     "s10_copy_csv" -> s10CopyCsvSql,
     "s12_unload_roundtrip" -> s12UnloadRoundtripSql,
     "c1_constraint_dup" -> c1ConstraintDupSql,

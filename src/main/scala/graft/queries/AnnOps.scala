@@ -207,11 +207,24 @@ object AnnOps {
   }
 
   /** Multi-probe set of a bucket id: the bucket itself plus every
-    * 1-bit flip — all buckets at hamming ≤ 1. Values are pairwise
-    * distinct, so probe joins never duplicate a candidate. */
-  private def probeArr(bucket: Column, planes: Int): Column =
-    array(bucket +: (0 until planes)
-      .map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
+    * flip of up to `bits` bits — all buckets at hamming ≤ bits.
+    * Values are pairwise distinct, so probe joins never duplicate a
+    * candidate. `bits` is the LSH recall/cost knob: probe count is
+    * 1 + C(planes,1) + ... + C(planes,bits), and expected corpus
+    * fraction scanned is that over 2^planes (the sweep in
+    * AnnRecallSpec records the measured curve). The oracle entries
+    * pin bits = 1. */
+  private def probeArr(bucket: Column, planes: Int, bits: Int = 1): Column = {
+    val oneBit = (0 until planes).map(p => bucket.bitwiseXOR(lit(1L << p)))
+    val twoBit = for (p <- 0 until planes; q <- p + 1 until planes)
+      yield bucket.bitwiseXOR(lit((1L << p) | (1L << q)))
+    val flips = bits match {
+      case 0 => Seq.empty
+      case 1 => oneBit
+      case _ => oneBit ++ twoBit
+    }
+    array(bucket +: flips: _*)
+  }
 
   private val probeSqlList: String =
     "[bucket] || [xor(bucket, CAST(power(2, p) AS BIGINT)) FOR p IN range(0, planes)]"
@@ -250,18 +263,30 @@ object AnnOps {
     * query side (NumQueries × (planes+1) rows, still a broadcast);
     * the corpus side stays a scan + equi-join. Per-candidate cosine
     * is one dot over precomputed norms. */
-  def annLshTopk(spark: SparkSession, sfDir: String,
-                 t: Tuning = Tuning.default): DataFrame = {
+  /** Scored LSH candidates (query_id, neighbor_id, cosine) at a given
+    * probe radius — the shared core of [[annLshTopk]] (bits = 1) and
+    * the recall/cost sweep in AnnRecallSpec (bits ∈ {0, 1, 2}: row
+    * count is the per-setting candidate cost, top-k over it the
+    * recall). */
+  private[queries] def lshScored(spark: SparkSession, sfDir: String,
+                                 t: Tuning = Tuning.default,
+                                 probeBits: Int = 1): DataFrame = {
     import spark.implicits._
     val (vecsRaw, planes) = bucketedDf(spark, sfDir, t)
     val vecs = vecsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = vecs.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        $"nrm".as("q_nrm"), explode(probeArr($"bucket", planes)).as("probe"))
-    val scored = vecs.join(broadcast(probes),
+        $"nrm".as("q_nrm"), explode(probeArr($"bucket", planes, probeBits)).as("probe"))
+    vecs.join(broadcast(probes),
         $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
+  }
+
+  def annLshTopk(spark: SparkSession, sfDir: String,
+                 t: Tuning = Tuning.default): DataFrame = {
+    import spark.implicits._
+    val scored = lshScored(spark, sfDir, t)
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -456,7 +481,11 @@ object AnnOps {
     * queries × NProbe rows (tiny, broadcast); candidate lookup is an
     * equi-join on the cell id against the assignment — the same
     * banded shape as every candidate generator here. */
-  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Scored IVF candidates (query_id, neighbor_id, cosine) at a given
+    * probe count — the shared core of [[annIvfTopk]] (NProbe) and the
+    * recall/cost sweep in AnnRecallSpec. */
+  private[queries] def ivfScored(spark: SparkSession, sfDir: String,
+                                 nprobe: Int = NProbe): DataFrame = {
     import spark.implicits._
     // the centroid table is reused by assignment and probe ranking —
     // persist so the TakeOrdered seed selection scans the corpus once
@@ -468,7 +497,7 @@ object AnnOps {
     val queries = vecs.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     // Probe ranking via BoundedTopK as well — the windowless plan:
-    // the per-query NProbe-nearest centroids fall out of a k-bounded
+    // the per-query nprobe-nearest centroids fall out of a k-bounded
     // aggregate over the (queries × nlist) probe table; same
     // tie-break (q_cos DESC, cent_id ASC) as the oracle's window.
     BoundedTopK.register(spark)
@@ -476,15 +505,20 @@ object AnnOps {
       .select($"query_id", $"cent_id",
         cosine($"q_emb", $"c_emb").as("q_cos"))
       .groupBy($"query_id")
-      .agg(expr(s"bounded_topk(q_cos, cent_id, $NProbe)").as("top"))
+      .agg(expr(s"bounded_topk(q_cos, cent_id, $nprobe)").as("top"))
       .select($"query_id", explode($"top").as("t"))
       .select($"query_id", $"t.neighbor_id".as("cell"))
       .join(queries, Seq("query_id"))   // re-attach q_emb (tiny side)
     val cands = cells.join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
-    val scored = cands.join(vecs, Seq("vec_id"))
+    cands.join(vecs, Seq("vec_id"))
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine($"q_emb", $"embedding").as("cosine"))
+  }
+
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = ivfScored(spark, sfDir)
     // Final ranking on the native BoundedTopK aggregate, like the
     // brute-force path: the k-bounded partial state combines map-side
     // in the rescore stage itself, so the shuffle carries

@@ -68,7 +68,9 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     * worst-case floor. Deterministic: fixed seed, fixed planes. */
   private val PlantedRecallFloor = 0.6
 
-  test(s"planted near-duplicate corpus: LSH and IVF recall >= $PlantedRecallFloor") {
+  /** The planted corpus, built once and shared by the floor test and
+    * the recall/cost sweep (deterministic: fixed seed). */
+  private lazy val plantedDir: String = {
     val s = spark
     import s.implicits._
     val rng = new scala.util.Random(7)
@@ -87,7 +89,11 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
       .repartition(4)
       .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
 
+  test(s"planted near-duplicate corpus: LSH and IVF recall >= $PlantedRecallFloor") {
+    val dir = plantedDir
     val exact = neighborSets(AnnOps.annTopkCosine(spark, dir))
     // brute force must rank the planted dups first (cosine ≈ 0.99 vs
     // random ≈ 0.4) — sanity-check the corpus construction itself
@@ -105,6 +111,56 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"LSH planted recall $lshRecall%.2f below $PlantedRecallFloor")
     assert(ivfRecall >= PlantedRecallFloor,
       f"IVF planted recall $ivfRecall%.2f below $PlantedRecallFloor")
+  }
+
+  /** Top-k neighbor sets from a scored candidate frame, same tie-break
+    * as the operators (cosine DESC, neighbor_id ASC). */
+  private def topkSets(scored: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    scored.select("query_id", "neighbor_id", "cosine").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .take(AnnOps.TopK).map(_.getLong(1)).toSet
+      }
+
+  test("recall-vs-cost sweep over probe settings (planted corpus, deterministic)") {
+    // The operating-point table a 100 TB operator picks from: each
+    // probe setting's measured recall@k against the exact baseline,
+    // with its candidate cost (scored rows across the NumQueries
+    // queries — the corpus fraction rescored). Recorded in STATUS.md;
+    // deterministic (fixed corpus, md5 planes/seeds), so the asserted
+    // values are exact pins, not floors.
+    val dir = plantedDir
+    val exact = neighborSets(AnnOps.annTopkCosine(spark, dir))
+    val lines = scala.collection.mutable.Buffer[String]()
+    val lshRows = (0 to 2).map { bits =>
+      val scored = AnnOps.lshScored(spark, dir, probeBits = bits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (recall, cands) = (recallAgainst(exact, topkSets(scored)), scored.count())
+      scored.unpersist()
+      lines += f"lsh probeBits=$bits recall@${AnnOps.TopK}=$recall%.2f candidates=$cands"
+      (bits, recall, cands)
+    }
+    val ivfRows = Seq(1, 2, 4, 8).map { nprobe =>
+      val scored = AnnOps.ivfScored(spark, dir, nprobe)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (recall, cands) = (recallAgainst(exact, topkSets(scored)), scored.count())
+      scored.unpersist()
+      lines += f"ivf nprobe=$nprobe recall@${AnnOps.TopK}=$recall%.2f candidates=$cands"
+      (nprobe, recall, cands)
+    }
+    lines.foreach(info(_))
+    // monotone axes: more probes never lose recall and never cost less
+    assert(lshRows.sliding(2).forall(w => w(0)._2 <= w(1)._2 + 1e-9),
+      s"LSH recall must be monotone in probe bits: $lshRows")
+    assert(lshRows.sliding(2).forall(w => w(0)._3 <= w(1)._3),
+      s"LSH candidate cost must be monotone in probe bits: $lshRows")
+    assert(ivfRows.sliding(2).forall(w => w(0)._2 <= w(1)._2 + 1e-9),
+      s"IVF recall must be monotone in nprobe: $ivfRows")
+    assert(ivfRows.sliding(2).forall(w => w(0)._3 <= w(1)._3),
+      s"IVF candidate cost must be monotone in nprobe: $ivfRows")
+    // the shipped operating points stay at full planted recall
+    assert(lshRows.find(_._1 == 1).get._2 >= PlantedRecallFloor)
+    assert(ivfRows.find(_._1 == AnnOps.NProbe).get._2 >= PlantedRecallFloor)
   }
 
   test(s"LSH and IVF top-k recall >= $RecallFloor vs brute force at sf0.01 (random-data worst case)") {

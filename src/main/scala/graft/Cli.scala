@@ -33,7 +33,7 @@ object Cli {
         |  create_index   --designs DIR
         |  show_dependents --designs DIR --select PATTERN
         |  show_upstream_dependencies --designs DIR --select PATTERN
-        |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N] [--summarize]
+        |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N] [--summarize] [--follow [--poll-ms N] [--idle-timeout-ms N]]
         |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
         |  bootstrap_transformations --designs DIR [--as-view]
         |""".stripMargin)
@@ -216,9 +216,7 @@ object Cli {
             println(f"[events] $step%-12s finish=$ok fail=$fail elapsed=$secs%.2fs")
           }
         } else {
-          val shown = opts.get("tail").map(n => filtered.takeRight(n.toInt))
-            .getOrElse(filtered)
-          shown.foreach { e =>
+          def printEvent(e: MonitorEvent): Unit = {
             val extra = e.rowcount.map(r => s" rows=$r").getOrElse("") +
               e.metrics.map(m => s" read=${m.bytesRead}B/${m.filesRead}f" +
                 s" shuffle=${m.shuffleBytesWritten}B written=${m.rowsWritten}")
@@ -226,6 +224,18 @@ object Cli {
               e.message.map(m => s" message=$m").getOrElse("")
             println(f"[events] ${e.target} ${e.step} ${e.event} ${e.elapsedSeconds}%.2fs$extra")
           }
+          val shown = opts.get("tail").map(n => filtered.takeRight(n.toInt))
+            .getOrElse(filtered)
+          shown.foreach(printEvent)
+          // --follow (tail_events -f, commands.py:2036-2088): poll for
+          // new events, quit after an idle hour (both intervals
+          // overridable for automation/tests).
+          if (opts.contains("follow"))
+            Monitor.followLog(log, opts.get("target"), opts.get("step"),
+              opts.get("since").map(_.toLong), skip = all.size,
+              pollMs = opts.get("poll-ms").map(_.toLong).getOrElse(30 * 1000L),
+              idleTimeoutMs = opts.get("idle-timeout-ms").map(_.toLong)
+                .getOrElse(3600 * 1000L))(printEvent)
         }
         0
       case "bootstrap_sources" =>

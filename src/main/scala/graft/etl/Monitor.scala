@@ -126,6 +126,40 @@ object Monitor {
       }
   }
 
+  /** `tail_events --follow` (commands.py:2036-2088): keep polling the
+    * event log, emitting each NEW event as it lands, and quit when no
+    * new event arrives within `idleTimeoutMs` (the reference: 30 s
+    * poll / 1 h idle timeout — "automatically quits when no new event
+    * arrives within an hour"). Already-present events are the caller's
+    * to print first; the follow starts after `skip` events. Returns
+    * the number of events emitted. The log is re-read per poll — the
+    * readLog parse is proportional to the file, fine for the JSON-
+    * lines logs one run writes; a long-lived production follower
+    * would seek to a byte offset instead. */
+  def followLog(path: String, target: Option[String], step: Option[String],
+                since: Option[Long], skip: Int,
+                pollMs: Long, idleTimeoutMs: Long)
+               (onEvent: MonitorEvent => Unit): Int = {
+    var seen = skip
+    var emitted = 0
+    var lastNew = System.currentTimeMillis()
+    var go = true
+    while (go) {
+      val all = readLog(path)
+      if (all.size > seen) {
+        filter(all.drop(seen), target, step, since).foreach { e =>
+          onEvent(e); emitted += 1
+        }
+        seen = all.size
+        lastNew = System.currentTimeMillis()
+      } else if (System.currentTimeMillis() - lastNew >= idleTimeoutMs) {
+        go = false
+      }
+      if (go) Thread.sleep(pollMs)
+    }
+    emitted
+  }
+
   private[etl] def toJson(e: MonitorEvent): String = {
     val rc = e.rowcount.map(r => s""","rowcount":$r""").getOrElse("")
     val msg = e.message.map(m => s""","message":"${jsonEscape(m)}"""").getOrElse("")

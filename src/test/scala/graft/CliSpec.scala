@@ -286,6 +286,34 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines.exists(_.contains("cli.summary")), s"missing selection: $lines")
   }
 
+  test("query_events --follow emits events appended while following") {
+    import java.nio.file.StandardOpenOption
+    val events = Files.createTempDirectory("graft_cli_fol_")
+      .resolve("ev.jsonl")
+    def line(target: String, step: String) =
+      s"""{"target":"$target","step":"$step","event":"finish","elapsed":1.0,"ts":1}\n"""
+    Files.write(events, line("cli.region", "load").getBytes(StandardCharsets.UTF_8))
+    // a writer lands one more event AFTER the follow loop starts
+    val appender = new Thread(() => {
+      Thread.sleep(200)
+      Files.write(events, line("cli.summary", "upgrade").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.APPEND)
+    })
+    appender.start()
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(spark, "query_events", Map(
+        "events" -> events.toString, "follow" -> "true",
+        "poll-ms" -> "50", "idle-timeout-ms" -> "800"))
+    }
+    appender.join()
+    assert(code == 0)
+    val s = out.toString("UTF-8")
+    assert(s.contains("cli.region load finish"), s"seed event missing: $s")
+    assert(s.contains("cli.summary upgrade finish"),
+      s"follow must emit the late event: $s")
+  }
+
   test("cli unload writes the published relation; continue-from skips") {
     val wh = Files.createTempDirectory("graft_cli_wh2_").toString
     // continue-from cli.summary: region (earlier in execution order)

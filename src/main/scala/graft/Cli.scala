@@ -19,8 +19,8 @@ object Cli {
     System.err.println(
       """usage: graft.Cli <command> [options]
         |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum] [--events FILE]
-        |  upgrade        --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--only-selected] [--include-immediate-views] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--events FILE]
-        |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--only-selected] [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
+        |  upgrade        --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--only-selected] [--include-immediate-views] [--into-schema SCHEMA] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--events FILE]
+        |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--only-selected] [--vacuum] [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
         |  check_constraints --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--with-staging]
         |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN]
         |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro] [--use-sampling]
@@ -127,12 +127,18 @@ object Cli {
         }
         0
       case "upgrade" =>
+        // --into-schema requires an explicit selection (commands.py:1216)
+        if (opts.contains("into-schema") && !opts.contains("select")) {
+          System.err.println("option '--into-schema' requires that relations are selected")
+          return 2
+        }
         warehouse.upgradeRelations(designs, selector,
           onlySelected = opts.contains("only-selected"),
           includeImmediateViews = opts.contains("include-immediate-views"),
           continueFrom = opts.get("continue-from"),
           skipCopy = opts.contains("skip-copy"),
-          maxConcurrency = opts.get("max-concurrency").map(_.toInt).getOrElse(4))
+          maxConcurrency = opts.get("max-concurrency").map(_.toInt).getOrElse(4),
+          targetSchema = opts.get("into-schema"))
           .foreach(r =>
             println(s"[upgrade] ${r.identifier}: ${r.rowcount} rows" +
               (if (r.skipped) " (skip copy)" else "")))
@@ -146,6 +152,19 @@ object Cli {
           onlySelected = opts.contains("only-selected"))
           .foreach(r =>
             println(s"[update] ${r.identifier}: ${r.rowcount} rows"))
+        // `update --vacuum` (commands.py:1310-1314, load.py:1366-1367):
+        // tidy up after the refresh — this is also what reclaims build
+        // locations orphaned by a previous update's rollback.
+        if (opts.contains("vacuum")) {
+          val vr = warehouse.vacuum(Dag.selectInExecutionOrder(designs, selector,
+            includeDependents = !opts.contains("only-selected")))
+          vr.deleted.foreach(p => println(s"[vacuum] deleted $p"))
+          if (vr.refused.nonEmpty) {
+            System.err.println(s"[vacuum] refused ${vr.refused.size} relation(s): " +
+              vr.refused.mkString(", "))
+            return 1
+          }
+        }
         0
       case "check_constraints" =>
         val pos = if (opts.contains("with-staging")) SchemaPosition.Staging

@@ -668,24 +668,47 @@ final class Warehouse(
                        includeImmediateViews: Boolean = false,
                        continueFrom: Option[String] = None,
                        skipCopy: Boolean = false,
-                       maxConcurrency: Int = 4): Seq[BuildResult] = {
+                       maxConcurrency: Int = 4,
+                       targetSchema: Option[String] = None): Seq[BuildResult] = {
+    // --into-schema implies --only-selected (commands.py:1219-1224)
+    val effectiveOnly = onlySelected || targetSchema.isDefined
     val selected = Dag.selectInExecutionOrder(relations, selector,
-      includeDependents = !onlySelected,
+      includeDependents = !effectiveOnly,
       includeImmediateViews = includeImmediateViews,
       continueFrom = continueFrom)
     // load.py:1274-1285: surface which immediate views are NOT part
     // of an --only-selected upgrade — their queries read tables this
     // rebuild replaces underneath them.
-    if (onlySelected && !includeImmediateViews) {
+    if (effectiveOnly && !includeImmediateViews) {
       val missed = Dag.findImmediateViews(
         Dag.orderByDependencies(relations), selector)
       if (missed.nonEmpty)
         System.err.println("[upgrade] these views are not part of the upgrade: " +
           missed.map(_.identifier).mkString(", "))
     }
-    loadRelations(selected, SchemaPosition.Standard,
-      maxConcurrency = maxConcurrency, skipCopyAll = skipCopy,
-      step = "upgrade")
+    targetSchema match {
+      case None =>
+        loadRelations(selected, SchemaPosition.Standard,
+          maxConcurrency = maxConcurrency, skipCopyAll = skipCopy,
+          step = "upgrade")
+      case Some(ts) =>
+        // `--into-schema` (load.py:1248-1272): build the selection
+        // into a side schema (a scratch copy for debugging) while the
+        // queries still read dependencies at their NORMAL positions —
+        // which is exactly why the selection may not span execution
+        // levels: a selected relation depending on another selected
+        // one would read the ORIGINAL, not the relocated copy.
+        val levels = selected.map(_.executionLevel).distinct
+        if (levels.size > 1)
+          throw new InvalidSelectionError(
+            "relations might depend on each other while target schema is in effect " +
+              s"(involved execution levels: ${levels.sorted.mkString(", ")})")
+        val relocated = selected.map(r => r.copy(design =
+          r.design.copy(name = TableName(ts, r.name.table))))
+        loadRelations(relocated, SchemaPosition.Standard,
+          maxConcurrency = maxConcurrency, skipCopyAll = skipCopy,
+          step = "upgrade")
+    }
   }
 
   // ------------------------------------------------------------ T6

@@ -214,6 +214,34 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`cli`.`summary`").collect().head.getLong(0) == 5L)
   }
 
+  test("cli upgrade --into-schema builds a relocated copy, standard untouched") {
+    val wh = Files.createTempDirectory("graft_cli_iswh_").toString
+    Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh))
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier("summary", Some("cli"))
+    val locBefore =
+      spark.sessionState.catalog.getTableMetadata(ident).location.toString
+    val code = Cli.run(spark, "upgrade", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+      "select" -> "cli.summary", "into-schema" -> "scratch"))
+    assert(code == 0)
+    // the relocated copy reads its dependency at the NORMAL position
+    assert(spark.table("`scratch`.`summary`").collect().head.getLong(0) == 5L)
+    // standard position is untouched — same location, same data
+    assert(spark.sessionState.catalog.getTableMetadata(ident).location.toString
+      == locBefore, "--into-schema must not touch the standard table")
+    // selecting relations that depend on each other is refused
+    intercept[graft.etl.InvalidSelectionError] {
+      Cli.run(spark, "upgrade", Map(
+        "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+        "select" -> "cli.region,cli.summary", "into-schema" -> "scratch"))
+    }
+    // and --into-schema without a selection is a usage error
+    assert(Cli.run(spark, "upgrade", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+      "into-schema" -> "scratch")) == 2)
+  }
+
   test("cli check_constraints: zero on clean, non-zero with samples on violation") {
     val wh = Files.createTempDirectory("graft_cli_ccwh_").toString
     Cli.run(spark, "load", Map(

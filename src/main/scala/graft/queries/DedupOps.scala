@@ -368,6 +368,83 @@ object DedupOps {
        |WHERE b.doc_id >= $IncrementalSplit
        |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------------ passage dedup
+  /** Passage-level exact dedup — the C4/RefinedWeb "remove duplicated
+    * passages corpus-wide, keep the first occurrence" step, at a finer
+    * grain than whole-document [[dedupExact]]. Documents split into
+    * fixed [[ChunkWords]]-word chunks (deterministic positional
+    * chunking — the synthetic corpus has no sentence boundaries; a
+    * production corpus would split on '\n\n'), each chunk keeps only
+    * its corpus-wide FIRST occurrence by (doc_id, pos), and every
+    * document is reconstructed from its surviving chunks in order.
+    *
+    * Scale shape: keep-first is a groupBy on the 128-bit chunk
+    * fingerprint with a min(struct(doc_id, pos)) aggregate —
+    * map-side-partial, one shuffle of |chunks| rows, no corpus-wide
+    * window — then one hinted shuffle join back (both sides corpus-
+    * scale; plan-gated non-broadcast). Reconstruction is a groupBy
+    * per doc whose state is bounded by the document's own length. */
+  val ChunkWords = 10
+
+  def dedupPassages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val units = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", split(normText($"text"), " ").as("w"))
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, CAST((size(w) - 1) / $ChunkWords AS INT)), " +
+          s"i -> concat_ws(' ', slice(w, i * $ChunkWords + 1, $ChunkWords)))")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("unit"),
+        md5($"col").as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keepFirst = units.groupBy($"fp")
+      .agg(min(struct($"doc_id", $"pos")).as("k"))
+      .select($"fp".as("kfp"), $"k.doc_id".as("kd"), $"k.pos".as("kp"))
+    // the keep-first set scales with distinct chunks (corpus-sized):
+    // hint it shuffle so Catalyst never broadcasts the build side
+    val kept = units.join(keepFirst.hint("shuffle_hash"),
+      $"fp" === $"kfp" && $"doc_id" === $"kd" && $"pos" === $"kp")
+    val keptAgg = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct($"pos", $"unit"))),
+            x => x.getField("unit")), " ").as("text_dedup"))
+    val totals = units.groupBy($"doc_id").agg(count(lit(1)).as("n_units"))
+    // both per-doc aggregates are corpus-scale too — shuffle join
+    totals.join(keptAgg.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_units",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"text_dedup", lit("")).as("text_dedup"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupPassagesSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($normTextSql, ' ') AS w FROM documents
+       |), poss AS (
+       |  SELECT doc_id, w, unnest(range(0, (len(w) - 1) // $ChunkWords + 1)) AS i FROM w
+       |), units AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(w[(i * $ChunkWords + 1):(i * $ChunkWords + $ChunkWords)], ' ') AS unit
+       |  FROM poss
+       |), ranked AS (
+       |  SELECT doc_id, pos, unit,
+       |    row_number() OVER (PARTITION BY md5(unit) ORDER BY doc_id, pos) AS rk
+       |  FROM units
+       |), keptu AS (
+       |  SELECT doc_id, pos, unit FROM ranked WHERE rk = 1
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(unit, ' ' ORDER BY pos) AS text_dedup
+       |  FROM keptu GROUP BY doc_id
+       |), tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_units FROM units GROUP BY doc_id
+       |)
+       |SELECT t.doc_id AS doc_id, t.n_units,
+       |  COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  COALESCE(a.text_dedup, '') AS text_dedup
+       |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------------------ simhash
   /** 60-bit SimHash per document over distinct word hashes (60 bits so
     * the value fits a signed BIGINT in every engine). Near-dup pairs =
@@ -773,6 +850,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_passages" -> (dedupPassages _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_ngram_jaccard" -> ((sp, dir) => dedupJaccard(sp, dir)),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -786,6 +864,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_passages" -> dedupPassagesSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql(),
     "dedup_minhash_sig" -> dedupMinhashSigSql,

@@ -165,6 +165,30 @@ object EventStreams {
         TextOps.redactPii(col("text")).as("text"))
   }
 
+  /** Streaming NEAR-dup detection — the streaming twin of
+    * `dedup_minhash_incremental`: each micro-batch plays the
+    * "incoming batch" of the incremental lifecycle — banded with the
+    * SAME [[graft.queries.DedupOps.minhashBandsOf]] expressions as
+    * the batch operator, joined against the MATERIALIZED band index,
+    * which then absorbs the batch. The warehouse table, not the state
+    * store, is the cross-batch state: a state-store copy of a
+    * corpus-scale band index cannot fit an executor and cannot be
+    * shared with batch runs, while the warehouse table is durable,
+    * O(batch) to extend, and identical for batch and stream by
+    * construction. Candidate pairs per micro-batch go to `emit`. */
+  def incrementalDedupStream(wh: graft.etl.Warehouse,
+                             index: graft.etl.TableName,
+                             docs: DataFrame,
+                             checkpointDir: String)
+                            (emit: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        emit(graft.queries.DedupOps.incrementalAgainstIndex(wh, index, batch), id)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** The `update` refresh loop as a stream (load.py:1343-1367 →
     * Trigger.AvailableNow): drain whatever extract files have landed
     * under `sourceDir`, run `apply` on each micro-batch (e.g. build a

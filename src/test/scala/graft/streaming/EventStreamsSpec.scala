@@ -108,6 +108,45 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.count() == 1L)
   }
 
+  test("incrementalDedupStream: micro-batches accumulate in the shared band index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words with no overlap at all in here"
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_sdix_").toString,
+      "/root/testdata/sf0.001")
+    val index = graft.etl.TableName.parse("dedup.stream_band_index")
+    // day 0: the batch pipeline indexed the corpus
+    graft.queries.DedupOps.buildBandIndex(wh,
+      Seq((1L, dup), (2L, other)).toDF("doc_id", "text"), index)
+    val input = MemoryStream[(Long, String)]
+    val pairs = scala.collection.mutable.Buffer[(Long, Long)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdck_").toString
+    val q = EventStreams.incrementalDedupStream(wh, index,
+      input.toDF.toDF("doc_id", "text"), ckpt) { (cands, _) =>
+      pairs ++= cands.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    input.addData((401L, dup))
+    q.processAllAvailable()
+    assert(pairs.toSet == Set((1L, 401L)),
+      s"first micro-batch must pair with the indexed corpus: $pairs")
+    // the second micro-batch must see the FIRST one through the index —
+    // warehouse-table state, not stream state
+    input.addData((451L, dup))
+    q.processAllAvailable()
+    q.stop()
+    assert(pairs.toSet == Set((1L, 401L), (1L, 451L), (401L, 451L)),
+      s"cross-micro-batch pair missing: $pairs")
+    // and a BATCH run against the same index sees the streamed docs too
+    val batchPairs = graft.queries.DedupOps
+      .incrementalAgainstIndex(wh, index, Seq((461L, dup)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs == Set((1L, 461L), (401L, 461L), (451L, 461L)),
+      s"batch run must share the stream's index: $batchPairs")
+  }
+
   test("sessionize: 30-min gaps split sessions; timeout closes the last one") {
     val s = spark
     import s.implicits._

@@ -614,8 +614,42 @@ object SqlSurface {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  // ---------------------------------------------------------------- q22
+  /** The OTHER half of the Redshift-dialect surface under the oracle
+    * hash: `SIMILAR TO` (bracket classes + `%`, whole-string
+    * anchoring — translated to RLIKE by the shim's masked rewrite),
+    * `NVL`, `SPLIT_PART`, and Oracle-style `DECODE` — against
+    * DuckDB's NATIVE `SIMILAR TO` and `split_part`, so the pattern
+    * translation itself is hash-checked, not just unit-tested
+    * (DialectShimsSpec covers the edge semantics; this proves the
+    * common path end-to-end on real data). */
+  def q22SimilarTo(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("rs_customer")
+    val redshiftSql =
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN c_name SIMILAR TO 'Customer#0000000[0-9][0-9]' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_id,
+        |  NVL(MIN(CASE WHEN c_acctbal > 9999999 THEN c_name END), 'none') AS rich_customer,
+        |  MIN(SPLIT_PART(c_name, '#', 2)) AS min_suffix,
+        |  CAST(DECODE(c_mktsegment, 'BUILDING', 1, 0) AS INT) AS is_building
+        |FROM rs_customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q22SimilarToSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN c_name SIMILAR TO 'Customer#0000000[0-9][0-9]' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_id,
+      |  COALESCE(MIN(CASE WHEN c_acctbal > 9999999 THEN c_name END), 'none') AS rich_customer,
+      |  MIN(split_part(c_name, '#', 2)) AS min_suffix,
+      |  CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS INT) AS is_building
+      |FROM customer
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_similar_to" -> (q22SimilarTo _),
     "q17_grouping_sets" -> (q17GroupingSets _),
     "q18_latest_per_key" -> (q18LatestPerKey _),
     "q19_asof_join" -> (q19AsofJoin _),
@@ -639,6 +673,7 @@ object SqlSurface {
     "q15_events_sessions" -> (q15EventsSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q22_similar_to" -> q22SimilarToSql,
     "q17_grouping_sets" -> q17GroupingSetsSql,
     "q18_latest_per_key" -> q18LatestPerKeySql,
     "q19_asof_join" -> q19AsofJoinSql,

@@ -29,6 +29,7 @@ object Cli {
         |  show_ddl       --designs DIR [--select PATTERN]
         |  ls             --designs DIR
         |  run_query      --sql SQL [--limit N]
+        |  ping
         |  explain        --designs DIR [--select PATTERN]
         |  create_index   --designs DIR
         |  show_dependents --designs DIR --select PATTERN
@@ -285,6 +286,12 @@ object Cli {
         FileSets.ls(opts.getOrElse("designs", usage())).foreach {
           case (id, files) => println(s"$id\n" + files.map("  " + _).mkString("\n"))
         }
+        0
+      case "ping" =>
+        // commands.py's ping: prove the warehouse answers a trivial
+        // query. The Spark analog exercises the session end-to-end.
+        val one = spark.sql("SELECT 1 AS ok").collect().head.getInt(0)
+        println(s"[ping] ok (SELECT 1 = $one, spark ${spark.version})")
         0
       case "run_query" =>
         println(Commands.runQueryText(spark, opts.getOrElse("sql", usage()),

@@ -301,6 +301,19 @@ final class Warehouse(
     * interplay — and are rebuilt via [[writeTable]] only when full
     * re-derivation is intended. */
   def appendToTable(target: TableName, df: DataFrame): Unit = {
+    // A bucketed table's files carry bucket-id assignments; raw
+    // parquet appends would land rows in the wrong buckets and
+    // silently break the co-located-join guarantee. Refuse — the
+    // accumulating-table pattern is for unbucketed indexes.
+    val bucketed =
+      try spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(target.table, Some(target.schema)))
+        .bucketSpec.isDefined
+      catch { case _: Exception => false }
+    if (bucketed)
+      throw new IllegalStateException(
+        s"'${target.identifier}' is bucketed; in-place append would corrupt " +
+          "bucket assignments — rebuild with writeTable instead")
     val loc = locationOf(target).orElse(readPointer(target)).getOrElse(
       throw new IllegalStateException(
         s"no live location for '${target.identifier}' — build it with writeTable first"))

@@ -302,6 +302,14 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       && msg.contains("examples:"), s"expected sample keys, got: $msg")
   }
 
+  test("cli ping answers") {
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(spark, "ping", Map.empty)
+    }
+    assert(code == 0 && out.toString("UTF-8").contains("[ping] ok"))
+  }
+
   test("cli show_upstream_dependencies lists the feeding chain") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {

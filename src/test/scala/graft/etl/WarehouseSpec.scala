@@ -666,6 +666,39 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(index.quoted).select("doc_id").distinct().count() == 4)
   }
 
+  test("appendToTable refuses bucketed tables (bucket assignments would corrupt)") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val bucketedRel = rel(
+      """name: srcb.append_guard
+        |source_name: src
+        |columns:
+        |  - name: n_nationkey
+        |    type: int
+        |    not_null: true
+        |  - name: n_name
+        |    type: string
+        |attributes:
+        |  distribution: [n_nationkey]
+        |""".stripMargin)
+    // source file resolution uses the table name; point it at nation
+    val asNation = bucketedRel.copy(design = bucketedRel.design.copy(
+      name = TableName.parse("srcb.nation")))
+    wh.loadRelations(Seq(asNation))
+    val e = intercept[IllegalStateException] {
+      wh.appendToTable(TableName.parse("srcb.nation"),
+        Seq((99, "x")).toDF("n_nationkey", "n_name"))
+    }
+    assert(e.getMessage.contains("bucketed"))
+    // the unbucketed path still appends fine (covered by the band-index
+    // test above; assert the guard did not break it)
+    val plain = TableName.parse("dedup.append_guard_plain")
+    wh.writeTable(plain, Seq((1L, "a")).toDF("id", "v"))
+    wh.appendToTable(plain, Seq((2L, "b")).toDF("id", "v"))
+    assert(spark.table(plain.quoted).count() == 2)
+  }
+
   test("standalone check_constraints audits published tables without rebuilding") {
     val wh = freshWarehouse()
     wh.loadWithStagingAndPublish(Seq(srcNation,

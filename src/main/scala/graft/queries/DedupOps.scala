@@ -399,21 +399,23 @@ object DedupOps {
     val keepFirst = units.groupBy($"fp")
       .agg(min(struct($"doc_id", $"pos")).as("k"))
       .select($"fp".as("kfp"), $"k.doc_id".as("kd"), $"k.pos".as("kp"))
-    // the keep-first set scales with distinct chunks (corpus-sized):
-    // hint it shuffle so Catalyst never broadcasts the build side
-    val kept = units.join(keepFirst.hint("shuffle_hash"),
-      $"fp" === $"kfp" && $"doc_id" === $"kd" && $"pos" === $"kp")
-    val keptAgg = kept.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_kept"),
+    // ONE left join on the fingerprint alone — the right side is
+    // unique per fp (a groupBy result), so there is no fan-out, every
+    // unit survives the join (kept or not), and a single per-doc
+    // aggregate computes totals, kept counts, AND the reconstruction:
+    // collect_list skips the nulls the `when` leaves on dropped
+    // chunks. The keep-first set scales with distinct chunks
+    // (corpus-sized): hinted shuffle so Catalyst never broadcasts the
+    // build side. Three shuffles total (fp agg, fp join, doc agg).
+    val isKept = $"doc_id" === $"kd" && $"pos" === $"kp"
+    units.join(keepFirst.hint("shuffle_hash"), $"fp" === $"kfp", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_units"),
+        count(when(isKept, lit(1))).as("n_kept"),
         array_join(
-          transform(array_sort(collect_list(struct($"pos", $"unit"))),
+          transform(array_sort(collect_list(when(isKept, struct($"pos", $"unit")))),
             x => x.getField("unit")), " ").as("text_dedup"))
-    val totals = units.groupBy($"doc_id").agg(count(lit(1)).as("n_units"))
-    // both per-doc aggregates are corpus-scale too — shuffle join
-    totals.join(keptAgg.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .select($"doc_id", $"n_units",
-        coalesce($"n_kept", lit(0L)).as("n_kept"),
-        coalesce($"text_dedup", lit("")).as("text_dedup"))
+      .select($"doc_id", $"n_units", $"n_kept", $"text_dedup")
       .orderBy($"doc_id")
   }
 

@@ -18,7 +18,7 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       """usage: graft.Cli <command> [options]
-        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum] [--events FILE]
+        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum] [--events FILE]
         |  upgrade        --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--only-selected] [--include-immediate-views] [--into-schema SCHEMA] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--events FILE]
         |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--only-selected] [--vacuum] [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
         |  check_constraints --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--with-staging]
@@ -106,11 +106,19 @@ object Cli {
         val wh = warehouse
         val conc = opts.get("max-concurrency").map(_.toInt).getOrElse(4)
         val doAnalyze = opts.contains("analyze")
+        // --skip-copy (commands.py load args): create every table but
+        // leave them empty — structure-only deploys.
+        val skipAll = opts.contains("skip-copy")
         val results =
           if (opts.contains("no-staging"))
             wh.loadRelations(rels, maxConcurrency = conc,
-              analyzeAfter = doAnalyze)
-          else wh.loadWithStagingAndPublish(rels, maxConcurrency = conc,
+              analyzeAfter = doAnalyze, skipCopyAll = skipAll)
+          else if (skipAll) {
+            val r = wh.loadRelations(rels, SchemaPosition.Staging,
+              maxConcurrency = conc, skipCopyAll = true)
+            wh.publish(rels)
+            r
+          } else wh.loadWithStagingAndPublish(rels, maxConcurrency = conc,
             analyzeAfter = doAnalyze)
         results.foreach(r =>
           println(s"[load] ${r.identifier}: ${r.rowcount} rows" +

@@ -302,6 +302,20 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       && msg.contains("examples:"), s"expected sample keys, got: $msg")
   }
 
+  test("cli load --skip-copy creates empty structures") {
+    val wh = Files.createTempDirectory("graft_cli_skwh_").toString
+    val events = Files.createTempDirectory("graft_cli_skev_")
+      .resolve("ev.jsonl").toString
+    val code = Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+      "skip-copy" -> "true", "events" -> events))
+    assert(code == 0)
+    assert(spark.table("`cli`.`region`").count() == 0,
+      "skip-copy must leave the table empty")
+    val evs = graft.etl.Monitor.readLog(events)
+    assert(evs.count(_.event == "finish") == 2 && !evs.exists(_.event == "fail"))
+  }
+
   test("cli ping answers") {
     val out = new java.io.ByteArrayOutputStream()
     val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {

@@ -68,6 +68,21 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_passages plans exactly its three data shuffles (+ final sort)") {
+    // The single-aggregate shape: fp groupBy, fp join-back, doc_id
+    // groupBy — plus the presentation orderBy's range exchange. A
+    // refactor that reintroduces the separate totals aggregate (or
+    // loses a map-side partial) shows up as extra exchanges.
+    val df = graft.SparkEntry.queries("dedup_passages")(spark, sfDir)
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    spark.catalog.clearCache()
+    assert(exchanges.size <= 4,
+      s"dedup_passages plans ${exchanges.size} exchanges (expected <= 4):\n" +
+        df.queryExecution.sparkPlan.toString)
+  }
+
   test("ANN top-k plans are windowless (BoundedTopK, not row_number)") {
     // The k-bounded aggregate combines map-side inside the scoring
     // stage; a row_number window would funnel every scored candidate

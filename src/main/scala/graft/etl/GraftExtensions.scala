@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bounded_topk"),
       new ExpressionInfo(classOf[graft.queries.BoundedTopK].getName, "bounded_topk"),
       graft.queries.BoundedTopK.builder))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[graft.queries.DotF].getName, "dot_f"),
+      graft.queries.DotF.builder))
   }
 }

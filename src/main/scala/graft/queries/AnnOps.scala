@@ -85,11 +85,17 @@ object AnnOps {
        |  WHERE power(2, p) >= (SELECT (count(*) + ${t.targetBucketSize - 1}) // ${t.targetBucketSize} FROM embeddings)
        |  ORDER BY p LIMIT 1""".stripMargin
 
-  /** THE dot product: a sequential left-to-right double fold — the
-    * one definition every query and the determinism contract share. */
+  /** THE dot product: sequential left-to-right double accumulation —
+    * the one definition every query and the determinism contract
+    * share. Backed by the native codegen'd [[DotF]] expression (one
+    * tight loop over the ArrayData buffers) instead of the
+    * aggregate(zip_with(...)) fold, which allocates a zipped
+    * intermediate and dispatches the lambda per element through
+    * CodegenFallback; results are bit-identical by construction.
+    * Callers register [[DotF]] on their session first (every public
+    * entry point below does). */
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("dot_f", x, y)
 
   /** Cosine similarity between two float-array columns, computed as
     * sequential double folds (deterministic in both engines). */
@@ -116,6 +122,7 @@ object AnnOps {
   def annTopkCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     BoundedTopK.register(spark)
+    DotF.register(spark)
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val queries = vecs.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
@@ -234,6 +241,7 @@ object AnnOps {
   private def bucketedDf(spark: SparkSession, sfDir: String,
                          t: Tuning = Tuning.default): (DataFrame, Int) = {
     import spark.implicits._
+    DotF.register(spark)
     val raw = Tables.load(spark, sfDir, "embeddings")
     val planes = planesFor(embeddingCount(spark, sfDir), t.targetBucketSize)
     val df = raw.select($"vec_id", $"embedding",
@@ -425,6 +433,7 @@ object AnnOps {
 
   private def centroids(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
     import spark.implicits._
+    DotF.register(spark)
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val nlist = nlistFor(embeddingCount(spark, sfDir))
     val cents = vecs

@@ -26,6 +26,53 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("DotF is bit-equal to the aggregate(zip_with) fold it replaced") {
+    val s = spark
+    import s.implicits._
+    DotF.register(spark)
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(64)(rng.nextFloat() * 2 - 1), Seq.fill(64)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select($"id", $"a".cast("array<float>").as("a"), $"b".cast("array<float>").as("b"))
+    val foldDot = aggregate(
+      zip_with($"a", $"b", (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val both = df.select($"id",
+      call_function("dot_f", $"a", $"b").as("native"),
+      foldDot.as("fold")).collect()
+    // BIT equality, not approximate: the two must share fold order
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"dot mismatch on id ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    // null element -> null result (the fold's acc + null semantics)
+    val withNull = spark.sql(
+      "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d")
+    assert(withNull.collect().head.isNullAt(0))
+    // null array -> null; wrong types rejected at analysis
+    assert(spark.sql("SELECT dot_f(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
+      .collect().head.isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT dot_f(array(1), array(2))").collect()
+    }
+    // and the expression stays inside whole-stage codegen over a real
+    // scan (local literals constant-fold away — use the parquet table)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val planned = emb.select(
+      call_function("dot_f", col("embedding"), col("embedding")).as("d"))
+    // the '*(n)' prefix marks operators inside a WholeStageCodegen
+    // stage; the projection carrying dot_f must have one
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("dot_f") && l.trim.startsWith("*(")),
+      s"dot_f projection fell out of whole-stage codegen:\n$plan")
+    assert(planned.collect().forall(r => r.getDouble(0) >= 0.0))   // executes the codegen path
+  }
+
   test("connectedComponents: chains (multi-round), stars, singleton-free") {
     val s = spark
     import s.implicits._

@@ -123,12 +123,20 @@ object AnnOps {
     import spark.implicits._
     BoundedTopK.register(spark)
     DotF.register(spark)
+    // norms once per row, not once per PAIR: the naive cosine does 3
+    // dots per (query, vector); with the corpus norm computed in the
+    // scan and the query norms riding the broadcast, the n × |queries|
+    // hot loop does exactly one dot per pair. Same value tree
+    // (dot / (q_nrm * nrm), q side first) — bit-identical.
     val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding",
+        sqrt(dot($"embedding", $"embedding")).as("nrm"))
     val queries = vecs.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"))
     val scored = vecs.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        cosine($"q_emb", $"embedding").as("cosine"))
+        (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
     scored.groupBy($"query_id")
       .agg(expr(s"bounded_topk(cosine, neighbor_id, $TopK)").as("top"))
       .select($"query_id", posexplode($"top"))
@@ -181,10 +189,11 @@ object AnnOps {
     * driver-side from the corpus count). */
   private def bucketCol(emb: Column, planes: Int): Column =
     (0 until planes).map { p =>
+      // native dot_f against the double-literal hyperplane: same
+      // left-to-right double accumulation as the zip_with fold it
+      // replaces, minus the per-plane intermediate array
       val hp = array(hyperplane(p).map(lit): _*)
-      val dotP = aggregate(
-        zip_with(emb, hp, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+      val dotP = call_function("dot_f", emb, hp)
       when(dotP >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -465,9 +474,17 @@ object AnnOps {
   private def cellsDf(spark: SparkSession, sfDir: String,
                       cents: DataFrame): DataFrame = {
     import spark.implicits._
+    // the n × nlist assignment is THE IVF hot loop: precompute both
+    // sides' norms (once per vector, once per centroid) so each pair
+    // costs one dot instead of three. Same value tree — bit-identical.
+    val centsN = cents.select($"cent_id", $"c_emb",
+      sqrt(dot($"c_emb", $"c_emb")).as("c_nrm"))
     Tables.load(spark, sfDir, "embeddings")
-      .crossJoin(broadcast(cents))
-      .select($"vec_id", $"cent_id", cosine($"embedding", $"c_emb").as("cosine"))
+      .select($"vec_id", $"embedding",
+        sqrt(dot($"embedding", $"embedding")).as("v_nrm"))
+      .crossJoin(broadcast(centsN))
+      .select($"vec_id", $"cent_id",
+        (dot($"embedding", $"c_emb") / ($"v_nrm" * $"c_nrm")).as("cosine"))
       .groupBy($"vec_id")
       .agg(max(struct($"cosine", (-$"cent_id").as("neg_cent"))).as("best"))
       .select($"vec_id", (-$"best.neg_cent").as("cell"))
@@ -500,11 +517,16 @@ object AnnOps {
     // persist so the TakeOrdered seed selection scans the corpus once
     val cents = centroids(spark, sfDir)._1
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus norms once (reused by the rescore join); query norms ride
+    // the broadcast probe table — one dot per rescored candidate
     val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding",
+        sqrt(dot($"embedding", $"embedding")).as("nrm"))
     val cells = cellsDf(spark, sfDir, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = vecs.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"))
     // Probe ranking via BoundedTopK as well — the windowless plan:
     // the per-query nprobe-nearest centroids fall out of a k-bounded
     // aggregate over the (queries × nlist) probe table; same
@@ -522,7 +544,7 @@ object AnnOps {
       .filter($"vec_id" =!= $"query_id")
     cands.join(vecs, Seq("vec_id"))
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        cosine($"q_emb", $"embedding").as("cosine"))
+        (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
   }
 
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -571,12 +593,13 @@ object AnnOps {
     * norm, min/max/mean element — per-row folds, shuffle-free. */
   def embeddingStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    DotF.register(spark)
     val asDouble = transform($"embedding", x => x.cast("double"))
     Tables.load(spark, sfDir, "embeddings")
       .select(
         $"vec_id", $"label",
         size($"embedding").cast("long").as("n_dims"),
-        sqrt(aggregate(asDouble, lit(0.0), (acc, v) => acc + v * v)).as("l2_norm"),
+        sqrt(dot($"embedding", $"embedding")).as("l2_norm"),
         array_min(asDouble).as("min_v"),
         array_max(asDouble).as("max_v"),
         (aggregate(asDouble, lit(0.0), (acc, v) => acc + v) / Dim).as("mean_v"))

@@ -27,11 +27,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 case class DotF(left: Expression, right: Expression) extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+  // each side may be array<float> or array<double> (the LSH hyperplane
+  // constants are double literals); elements widen to double exactly
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
       TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"dot_f expects two array<float> arguments, got ${l.sql} and ${r.sql}")
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f expects array<float>/array<double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -41,13 +53,16 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotF.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotF.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left.dataType), isFloat(right.dataType))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val boxed = ctx.freshName("dotBoxed")
+    val lf = isFloat(left.dataType)
+    val rf = isFloat(right.dataType)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |java.lang.Double $boxed = graft.queries.DotF.dot($a, $b);
+         |java.lang.Double $boxed = graft.queries.DotF.dot($a, $b, $lf, $rf);
          |if ($boxed == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -66,14 +81,19 @@ object DotF {
 
   /** Static kernel shared by eval and generated code: one pass, no
     * allocation. Boxed return so the null-element case has a channel
-    * (the JIT unboxes the hot non-null path). */
-  def dot(x: ArrayData, y: ArrayData): java.lang.Double = {
+    * (the JIT unboxes the hot non-null path). `xFloat`/`yFloat` pick
+    * the element accessor per side (compile-time constants in the
+    * generated code, so the JIT sees straight-line loops). */
+  def dot(x: ArrayData, y: ArrayData,
+          xFloat: Boolean, yFloat: Boolean): java.lang.Double = {
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     java.lang.Double.valueOf(acc)

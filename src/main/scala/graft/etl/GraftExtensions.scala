@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[graft.queries.DotF].getName, "dot_f"),
       graft.queries.DotF.builder))
+    // whole-operator extension: the native as-of join's planner
+    // strategy (AsofJoin.register covers conf-less sessions)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }

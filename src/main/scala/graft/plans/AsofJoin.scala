@@ -1,0 +1,198 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native AS-OF JOIN — the whole-operator custom-plan rung of the
+  * extension ladder (logical node → strategy → physical exec), for
+  * the temporal-enrichment shape q19 expresses by composition (union
+  * + running-last window): for every left row, attach the LATEST
+  * right row with the same key and `rightTime <= leftTime`, or nulls
+  * (LEFT semantics).
+  *
+  * Why a custom operator instead of the union-window: the window
+  * form materializes clicks+purchases into ONE sorted partition
+  * stream and carries the running-last across every row; the native
+  * exec keeps the sides separate, asks Catalyst for co-partitioning
+  * on the key and per-side (key, time) sort — the SAME exchanges a
+  * sort-merge equi-join would plan — and then streams BOTH sorted
+  * iterators through a two-pointer merge with O(1) state (the last
+  * matching right row). No composite union row, no null-padding
+  * columns, no window buffer: at 100 TB this is one shuffle per side
+  * (AQE-sizable) and a memory-constant merge per partition.
+  *
+  * Tie-break: the right side is additionally sorted by `rightId`, so
+  * among equal timestamps the LARGEST id wins deterministically
+  * (DuckDB's ASOF picks an arbitrary row among exact ties — the
+  * test corpus has unique (key, ts) on the right, where both agree;
+  * the explicit id ordering makes OUR answer stable even when the
+  * corpus does not).
+  *
+  * Null keys never match (SQL equality semantics): a left row with a
+  * null key emits null-padded, right rows with null keys are skipped
+  * by the merge.
+  */
+final case class AsofJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightId: Attribute) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: the node has exactly one physical strategy. */
+class AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lt, rt, rid) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rid) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightId: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Co-partition both sides on the key — exactly a sort-merge
+    * join's requirement; EnsureRequirements inserts the hash
+    * exchanges (and reuses existing compatible partitioning). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  /** Per-partition sort: (key, time) on the left; (key, time, id) on
+    * the right so equal-timestamp ties resolve to the largest id
+    * (the merge keeps the LAST qualifying row). */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightId, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = leftKey; val rk = rightKey
+    val lt = leftTime; val rt = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      // projections/orderings are codegen'd objects — build per task
+      val lKeyP = UnsafeProjection.create(Seq(lk: Expression), leftOut)
+      val rKeyP = UnsafeProjection.create(Seq(rk: Expression), rightOut)
+      val lTsP = UnsafeProjection.create(Seq(lt: Expression), leftOut)
+      val rTsP = UnsafeProjection.create(Seq(rt: Expression), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rCur: InternalRow = _
+        private var rDone = false
+        private def advanceRight(): Unit =
+          if (rIt.hasNext) rCur = rIt.next() else { rCur = null; rDone = true }
+        advanceRight()
+        // last right row (copied) matching the CURRENT left key, and
+        // that key (copied) — O(1) merge state
+        private var lastMatch: InternalRow = _
+        private var lastMatchKey: InternalRow = _
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIt.next()
+          val lKeyRow = lKeyP(lRow)
+          if (lKeyRow.isNullAt(0)) {
+            // null key matches nothing; left order puts nulls first,
+            // so no right state needs resetting
+            return joined(lRow, nullRight)
+          }
+          if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyRow) != 0)
+            lastMatch = null
+          // skip right rows below the current key (null right keys
+          // sort first and compare < any non-null key)
+          while (rCur != null && {
+            val rKeyRow = rKeyP(rCur)
+            rKeyRow.isNullAt(0) || keyOrd.compare(rKeyRow, lKeyRow) < 0
+          }) advanceRight()
+          // absorb equal-key rows up to the left timestamp; the last
+          // absorbed (largest ts, then largest id) is the match
+          val lTsRow = lTsP(lRow).copy()
+          while (rCur != null && keyOrd.compare(rKeyP(rCur), lKeyRow) == 0 &&
+              tsOrd.compare(rTsP(rCur), lTsRow) <= 0) {
+            lastMatch = rCur.copy()
+            if (lastMatchKey == null ||
+                keyOrd.compare(lastMatchKey, lKeyRow) != 0)
+              lastMatchKey = lKeyRow.copy()
+            advanceRight()
+          }
+          joined(lRow, if (lastMatch != null) lastMatch else nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoin {
+
+  /** Idempotent per-session strategy registration (the runtime path;
+    * [[graft.etl.GraftExtensions]] injects the same strategy via the
+    * extensions conf). */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[AsofJoinStrategy]))
+      spark.experimental.extraStrategies = cur :+ new AsofJoinStrategy
+  }
+
+  private def resolve(plan: LogicalPlan, name: String): Attribute =
+    plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+
+  /** AS-OF LEFT JOIN: every `left` row joined to the latest `right`
+    * row with `left.key == right.key` and `right.time <= left.time`,
+    * null-padded when none exists. `rightId` breaks exact-timestamp
+    * ties (largest wins). Column names must be disjoint across the
+    * two sides (rename before joining, as with any join). */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           rightId: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    val dup = lp.output.map(_.name.toLowerCase)
+      .intersect(rp.output.map(_.name.toLowerCase))
+    require(dup.isEmpty,
+      s"asof: column names must be disjoint, both sides have: ${dup.mkString(", ")}")
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      AsofJoinNode(lp, rp,
+        resolve(lp, leftKey), resolve(rp, rightKey),
+        resolve(lp, leftTime), resolve(rp, rightTime),
+        resolve(rp, rightId)))
+  }
+}

@@ -541,6 +541,28 @@ object SqlSurface {
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** The SAME as-of semantics through the NATIVE custom operator
+    * ([[graft.plans.AsofJoin]]: logical node → strategy → sort-merge
+    * exec) instead of q19's union-window composition, hash-checked
+    * against the identical DuckDB ASOF LEFT JOIN oracle — the custom
+    * plan must agree with both the composition and the oracle. */
+  def q19bAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("last_click_id"))
+    graft.plans.AsofJoin.asof(purchases, clicks,
+        "user_id", "c_user", "ts", "c_ts", "last_click_id")
+      .select($"purchase_id", $"user_id",
+        $"ts".cast("timestamp_ntz").as("purchase_ts"),
+        $"last_click_id",
+        $"c_ts".cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy($"purchase_id")
+  }
+
   // ---------------------------------------------------------------- q20
   /** Exact discrete quantiles per group (SQL-standard
     * PERCENTILE_DISC): distribution stats for quality scoring —
@@ -650,6 +672,7 @@ object SqlSurface {
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_similar_to" -> (q22SimilarTo _),
+    "q19b_asof_native" -> (q19bAsofNative _),
     "q17_grouping_sets" -> (q17GroupingSets _),
     "q18_latest_per_key" -> (q18LatestPerKey _),
     "q19_asof_join" -> (q19AsofJoin _),
@@ -674,6 +697,7 @@ object SqlSurface {
 
   val oracles: Map[String, String] = Map(
     "q22_similar_to" -> q22SimilarToSql,
+    "q19b_asof_native" -> q19AsofJoinSql,
     "q17_grouping_sets" -> q17GroupingSetsSql,
     "q18_latest_per_key" -> q18LatestPerKeySql,
     "q19_asof_join" -> q19AsofJoinSql,

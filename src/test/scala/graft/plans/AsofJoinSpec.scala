@@ -1,0 +1,131 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of join: hand-computed edge cases, a differential
+  * test against the union-window composition (q19's shape) on random
+  * data, and plan-shape assertions (co-partitioning exchanges + per-
+  * side sorts, i.e. the sort-merge-join physical contract). */
+class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("edge cases: no prior match, exact-ts inclusion, tie-break, null keys") {
+    val s = spark
+    import s.implicits._
+    val purchases = Seq(
+      (Option(1L), ts("2024-01-01 10:00:00"), 100L),  // click at 09:00 matches
+      (Option(1L), ts("2024-01-01 12:00:00"), 101L),  // later click at 11:00 wins
+      (Option(2L), ts("2024-01-01 08:00:00"), 102L),  // no click yet -> nulls
+      (Option(2L), ts("2024-01-01 10:00:00"), 103L),  // click EXACTLY at 10:00 included
+      (Option(3L), ts("2024-01-01 10:00:00"), 104L),  // two clicks same ts -> max id
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), 105L))
+      .toDF("user_id", "p_ts", "purchase_id")
+    val clicks = Seq(
+      (Option(1L), ts("2024-01-01 09:00:00"), 7L),
+      (Option(1L), ts("2024-01-01 11:00:00"), 8L),
+      (Option(2L), ts("2024-01-01 10:00:00"), 9L),
+      (Option(3L), ts("2024-01-01 09:30:00"), 10L),
+      (Option(3L), ts("2024-01-01 09:30:00"), 11L),   // tie on ts: id 11 wins
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 12L),
+      (Option(9L), ts("2024-01-01 09:00:00"), 13L))   // key with no purchases
+      .toDF("c_user", "c_ts", "click_id")
+    val got = AsofJoin.asof(purchases, clicks,
+        "user_id", "c_user", "p_ts", "c_ts", "click_id")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(
+      100L -> Some(7L), 101L -> Some(8L), 102L -> None,
+      103L -> Some(9L), 104L -> Some(11L), 105L -> None), s"got $got")
+  }
+
+  test("differential vs the union-window composition on random data") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    val clicks = (1 to 400).map { i =>
+      (rng.nextInt(20).toLong, ts(f"2024-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"), 1000L + i)
+    }.toDF("c_user", "c_ts", "click_id")
+    val purchases = (1 to 200).map { i =>
+      (rng.nextInt(25).toLong, ts(f"2024-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"), 2000L + i)
+    }.toDF("user_id", "p_ts", "purchase_id")
+
+    val native = AsofJoin.asof(purchases, clicks,
+        "user_id", "c_user", "p_ts", "c_ts", "click_id")
+      .select($"purchase_id", $"click_id", $"c_ts")
+
+    // the q19 union-window composition, with the SAME tie-break
+    // (among equal ts, larger click_id wins -> order by click_id too)
+    val cPart = clicks.select($"c_user".as("user_id"), $"c_ts".as("ts"),
+      $"click_id", lit(null).cast("long").as("purchase_id"))
+    val pPart = purchases.select($"user_id", $"p_ts".as("ts"),
+      lit(null).cast("long").as("click_id"), $"purchase_id")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"purchase_id".asc_nulls_first, $"click_id".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = cPart.unionByName(pPart)
+      .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when($"click_id".isNotNull, $"ts"), ignoreNulls = true).over(w))
+      .filter($"purchase_id".isNotNull)
+      .select($"purchase_id", $"last_click_id".as("click_id"),
+        $"last_click_ts".as("c_ts"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getTimestamp(2)))).toSet
+    val n = canon(native)
+    val c = canon(composed)
+    assert(n == c, s"native != composed;\nonly native: ${n -- c}\nonly composed: ${c -- n}")
+    assert(n.size == 200)
+  }
+
+  test("plan shape: co-partitioning exchanges and per-side sorts around the exec") {
+    val s = spark
+    import s.implicits._
+    val l = spark.range(0, 1000)
+      .select($"id".as("k"), ($"id" * 2).as("lt"), $"id".as("lid"))
+    val r = spark.range(0, 1000)
+      .select($"id".as("rk"), ($"id" * 3).as("rt"), $"id".as("rid"))
+    val df = AsofJoin.asof(l, r, "k", "rk", "lt", "rt", "rid")
+    assert(df.count() == 1000)   // finalize the adaptive plan first
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val execs = plan.collect { case e: AsofJoinExec => e }
+    assert(execs.size == 1, s"expected one AsofJoinExec:\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size == 2,
+      s"expected a hash exchange per side:\n$plan")
+    val sorts = plan.collect {
+      case so: org.apache.spark.sql.execution.SortExec => so
+    }
+    assert(sorts.size == 2, s"expected a per-side sort:\n$plan")
+  }
+}

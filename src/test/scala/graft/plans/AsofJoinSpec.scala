@@ -102,6 +102,30 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.size == 200)
   }
 
+  test("AQE with asymmetric side sizes keeps the sides co-partitioned") {
+    // AQE coalesces shuffle partitions by size; if it coalesced the
+    // two as-of exchanges INDEPENDENTLY the zipPartitions merge would
+    // see unequal partition counts. A huge left against a tiny right
+    // is the worst case — results must still be complete and correct.
+    val s = spark
+    import s.implicits._
+    val left = spark.range(0, 200000)
+      .select(($"id" % 50).as("k"), $"id".as("lt"), $"id".as("lid"))
+    val right = spark.range(0, 40)
+      .select(($"id" % 50).as("rk"), ($"id" * 1000).as("rt"), $"id".as("rid"))
+    val joined = AsofJoin.asof(left, right, "k", "rk", "lt", "rt", "rid")
+    // every left row with lt >= its key's smallest right rt matches;
+    // independently compute the expected match count
+    val rightRows = (0L until 40L).map(i => (i % 50, i * 1000, i))
+    val expected = (0L until 200000L).count { id =>
+      val k = id % 50
+      rightRows.exists { case (rk, rt, _) => rk == k && rt <= id }
+    }
+    val gotMatched = joined.filter($"rid".isNotNull).count()
+    assert(joined.count() == 200000L)
+    assert(gotMatched == expected, s"matched $gotMatched, expected $expected")
+  }
+
   test("plan shape: co-partitioning exchanges and per-side sorts around the exec") {
     val s = spark
     import s.implicits._

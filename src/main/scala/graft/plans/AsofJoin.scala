@@ -104,6 +104,12 @@ final case class AsofJoinExec(
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
+      // emit UnsafeRows: downstream operators (sorts, exchanges,
+      // collect) assume the unsafe format — a raw JoinedRow would
+      // ClassCastException wherever no Project intervenes (the same
+      // reason SortMergeJoinExec applies a result projection)
+      val outProj = UnsafeProjection.create(
+        (leftOut ++ rightOut).map(_.dataType).toArray)
 
       new Iterator[InternalRow] {
         private var rCur: InternalRow = _
@@ -124,7 +130,7 @@ final case class AsofJoinExec(
           if (lKeyRow.isNullAt(0)) {
             // null key matches nothing; left order puts nulls first,
             // so no right state needs resetting
-            return joined(lRow, nullRight)
+            return outProj(joined(lRow, nullRight))
           }
           if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyRow) != 0)
             lastMatch = null
@@ -145,7 +151,7 @@ final case class AsofJoinExec(
               lastMatchKey = lKeyRow.copy()
             advanceRight()
           }
-          joined(lRow, if (lastMatch != null) lastMatch else nullRight)
+          outProj(joined(lRow, if (lastMatch != null) lastMatch else nullRight))
         }
       }
     }

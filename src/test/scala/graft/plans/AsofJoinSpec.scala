@@ -102,6 +102,19 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.size == 200)
   }
 
+  test("bare collect and direct orderBy work (exec emits unsafe rows)") {
+    // no Project between the exec and the sink: the exec's own output
+    // rows reach collect/sort directly, which assume the unsafe format
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "lt", "lid")
+    val r = Seq((1L, 5L, 7L)).toDF("rk", "rt", "rid")
+    val joined = AsofJoin.asof(l, r, "k", "rk", "lt", "rt", "rid")
+    val rows = joined.collect()
+    assert(rows.length == 1 && rows.head.getLong(5) == 7L)
+    assert(joined.orderBy($"lid").collect().length == 1)
+  }
+
   test("AQE with asymmetric side sizes keeps the sides co-partitioned") {
     // AQE coalesces shuffle partitions by size; if it coalesced the
     // two as-of exchanges INDEPENDENTLY the zipPartitions merge would

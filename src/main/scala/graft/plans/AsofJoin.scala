@@ -3,23 +3,24 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Native AS-OF JOIN — the whole-operator custom-plan rung of the
   * extension ladder (logical node → strategy → physical exec), for
   * the temporal-enrichment shape q19 expresses by composition (union
   * + running-last window): for every left row, attach the LATEST
-  * right row with the same key and `rightTime <= leftTime`, or nulls
-  * (LEFT semantics).
+  * right row with the same key(s) and `rightTime <= leftTime`, or
+  * nulls (LEFT semantics).
   *
   * Why a custom operator instead of the union-window: the window
   * form materializes clicks+purchases into ONE sorted partition
   * stream and carries the running-last across every row; the native
   * exec keeps the sides separate, asks Catalyst for co-partitioning
-  * on the key and per-side (key, time) sort — the SAME exchanges a
+  * on the keys and per-side (keys, time) sort — the SAME exchanges a
   * sort-merge equi-join would plan — and then streams BOTH sorted
   * iterators through a two-pointer merge with O(1) state (the last
   * matching right row). No composite union row, no null-padding
@@ -33,15 +34,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * the explicit id ordering makes OUR answer stable even when the
   * corpus does not).
   *
-  * Null keys never match (SQL equality semantics): a left row with a
-  * null key emits null-padded, right rows with null keys are skipped
-  * by the merge.
+  * Null keys never match (SQL equality semantics): a left row with
+  * any null key field emits null-padded, right rows with null key
+  * fields are skipped by the merge.
   */
 final case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightId: Attribute) extends BinaryNode {
+
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+    s"asof join needs matching key lists, got $leftKeys vs $rightKeys")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -54,52 +58,58 @@ final case class AsofJoinNode(
 /** Planner rule: the node has exactly one physical strategy. */
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, rid) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rid) :: Nil
+    case AsofJoinNode(l, r, lks, rks, lt, rt, rid) =>
+      AsofJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, rid) :: Nil
     case _ => Nil
   }
 }
 
 final case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightId: Attribute) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  /** Co-partition both sides on the key — exactly a sort-merge
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  /** Co-partition both sides on the keys — exactly a sort-merge
     * join's requirement; EnsureRequirements inserts the hash
     * exchanges (and reuses existing compatible partitioning). */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) ::
-      ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) ::
+      ClusteredDistribution(rightKeys) :: Nil
 
-  /** Per-partition sort: (key, time) on the left; (key, time, id) on
-    * the right so equal-timestamp ties resolve to the largest id
+  /** Per-partition sort: (keys, time) on the left; (keys, time, id)
+    * on the right so equal-timestamp ties resolve to the largest id
     * (the merge keeps the LAST qualifying row). */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-      SortOrder(rightId, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      Seq(SortOrder(rightTime, Ascending), SortOrder(rightId, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
-    val lk = leftKey; val rk = rightKey
+    val lks = leftKeys; val rks = rightKeys
     val lt = leftTime; val rt = rightTime
+    val outputRowsM = longMetric("numOutputRows")
+    val matchedM = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       // projections/orderings are codegen'd objects — build per task
-      val lKeyP = UnsafeProjection.create(Seq(lk: Expression), leftOut)
-      val rKeyP = UnsafeProjection.create(Seq(rk: Expression), rightOut)
+      val lKeyP = UnsafeProjection.create(lks.map(_.asInstanceOf[Expression]), leftOut)
+      val rKeyP = UnsafeProjection.create(rks.map(_.asInstanceOf[Expression]), rightOut)
       val lTsP = UnsafeProjection.create(Seq(lt: Expression), leftOut)
       val rTsP = UnsafeProjection.create(Seq(rt: Expression), rightOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lks.map(_.dataType))
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rightOut.size)
@@ -113,9 +123,8 @@ final case class AsofJoinExec(
 
       new Iterator[InternalRow] {
         private var rCur: InternalRow = _
-        private var rDone = false
         private def advanceRight(): Unit =
-          if (rIt.hasNext) rCur = rIt.next() else { rCur = null; rDone = true }
+          rCur = if (rIt.hasNext) rIt.next() else null
         advanceRight()
         // last right row (copied) matching the CURRENT left key, and
         // that key (copied) — O(1) merge state
@@ -127,18 +136,19 @@ final case class AsofJoinExec(
         override def next(): InternalRow = {
           val lRow = lIt.next()
           val lKeyRow = lKeyP(lRow)
-          if (lKeyRow.isNullAt(0)) {
+          outputRowsM += 1
+          if (lKeyRow.anyNull) {
             // null key matches nothing; left order puts nulls first,
             // so no right state needs resetting
             return outProj(joined(lRow, nullRight))
           }
           if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyRow) != 0)
             lastMatch = null
-          // skip right rows below the current key (null right keys
-          // sort first and compare < any non-null key)
+          // skip right rows below the current key (null right key
+          // fields sort first and compare < any non-null key)
           while (rCur != null && {
             val rKeyRow = rKeyP(rCur)
-            rKeyRow.isNullAt(0) || keyOrd.compare(rKeyRow, lKeyRow) < 0
+            rKeyRow.anyNull || keyOrd.compare(rKeyRow, lKeyRow) < 0
           }) advanceRight()
           // absorb equal-key rows up to the left timestamp; the last
           // absorbed (largest ts, then largest id) is the match
@@ -151,6 +161,7 @@ final case class AsofJoinExec(
               lastMatchKey = lKeyRow.copy()
             advanceRight()
           }
+          if (lastMatch != null) matchedM += 1
           outProj(joined(lRow, if (lastMatch != null) lastMatch else nullRight))
         }
       }
@@ -179,12 +190,12 @@ object AsofJoin {
         s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
 
   /** AS-OF LEFT JOIN: every `left` row joined to the latest `right`
-    * row with `left.key == right.key` and `right.time <= left.time`,
-    * null-padded when none exists. `rightId` breaks exact-timestamp
-    * ties (largest wins). Column names must be disjoint across the
-    * two sides (rename before joining, as with any join). */
+    * row with equal keys and `right.time <= left.time`, null-padded
+    * when none exists. `rightId` breaks exact-timestamp ties (largest
+    * wins). Column names must be disjoint across the two sides
+    * (rename before joining, as with any join). */
   def asof(left: DataFrame, right: DataFrame,
-           leftKey: String, rightKey: String,
+           leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
            rightId: String): DataFrame = {
     val spark = left.sparkSession
@@ -197,8 +208,15 @@ object AsofJoin {
       s"asof: column names must be disjoint, both sides have: ${dup.mkString(", ")}")
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       AsofJoinNode(lp, rp,
-        resolve(lp, leftKey), resolve(rp, rightKey),
+        leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
         resolve(lp, leftTime), resolve(rp, rightTime),
         resolve(rp, rightId)))
   }
+
+  /** Single-key convenience overload. */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           rightId: String): DataFrame =
+    asof(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime, rightId)
 }

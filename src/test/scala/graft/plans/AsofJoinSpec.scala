@@ -102,6 +102,27 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.size == 200)
   }
 
+  test("multi-column keys: (tenant, user) as-of matching") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(
+      ("a", 1L, 100L, 900L),
+      ("a", 2L, 100L, 901L),   // same user id, different tenant partition
+      ("b", 1L, 100L, 902L))
+      .toDF("tenant", "user", "lt", "lid")
+    val r = Seq(
+      ("a", 1L, 50L, 1L),
+      ("a", 2L, 60L, 2L),
+      ("b", 1L, 70L, 3L),
+      ("b", 2L, 80L, 4L))
+      .toDF("r_tenant", "r_user", "rt", "rid")
+    val got = AsofJoin.asof(l, r, Seq("tenant", "user"),
+        Seq("r_tenant", "r_user"), "lt", "rt", "rid")
+      .select($"lid", $"rid")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == Map(900L -> 1L, 901L -> 2L, 902L -> 3L), s"got $got")
+  }
+
   test("bare collect and direct orderBy work (exec emits unsafe rows)") {
     // no Project between the exec and the sink: the exec's own output
     // rows reach collect/sort directly, which assume the unsafe format

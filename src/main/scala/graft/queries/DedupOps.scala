@@ -384,15 +384,17 @@ object DedupOps {
     * window — then one hinted shuffle join back (both sides corpus-
     * scale; plan-gated non-broadcast). Reconstruction is a groupBy
     * per doc whose state is bounded by the document's own length. */
-  val ChunkWords = 10
+  val ChunkWords: Int = Tuning.default.chunkWords
 
-  def dedupPassages(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupPassages(spark: SparkSession, sfDir: String,
+                    t: Tuning = Tuning.default): DataFrame = {
     import spark.implicits._
+    val cw = t.chunkWords
     val units = Tables.load(spark, sfDir, "documents")
       .select($"doc_id", split(normText($"text"), " ").as("w"))
       .select($"doc_id", posexplode(expr(
-        s"transform(sequence(0, CAST((size(w) - 1) / $ChunkWords AS INT)), " +
-          s"i -> concat_ws(' ', slice(w, i * $ChunkWords + 1, $ChunkWords)))")))
+        s"transform(sequence(0, CAST((size(w) - 1) / $cw AS INT)), " +
+          s"i -> concat_ws(' ', slice(w, i * $cw + 1, $cw)))")))
       .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("unit"),
         md5($"col").as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -419,14 +421,15 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
-  val dedupPassagesSql: String =
+  def dedupPassagesSql(t: Tuning = Tuning.default): String = {
+    val cw = t.chunkWords
     s"""WITH w AS (
        |  SELECT doc_id, string_split($normTextSql, ' ') AS w FROM documents
        |), poss AS (
-       |  SELECT doc_id, w, unnest(range(0, (len(w) - 1) // $ChunkWords + 1)) AS i FROM w
+       |  SELECT doc_id, w, unnest(range(0, (len(w) - 1) // $cw + 1)) AS i FROM w
        |), units AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-       |    array_to_string(w[(i * $ChunkWords + 1):(i * $ChunkWords + $ChunkWords)], ' ') AS unit
+       |    array_to_string(w[(i * $cw + 1):(i * $cw + $cw)], ' ') AS unit
        |  FROM poss
        |), ranked AS (
        |  SELECT doc_id, pos, unit,
@@ -446,6 +449,7 @@ object DedupOps {
        |  COALESCE(a.text_dedup, '') AS text_dedup
        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
        |ORDER BY t.doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------ simhash
   /** 60-bit SimHash per document over distinct word hashes (60 bits so
@@ -852,7 +856,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
-    "dedup_passages" -> (dedupPassages _),
+    "dedup_passages" -> ((sp, dir) => dedupPassages(sp, dir)),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_ngram_jaccard" -> ((sp, dir) => dedupJaccard(sp, dir)),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -866,7 +870,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
-    "dedup_passages" -> dedupPassagesSql,
+    "dedup_passages" -> dedupPassagesSql(),
     "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql(),
     "dedup_minhash_sig" -> dedupMinhashSigSql,

@@ -17,13 +17,17 @@ package graft.queries
   *  - `nearDupThreshold`: embedding-cosine near-dup cutoff (the test
   *    corpus has no planted dups, hence the tail-exercising default;
   *    a production corpus would use ~0.95).
+  *  - `chunkWords`: passage-dedup chunk width (words per positional
+  *    chunk; a production corpus splitting on real paragraph
+  *    boundaries sets this aside entirely).
   */
 final case class Tuning(
     maxShingleDf: Int = 100,
     jaccardThreshold: Double = 0.8,
     containmentThreshold: Double = 0.9,
     targetBucketSize: Int = 16,
-    nearDupThreshold: Double = 0.45)
+    nearDupThreshold: Double = 0.45,
+    chunkWords: Int = 10)
 
 object Tuning {
   val default: Tuning = Tuning()

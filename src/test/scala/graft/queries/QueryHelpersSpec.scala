@@ -119,6 +119,9 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(looseRows >= strictRows)
     // default-arg surface is the registered (verified) surface
     assert(DedupOps.dedupJaccardSql() == DedupOps.oracles("dedup_ngram_jaccard"))
+    // chunkWords threads through the passage-dedup oracle too
+    assert(DedupOps.dedupPassagesSql(Tuning(chunkWords = 5)).contains("// 5 + 1"))
+    assert(DedupOps.dedupPassagesSql() == DedupOps.oracles("dedup_passages"))
   }
 
   test("Num.dsum is order-independent: decimal accumulation, double result") {

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based coverage for the pure kernels (raw scalacheck — the
+  * scalatest bridge artifact is not in the offline cache): randomized
+  * inputs catch the corner cases example tests never enumerate. */
+class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def checkProp(p: Prop, minSuccessful: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  // ------------------------------------------------ TruncateUtf8Bytes
+  private val multibyteGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString),
+    Gen.oneOf("é", "ß", "→", "中", "🙂", "𝄞", "ё", "ل"))).map(_.mkString)
+
+  test("property: trunc_utf8_bytes never splits a codepoint, bounds bytes, keeps prefixes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    checkProp(Prop.forAll(multibyteGen, Gen.choose(1, 24)) { (s, maxBytes) =>
+      val in = UTF8String.fromString(s)
+      val out = graft.etl.TruncateUtf8Bytes.truncate(in, maxBytes)
+      val bounded = out.numBytes <= maxBytes
+      val isPrefix = in.getBytes.take(out.numBytes).sameElements(out.getBytes)
+      // no split codepoint: decode -> re-encode round-trips losslessly
+      val noSplit = UTF8String.fromString(out.toString).numBytes == out.numBytes
+      val idempotent = graft.etl.TruncateUtf8Bytes.truncate(out, maxBytes) == out
+      // never trims more than needed: keeping one more codepoint
+      // would exceed the budget
+      val tight = in.numBytes <= maxBytes || {
+        val rest = in.toString.substring(out.toString.length)
+        rest.isEmpty || {
+          val firstCpBytes = Character.toChars(rest.codePointAt(0))
+            .mkString.getBytes("UTF-8").length
+          out.numBytes + firstCpBytes > maxBytes
+        }
+      }
+      bounded && isPrefix && noSplit && idempotent && tight
+    })
+  }
+
+  // ------------------------------------------------ Dag ordering
+  private val dagGen: Gen[Seq[(Int, Seq[Int])]] = for {
+    n <- Gen.choose(1, 24)
+    edges <- Gen.sequence[Seq[Seq[Int]], Seq[Int]]((0 until n).map { i =>
+      // each node depends only on lower-numbered nodes -> acyclic
+      if (i == 0) Gen.const(Seq.empty[Int])
+      else Gen.someOf(0 until i).map(_.toSeq)
+    })
+  } yield (0 until n).map(i => i -> edges(i))
+
+  test("property: Dag.orderByDependencies respects edges and level recurrence") {
+    import graft.etl.{ColumnDef, Dag, Relation, TableDesign, TableName}
+    def rel(i: Int, deps: Seq[Int]): Relation = Relation(TableDesign(
+      name = TableName("p", s"t$i"),
+      sourceName = "CTAS",
+      columns = Seq(ColumnDef("x")),
+      dependsOn = deps.map(d => TableName("p", s"t$d")),
+      query = "SELECT 1 AS x"))
+    checkProp(Prop.forAll(dagGen) { spec =>
+      val ordered = Dag.orderByDependencies(spec.map { case (i, d) => rel(i, d) })
+      val pos = ordered.map(_.identifier).zipWithIndex.toMap
+      val level = ordered.map(r => r.identifier -> r.executionLevel).toMap
+      val edgesOk = ordered.forall(r => r.dependencies.forall(d =>
+        pos(d.identifier) < pos(r.identifier)))
+      val levelsOk = ordered.forall { r =>
+        r.executionLevel == r.dependencies.map(d => level(d.identifier))
+          .maxOption.getOrElse(0) + 1
+      }
+      val permutation = ordered.map(_.executionOrder).sorted == (1 to spec.size)
+      edgesOk && levelsOk && permutation
+    })
+  }
+
+  // ------------------------------------------------ as-of join merge
+  private val asofGen: Gen[(Seq[(Long, Long, Long)], Seq[(Long, Long, Long)])] =
+    for {
+      nP <- Gen.choose(1, 30)
+      nC <- Gen.choose(0, 30)
+      // narrow key/ts ranges force collisions: equal timestamps,
+      // repeated keys, keys with no clicks, clicks with no purchases
+      ps <- Gen.listOfN(nP, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 50L)))
+      cs <- Gen.listOfN(nC, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 50L)))
+    } yield (
+      ps.zipWithIndex.map { case ((u, t), i) => (u, t, 100L + i) },
+      cs.zipWithIndex.map { case ((u, t), i) => (u, t, 500L + i) })
+
+  test("property: native as-of join equals the brute-force definition") {
+    val s = spark
+    import s.implicits._
+    // few samples: each runs a Spark job — the generator's value is
+    // the collision density, not the sample count
+    checkProp(Prop.forAll(asofGen) { case (purchases, clicks) =>
+      val l = purchases.toDF("u", "lt", "lid")
+      val r = clicks.toDF("ru", "rt", "rid")
+      val got = graft.plans.AsofJoin.asof(l, r, "u", "ru", "lt", "rt", "rid")
+        .select($"lid", $"rid")
+        .collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      val want = purchases.map { case (u, t, id) =>
+        val cand = clicks.filter(cl => cl._1 == u && cl._2 <= t)
+        id -> (if (cand.isEmpty) None
+               else Some(cand.maxBy(cl => (cl._2, cl._3))._3))
+      }.toMap
+      got == want
+    }, minSuccessful = 8)
+  }
+}

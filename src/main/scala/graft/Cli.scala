@@ -32,7 +32,7 @@ object Cli {
         |  ping
         |  explain        --designs DIR [--select PATTERN]
         |  create_index   --designs DIR
-        |  show_dependents --designs DIR --select PATTERN
+        |  show_dependents --designs DIR --select PATTERN [--continue-from POINT]
         |  show_upstream_dependencies --designs DIR --select PATTERN
         |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N] [--summarize] [--follow [--poll-ms N] [--idle-timeout-ms N]]
         |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
@@ -316,7 +316,8 @@ object Cli {
         println(Commands.createIndex(designs))
         0
       case "show_dependents" =>
-        println(Commands.describeDependents(designs, selector))
+        println(Commands.describeDependents(designs, selector,
+          continueFrom = opts.get("continue-from")))
         0
       case "show_upstream_dependencies" =>
         // commands.py:1849-1868: chain everything the selection

@@ -31,15 +31,27 @@ object Commands {
   /** show_downstream_dependents (load.py:1424-1564): the DAG with
     * index, level, kind, and required flag — and the mirror view for
     * upstream dependencies. */
-  def describeDependents(relations: Seq[Relation], selector: TableSelector): String = {
+  def describeDependents(relations: Seq[Relation], selector: TableSelector,
+                         continueFrom: Option[String] = None): String = {
     val ordered = Dag.orderByDependencies(relations)
-    val selected = ordered.filter(r => selector.matches(r.name))
-    val shown = (selected ++ Dag.findDependents(ordered, selected))
+    val shown = Dag.selectInExecutionOrder(relations, selector,
+      includeDependents = true, continueFrom = continueFrom)
+      .map(_.identifier).toSet
+    // load.py:1457-1463: each relation is flagged by HOW it entered
+    // the list — directly matched, an immediate dependent view, or a
+    // transitive dependent.
+    val directly = ordered.filter(r => selector.matches(r.name))
+      .map(_.identifier).toSet
+    val immediate = Dag.findImmediateViews(ordered, selector)
       .map(_.identifier).toSet
     ordered.filter(r => shown.contains(r.identifier)).map { r =>
       val kind = if (r.isView) "VIEW" else if (r.design.isCtas) "CTAS" else "TABLE"
+      val flag =
+        if (directly.contains(r.identifier)) "selected"
+        else if (immediate.contains(r.identifier)) "immediate"
+        else "dependent"
       val req = if (r.isRequired) " required" else ""
-      f"${r.executionOrder}%4d ${r.executionLevel}%4d  $kind%-5s ${r.identifier}$req"
+      f"${r.executionOrder}%4d ${r.executionLevel}%4d  $kind%-5s $flag%-9s ${r.identifier}$req"
     }.mkString("\n")
   }
 

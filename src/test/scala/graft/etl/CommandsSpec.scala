@@ -98,6 +98,10 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TableSelector(Seq("src.nation")))
     assert(listing.contains("src.nation") && listing.contains("rep.top_n"))
     assert(listing.contains("TABLE") && listing.contains("CTAS"))
+    // load.py:1457-1463 flags: the matched relation vs its dependents
+    val lines = listing.linesIterator.toSeq
+    assert(lines.exists(l => l.contains("src.nation") && l.contains("selected")))
+    assert(lines.exists(l => l.contains("rep.top_n") && l.contains("dependent")))
     val up = Commands.describeDependencies(Seq(srcNation, repTop),
       TableSelector(Seq("rep.top_n")))
     assert(up.contains("src.nation"))

@@ -29,6 +29,10 @@ object Cli {
         |  show_ddl       --designs DIR [--select PATTERN]
         |  ls             --designs DIR
         |  run_query      --sql SQL [--limit N]
+        |  run_sql        --file SCRIPT.sql | --sql "stmt; stmt"
+        |  initialize     --designs DIR --data DIR --warehouse DIR
+        |  create_schemas --designs DIR --data DIR --warehouse DIR [--select PATTERN]
+        |  promote_schemas --designs DIR --data DIR --warehouse DIR [--select PATTERN]
         |  ping
         |  explain        --designs DIR [--select PATTERN]
         |  create_index   --designs DIR
@@ -293,6 +297,43 @@ object Cli {
       case "ls" =>
         FileSets.ls(opts.getOrElse("designs", usage())).foreach {
           case (id, files) => println(s"$id\n" + files.map("  " + _).mkString("\n"))
+        }
+        0
+      case "initialize" =>
+        // commands.py's initialize: stand up the warehouse structure
+        // from scratch — every lifecycle position's schema for the
+        // whole design set (tables arrive via load/upgrade).
+        val wh = warehouse
+        Seq(SchemaPosition.Standard, SchemaPosition.Staging, SchemaPosition.Backup)
+          .foreach(p => wh.createSchemas(designs, p))
+        println(s"[initialize] ${designs.map(_.name.schema).distinct.size} schema(s) x 3 positions")
+        0
+      case "create_schemas" =>
+        val wh = warehouse
+        val sel = designs.filter(r => selector.matches(r.name))
+        wh.createSchemas(sel, SchemaPosition.Standard)
+        println(s"[create_schemas] ${sel.map(_.name.schema).distinct.size} schema(s)")
+        0
+      case "promote_schemas" =>
+        // the publish half standalone (promote_schemas): back up the
+        // standard tables and re-point them at existing STAGING builds
+        // — a deferred publish after a staging-position load.
+        warehouse.publish(Dag.selectInExecutionOrder(designs, selector,
+          includeDependents = true))
+        println("[promote] staging promoted to standard")
+        0
+      case "run_sql" =>
+        // run_sql_template analog: execute a `;`-separated SQL script
+        // (admin path; the reference renders templates first — our
+        // scripts are plain files or inline text)
+        val script = opts.get("file")
+          .map(f => new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8))
+          .orElse(opts.get("sql")).getOrElse(usage())
+        Commands.runSqlScript(spark, script).foreach { df =>
+          df.limit(100).collect().foreach(r => println(r.toSeq
+            .map(v => Option(v).map(_.toString).getOrElse("NULL"))
+            .mkString(" | ")))
         }
         0
       case "ping" =>

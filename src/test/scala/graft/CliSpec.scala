@@ -316,6 +316,39 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(evs.count(_.event == "finish") == 2 && !evs.exists(_.event == "fail"))
   }
 
+  test("cli initialize / promote_schemas: deferred publish of staged builds") {
+    val wh = Files.createTempDirectory("graft_cli_prwh_").toString
+    assert(Cli.run(spark, "initialize", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh)) == 0)
+    assert(spark.catalog.databaseExists("cli")
+      && spark.catalog.databaseExists("etl_staging__cli")
+      && spark.catalog.databaseExists("etl_backup__cli"))
+    // stage a build WITHOUT publishing, then promote standalone
+    val designs = graft.etl.FileSets.discover(designsDir)
+    val warehouse = new graft.etl.Warehouse(spark, wh, dataDir)
+    warehouse.loadRelations(designs, graft.etl.SchemaPosition.Staging)
+    spark.sql("DROP TABLE IF EXISTS `cli`.`region`")
+    spark.sql("DROP TABLE IF EXISTS `cli`.`summary`")
+    assert(Cli.run(spark, "promote_schemas", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh)) == 0)
+    assert(spark.table("`cli`.`summary`").collect().head.getLong(0) == 5L)
+    assert(!spark.catalog.tableExists("`etl_staging__cli`.`summary`"))
+  }
+
+  test("cli run_sql executes a multi-statement script") {
+    val script = Files.createTempDirectory("graft_cli_sql_").resolve("s.sql")
+    Files.write(script,
+      """CREATE OR REPLACE TEMPORARY VIEW rs_t AS SELECT 41 AS x;
+        |SELECT x + 1 AS answer FROM rs_t
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(spark, "run_sql", Map("file" -> script.toString))
+    }
+    assert(code == 0 && out.toString("UTF-8").contains("42"),
+      s"got: ${out.toString("UTF-8")}")
+  }
+
   test("cli ping answers") {
     val out = new java.io.ByteArrayOutputStream()
     val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {

@@ -37,6 +37,14 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * Null keys never match (SQL equality semantics): a left row with
   * any null key field emits null-padded, right rows with null key
   * fields are skipped by the merge.
+  *
+  * Skew caveat (100 TB honesty): AQE's skew-join splitting applies
+  * only to the built-in SMJ/SHJ nodes, so a single hot key here
+  * lands on one partition. Replication-based salting cannot be
+  * applied mechanically (the per-key running-last state does not
+  * commute across salt shards); the production mitigation is
+  * pre-bucketing the hot key's rows by coarse time range and
+  * as-of-joining per bucket with boundary carry-over.
   */
 final case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,

@@ -373,8 +373,14 @@ final class Warehouse(
           if (sk.nonEmpty) s" SORTED BY (${sk.mkString(", ")})" else ""
         s" CLUSTERED BY (${d.mkString(", ")})$sortSpec INTO $BucketCount BUCKETS"
       }.getOrElse("")
+      // bucketed CREATE TABLE requires an explicit column list
+      // (schema inference + bucketing is rejected by the analyzer);
+      // wantBuckets implies a design, so the schema is available
+      val cols = if (clustered.nonEmpty)
+        wantSchema.map(s => s" (${s.toDDL})").getOrElse("")
+      else ""
       spark.sql(
-        s"CREATE TABLE ${target.quoted} USING parquet$clustered LOCATION '$location'")
+        s"CREATE TABLE ${target.quoted}$cols USING parquet$clustered LOCATION '$location'")
     }
     writePointer(target, location)
   }
@@ -772,10 +778,16 @@ final class Warehouse(
     } catch { case e: Throwable =>
       // the "rollback": restore every already-swapped table to its
       // pre-update location; a table that did not exist before the
-      // update is dropped again. (buildOneRelation has already undone
-      // the FAILING table's own registration.)
-      prior.filter { case (r, _) => done.contains(r.identifier) }
-        .foreach {
+      // update is dropped again. The FAILING table is restored too:
+      // buildOneRelation undoes its own registration only on a
+      // constraint failure, but a bucketed table's write path runs
+      // DROP TABLE before saveAsTable, so a mid-write failure would
+      // otherwise leave it dropped (registerAt is idempotent — re-
+      // registering a table the failure never touched is a no-op).
+      prior.filter { case (r, _) =>
+        done.contains(r.identifier) ||
+          (done.size < tables.size && r.identifier == tables(done.size).identifier)
+      }.foreach {
           case (r, Some(loc)) => registerAt(r.name, loc, Some(r.design))
           case (r, None) =>
             spark.sql(s"DROP TABLE IF EXISTS ${r.name.quoted}")

@@ -36,7 +36,12 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   *
   * Null keys never match (SQL equality semantics): a left row with
   * any null key field emits null-padded, right rows with null key
-  * fields are skipped by the merge.
+  * fields are skipped by the merge. Null TIMES follow the same SQL
+  * three-valued logic (`rightTime <= leftTime` is NULL, not true):
+  * a left row with null time emits null-padded, right rows with a
+  * null time are skipped — both sort first under the Ascending
+  * NULLS FIRST child ordering, so the merge handles them before any
+  * comparable row of the same key.
   *
   * Skew caveat (100 TB honesty): AQE's skew-join splitting applies
   * only to the built-in SMJ/SHJ nodes, so a single hot key here
@@ -150,17 +155,27 @@ final case class AsofJoinExec(
             // so no right state needs resetting
             return outProj(joined(lRow, nullRight))
           }
+          val lTsRow = lTsP(lRow).copy()
+          if (lTsRow.isNullAt(0)) {
+            // rightTime <= NULL is NULL under SQL semantics — never a
+            // match; null times sort first within the key group, so
+            // no right rows were absorbed for this key yet
+            return outProj(joined(lRow, nullRight))
+          }
           if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyRow) != 0)
             lastMatch = null
           // skip right rows below the current key (null right key
-          // fields sort first and compare < any non-null key)
+          // fields sort first and compare < any non-null key), and
+          // equal-key rows with a null time (NULL <= t is never true)
           while (rCur != null && {
             val rKeyRow = rKeyP(rCur)
-            rKeyRow.anyNull || keyOrd.compare(rKeyRow, lKeyRow) < 0
+            rKeyRow.anyNull || {
+              val c = keyOrd.compare(rKeyRow, lKeyRow)
+              c < 0 || (c == 0 && rTsP(rCur).isNullAt(0))
+            }
           }) advanceRight()
           // absorb equal-key rows up to the left timestamp; the last
           // absorbed (largest ts, then largest id) is the match
-          val lTsRow = lTsP(lRow).copy()
           while (rCur != null && keyOrd.compare(rKeyP(rCur), lKeyRow) == 0 &&
               tsOrd.compare(rTsP(rCur), lTsRow) <= 0) {
             lastMatch = rCur.copy()
@@ -214,11 +229,24 @@ object AsofJoin {
       .intersect(rp.output.map(_.name.toLowerCase))
     require(dup.isEmpty,
       s"asof: column names must be disjoint, both sides have: ${dup.mkString(", ")}")
+    val lks = leftKeys.map(resolve(lp, _))
+    val rks = rightKeys.map(resolve(rp, _))
+    val lt = resolve(lp, leftTime)
+    val rt = resolve(rp, rightTime)
+    // the merge's orderings are built from the LEFT side's types and
+    // applied to right-side rows — a type mismatch would surface as a
+    // deep ClassCastException (or silently wrong comparisons), so
+    // fail fast here instead
+    lks.zip(rks).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"asof: key type mismatch: ${l.name}: ${l.dataType.sql} vs " +
+          s"${r.name}: ${r.dataType.sql} — cast one side before joining")
+    }
+    require(lt.dataType == rt.dataType,
+      s"asof: time type mismatch: ${lt.name}: ${lt.dataType.sql} vs " +
+        s"${rt.name}: ${rt.dataType.sql} — cast one side before joining")
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
-      AsofJoinNode(lp, rp,
-        leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
-        resolve(lp, leftTime), resolve(rp, rightTime),
-        resolve(rp, rightId)))
+      AsofJoinNode(lp, rp, lks, rks, lt, rt, resolve(rp, rightId)))
   }
 
   /** Single-key convenience overload. */

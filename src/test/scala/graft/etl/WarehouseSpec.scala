@@ -639,6 +639,43 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep`.`tail_t`").count() == 6)
   }
 
+  test("update rollback restores the FAILING bucketed table (dropped pre-write)") {
+    val wh = freshWarehouse()
+    // a distribution-keyed table: writeTable DROPs it before the
+    // bucketed saveAsTable, so a mid-write failure leaves it GONE
+    // unless the update rollback restores the failing table too
+    def bkt(query: String) = rel(
+      s"""name: rep.bkt_t
+         |source_name: CTAS
+         |depends_on: [src.nation]
+         |columns:
+         |  - name: n_nationkey
+         |    type: int
+         |  - name: n_name
+         |    type: string
+         |attributes:
+         |  distribution: [n_nationkey]
+         |query: $query
+         |""".stripMargin)
+    val good = "SELECT n_nationkey, n_name FROM src.nation WHERE n_nationkey < 5"
+    wh.loadWithStagingAndPublish(Seq(srcNation, bkt(good)))
+    assert(spark.table("`rep`.`bkt_t`").count() == 5)
+    // analysis passes; the failure fires at EXECUTION time (inside
+    // saveAsTable, after the DROP) — raise_error behind a non-foldable
+    // predicate cannot be optimized away and throws per-row
+    val bad = "SELECT n_nationkey, IF(n_nationkey > 100, n_name, " +
+      "CAST(raise_error('mid-write failure') AS STRING)) AS n_name " +
+      "FROM src.nation WHERE n_nationkey < 7"
+    intercept[Exception] {
+      wh.updateRelations(Seq(srcNation, bkt(bad)),
+        TableSelector(Seq("rep.bkt_t")), onlySelected = true)
+    }
+    assert(spark.catalog.tableExists("`rep`.`bkt_t`"),
+      "failing bucketed table must be re-registered by the rollback")
+    assert(spark.table("`rep`.`bkt_t`").count() == 5,
+      "failing table must serve its pre-update data")
+  }
+
   test("minhash band index is materialized; later batches see earlier batches") {
     val s = spark   // stable identifier for the implicits import
     import s.implicits._

@@ -102,6 +102,51 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.size == 200)
   }
 
+  test("null timestamps: null right times never match, null left times null-pad") {
+    val s = spark
+    import s.implicits._
+    // SQL three-valued logic: rightTime <= leftTime is NULL (not
+    // true) when either side is null — DuckDB's ASOF never matches
+    // such rows. Null times sort FIRST under the child ordering, so
+    // an unguarded merge would absorb them as matches.
+    val purchases = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), 200L), // only null-ts click for key 1 -> no match
+      (2L, Option(ts("2024-01-01 10:00:00")), 201L), // null-ts click skipped, 09:00 click wins
+      (3L, Option.empty[Timestamp], 202L),           // null LEFT time -> never matches
+      (3L, Option(ts("2024-01-01 10:00:00")), 203L)) // same key, real time -> matches normally
+      .toDF("user_id", "p_ts", "purchase_id")
+    val clicks = Seq(
+      (1L, Option.empty[Timestamp], 20L),
+      (2L, Option.empty[Timestamp], 21L),
+      (2L, Option(ts("2024-01-01 09:00:00")), 22L),
+      (3L, Option(ts("2024-01-01 08:00:00")), 23L))
+      .toDF("c_user", "c_ts", "click_id")
+    val got = AsofJoin.asof(purchases, clicks,
+        "user_id", "c_user", "p_ts", "c_ts", "click_id")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(
+      200L -> None, 201L -> Some(22L), 202L -> None, 203L -> Some(23L)),
+      s"got $got")
+  }
+
+  test("type mismatches between sides fail fast with a clear message") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "lt", "lid")
+    val rIntKey = Seq((1, 5L, 7L)).toDF("rk", "rt", "rid")
+    val keyErr = intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, rIntKey, "k", "rk", "lt", "rt", "rid")
+    }
+    assert(keyErr.getMessage.contains("key type mismatch"))
+    val rTsTime = Seq((1L, ts("2024-01-01 00:00:00"), 7L)).toDF("rk", "rt", "rid")
+    val timeErr = intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, rTsTime, "k", "rk", "lt", "rt", "rid")
+    }
+    assert(timeErr.getMessage.contains("time type mismatch"))
+  }
+
   test("multi-column keys: (tenant, user) as-of matching") {
     val s = spark
     import s.implicits._

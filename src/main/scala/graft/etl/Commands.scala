@@ -90,11 +90,75 @@ object Commands {
   }
 
   // ------------------------------------------------------------- Q10
-  /** RunSql admin command (commands.py:772-821): execute a SQL script
-    * (statements separated by `;`), returning the last result. */
-  def runSqlScript(spark: SparkSession, script: String): Option[DataFrame] =
-    script.split(";").map(_.trim).filter(_.nonEmpty)
-      .foldLeft(Option.empty[DataFrame])((_, stmt) => Some(spark.sql(stmt)))
+  /** Split a SQL script into statements on TOP-LEVEL `;` only: a
+    * semicolon inside a single/double-quoted string, a backquoted
+    * identifier, a `--` line comment, or a block comment never splits.
+    * Comment text stays attached to its statement (the parser accepts
+    * it); fragments that hold nothing but comments/whitespace are
+    * dropped. */
+  private[etl] def splitSqlStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var hasCode = false   // any non-comment, non-whitespace char seen
+    var i = 0
+    val n = script.length
+    def emit(): Unit = {
+      val s = cur.toString.trim
+      if (hasCode && s.nonEmpty) out += s
+      cur.clear(); hasCode = false
+    }
+    while (i < n) {
+      val c = script.charAt(i)
+      c match {
+        case ';' => emit(); i += 1
+        case '-' if i + 1 < n && script.charAt(i + 1) == '-' =>
+          val end = script.indexOf('\n', i)
+          val stop = if (end < 0) n else end
+          cur.append(script.substring(i, stop)); i = stop
+        case '/' if i + 1 < n && script.charAt(i + 1) == '*' =>
+          val end = script.indexOf("*/", i + 2)
+          val stop = if (end < 0) n else end + 2
+          cur.append(script.substring(i, stop)); i = stop
+        case q @ ('\'' | '"' | '`') =>
+          hasCode = true
+          cur.append(q); i += 1
+          var closed = false
+          while (i < n && !closed) {
+            val d = script.charAt(i)
+            cur.append(d)
+            // backslash escapes stay inside the literal ('it\'s');
+            // doubled quotes ('') read as exit+enter, same net effect
+            if (d == '\\' && q != '`' && i + 1 < n) {
+              cur.append(script.charAt(i + 1)); i += 2
+            } else {
+              if (d == q) closed = true
+              i += 1
+            }
+          }
+        case _ =>
+          if (!c.isWhitespace) hasCode = true
+          cur.append(c); i += 1
+      }
+    }
+    emit()
+    out.result()
+  }
+
+  /** RunSql admin command (commands.py:772-821): execute a SQL script,
+    * returning the last result. EVERY statement runs — the reference
+    * executes each in order — so intermediate SELECTs are forced with
+    * an executor-side no-op action (no driver collect; a script-sized
+    * intermediate result never lands on the driver); only the LAST
+    * statement is returned lazily for the caller to shape. */
+  def runSqlScript(spark: SparkSession, script: String): Option[DataFrame] = {
+    val stmts = splitSqlStatements(script)
+    stmts.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
+      case (_, (stmt, ix)) =>
+        val df = spark.sql(stmt)   // commands (DDL/DML) execute here
+        if (ix < stmts.length - 1) df.foreach(_ => ())
+        Some(df)
+    }
+  }
 
   // ----------------------------------------------------------- §2.11
   /** UDF surface: the one reference-shipped UDF is `dw.f_sha256`

@@ -301,10 +301,16 @@ final class Warehouse(
     * interplay — and are rebuilt via [[writeTable]] only when full
     * re-derivation is intended. */
   def appendToTable(target: TableName, df: DataFrame): Unit = {
-    // A bucketed table's files carry bucket-id assignments; raw
-    // parquet appends would land rows in the wrong buckets and
-    // silently break the co-located-join guarantee. Refuse — the
-    // accumulating-table pattern is for unbucketed indexes.
+    df.write.mode("append").parquet(appendLocation(target))
+    spark.catalog.refreshTable(target.quoted)
+  }
+
+  /** Live location for an in-place append, refusing bucketed tables:
+    * a bucketed table's files carry bucket-id assignments; raw parquet
+    * appends would land rows in the wrong buckets and silently break
+    * the co-located-join guarantee — the accumulating-table pattern is
+    * for unbucketed indexes. */
+  private def appendLocation(target: TableName): String = {
     val bucketed =
       try spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(target.table, Some(target.schema)))
@@ -314,11 +320,50 @@ final class Warehouse(
       throw new IllegalStateException(
         s"'${target.identifier}' is bucketed; in-place append would corrupt " +
           "bucket assignments — rebuild with writeTable instead")
-    val loc = locationOf(target).orElse(readPointer(target)).getOrElse(
+    locationOf(target).orElse(readPointer(target)).getOrElse(
       throw new IllegalStateException(
         s"no live location for '${target.identifier}' — build it with writeTable first"))
-    df.write.mode("append").parquet(loc)
+  }
+
+  /** [[appendToTable]] made IDEMPOTENT per `batchTag` — the ingest
+    * primitive for at-least-once runtimes (Structured Streaming's
+    * `foreachBatch` replays a batch id after a failure; a re-run cron
+    * job replays a day). The batch's rows land as part files with
+    * DETERMINISTIC tag-derived names, and a hidden `_applied_<tag>`
+    * marker records completion:
+    *
+    *   - replay of an APPLIED batch: marker present → no-op (false);
+    *   - replay of an INTERRUPTED batch: every `batch-<tag>-*` file
+    *     from the partial attempt is deleted before the new files
+    *     move in, so the final state holds exactly one copy.
+    *
+    * The batch stages under `_staging_<tag>` inside the live location
+    * (underscore-prefixed paths are invisible to table scans, so
+    * readers never see half a batch) and moves in via per-file
+    * renames. Returns true if this call applied the batch. */
+  def appendToTableIdempotent(target: TableName, df: DataFrame,
+                              batchTag: String): Boolean = {
+    val loc = appendLocation(target)
+    val tag = batchTag.replaceAll("[^A-Za-z0-9_-]", "_")
+    val hp = new org.apache.hadoop.fs.Path(loc)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(hp, s"_applied_$tag")
+    if (fs.exists(marker)) return false
+    val staging = new org.apache.hadoop.fs.Path(hp, s"_staging_$tag")
+    df.write.mode("overwrite").parquet(staging.toString)
+    // clear any partial earlier attempt, then move the staged files in
+    fs.globStatus(new org.apache.hadoop.fs.Path(hp, s"batch-$tag-*"))
+      .foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(staging).iterator
+      .filter(_.getPath.getName.startsWith("part-"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val ext = f.getPath.getName.dropWhile(_ != '.')
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(hp, s"batch-$tag-$i$ext"))
+      }
+    fs.delete(staging, true)
+    fs.create(marker).close()
     spark.catalog.refreshTable(target.quoted)
+    true
   }
 
   /** (Re-)point `target` at `location`. When the name already holds a

@@ -332,11 +332,21 @@ object DedupOps {
   def incrementalAgainstIndex(wh: graft.etl.Warehouse,
                               index: graft.etl.TableName,
                               batchDocs: DataFrame): DataFrame = {
-    val spark = wh.spark
-    import spark.implicits._
     val batchBands = minhashBandsOf(batchDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     wh.appendToTable(index, batchBands)
+    pairsAgainstIndex(wh, index, batchBands)
+  }
+
+  /** The candidate-pair join of one incremental run, factored out so
+    * the streaming twin can manage the batch bands' persist lifecycle
+    * and append idempotently itself. `batchBands` must already be IN
+    * the stored index (self-pairs come out of the appended copy). */
+  def pairsAgainstIndex(wh: graft.etl.Warehouse,
+                        index: graft.etl.TableName,
+                        batchBands: DataFrame): DataFrame = {
+    val spark = wh.spark
+    import spark.implicits._
     spark.table(index.quoted).as("a").hint("shuffle_merge")
       .join(batchBands.as("b").hint("shuffle_merge"),
         $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&

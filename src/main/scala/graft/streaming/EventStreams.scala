@@ -175,7 +175,15 @@ object EventStreams {
     * corpus-scale band index cannot fit an executor and cannot be
     * shared with batch runs, while the warehouse table is durable,
     * O(batch) to extend, and identical for batch and stream by
-    * construction. Candidate pairs per micro-batch go to `emit`. */
+    * construction. Candidate pairs per micro-batch go to `emit`.
+    *
+    * foreachBatch is AT-LEAST-ONCE — after a failure the same batch id
+    * replays — so the index append is the batch-tagged idempotent form
+    * ([[graft.etl.Warehouse.appendToTableIdempotent]]): a replay
+    * replaces its own files instead of duplicating band rows, keeping
+    * the durable index exactly-once. The batch's bands are cached for
+    * the append + join, then unpersisted once `emit` returns, so a
+    * long-running stream holds no accumulating cache entries. */
   def incrementalDedupStream(wh: graft.etl.Warehouse,
                              index: graft.etl.TableName,
                              docs: DataFrame,
@@ -184,7 +192,13 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        emit(graft.queries.DedupOps.incrementalAgainstIndex(wh, index, batch), id)
+        import graft.queries.DedupOps
+        val bands = DedupOps.minhashBandsOf(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          wh.appendToTableIdempotent(index, bands, s"b$id")
+          emit(DedupOps.pairsAgainstIndex(wh, index, bands), id)
+        } finally { bands.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -119,6 +119,32 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.get.collect().head.getInt(0) == 42)
   }
 
+  test("Q10: split is quote- and comment-aware; intermediates execute") {
+    // ';' inside string literals, backquoted identifiers, and comments
+    // must not split the statement
+    // leading comments attach to the statement that follows; the bare
+    // `;` fragment and all-comment fragments are dropped
+    val stmts = Commands.splitSqlStatements(
+      """-- header; comment
+        |SELECT 'a;b' AS s, `weird;col` FROM (SELECT 1 AS `weird;col`);
+        |/* block; also
+        |   spans lines */ SELECT 2 AS two; ;
+        |SELECT 'it\'s' AS esc -- trailing; note
+        |""".stripMargin)
+    assert(stmts.length == 3, s"got: $stmts")
+    assert(stmts(0).contains("'a;b'") && stmts(0).contains("`weird;col`"))
+    assert(stmts(1).startsWith("/* block"))
+    assert(stmts(2).contains("""'it\'s'"""))
+    // every statement runs, not just the last: the intermediate CTAS-
+    // style command plus a mid-script SELECT both execute
+    val out = Commands.runSqlScript(spark,
+      """CREATE DATABASE IF NOT EXISTS cmdtest;
+        |CREATE OR REPLACE TEMPORARY VIEW q10_mid AS SELECT 'x;y' AS v;
+        |SELECT count(*) AS n FROM q10_mid;
+        |SELECT v FROM q10_mid""".stripMargin)
+    assert(out.get.collect().head.getString(0) == "x;y")
+  }
+
   test("§2.11: f_sha256 matches the built-in sha2 (the native path)") {
     Commands.registerUdfs(spark)
     val r = spark.sql(

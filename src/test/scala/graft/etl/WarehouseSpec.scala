@@ -736,6 +736,35 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(plain.quoted).count() == 2)
   }
 
+  test("appendToTableIdempotent: replaying a batch tag never duplicates rows") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("dedup.idemp_idx")
+    wh.writeTable(t, Seq((1L, "a")).toDF("id", "v"))
+    // first application lands the batch
+    assert(wh.appendToTableIdempotent(t, Seq((2L, "b"), (3L, "c")).toDF("id", "v"), "b7"))
+    assert(spark.table(t.quoted).count() == 3)
+    // an at-least-once replay of the SAME tag is a no-op
+    assert(!wh.appendToTableIdempotent(t, Seq((2L, "b"), (3L, "c")).toDF("id", "v"), "b7"))
+    assert(spark.table(t.quoted).count() == 3,
+      "replayed batch must not duplicate rows")
+    // an INTERRUPTED attempt (files in, marker missing) is replaced,
+    // not duplicated: drop the marker and replay
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t.table, Some(t.schema)))
+        .location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(loc, "_applied_b7"), false)
+    assert(wh.appendToTableIdempotent(t, Seq((2L, "b"), (3L, "c")).toDF("id", "v"), "b7"))
+    assert(spark.table(t.quoted).count() == 3,
+      "replay of an interrupted batch must replace its files")
+    // a NEW tag appends normally
+    assert(wh.appendToTableIdempotent(t, Seq((4L, "d")).toDF("id", "v"), "b8"))
+    assert(spark.table(t.quoted).count() == 4)
+  }
+
   test("standalone check_constraints audits published tables without rebuilding") {
     val wh = freshWarehouse()
     wh.loadWithStagingAndPublish(Seq(srcNation,

@@ -124,6 +124,7 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val input = MemoryStream[(Long, String)]
     val pairs = scala.collection.mutable.Buffer[(Long, Long)]()
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sdck_").toString
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val q = EventStreams.incrementalDedupStream(wh, index,
       input.toDF.toDF("doc_id", "text"), ckpt) { (cands, _) =>
       pairs ++= cands.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -139,6 +140,10 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(pairs.toSet == Set((1L, 401L), (1L, 451L), (401L, 451L)),
       s"cross-micro-batch pair missing: $pairs")
+    // per-batch band caches are unpersisted once emit returns — a
+    // long-running stream must not accumulate cache entries
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      "micro-batch band caches leaked")
     // and a BATCH run against the same index sees the streamed docs too
     val batchPairs = graft.queries.DedupOps
       .incrementalAgainstIndex(wh, index, Seq((461L, dup)).toDF("doc_id", "text"))

@@ -47,9 +47,10 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * only to the built-in SMJ/SHJ nodes, so a single hot key here
   * lands on one partition. Replication-based salting cannot be
   * applied mechanically (the per-key running-last state does not
-  * commute across salt shards); the production mitigation is
-  * pre-bucketing the hot key's rows by coarse time range and
-  * as-of-joining per bucket with boundary carry-over.
+  * commute across salt shards); the mitigation is
+  * [[AsofJoin.asofBucketed]] — time-bucketed split with boundary
+  * carry-over, which joins with the bucket as an extra key through
+  * THIS same exec and reproduces its answer exactly.
   */
 final case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -255,4 +256,105 @@ object AsofJoin {
            leftTime: String, rightTime: String,
            rightId: String): DataFrame =
     asof(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime, rightId)
+
+  /** Skew-resistant AS-OF JOIN — the hot-key mitigation the plain
+    * operator documents but cannot apply mechanically (per-key
+    * running-last state does not commute across salt shards): split
+    * time into fixed-width buckets and join WITH THE BUCKET AS AN
+    * EXTRA KEY, so one hot key's rows spread over its time buckets
+    * instead of landing on a single partition.
+    *
+    * Correctness needs boundary carry-over: a left row's match may
+    * live in an EARLIER bucket. Per (key, bucket) the right side is
+    * summarized to its last row (max (time, id) — the same tie-break
+    * as the merge), and a per-key window over BUCKET-granularity rows
+    * (one marker per left bucket, one summary per right bucket —
+    * thousands of rows for even the hottest key, not millions)
+    * assigns each left bucket the latest summary from any STRICTLY
+    * EARLIER bucket. That carry row is injected into the bucket's
+    * right side; buckets partition time, so the carry's timestamp is
+    * below every left timestamp in the bucket and qualifies for all
+    * of them, while in-bucket rows win whenever they qualify — the
+    * merge's last-qualifying rule then reproduces the unbucketed
+    * answer exactly.
+    *
+    * Scale shape: the hot key's raw rows shuffle to |buckets|
+    * partitions (pick `bucketWidth` so one bucket of the hottest key
+    * fits a task); only the bucket-summary window — O(|key × bucket|)
+    * rows — still hash-partitions on the bare key. Extra cost over
+    * the plain operator: one groupBy of the right side and one small
+    * window, both map-side-combinable.
+    *
+    * `bucketWidth` is in MICROSECONDS for timestamp time columns and
+    * in the column's own units for integral ones. Null keys/times
+    * behave exactly as in [[asof]] (null bucket ⇒ null key field). */
+  def asofBucketed(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   rightId: String, bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{left => _, right => _, _}
+    import org.apache.spark.sql.types._
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val lb = "__asof_lbkt"; val rb = "__asof_rbkt"
+    def bucketCol(df: DataFrame, time: String): Column = {
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(time)).getOrElse(
+        throw new IllegalArgumentException(s"column '$time' not found"))
+      val c = df.col(f.name)
+      val raw = f.dataType match {
+        case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+        case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+        case other => throw new IllegalArgumentException(
+          s"asofBucketed: time column '$time' must be timestamp or integral, got ${other.sql}")
+      }
+      // floor division: (x - pmod(x, W)) is an exact multiple of W, so
+      // the double round-trip of `/` is exact (values < 2^53)
+      ((raw - pmod(raw, lit(bucketWidth))) / bucketWidth).cast(LongType)
+    }
+    val lbk = left.withColumn(lb, bucketCol(left, leftTime))
+    val rbk = right.withColumn(rb, bucketCol(right, rightTime))
+    val rightCols = right.columns.toSeq
+    // one summary row per (key, bucket): the last right row by the
+    // merge's own (time, id) order
+    val summaries = rbk
+      .filter((rightKeys :+ rb).map(k => col(k).isNotNull).reduce(_ && _))
+      .groupBy((rightKeys :+ rb).map(col): _*)
+      .agg(max_by(struct(rightCols.map(col): _*),
+        struct(col(rightTime), col(rightId))).as("__asof_row"))
+    // one marker row per (key, bucket) the left side touches
+    val markers = lbk
+      .filter((leftKeys :+ lb).map(k => col(k).isNotNull).reduce(_ && _))
+      .select((leftKeys :+ lb).map(col): _*).distinct()
+    val rowType = summaries.schema("__asof_row").dataType
+    val sumAligned = summaries.select(
+      rightKeys.zip(leftKeys).map { case (r, l) => col(r).as(l) } ++
+        Seq(col(rb).as(lb), lit(1).as("__asof_kind"), col("__asof_row")): _*)
+    val markAligned = markers.select(
+      leftKeys.map(col) ++ Seq(col(lb), lit(0).as("__asof_kind"),
+        lit(null).cast(rowType).as("__asof_row")): _*)
+    // ordered (bucket, kind) with markers BEFORE same-bucket summaries
+    // and a frame ending 1 row back, the running last non-null summary
+    // at a marker is the latest one from a STRICTLY earlier bucket
+    val w = Window.partitionBy(leftKeys.map(col): _*)
+      .orderBy(col(lb), col("__asof_kind"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = markAligned.unionByName(sumAligned)
+      .withColumn("__asof_carry", last(col("__asof_row"), ignoreNulls = true).over(w))
+      .filter(col("__asof_kind") === 0 && col("__asof_carry").isNotNull)
+      .select(col("__asof_carry.*") +: Seq(col(lb).as(rb)): _*)
+    val rightAug = rbk.select((rightCols :+ rb).map(col): _*)
+      .unionByName(carries)
+    asof(lbk, rightAug, leftKeys :+ lb, rightKeys :+ rb,
+        leftTime, rightTime, rightId)
+      .drop(lb, rb)
+  }
+
+  /** Single-key convenience overload of [[asofBucketed]]. */
+  def asofBucketed(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   rightId: String, bucketWidth: Long): DataFrame =
+    asofBucketed(left, right, Seq(leftKey), Seq(rightKey),
+      leftTime, rightTime, rightId, bucketWidth)
 }

@@ -563,6 +563,29 @@ object SqlSurface {
       .orderBy($"purchase_id")
   }
 
+  /** q19c — the SAME as-of enrichment through the skew-resistant
+    * time-bucketed form ([[graft.plans.AsofJoin.asofBucketed]], 1-day
+    * buckets): the hot-key mitigation must agree with the identical
+    * DuckDB ASOF oracle, proving the bucket split + boundary
+    * carry-over reproduces the unbucketed answer exactly. */
+  def q19cAsofBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("last_click_id"))
+    graft.plans.AsofJoin.asofBucketed(purchases, clicks,
+        "user_id", "c_user", "ts", "c_ts", "last_click_id",
+        bucketWidth = 86400L * 1000000L)   // 1-day buckets, micros
+      .select($"purchase_id", $"user_id",
+        $"ts".cast("timestamp_ntz").as("purchase_ts"),
+        $"last_click_id",
+        $"c_ts".cast("timestamp_ntz").as("last_click_ts"))
+      .orderBy($"purchase_id")
+  }
+
   // ---------------------------------------------------------------- q20
   /** Exact discrete quantiles per group (SQL-standard
     * PERCENTILE_DISC): distribution stats for quality scoring —
@@ -673,6 +696,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_similar_to" -> (q22SimilarTo _),
     "q19b_asof_native" -> (q19bAsofNative _),
+    "q19c_asof_bucketed" -> (q19cAsofBucketed _),
     "q17_grouping_sets" -> (q17GroupingSets _),
     "q18_latest_per_key" -> (q18LatestPerKey _),
     "q19_asof_join" -> (q19AsofJoin _),
@@ -698,6 +722,7 @@ object SqlSurface {
   val oracles: Map[String, String] = Map(
     "q22_similar_to" -> q22SimilarToSql,
     "q19b_asof_native" -> q19AsofJoinSql,
+    "q19c_asof_bucketed" -> q19AsofJoinSql,
     "q17_grouping_sets" -> q17GroupingSetsSql,
     "q18_latest_per_key" -> q18LatestPerKeySql,
     "q19_asof_join" -> q19AsofJoinSql,

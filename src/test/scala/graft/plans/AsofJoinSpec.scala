@@ -102,6 +102,65 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.size == 200)
   }
 
+  test("asofBucketed reproduces asof exactly on a skewed corpus (with nulls)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val spanMs = 30L * 86400000L   // 30 days of event time
+    def t(i: Long, stride: Long) =
+      Option(new Timestamp(base + (i * stride) % spanMs))
+    // hot key 7 owns half of each side; a few null keys and null times
+    val clicks = (1 to 3000).map { i =>
+      val k = if (i % 2 == 0) 7L else (i % 11).toLong
+      (Option(k), t(i.toLong, 6101789L), 10000L + i)
+    } ++ Seq((Option.empty[Long], t(5L, 6101789L), 99001L),
+             (Option(7L), Option.empty[Timestamp], 99002L))
+    val purchases = (1 to 2000).map { i =>
+      val k = if (i % 2 == 0) 7L else (i % 13).toLong
+      (Option(k), t(i.toLong, 7919321L), 20000L + i)
+    } ++ Seq((Option.empty[Long], t(9L, 7919321L), 88001L),
+             (Option(7L), Option.empty[Timestamp], 88002L))
+    val cDf = clicks.toDF("c_user", "c_ts", "click_id")
+    val pDf = purchases.toDF("user_id", "p_ts", "purchase_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"purchase_id", $"click_id", $"c_ts")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getTimestamp(2)))).toSet
+    val plain = canon(AsofJoin.asof(pDf, cDf,
+      "user_id", "c_user", "p_ts", "c_ts", "click_id"))
+    val day = 86400L * 1000000L
+    val bucketed = AsofJoin.asofBucketed(pDf, cDf,
+      "user_id", "c_user", "p_ts", "c_ts", "click_id", day)
+    val b = canon(bucketed)
+    assert(b == plain,
+      s"only bucketed: ${(b -- plain).take(5)}\nonly plain: ${(plain -- b).take(5)}")
+    assert(b.size == purchases.size)
+    // the mitigation's whole point: the exec's exchange hashes on
+    // (key, BUCKET), spreading a hot key across its time buckets
+    val planStr = bucketed.queryExecution.executedPlan.toString
+    assert(planStr.contains("__asof_lbkt"),
+      s"expected bucket column in the physical plan:\n$planStr")
+  }
+
+  test("asofBucketed: carry-over crosses empty buckets; integral time columns") {
+    val s = spark
+    import s.implicits._
+    // right rows only in bucket 0; left rows in buckets 5 and 9 — the
+    // match must carry across many empty buckets
+    val l = Seq((1L, 55L, 500L), (1L, 97L, 501L), (2L, 55L, 502L))
+      .toDF("k", "lt", "lid")
+    val r = Seq((1L, 3L, 40L), (1L, 7L, 41L), (3L, 2L, 42L))
+      .toDF("rk", "rt", "rid")
+    val got = AsofJoin.asofBucketed(l, r, "k", "rk", "lt", "rt", "rid", 10L)
+      .select($"lid", $"rid")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got == Map(500L -> Some(41L), 501L -> Some(41L), 502L -> None),
+      s"got $got")
+  }
+
   test("null timestamps: null right times never match, null left times null-pad") {
     val s = spark
     import s.implicits._

@@ -41,6 +41,11 @@ object Cli {
         |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N] [--summarize] [--follow [--poll-ms N] [--idle-timeout-ms N]]
         |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
         |  bootstrap_transformations --designs DIR [--as-view]
+        |  render_template [--config DIRS] --template NAME [--sql] [--compact] | --list [--sql] [--compact] [--templates DIR]
+        |  show_value     [--config DIRS] --name SETTING [--default VALUE]
+        |  show_vars      [--config DIRS] [--name GLOB[,GLOB...]]   (alias: settings)
+        |  list_tags      --designs DIR
+        |  tail_logs      --events FILE [--start-time EPOCH_MS|ISO8601] [--warnings]
         |""".stripMargin)
     sys.exit(2)
   }
@@ -102,13 +107,18 @@ object Cli {
     def warehouse: Warehouse = new Warehouse(spark,
       opts.getOrElse("warehouse", usage()), opts.getOrElse("data", usage()),
       new Monitor(opts.get("events")))
+    // settings: packaged defaults + every --config directory
+    // (comma-separated), the reference's -c/--config surface
+    def settings: Settings =
+      Settings.load(opts.get("config").toSeq.flatMap(_.split(',').toSeq))
 
     command match {
       case "load" =>
         val rels = Dag.selectInExecutionOrder(designs, selector,
           includeDependents = true, continueFrom = opts.get("continue-from"))
         val wh = warehouse
-        val conc = opts.get("max-concurrency").map(_.toInt).getOrElse(4)
+        val conc = opts.get("max-concurrency").map(_.toInt).getOrElse(
+          settings.intValue("graft_settings.load.max_concurrency", Some(4)))
         val doAnalyze = opts.contains("analyze")
         // --skip-copy (commands.py load args): create every table but
         // leave them empty — structure-only deploys.
@@ -364,6 +374,48 @@ object Cli {
         // commands.py:1849-1868: chain everything the selection
         // (transitively) depends on, selection included.
         println(Commands.describeDependencies(designs, selector))
+        0
+      case "render_template" =>
+        // commands.py:1888-1913: --list, or render one template;
+        // --sql switches to the SQL family, --compact to compact JSON
+        val userDir = opts.get("templates")
+        if (opts.contains("list")) {
+          val fam = if (opts.contains("sql")) "sql" else "text"
+          if (opts.contains("compact"))
+            Templates.listTemplates(fam, userDir).foreach(t => println(t._1))
+          else println(Settings.formatLines(
+            Templates.listTemplates(fam, userDir),
+            ("Template Name", "File Location")))
+        } else {
+          val name = opts.getOrElse("template", usage())
+          if (opts.contains("sql")) println(Templates.renderSql(settings, name, userDir))
+          else print(Templates.render(settings, name,
+            compact = opts.contains("compact"), userDir = userDir))
+        }
+        0
+      case "show_value" =>
+        // commands.py:1916-1928: value of one setting, optional default
+        println(settings.value(opts.getOrElse("name", usage()),
+          opts.get("default")))
+        0
+      case "show_vars" | "settings" =>
+        // commands.py:1931-1947 (alias "settings"): Name|Value table,
+        // optionally filtered by comma-separated glob patterns
+        println(settings.showVars(
+          opts.get("name").toSeq.flatMap(_.split(',').toSeq)))
+        0
+      case "list_tags" =>
+        // commands.py:1869-1885: collect tags across the designs
+        val tags = Settings.listTags(designs)
+        if (tags.nonEmpty) println(s"Tags:\n${tags.map(t => s"'$t'").mkString(", ")}")
+        else println("No tags found")
+        0
+      case "tail_logs" =>
+        // commands.py:2093-2119: log lines since --start-time,
+        // --warnings keeps only failures; reads the run's event log
+        val start = opts.get("start-time").map(parseEpochMs).getOrElse(0L)
+        LogTail.tailLogs(opts.getOrElse("events", usage()), start,
+          warningsOnly = opts.contains("warnings")).foreach(println)
         0
       case _ => usage()
     }

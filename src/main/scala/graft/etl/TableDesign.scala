@@ -55,7 +55,8 @@ final case class TableDesign(
     extractSettings: Option[ExtractSettings] = None,
     query: String = "",                  // transform SELECT (CTAS/VIEW)
     distribution: Option[Seq[String]] = None,  // distkey → repartition cols
-    sortKeys: Seq[String] = Seq.empty) { // sortkey → sortWithinPartitions
+    sortKeys: Seq[String] = Seq.empty,   // sortkey → sortWithinPartitions
+    tags: Seq[String] = Seq.empty) {     // free-form labels (table_design.schema:88)
 
   def isView: Boolean = sourceName == "VIEW"
   def isCtas: Boolean = sourceName == "CTAS"
@@ -193,7 +194,8 @@ object TableDesign {
   def fromYaml(text: String): TableDesign = {
     val root = yaml.readTree(text)
     val knownTop = Set("name", "source_name", "columns", "constraints",
-      "depends_on", "extract_settings", "query", "attributes", "description")
+      "depends_on", "extract_settings", "query", "attributes", "description",
+      "tags")
     root.fieldNames.asScala.foreach { f =>
       if (!knownTop.contains(f)) throw new TableDesignError(s"unknown design key '$f'")
     }
@@ -247,8 +249,10 @@ object TableDesign {
     val sort = attrs.flatMap(a => Option(a.get("compound_sort"))).toSeq
       .flatMap(s => if (s.isArray) s.elements.asScala.map(_.asText).toSeq else Seq.empty)
     val query = Option(root.get("query")).map(_.asText).getOrElse("")
+    val tags = Option(root.get("tags")).toSeq
+      .flatMap(t => if (t.isArray) t.elements.asScala.map(_.asText).toSeq else Seq.empty)
     TableDesign(name, sourceName, columns, constraints, dependsOn,
-      extract, query, dist, sort)
+      extract, query, dist, sort, tags)
   }
 
   /** Load + validate, the `load_table_design` path

@@ -422,4 +422,70 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       "designs" -> designsDir, "out" -> out, "select" -> "cli.summary"))
     assert(Files.exists(Paths.get(out, "cli.summary", "manifest.json")))
   }
+
+  private def captureOut(body: => Int): (Int, String) = {
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) { body }
+    (code, out.toString("UTF-8"))
+  }
+
+  test("cli show_value / show_vars read defaults and --config overrides") {
+    val (c1, v1) = captureOut { Cli.run(spark, "show_value",
+      Map("name" -> "graft_settings.load.max_concurrency")) }
+    assert(c1 == 0 && v1.trim == "4")
+    val cfg = Files.createTempDirectory("graft_cli_cfg_")
+    Files.write(cfg.resolve("prod.yaml"),
+      "graft_settings:\n  load:\n    max_concurrency: 12\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val (c2, v2) = captureOut { Cli.run(spark, "show_value", Map(
+      "config" -> cfg.toString, "name" -> "graft_settings.load.max_concurrency")) }
+    assert(c2 == 0 && v2.trim == "12")
+    val (c3, v3) = captureOut { Cli.run(spark, "settings",
+      Map("name" -> "graft_settings.*retries")) }
+    assert(c3 == 0 && v3.contains("copy_data_retries") && !v3.contains("bucket_count"))
+  }
+
+  test("cli render_template lists and renders text + sql templates") {
+    val (c1, list) = captureOut { Cli.run(spark, "render_template",
+      Map("list" -> "true", "compact" -> "true")) }
+    assert(c1 == 0 && list.linesIterator.toSeq == Seq("run_banner", "runtime_env"))
+    val (c2, banner) = captureOut { Cli.run(spark, "render_template",
+      Map("template" -> "run_banner")) }
+    assert(c2 == 0 && banner.contains("graft-r10"))
+    // a rendered SQL template must be runnable as-is through run_sql
+    val (c3, sql) = captureOut { Cli.run(spark, "render_template",
+      Map("template" -> "compile_time", "sql" -> "true")) }
+    assert(c3 == 0)
+    val (c4, res) = captureOut { Cli.run(spark, "run_sql", Map("sql" -> sql)) }
+    assert(c4 == 0 && res.contains("graft-r10"), s"got: $res")
+  }
+
+  test("cli list_tags collects design tags; tail_logs renders an event log") {
+    val tagged = Files.createTempDirectory("graft_cli_tags_")
+    val sdir = tagged.resolve("schemas").resolve("tg")
+    Files.createDirectories(sdir)
+    Files.write(sdir.resolve("tg-a.yaml"),
+      """name: tg.a
+        |source_name: CTAS
+        |tags: [hourly, core]
+        |columns:
+        |  - name: x
+        |    type: int
+        |query: SELECT 1 AS x
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val (c1, tags) = captureOut { Cli.run(spark, "list_tags",
+      Map("designs" -> tagged.toString)) }
+    assert(c1 == 0 && tags.contains("'core', 'hourly'"), s"got: $tags")
+    val (c2, none) = captureOut { Cli.run(spark, "list_tags",
+      Map("designs" -> designsDir)) }
+    assert(c2 == 0 && none.contains("No tags found"))
+    // tail_logs over a real run's event log
+    val ev = Files.createTempDirectory("graft_cli_tl_").resolve("ev.jsonl").toString
+    val whDir = Files.createTempDirectory("graft_cli_tlwh_").toString
+    Cli.run(spark, "load", Map("designs" -> designsDir, "data" -> dataDir,
+      "warehouse" -> whDir, "events" -> ev))
+    val (c3, logs) = captureOut { Cli.run(spark, "tail_logs", Map("events" -> ev)) }
+    assert(c3 == 0 && logs.contains("INFO") && logs.contains("cli.summary"),
+      s"got: $logs")
+  }
 }

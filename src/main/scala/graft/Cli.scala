@@ -94,10 +94,19 @@ object Cli {
   }
 
   /** Returns the process exit code (main applies it): non-zero for
-    * vacuum refusals, validation findings, and constraint violations,
-    * so automation can branch on the result — and tests can assert it
+    * vacuum refusals, validation findings, constraint violations, and
+    * config-plane user errors (unknown setting/template), so
+    * automation can branch on the result — and tests can assert it
     * without the JVM dying under them. */
   private[graft] def run(spark: SparkSession, command: String,
+                         opts: Map[String, String]): Int =
+    try runCommand(spark, command, opts) catch {
+      case e: SettingsError =>
+        System.err.println(s"[error] ${e.getMessage}")
+        1
+    }
+
+  private def runCommand(spark: SparkSession, command: String,
                          opts: Map[String, String]): Int = {
     def designs: Seq[Relation] =
       FileSets.discover(opts.getOrElse("designs", usage()))
@@ -412,10 +421,20 @@ object Cli {
         0
       case "tail_logs" =>
         // commands.py:2093-2119: log lines since --start-time,
-        // --warnings keeps only failures; reads the run's event log
+        // --warnings keeps only failures; reads the run's event log.
+        // --follow keeps polling (same loop as query_events --follow)
+        // and quits after the idle timeout.
+        val log = opts.getOrElse("events", usage())
         val start = opts.get("start-time").map(parseEpochMs).getOrElse(0L)
-        LogTail.tailLogs(opts.getOrElse("events", usage()), start,
-          warningsOnly = opts.contains("warnings")).foreach(println)
+        val warnings = opts.contains("warnings")
+        LogTail.tailLogs(log, start, warningsOnly = warnings).foreach(println)
+        if (opts.contains("follow")) {
+          val already = Monitor.readLog(log).size
+          LogTail.followLogs(log, start, warnings, skip = already,
+            pollMs = opts.get("poll-ms").map(_.toLong).getOrElse(30 * 1000L),
+            idleTimeoutMs = opts.get("idle-timeout-ms").map(_.toLong)
+              .getOrElse(3600 * 1000L))(println)
+        }
         0
       case _ => usage()
     }

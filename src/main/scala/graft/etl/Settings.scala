@@ -304,32 +304,47 @@ object Templates {
 object LogTail {
 
   def tailLogs(eventsPath: String, startMs: Long = 0L,
-               warningsOnly: Boolean = false): Seq[String] = {
-    val name = Paths.get(eventsPath).getFileName.toString
+               warningsOnly: Boolean = false): Seq[String] =
     Monitor.readLog(eventsPath)
       .filter(_.ts.forall(_ >= startMs))
       .filter(e => !warningsOnly || e.event == "fail")
-      .flatMap { e =>
-        val level = if (e.event == "fail") "ERROR" else "INFO"
-        val when = e.ts.map(t => java.time.Instant.ofEpochMilli(t).toString)
-          .getOrElse("-")
-        val what = e.event match {
-          case "start" => s"${e.step} of ${e.target} started"
-          case "finish" =>
-            val rows = e.rowcount.map(r => s" ($r rows)").getOrElse("")
-            f"${e.step} of ${e.target} finished in ${e.elapsedSeconds}%.1fs$rows"
-          case "fail" =>
-            s"${e.step} of ${e.target} FAILED after " +
-              f"${e.elapsedSeconds}%.1fs: ${e.message.getOrElse("?")}"
-          case other => s"${e.step} of ${e.target}: $other"
-        }
-        val main = s"$name $when $level $what"
-        e.metrics match {
-          case Some(m) =>
-            Seq(main, s"$name $when (metrics) rows_written=${m.rowsWritten} " +
-              s"bytes_read=${m.bytesRead} bytes_written=${m.bytesWritten}")
-          case None => Seq(main)
-        }
-      }
+      .flatMap(renderLines(Paths.get(eventsPath).getFileName.toString, _))
+
+  /** `--follow`: keep polling the event log, rendering each NEW event
+    * as log lines, quitting after the idle timeout — the same loop
+    * contract as `query_events --follow` (Monitor.followLog). */
+  def followLogs(eventsPath: String, startMs: Long, warningsOnly: Boolean,
+                 skip: Int, pollMs: Long, idleTimeoutMs: Long)
+                (emit: String => Unit): Int = {
+    val name = Paths.get(eventsPath).getFileName.toString
+    Monitor.followLog(eventsPath, target = None, step = None,
+      since = if (startMs > 0) Some(startMs) else None,
+      skip = skip, pollMs = pollMs, idleTimeoutMs = idleTimeoutMs) { e =>
+      if (!warningsOnly || e.event == "fail")
+        renderLines(name, e).foreach(emit)
+    }
+  }
+
+  private def renderLines(name: String, e: MonitorEvent): Seq[String] = {
+    val level = if (e.event == "fail") "ERROR" else "INFO"
+    val when = e.ts.map(t => java.time.Instant.ofEpochMilli(t).toString)
+      .getOrElse("-")
+    val what = e.event match {
+      case "start" => s"${e.step} of ${e.target} started"
+      case "finish" =>
+        val rows = e.rowcount.map(r => s" ($r rows)").getOrElse("")
+        f"${e.step} of ${e.target} finished in ${e.elapsedSeconds}%.1fs$rows"
+      case "fail" =>
+        s"${e.step} of ${e.target} FAILED after " +
+          f"${e.elapsedSeconds}%.1fs: ${e.message.getOrElse("?")}"
+      case other => s"${e.step} of ${e.target}: $other"
+    }
+    val main = s"$name $when $level $what"
+    e.metrics match {
+      case Some(m) =>
+        Seq(main, s"$name $when (metrics) rows_written=${m.rowsWritten} " +
+          s"bytes_read=${m.bytesRead} bytes_written=${m.bytesWritten}")
+      case None => Seq(main)
+    }
   }
 }

@@ -443,6 +443,35 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (c3, v3) = captureOut { Cli.run(spark, "settings",
       Map("name" -> "graft_settings.*retries")) }
     assert(c3 == 0 && v3.contains("copy_data_retries") && !v3.contains("bucket_count"))
+    // an unknown name without a default is a user error: exit 1
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      assert(Cli.run(spark, "show_value", Map("name" -> "no.such.thing")) == 1)
+      assert(Cli.run(spark, "render_template", Map("template" -> "nope")) == 1)
+    } finally System.setErr(prevErr)
+    assert(errBuf.toString("UTF-8").contains("no value"))
+  }
+
+  test("cli tail_logs --follow emits events appended mid-follow") {
+    val dir = Files.createTempDirectory("graft_cli_fl_")
+    val ev = dir.resolve("ev.jsonl").toString
+    val mon = new graft.etl.Monitor(Some(ev))
+    mon.monitored("rep.before", "load") { ((), Some(1L)) }
+    // append a new event while the follower polls
+    val writer = new Thread(() => {
+      Thread.sleep(300)
+      mon.monitored("rep.during", "load") { ((), Some(2L)) }
+    })
+    writer.start()
+    val (code, out) = captureOut { Cli.run(spark, "tail_logs", Map(
+      "events" -> ev, "follow" -> "true",
+      "poll-ms" -> "100", "idle-timeout-ms" -> "2000")) }
+    writer.join()
+    assert(code == 0)
+    assert(out.contains("rep.before") && out.contains("rep.during"),
+      s"follow missed the mid-follow event: $out")
   }
 
   test("cli render_template lists and renders text + sql templates") {

@@ -144,6 +144,50 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected bucket column in the physical plan:\n$planStr")
   }
 
+  test("planted hot key (60% of rows): bucketing bounds per-task input rows") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val spanMs = 30L * 86400000L
+    // 60% of both sides on key 7, spread across 30 days
+    val pDf = (1 to 4000).map { i =>
+      val k = if (i % 5 < 3) 7L else (i % 13).toLong
+      (k, new Timestamp(base + (i * 7919321L) % spanMs), 20000L + i)
+    }.toDF("user_id", "p_ts", "purchase_id")
+    val cDf = (1 to 4000).map { i =>
+      val k = if (i % 5 < 3) 7L else (i % 11).toLong
+      (k, new Timestamp(base + (i * 6101789L) % spanMs), 10000L + i)
+    }.toDF("c_user", "c_ts", "click_id")
+    // bit-equality of the full result rows
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val plain = AsofJoin.asof(pDf, cDf,
+      "user_id", "c_user", "p_ts", "c_ts", "click_id")
+    val day = 86400L * 1000000L
+    val bucketed = AsofJoin.asofBucketed(pDf, cDf,
+        "user_id", "c_user", "p_ts", "c_ts", "click_id", day)
+      .select(plain.columns.map(col): _*)
+    assert(canon(bucketed) == canon(plain))
+    // Per-task input bound. The exec requires
+    // ClusteredDistribution(keys) resp. (keys :+ bucket), which
+    // EnsureRequirements satisfies with hashpartitioning over exactly
+    // those columns — simulate the same assignment at the session's
+    // partition count and measure the largest task's input.
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame,
+                         cols: org.apache.spark.sql.Column*): Int =
+      df.repartition(4, cols: _*).rdd
+        .mapPartitions(it => Iterator(it.size)).collect().max
+    val withBucket = pDf.withColumn("b",
+      floor(unix_micros($"p_ts") / day))
+    val maxPlain = maxPartitionRows(pDf, $"user_id")
+    val maxBucketed = maxPartitionRows(withBucket, $"user_id", $"b")
+    // unsplit: one task swallows the whole hot key (≥60% of rows);
+    // bucketed: the hot key spreads over its ~30 day-buckets
+    assert(maxPlain >= 2400, s"skew plant failed: $maxPlain")
+    assert(maxBucketed < (maxPlain * 0.6).toInt,
+      s"bucketing did not spread the hot key: $maxBucketed vs $maxPlain")
+  }
+
   test("asofBucketed: carry-over crosses empty buckets; integral time columns") {
     val s = spark
     import s.implicits._

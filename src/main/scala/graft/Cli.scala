@@ -22,7 +22,7 @@ object Cli {
         |  upgrade        --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--only-selected] [--include-immediate-views] [--into-schema SCHEMA] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--events FILE]
         |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--only-selected] [--vacuum] [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
         |  check_constraints --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--with-staging]
-        |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN]
+        |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--compact TABLE[,TABLE]] [--max-files N]
         |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro] [--use-sampling]
         |  unload         --designs DIR --out DIR [--select PATTERN]
         |  validate       --designs DIR
@@ -212,7 +212,20 @@ object Cli {
           0
         }
       case "vacuum" =>
-        val vr = warehouse.vacuum(
+        val wh = warehouse
+        // --compact NAME[,NAME]: compact accumulating (append-grown)
+        // tables first; their superseded build dirs are then
+        // reclaimed by the vacuum pass below like any dead build
+        opts.get("compact").toSeq.flatMap(_.split(',').toSeq).foreach { t =>
+          val name = TableName.parse(t)
+          wh.compactTable(name,
+            opts.get("max-files").map(_.toInt).getOrElse(64)) match {
+            case Some((before, after)) =>
+              println(s"[vacuum] compacted $t: $before -> $after files")
+            case None => println(s"[vacuum] $t under file threshold, not compacted")
+          }
+        }
+        val vr = wh.vacuum(
           designs.filter(r => selector.matches(r.name)))
         vr.deleted.foreach(p => println(s"[vacuum] deleted $p"))
         println(s"[vacuum] ${vr.deleted.size} superseded build location(s) removed")

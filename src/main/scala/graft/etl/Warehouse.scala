@@ -366,6 +366,50 @@ final class Warehouse(
     true
   }
 
+  /** Compact an ACCUMULATING table: [[appendToTable]] adds one file
+    * set per batch forever, and at daily-batch cadence the scan's
+    * file-listing + open cost eventually dominates the read (the
+    * 100 TB failure mode of any append-grown index). When the live
+    * location holds more than `maxDataFiles` data files, rewrite the
+    * table into a FRESH versioned location (the parquet scan packs
+    * small files into size-bounded splits, so the rewrite comes out
+    * in ~128 MB files) and atomically re-point the table there —
+    * readers never observe a partial state, exactly like publish.
+    * The `_applied_<tag>` idempotency markers are carried forward so
+    * a replayed batch stays a no-op after compaction. The superseded
+    * build directory is left for [[vacuum]] to reclaim (it is now
+    * unreferenced). Must not run concurrently with appends, same as
+    * vacuum-vs-load.
+    *
+    * Returns (files before, files after), or None when under the
+    * threshold. */
+  def compactTable(target: TableName,
+                   maxDataFiles: Int = 64): Option[(Int, Int)] = {
+    val loc = appendLocation(target)
+    val hp = new org.apache.hadoop.fs.Path(loc)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(f => f.isFile && {
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    val before = dataFiles(hp).length
+    if (before <= maxDataFiles) return None
+    val newLoc = dataLocation(target, buildCounter.incrementAndGet())
+    spark.read.parquet(loc).write.mode("overwrite").parquet(newLoc)
+    fs.listStatus(hp).filter(_.getPath.getName.startsWith("_applied_"))
+      .foreach { m =>
+        fs.create(new org.apache.hadoop.fs.Path(newLoc, m.getPath.getName)).close()
+      }
+    // atomic re-point (appendLocation already proved the table is a
+    // plain unbucketed parquet relation, so ALTER is shape-safe)
+    if (spark.catalog.tableExists(target.quoted))
+      spark.sql(s"ALTER TABLE ${target.quoted} SET LOCATION '$newLoc'")
+    writePointer(target, newLoc)
+    spark.catalog.refreshTable(target.quoted)
+    Some((before, dataFiles(new org.apache.hadoop.fs.Path(newLoc)).length))
+  }
+
   /** (Re-)point `target` at `location`. When the name already holds a
     * parquet table with the same bucketing shape this is a single
     * `ALTER TABLE ... SET LOCATION` — an atomic metadata call, so a

@@ -703,6 +703,58 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(index.quoted).select("doc_id").distinct().count() == 4)
   }
 
+  test("compactTable folds append-grown files; dedup unchanged; vacuum reclaims") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    def docs(ids: (Long, String)*) = ids.toSeq.toDF("doc_id", "text")
+    val index = TableName.parse("dedup.cmp_idx")
+    graft.queries.DedupOps.buildBandIndex(wh, docs(1L -> dup), index)
+    // daily-batch cadence: 70 one-doc appends → 70+ file sets
+    (0 until 70).foreach { i =>
+      assert(wh.appendToTableIdempotent(index,
+        graft.queries.DedupOps.minhashBandsOf(
+          docs((100L + i) -> s"unique document number $i with its own words $i")),
+        s"b$i"))
+    }
+    val rowsBefore = spark.table(index.quoted).count()
+    val oldLoc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        index.table, Some(index.schema))).location.getPath
+    // under threshold: no-op; over: rewrite + atomic re-point
+    assert(wh.compactTable(index, maxDataFiles = 1000).isEmpty)
+    val Some((before, after)) = wh.compactTable(index, maxDataFiles = 64)
+    assert(before > 64 && after < before / 4,
+      s"compaction barely helped: $before -> $after")
+    assert(spark.table(index.quoted).count() == rowsBefore)
+    // a replayed batch tag stays a no-op: markers were carried forward
+    assert(!wh.appendToTableIdempotent(index,
+      graft.queries.DedupOps.minhashBandsOf(docs(100L -> "replay")), "b0"))
+    // the dedup result is unchanged by compaction
+    val pairs = graft.queries.DedupOps
+      .incrementalAgainstIndex(wh, index, docs(451L -> dup))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 451L)), s"got $pairs")
+    // the superseded build dir is now unreferenced → vacuum reclaims it
+    val idxRel = rel(
+      """name: dedup.cmp_idx
+        |source_name: CTAS
+        |columns:
+        |  - name: doc_id
+        |    type: long
+        |query: SELECT 1 AS doc_id
+        |""".stripMargin)
+    val vr = wh.vacuum(Seq(idxRel))
+    assert(vr.refused.isEmpty, s"vacuum refused: ${vr.refused}")
+    assert(vr.deleted.exists(_.endsWith(oldLoc.split('/').takeRight(2).mkString("/"))),
+      s"old build not reclaimed: deleted=${vr.deleted}, old=$oldLoc")
+    // and the compacted table still reads fine afterwards (the 451
+    // incremental run appended that one doc's band rows)
+    val bandRows = graft.queries.DedupOps.minhashBandsOf(docs(451L -> dup)).count()
+    assert(spark.table(index.quoted).count() == rowsBefore + bandRows)
+  }
+
   test("appendToTable refuses bucketed tables (bucket assignments would corrupt)") {
     val s = spark
     import s.implicits._

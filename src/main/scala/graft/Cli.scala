@@ -41,6 +41,7 @@ object Cli {
         |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N] [--summarize] [--follow [--poll-ms N] [--idle-timeout-ms N]]
         |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
         |  bootstrap_transformations --designs DIR [--as-view]
+        |  create_external_schemas --config DIRS [--select SCHEMA[,SCHEMA]] [--dry-run]
         |  render_template [--config DIRS] --template NAME [--sql] [--compact] | --list [--sql] [--compact] [--templates DIR]
         |  show_value     [--config DIRS] --name SETTING [--default VALUE]
         |  show_vars      [--config DIRS] [--name GLOB[,GLOB...]]   (alias: settings)
@@ -396,6 +397,15 @@ object Cli {
         // commands.py:1849-1868: chain everything the selection
         // (transitively) depends on, selection included.
         println(Commands.describeDependencies(designs, selector))
+        0
+      case "create_external_schemas" =>
+        // S14 (commands.py:1371-1400): register external-LOCATION
+        // databases/tables from the settings' external_schemas section
+        val made = Commands.createExternalSchemas(spark, settings,
+          selectSchemas = opts.get("select").toSeq.flatMap(_.split(',').toSeq),
+          dryRun = opts.contains("dry-run"))
+        val verb = if (opts.contains("dry-run")) "would register" else "registered"
+        made.foreach { case (s, t) => println(s"[external] $verb $s.$t") }
         0
       case "render_template" =>
         // commands.py:1888-1913: --list, or render one template;

@@ -89,6 +89,62 @@ object Commands {
     }.mkString("# Warehouse index\n\n", "\n\n", "\n")
   }
 
+  // ------------------------------------------------------------- S14
+  /** `create_external_schemas` (commands.py:1371-1400,
+    * data_warehouse.py:34-80): register external-LOCATION databases
+    * and their tables from config. The reference issues Redshift
+    * Spectrum `CREATE EXTERNAL SCHEMA ... DATA CATALOG` statements;
+    * the Spark analog creates a database anchored at the configured
+    * location and one external parquet table per child directory —
+    * metadata only, no data is read or moved, so registration cost is
+    * O(#tables) regardless of data volume.
+    *
+    * Config shape (a settings file):
+    * {{{
+    * external_schemas:
+    *   landing:
+    *     location: /data/landing      # each subdir = one table
+    * }}}
+    *
+    * Returns the registered (schema, table) pairs. */
+  def createExternalSchemas(spark: SparkSession, settings: Settings,
+                            selectSchemas: Seq[String] = Seq.empty,
+                            dryRun: Boolean = false): Seq[(String, String)] = {
+    val prefix = "external_schemas."
+    val configured = settings.configMap.collect {
+      case (k, loc) if k.startsWith(prefix) && k.endsWith(".location") =>
+        k.stripPrefix(prefix).stripSuffix(".location") -> loc
+    }.toSeq.sortBy(_._1)
+    if (configured.isEmpty)
+      throw new SettingsError("no external_schemas configured")
+    val unknown = selectSchemas.filterNot(s => configured.exists(_._1 == s))
+    if (unknown.nonEmpty)
+      throw new SettingsError(
+        s"selected schema is not external: ${unknown.mkString(", ")}")
+    val selected =
+      if (selectSchemas.isEmpty) configured
+      else configured.filter { case (s, _) => selectSchemas.contains(s) }
+    selected.flatMap { case (schema, location) =>
+      val root = new org.apache.hadoop.fs.Path(location)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.isDirectory(root))
+        throw new SettingsError(
+          s"external schema '$schema' location not found: $location")
+      val tables = fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath).sortBy(_.getName)
+        .filter(p => fs.listStatus(p).exists(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
+      if (!dryRun) {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `$schema`")
+        tables.foreach { t =>
+          spark.sql(s"CREATE TABLE IF NOT EXISTS `$schema`.`${t.getName}` " +
+            s"USING parquet LOCATION '$t'")
+        }
+      }
+      tables.map(t => (schema, t.getName)).toSeq
+    }
+  }
+
   // ------------------------------------------------------------- Q10
   /** Split a SQL script into statements on TOP-LEVEL `;` only: a
     * semicolon inside a single/double-quoted string, a backquoted

@@ -454,6 +454,53 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errBuf.toString("UTF-8").contains("no value"))
   }
 
+  test("cli create_external_schemas registers tables readable by a transform") {
+    val s = spark
+    import s.implicits._
+    // a landing area with one parquet table directory
+    val landing = Files.createTempDirectory("graft_cli_ext_")
+    Seq((1, "alpha"), (2, "beta"), (3, "gamma")).toDF("id", "name")
+      .write.parquet(landing.resolve("labels").toString)
+    val cfg = Files.createTempDirectory("graft_cli_extcfg_")
+    Files.write(cfg.resolve("ext.yaml"),
+      s"""external_schemas:
+         |  landing:
+         |    location: $landing
+         |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    // dry run registers nothing
+    val (c0, dry) = captureOut { Cli.run(spark, "create_external_schemas",
+      Map("config" -> cfg.toString, "dry-run" -> "true")) }
+    assert(c0 == 0 && dry.contains("would register landing.labels"))
+    assert(!spark.catalog.tableExists("`landing`.`labels`"))
+    // real run: table registered, metadata only
+    val (c1, out1) = captureOut { Cli.run(spark, "create_external_schemas",
+      Map("config" -> cfg.toString)) }
+    assert(c1 == 0 && out1.contains("registered landing.labels"))
+    // a selection that is not an external schema is a user error
+    assert(Cli.run(spark, "create_external_schemas",
+      Map("config" -> cfg.toString, "select" -> "nope")) == 1)
+    // and a TRANSFORM reads through the external schema end-to-end
+    val designs2 = Files.createTempDirectory("graft_cli_extd_")
+    val sdir = designs2.resolve("schemas").resolve("rep2")
+    Files.createDirectories(sdir)
+    Files.write(sdir.resolve("rep2-label_count.yaml"),
+      """name: rep2.label_count
+        |source_name: CTAS
+        |depends_on: [landing.labels]
+        |columns:
+        |  - name: n
+        |    type: long
+        |    not_null: true
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    Files.write(sdir.resolve("rep2-label_count.sql"),
+      "SELECT COUNT(*) AS n FROM landing.labels"
+        .getBytes(StandardCharsets.UTF_8))
+    val whDir = Files.createTempDirectory("graft_cli_extwh_").toString
+    assert(Cli.run(spark, "load", Map("designs" -> designs2.toString,
+      "data" -> dataDir, "warehouse" -> whDir)) == 0)
+    assert(spark.table("`rep2`.`label_count`").collect().head.getLong(0) == 3L)
+  }
+
   test("cli tail_logs --follow emits events appended mid-follow") {
     val dir = Files.createTempDirectory("graft_cli_fl_")
     val ev = dir.resolve("ev.jsonl").toString

@@ -13,6 +13,17 @@ object Bench {
     // reported spread makes a real regression distinguishable from
     // machine noise.
     val warmRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Bench hygiene: stamp the 1-minute load average at start so a
+    // run taken on a busy machine is identifiable as such (a loaded
+    // box once recorded a misleading 1.8x "regression"). Recorded,
+    // not refused: the driver's run must still produce a number.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val ncpu = Runtime.getRuntime.availableProcessors
+    if (loadAvg > ncpu * 0.5)
+      System.err.println(
+        f"[bench] WARNING: load average $loadAvg%.1f on $ncpu CPUs at start — " +
+          "timings may reflect machine contention, not the plans")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,7 +82,9 @@ object Bench {
     val total = results.collect { case (_, t) if t.median >= 0 => t.median }.sum
     val coldTotal = results.collect { case (_, t) if t.cold >= 0 => t.cold }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_spread":${json(_.spread)},"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}"""
+    val loadAvgEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_spread":${json(_.spread)},"cold_total":$coldTotal,"failed":$failedJson,"load_avg_start":$loadAvg,"load_avg_end":$loadAvgEnd,"cpus":$ncpu,"sf":"$sfDir"}"""
     println(line)
     // sbt wraps stdout (prefixes, epilogue), which can defeat a parser
     // expecting a bare JSON line — mirror the result to a file too.

@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[graft.queries.DotF].getName, "dot_f"),
       graft.queries.DotF.builder))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_quantize"),
+      new ExpressionInfo(classOf[graft.queries.Sq8Quantize].getName, "sq8_quantize"),
+      graft.queries.Sq8Quantize.builder))
+    ext.injectFunction((
+      FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[graft.queries.DotI8].getName, "dot_i8"),
+      graft.queries.DotI8.builder))
     // whole-operator extension: the native as-of join's planner
     // strategy (AsofJoin.register covers conf-less sessions)
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)

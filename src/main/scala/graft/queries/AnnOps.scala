@@ -547,6 +547,92 @@ object AnnOps {
         (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
   }
 
+  /** SQ8-quantized IVF candidate scoring — the 100 TB MEMORY story to
+    * match the compute story: the float path's broadcast probe table
+    * carries raw float query embeddings, and every candidate pair
+    * reads the corpus row's full float array. Here every structure in
+    * the hot loop is int8 (`binary` from [[Sq8Quantize]], scored by
+    * [[DotI8]]): the broadcast shrinks 4x, the candidate join moves
+    * 4x fewer embedding bytes, and the scoring loop touches a quarter
+    * of the memory per pair. Cosine is scale-invariant per vector, so
+    * quantization costs only int8 rounding (~0.4% relative), then the
+    * top `rescore` candidates per query are RE-SCORED with exact
+    * float cosine — two-stage retrieve-then-rescore — so the final
+    * ranking error is confined to candidates whose quantized score
+    * missed the shortlist; AnnRecallSpec pins recall within 2% of the
+    * float path at the same probe setting.
+    *
+    * Returns exact-cosine-scored shortlist rows
+    * (query_id, neighbor_id, cosine). */
+  private[queries] def ivfScoredSq8(spark: SparkSession, sfDir: String,
+                                    nprobe: Int = NProbe,
+                                    rescore: Int = TopK * 4): DataFrame = {
+    import spark.implicits._
+    BoundedTopK.register(spark)
+    val cents = centroids(spark, sfDir)._1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = cellsDf(spark, sfDir, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def q8(c: Column) = call_function("sq8_quantize", c)
+    def dotI8(a: Column, b: Column) = call_function("dot_i8", a, b)
+    def cosI8(a: Column, b: Column, aN: Column, bN: Column) =
+      dotI8(a, b).cast("double") / (aN * bN)
+    // the quantized corpus: id, q8 bytes, q8 norm (float arrays stay
+    // OUT of the candidate loop entirely)
+    val vecsQ = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", q8($"embedding").as("v_q8"))
+      .select($"vec_id", $"v_q8",
+        sqrt(dotI8($"v_q8", $"v_q8").cast("double")).as("v_qn"))
+    val queriesQ = vecsQ.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v_q8".as("q_q8"), $"v_qn".as("q_qn"))
+    // probe ranking stays float (√n centroids — already sublinear)
+    val queriesF = Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val probes = queriesF.crossJoin(broadcast(cents))
+      .select($"query_id", $"cent_id", cosine($"q_emb", $"c_emb").as("q_cos"))
+      .groupBy($"query_id")
+      .agg(expr(s"bounded_topk(q_cos, cent_id, $nprobe)").as("top"))
+      .select($"query_id", explode($"top").as("t"))
+      .select($"query_id", $"t.neighbor_id".as("cell"))
+      .join(queriesQ, Seq("query_id"))   // int8 query bytes ride the broadcast
+    // stage 1: quantized scoring of every candidate, k-bounded to the
+    // rescore shortlist (map-side partial, same BoundedTopK shape)
+    val shortlist = cells.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(vecsQ, Seq("vec_id"))
+      .select($"query_id",
+        cosI8($"q_q8", $"v_q8", $"q_qn", $"v_qn").as("q8_cos"), $"vec_id")
+      .groupBy($"query_id")
+      .agg(expr(s"bounded_topk(q8_cos, vec_id, $rescore)").as("top"))
+      .select($"query_id", explode($"top").as("t"))
+      .select($"query_id", $"t.neighbor_id".as("neighbor_id"))
+    // stage 2: exact float rescore of queries × rescore rows only
+    val vecsF = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("nrm"))
+    val qF = vecsF.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    shortlist
+      .join(vecsF.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qF), Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
+  }
+
+  /** The SQ8 two-stage IVF top-k (same output shape and tie-break as
+    * [[annIvfTopk]]); approximate by construction, so the driver's
+    * check is rows-only — AnnRecallSpec holds the quality bar. */
+  def annIvfTopkSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ivfScoredSq8(spark, sfDir)
+      .groupBy($"query_id")
+      .agg(expr(s"bounded_topk(cosine, neighbor_id, $TopK)").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.neighbor_id".as("neighbor_id"), $"col.cosine".as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val scored = ivfScored(spark, sfDir)
@@ -623,7 +709,8 @@ object AnnOps {
     "dedup_embedding_clusters" -> ((s, dir) => dedupEmbeddingClusters(s, dir)),
     "embedding_stats" -> (embeddingStats _),
     "ann_ivf_cells" -> (annIvfCells _),
-    "ann_ivf_topk" -> (annIvfTopk _))
+    "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_topk_sq8" -> (annIvfTopkSq8 _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
@@ -633,5 +720,11 @@ object AnnOps {
     "dedup_embedding_clusters" -> dedupEmbeddingClustersSql(),
     "embedding_stats" -> embeddingStatsSql,
     "ann_ivf_cells" -> annIvfCellsSql,
-    "ann_ivf_topk" -> annIvfTopkSql)
+    "ann_ivf_topk" -> annIvfTopkSql,
+    // the SQ8 two-stage path reproduces the float ranking exactly at
+    // the test scale factors (the 4×k rescore shortlist always
+    // contains the true top-k there), so it is held to the SAME exact
+    // oracle; AnnRecallSpec additionally pins its recall within 2% of
+    // the float path per probe setting on the planted corpus
+    "ann_ivf_topk_sq8" -> annIvfTopkSql)
 }

@@ -24,7 +24,8 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     * total (Catalyst folds the constant-key equi-join to a BNLJ).
     * Everything else must stay equi-join. */
   private val bnljAllowed =
-    Set("ann_topk_cosine", "ann_ivf_cells", "ann_ivf_topk", "source_mix")
+    Set("ann_topk_cosine", "ann_ivf_cells", "ann_ivf_topk",
+      "ann_ivf_topk_sq8", "source_mix")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

@@ -163,6 +163,27 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfRows.find(_._1 == AnnOps.NProbe).get._2 >= PlantedRecallFloor)
   }
 
+  test("SQ8 quantized IVF: recall within 2% of the float path per probe setting") {
+    // the int8 path trades 4x memory for int8 rounding + a bounded
+    // rescore shortlist — at every probe setting its recall may trail
+    // the float path by at most 2 points (VERDICT r9 #6 bar)
+    val dir = plantedDir
+    val exact = neighborSets(AnnOps.annTopkCosine(spark, dir))
+    Seq(1, 2, 4).foreach { nprobe =>
+      val floatRecall = recallAgainst(exact,
+        topkSets(AnnOps.ivfScored(spark, dir, nprobe)))
+      val sq8Recall = recallAgainst(exact,
+        topkSets(AnnOps.ivfScoredSq8(spark, dir, nprobe)))
+      info(f"nprobe=$nprobe float=$floatRecall%.3f sq8=$sq8Recall%.3f")
+      assert(sq8Recall >= floatRecall - 0.02,
+        f"sq8 recall $sq8Recall%.3f trails float $floatRecall%.3f by >2%% at nprobe=$nprobe")
+    }
+    // and on the shipped operating point the two rankings agree exactly
+    val f = AnnOps.annIvfTopk(spark, dir).collect().map(_.toSeq).toSeq
+    val q = AnnOps.annIvfTopkSq8(spark, dir).collect().map(_.toSeq).toSeq
+    assert(f == q, "sq8 two-stage must reproduce the float ranking on the planted corpus")
+  }
+
   test(s"LSH and IVF top-k recall >= $RecallFloor vs brute force at sf0.01 (random-data worst case)") {
     val exact = neighborSets(AnnOps.annTopkCosine(spark, sfDir))
     assert(exact.size == AnnOps.NumQueries)

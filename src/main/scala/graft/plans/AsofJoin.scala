@@ -357,4 +357,64 @@ object AsofJoin {
                    rightId: String, bucketWidth: Long): DataFrame =
     asofBucketed(left, right, Seq(leftKey), Seq(rightKey),
       leftTime, rightTime, rightId, bucketWidth)
+
+  /** Adaptive as-of: detect hot keys by a SAMPLED frequency scan and
+    * pick the plain operator (no detection hit ⇒ zero overhead beyond
+    * the sample) or the time-bucketed form with a width derived from
+    * the sampled time range.
+    *
+    * Detection cost at 100 TB: one job over `sampleFraction` of each
+    * side computing (max per-key count, min/max time) — map-side
+    * partial aggregation, a scale-independent driver result. The
+    * estimated hottest-key row count is sample÷fraction; when it
+    * exceeds `hotKeyRows` (default 4M rows ≈ a few hundred MB on one
+    * task — past the point a single merge task is acceptable), the
+    * bucketed form splits the sampled time range into `targetBuckets`
+    * buckets. Estimates steer only the PLAN — either branch returns
+    * exactly the same rows (AsofJoinSpec pins parity), so a sampling
+    * miss costs balance, never correctness. */
+  def asofAuto(left: DataFrame, right: DataFrame,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               leftTime: String, rightTime: String, rightId: String,
+               hotKeyRows: Long = 4000000L,
+               sampleFraction: Double = 0.01,
+               targetBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, max, min, unix_micros}
+    import org.apache.spark.sql.types._
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    def timeAsLong(df: DataFrame, time: String) = {
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(time)).getOrElse(
+        throw new IllegalArgumentException(s"column '$time' not found"))
+      f.dataType match {
+        case TimestampType | TimestampNTZType =>
+          unix_micros(df.col(f.name).cast(TimestampType))
+        case _ => df.col(f.name).cast(LongType)
+      }
+    }
+    // (estimated hottest-key rows, sampled time min, sampled time max)
+    def profile(df: DataFrame, keys: Seq[String], time: String) = {
+      val sampled =
+        if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed = 42L)
+      val row = sampled
+        .groupBy(keys.map(col): _*)
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          min(timeAsLong(sampled, time)).as("tmin"),
+          max(timeAsLong(sampled, time)).as("tmax"))
+        .agg(max(col("n")), min(col("tmin")), max(col("tmax")))
+        .head()
+      if (row.isNullAt(0)) (0.0, 0L, 0L)
+      else (row.getLong(0) / sampleFraction,
+        if (row.isNullAt(1)) 0L else row.getLong(1),
+        if (row.isNullAt(2)) 0L else row.getLong(2))
+    }
+    val (lHot, lMin, lMax) = profile(left, leftKeys, leftTime)
+    val (rHot, rMin, rMax) = profile(right, rightKeys, rightTime)
+    val span = math.max(lMax, rMax) - math.min(lMin, rMin)
+    if (math.max(lHot, rHot) < hotKeyRows.toDouble || span <= 0)
+      asof(left, right, leftKeys, rightKeys, leftTime, rightTime, rightId)
+    else
+      asofBucketed(left, right, leftKeys, rightKeys, leftTime, rightTime,
+        rightId, math.max(1L, span / targetBuckets))
+  }
 }

@@ -188,6 +188,34 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucketing did not spread the hot key: $maxBucketed vs $maxPlain")
   }
 
+  test("asofAuto picks bucketed only past the hot-key threshold; parity either way") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val pDf = (1 to 800).map { i =>
+      (7L, new Timestamp(base + i * 3600000L), 20000L + i)   // one key, 800 rows
+    }.toDF("user_id", "p_ts", "purchase_id")
+    val cDf = (1 to 800).map { i =>
+      (7L, new Timestamp(base + i * 3597000L), 10000L + i)
+    }.toDF("c_user", "c_ts", "click_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"purchase_id", $"click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = canon(AsofJoin.asof(pDf, cDf,
+      "user_id", "c_user", "p_ts", "c_ts", "click_id"))
+    // below threshold: the plain operator (no bucket column planned)
+    val cold = AsofJoin.asofAuto(pDf, cDf, Seq("user_id"), Seq("c_user"),
+      "p_ts", "c_ts", "click_id", hotKeyRows = 1000000L, sampleFraction = 1.0)
+    assert(!cold.queryExecution.executedPlan.toString.contains("__asof_lbkt"))
+    assert(canon(cold) == expected)
+    // past threshold: the bucketed form, same rows
+    val hot = AsofJoin.asofAuto(pDf, cDf, Seq("user_id"), Seq("c_user"),
+      "p_ts", "c_ts", "click_id", hotKeyRows = 100L, sampleFraction = 1.0,
+      targetBuckets = 16)
+    assert(hot.queryExecution.executedPlan.toString.contains("__asof_lbkt"))
+    assert(canon(hot) == expected)
+  }
+
   test("asofBucketed: carry-over crosses empty buckets; integral time columns") {
     val s = spark
     import s.implicits._

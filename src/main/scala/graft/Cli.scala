@@ -29,7 +29,8 @@ object Cli {
         |  show_ddl       --designs DIR [--select PATTERN]
         |  ls             --designs DIR
         |  run_query      --sql SQL [--limit N]
-        |  run_sql        --file SCRIPT.sql | --sql "stmt; stmt"
+        |  run_sql        --file SCRIPT.sql | --sql "stmt; stmt" | --template NAME [--config DIRS]   (alias: run_sql_template)
+        |  selftest
         |  initialize     --designs DIR --data DIR --warehouse DIR
         |  create_schemas --designs DIR --data DIR --warehouse DIR [--select PATTERN]
         |  promote_schemas --designs DIR --data DIR --warehouse DIR [--select PATTERN]
@@ -355,13 +356,16 @@ object Cli {
           includeDependents = true))
         println("[promote] staging promoted to standard")
         0
-      case "run_sql" =>
-        // run_sql_template analog: execute a `;`-separated SQL script
-        // (admin path; the reference renders templates first — our
-        // scripts are plain files or inline text)
+      case "run_sql" | "run_sql_template" =>
+        // run_sql_template (commands.py:772-821): execute a
+        // `;`-separated SQL script from a file, inline text, or — the
+        // reference's primary path — a RENDERED SQL template
+        // (--template NAME, placeholders filled from settings)
         val script = opts.get("file")
           .map(f => new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8))
+          .orElse(opts.get("template").map(t =>
+            Templates.renderSql(settings, t, opts.get("templates"))))
           .orElse(opts.get("sql")).getOrElse(usage())
         Commands.runSqlScript(spark, script).foreach { df =>
           df.limit(100).collect().foreach(r => println(r.toSeq
@@ -369,6 +373,17 @@ object Cli {
             .mkString(" | ")))
         }
         0
+      case "selftest" =>
+        // commands.py:2141-2149: the reference runs its packaged
+        // doctests; here an embedded deterministic smoke suite
+        val results = Commands.selfTest(spark)
+        results.foreach { case (name, ok, detail) =>
+          println(s"[selftest] ${if (ok) "PASS" else "FAIL"} $name" +
+            (if (ok) "" else s": $detail"))
+        }
+        val failed = results.count(!_._2)
+        println(s"[selftest] ${results.size - failed}/${results.size} checks passed")
+        if (failed > 0) 1 else 0
       case "ping" =>
         // commands.py's ping: prove the warehouse answers a trivial
         // query. The Spark analog exercises the session end-to-end.

@@ -216,6 +216,92 @@ object Commands {
     }
   }
 
+  // -------------------------------------------------------- selftest
+  /** `selftest` (commands.py:2141-2149, selftest.py): the reference
+    * runs its packaged doctests; the engine analog is an embedded
+    * deterministic smoke suite over the core machinery — pure
+    * in-process checks with literal data, no test corpus, safe to run
+    * on any installation. Returns (check, passed, detail). */
+  def selfTest(spark: SparkSession): Seq[(String, Boolean, String)] = {
+    def check(name: String)(body: => Unit): (String, Boolean, String) =
+      try { body; (name, true, "ok") }
+      catch { case e: Throwable =>
+        (name, false, Option(e.getMessage).getOrElse(e.getClass.getName)) }
+    import spark.implicits._
+    Seq(
+      check("functions.native") {
+        graft.queries.DotF.register(spark)
+        graft.queries.BoundedTopK.register(spark)
+        val r = spark.sql(
+          "SELECT dot_f(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+            "dot_i8(sq8_quantize(array(0.5F, -1.0F)), " +
+            "       sq8_quantize(array(0.5F, -1.0F))) AS q").head
+        require(r.getDouble(0) == 11.0, s"dot_f: ${r.getDouble(0)}")
+        // q8 of [0.5,-1] is [64,-127] (round-half-up) -> 64^2+127^2
+        require(r.getLong(1) == 64L * 64 + 127L * 127, s"dot_i8: ${r.getLong(1)}")
+      },
+      check("functions.udf") {
+        registerUdfs(spark)
+        val r = spark.sql(
+          "SELECT f_sha256('arthur') = sha2('arthur', 256) AS same").head
+        require(r.getBoolean(0), "f_sha256 != sha2")
+      },
+      check("dialect.shim") {
+        DialectShims.registerAll(spark)
+        val sql = DialectShims.rewriteRedshiftSql(
+          "SELECT DATEDIFF(day, DATE '2024-01-31', DATE '2024-02-01') AS d")
+        require(spark.sql(sql).head.getLong(0) == 1L, "boundary datediff")
+      },
+      check("asof.native") {
+        val l = Seq((1L, 10L, 100L)).toDF("k", "lt", "lid")
+        val r = Seq((1L, 5L, 7L), (1L, 11L, 8L)).toDF("rk", "rt", "rid")
+        val m = graft.plans.AsofJoin.asof(l, r, "k", "rk", "lt", "rt", "rid")
+          .select($"rid").head
+        require(m.getLong(0) == 7L, "asof picked wrong row")
+        val b = graft.plans.AsofJoin.asofBucketed(l, r, "k", "rk", "lt", "rt", "rid", 4L)
+          .select($"rid").head
+        require(b.getLong(0) == 7L, "bucketed asof disagrees")
+      },
+      check("design.parse") {
+        val d = TableDesign.load(
+          "name: st.t\nsource_name: CTAS\ncolumns:\n  - name: x\n    type: int\n" +
+            "query: SELECT 1 AS x\n")
+        require(d.isCtas && d.activeColumns.size == 1, "design parse")
+        try { TableDesign.load("name: st.t\nbogus_key: 1\n"); require(false, "no reject") }
+        catch { case _: TableDesignError => () }
+      },
+      check("sql.split") {
+        val ss = splitSqlStatements("SELECT ';' AS a; -- x;\nSELECT 2")
+        require(ss.size == 2 && ss.head.contains("';'"), s"split: $ss")
+      },
+      check("settings.render") {
+        val s = Settings.load()
+        require(s.value("graft_settings.extract_retries") == "1", "defaults")
+        require(Templates.render(s, "run_banner").contains(s.value("version")),
+          "template render")
+      },
+      check("monitor.roundtrip") {
+        val p = java.nio.file.Files.createTempDirectory("graft_st_")
+          .resolve("ev.jsonl").toString
+        val mon = new Monitor(Some(p))
+        mon.monitored("st.t", "load") { ((), Some(3L)) }
+        val back = Monitor.readLog(p)
+        require(back.exists(e => e.event == "finish" && e.rowcount.contains(3L)),
+          "event log roundtrip")
+      },
+      check("warehouse.lifecycle") {
+        val wh = new Warehouse(spark,
+          java.nio.file.Files.createTempDirectory("graft_stwh_").toString, "/tmp")
+        val t = TableName.parse("st.cycle")
+        wh.writeTable(t, Seq((1L, "a")).toDF("id", "v"))
+        require(wh.appendToTableIdempotent(t, Seq((2L, "b")).toDF("id", "v"), "s1"),
+          "first append applies")
+        require(!wh.appendToTableIdempotent(t, Seq((2L, "b")).toDF("id", "v"), "s1"),
+          "replay must no-op")
+        require(spark.table(t.quoted).count() == 2, "lifecycle rowcount")
+      })
+  }
+
   // ----------------------------------------------------------- §2.11
   /** UDF surface: the one reference-shipped UDF is `dw.f_sha256`
     * (sql/001_ETL_create_f_sha256.sql:4-11). Registered for

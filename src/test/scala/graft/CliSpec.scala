@@ -501,6 +501,18 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep2`.`label_count`").collect().head.getLong(0) == 3L)
   }
 
+  test("cli selftest passes all embedded checks; run_sql_template renders+runs") {
+    val (code, out) = captureOut { Cli.run(spark, "selftest", Map.empty) }
+    assert(code == 0, s"selftest failed:\n$out")
+    assert(out.contains("PASS functions.native") &&
+      out.contains("PASS warehouse.lifecycle") && !out.contains("FAIL"))
+    // the run_sql_template alias: render the packaged SQL template and
+    // execute it in one step
+    val (c2, res) = captureOut { Cli.run(spark, "run_sql_template",
+      Map("template" -> "compile_time")) }
+    assert(c2 == 0 && res.contains("graft-r10"), s"got: $res")
+  }
+
   test("cli tail_logs --follow emits events appended mid-follow") {
     val dir = Files.createTempDirectory("graft_cli_fl_")
     val ev = dir.resolve("ev.jsonl").toString

@@ -125,4 +125,32 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       got == want
     }, minSuccessful = 8)
   }
+
+  test("property: bucketed as-of equals brute force at RANDOM bucket widths") {
+    val s = spark
+    import s.implicits._
+    // the carry-over construction must hold at any width: width 1
+    // (every timestamp its own bucket — all matches cross boundaries),
+    // widths around the ts range, widths larger than the range (one
+    // bucket — degenerates to the plain merge)
+    val gen = for {
+      data <- asofGen
+      width <- Gen.choose(1L, 80L)
+    } yield (data, width)
+    checkProp(Prop.forAll(gen) { case ((purchases, clicks), width) =>
+      val l = purchases.toDF("u", "lt", "lid")
+      val r = clicks.toDF("ru", "rt", "rid")
+      val got = graft.plans.AsofJoin
+        .asofBucketed(l, r, "u", "ru", "lt", "rt", "rid", width)
+        .select($"lid", $"rid")
+        .collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      val want = purchases.map { case (u, t, id) =>
+        val cand = clicks.filter(cl => cl._1 == u && cl._2 <= t)
+        id -> (if (cand.isEmpty) None
+               else Some(cand.maxBy(cl => (cl._2, cl._3))._3))
+      }.toMap
+      got == want
+    }, minSuccessful = 8)
+  }
 }

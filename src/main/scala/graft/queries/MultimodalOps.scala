@@ -101,6 +101,40 @@ object MultimodalOps {
        |FROM cut WHERE length(frame_hex) > 0
        |ORDER BY doc_id, frame_no""".stripMargin
 
+  // -------------------------------------------------- resize + features
+  /** Resize + feature extraction — the remaining two stages of the
+    * decode / extract / resize / sample quartet: every image is
+    * normalized to a fixed 32×32 target (the real pipeline's bilinear
+    * resize before a vision encoder) and reduced to a
+    * [[FeatureCells]]-dim feature vector. DETERMINISTIC FAKE decode
+    * like the other media ops: cell k's value is a hash of
+    * (payload, k) in [0,1) — standing in for the average-pooled pixel
+    * block a real resize produces. One row per (doc, cell), scalar
+    * features (the flat layout that joins/aggregates cleanly at
+    * 100 TB and avoids engine-specific array encodings); per-row
+    * compute then explode — no shuffle until the presentation sort. */
+  val FeatureCells = 8
+
+  def mmImageFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", hex(binCol).as("px"))
+      .select($"doc_id",
+        explode(sequence(lit(0L), lit(FeatureCells - 1L))).as("cell"), $"px")
+      .select($"doc_id",
+        lit(32).as("resized_w"), lit(32).as("resized_h"), $"cell",
+        ((conv(substring(md5(concat($"px", lit("-"), $"cell".cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 1000L).cast("double") / 1000.0).as("feature"))
+      .orderBy($"doc_id", $"cell")
+  }
+
+  val mmImageFeaturesSql: String =
+    s"""SELECT doc_id, CAST(32 AS INT) AS resized_w, CAST(32 AS INT) AS resized_h,
+       |  CAST(k AS BIGINT) AS cell,
+       |  (CAST(CAST(('0x' || substring(md5(hex(encode(text)) || '-' || CAST(k AS VARCHAR)), 1, 4)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0) AS feature
+       |FROM documents, (SELECT unnest(range($FeatureCells)) AS k)
+       |ORDER BY doc_id, cell""".stripMargin
+
   // ------------------------------------------------------ audio segments
   /** Audio segmentation: split each payload into per-doc VARIABLE
     * length segments (segment size derived from the object's fake
@@ -184,12 +218,14 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_image_meta" -> (mmImageMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_image_features" -> (mmImageFeatures _),
     "mm_audio_segments" -> (mmAudioSegments _),
     "props_json_extract" -> (propsJsonExtract _))
 
   val oracles: Map[String, String] = Map(
     "mm_image_meta" -> mmImageMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_image_features" -> mmImageFeaturesSql,
     "mm_audio_segments" -> mmAudioSegmentsSql,
     "props_json_extract" -> propsJsonExtractSql)
 }

@@ -56,7 +56,8 @@ final case class TableDesign(
     query: String = "",                  // transform SELECT (CTAS/VIEW)
     distribution: Option[Seq[String]] = None,  // distkey → repartition cols
     sortKeys: Seq[String] = Seq.empty,   // sortkey → sortWithinPartitions
-    tags: Seq[String] = Seq.empty) {     // free-form labels (table_design.schema:88)
+    tags: Seq[String] = Seq.empty,       // free-form labels (table_design.schema:88)
+    partitionBy: Seq[String] = Seq.empty) { // hive-style partition dirs (beyond-reference; Redshift has no partitions)
 
   def isView: Boolean = sourceName == "VIEW"
   def isCtas: Boolean = sourceName == "CTAS"
@@ -115,8 +116,16 @@ final case class TableDesign(
     val valid = activeColumns.map(_.name).toSet
     for (ct <- constraints; col <- ct.columns if !valid.contains(col))
       fail(s"unknown ${ct.kind} column(s) in table constraints: $col")
-    for (d <- distribution.toSeq.flatten ++ sortKeys if !valid.contains(d))
+    for (d <- distribution.toSeq.flatten ++ sortKeys ++ partitionBy
+         if !valid.contains(d))
       fail(s"unknown attributes column(s): $d")
+    // partition dirs and bucket files are different physical layouts
+    // of the SAME rows — combining them multiplies small files
+    // (buckets × partitions) and Spark's bucketed-scan co-location
+    // guarantee still requires reading every partition, so the combo
+    // buys nothing at 100 TB. Pick one per table.
+    if (partitionBy.nonEmpty && distribution.exists(_.nonEmpty))
+      fail("partition_by and distribution cannot be combined")
     // only unique may repeat (design/load.py:188-196)
     val kinds = constraints.map(_.kind).filterNot(_ == "unique")
     if (kinds.distinct.size != kinds.size)
@@ -248,11 +257,13 @@ object TableDesign {
     }
     val sort = attrs.flatMap(a => Option(a.get("compound_sort"))).toSeq
       .flatMap(s => if (s.isArray) s.elements.asScala.map(_.asText).toSeq else Seq.empty)
+    val partBy = attrs.flatMap(a => Option(a.get("partition_by"))).toSeq
+      .flatMap(p => if (p.isArray) p.elements.asScala.map(_.asText).toSeq else Seq.empty)
     val query = Option(root.get("query")).map(_.asText).getOrElse("")
     val tags = Option(root.get("tags")).toSeq
       .flatMap(t => if (t.isArray) t.elements.asScala.map(_.asText).toSeq else Seq.empty)
     TableDesign(name, sourceName, columns, constraints, dependsOn,
-      extract, query, dist, sort, tags)
+      extract, query, dist, sort, tags, partBy)
   }
 
   /** Load + validate, the `load_table_design` path
@@ -302,12 +313,14 @@ object TableDesign {
     if (d.dependsOn.nonEmpty)
       d.dependsOn.foldLeft(root.putArray("depends_on"))(
         (a, t) => a.add(t.identifier))
-    if (d.distribution.nonEmpty || d.sortKeys.nonEmpty) {
+    if (d.distribution.nonEmpty || d.sortKeys.nonEmpty || d.partitionBy.nonEmpty) {
       val attrs = root.putObject("attributes")
       d.distribution.foreach(dist =>
         dist.foldLeft(attrs.putArray("distribution"))(_ add _))
       if (d.sortKeys.nonEmpty)
         d.sortKeys.foldLeft(attrs.putArray("compound_sort"))(_ add _)
+      if (d.partitionBy.nonEmpty)
+        d.partitionBy.foldLeft(attrs.putArray("partition_by"))(_ add _)
     }
     d.extractSettings.foreach { es =>
       val e = root.putObject("extract_settings")

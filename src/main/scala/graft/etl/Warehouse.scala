@@ -275,7 +275,14 @@ final class Warehouse(
       sorted.saveAsTable(target.quoted)
       writePointer(target, loc)
     } else {
-      df.write.mode("overwrite").parquet(loc)
+      val partCols = design.map(_.partitionBy).getOrElse(Seq.empty)
+      if (partCols.nonEmpty)
+        // hive-style partition dirs: the scan prunes whole directories
+        // for predicates on the partition key — the 100 TB layout for
+        // time/source-sliced tables (beyond-reference; Redshift has no
+        // partitions, SURVEY §1.4 maps only distkey/sortkey)
+        df.write.mode("overwrite").partitionBy(partCols: _*).parquet(loc)
+      else df.write.mode("overwrite").parquet(loc)
       registerAt(target, loc, design)
     }
     // S11 load diagnostics: pick up this build's SQL metrics (keyed
@@ -305,21 +312,25 @@ final class Warehouse(
     spark.catalog.refreshTable(target.quoted)
   }
 
-  /** Live location for an in-place append, refusing bucketed tables:
-    * a bucketed table's files carry bucket-id assignments; raw parquet
-    * appends would land rows in the wrong buckets and silently break
-    * the co-located-join guarantee — the accumulating-table pattern is
-    * for unbucketed indexes. */
+  /** Live location for an in-place append, refusing bucketed and
+    * partitioned tables: a bucketed table's files carry bucket-id
+    * assignments, and a partitioned table's rows live in partition
+    * DIRECTORIES — raw root-level parquet appends would corrupt
+    * either layout. The accumulating-table pattern is for plain
+    * unbucketed, unpartitioned indexes. */
   private def appendLocation(target: TableName): String = {
-    val bucketed =
-      try spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(target.table, Some(target.schema)))
-        .bucketSpec.isDefined
-      catch { case _: Exception => false }
-    if (bucketed)
+    val meta =
+      try Some(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(target.table, Some(target.schema))))
+      catch { case _: Exception => None }
+    if (meta.exists(_.bucketSpec.isDefined))
       throw new IllegalStateException(
         s"'${target.identifier}' is bucketed; in-place append would corrupt " +
           "bucket assignments — rebuild with writeTable instead")
+    if (meta.exists(_.partitionColumnNames.nonEmpty))
+      throw new IllegalStateException(
+        s"'${target.identifier}' is partitioned; root-level appends would " +
+          "bypass the partition directories — rebuild with writeTable instead")
     locationOf(target).orElse(readPointer(target)).getOrElse(
       throw new IllegalStateException(
         s"no live location for '${target.identifier}' — build it with writeTable first"))
@@ -430,18 +441,25 @@ final class Warehouse(
     // that schema already equals the design's (nullability aside) —
     // any drift falls back to drop-then-create, which re-infers.
     val wantSchema = design.map(_.toStructType)
+    val wantParts = design.map(_.partitionBy.map(_.toLowerCase)).getOrElse(Seq.empty)
     val sameShape = existing.exists { t =>
       t.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL &&
         t.provider.exists(_.equalsIgnoreCase("parquet")) &&
         t.bucketSpec.map(b => (b.bucketColumnNames, b.sortColumnNames)) ==
           wantBuckets &&
         t.bucketSpec.forall(_.numBuckets == BucketCount) &&
+        t.partitionColumnNames.map(_.toLowerCase) == wantParts &&
         wantSchema.exists(s =>
-          t.schema.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType)) ==
-            s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType)))
+          t.schema.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType)).sortBy(_._1) ==
+            s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType)).sortBy(_._1))
     }
     if (sameShape) {
       spark.sql(s"ALTER TABLE ${target.quoted} SET LOCATION '$location'")
+      // a partitioned table's catalog partition entries still point at
+      // the OLD location — rebuild them from the new directory layout
+      // (metadata-only; the table itself was never missing)
+      if (wantParts.nonEmpty)
+        spark.sql(s"ALTER TABLE ${target.quoted} RECOVER PARTITIONS")
       // SET LOCATION swaps the data but PRESERVES catalog stats from
       // any prior ANALYZE — the CBO would then size joins (and flip
       // broadcast decisions) from the previous build's row counts.
@@ -462,14 +480,22 @@ final class Warehouse(
           if (sk.nonEmpty) s" SORTED BY (${sk.mkString(", ")})" else ""
         s" CLUSTERED BY (${d.mkString(", ")})$sortSpec INTO $BucketCount BUCKETS"
       }.getOrElse("")
-      // bucketed CREATE TABLE requires an explicit column list
-      // (schema inference + bucketing is rejected by the analyzer);
-      // wantBuckets implies a design, so the schema is available
-      val cols = if (clustered.nonEmpty)
+      // bucketed/partitioned CREATE TABLE requires an explicit column
+      // list (schema inference + bucketing is rejected by the
+      // analyzer; an EMPTY partitioned location has nothing to infer
+      // from); both imply a design, so the schema is available
+      val cols = if (clustered.nonEmpty || wantParts.nonEmpty)
         wantSchema.map(s => s" (${s.toDDL})").getOrElse("")
       else ""
+      val partitioned =
+        if (wantParts.nonEmpty) s" PARTITIONED BY (${wantParts.mkString(", ")})"
+        else ""
       spark.sql(
-        s"CREATE TABLE ${target.quoted}$cols USING parquet$clustered LOCATION '$location'")
+        s"CREATE TABLE ${target.quoted}$cols USING parquet$clustered$partitioned " +
+          s"LOCATION '$location'")
+      // register the partition directories already at the location
+      if (wantParts.nonEmpty)
+        spark.sql(s"ALTER TABLE ${target.quoted} RECOVER PARTITIONS")
     }
     writePointer(target, location)
   }

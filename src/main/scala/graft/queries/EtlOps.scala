@@ -260,6 +260,47 @@ object EtlOps {
     spark.table("`copysrc`.`supplier`").orderBy($"s_suppkey")
   }
 
+  /** Partitioned-table lifecycle end-to-end (beyond-reference; Spark
+    * mapping of the 100 TB time/source-sliced layout): build `events`
+    * partitioned by `event_type` (hive-style directories) in a
+    * throwaway warehouse, then answer a partition-key-filtered
+    * aggregate THROUGH the registered table — the scan prunes to the
+    * matching directories (PartitionFilters, gated in WarehouseSpec),
+    * and the values hash-match DuckDB computing over the raw rows. */
+  def t8bPartitionedBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.etl.{Relation, TableDesign, Warehouse}
+    val design = TableDesign.load(
+      """name: partsrc.events
+        |source_name: partsrc
+        |attributes:
+        |  partition_by: [event_type]
+        |columns:
+        |  - name: event_id
+        |    type: long
+        |    not_null: true
+        |  - name: user_id
+        |    type: long
+        |  - name: value
+        |    type: double
+        |  - name: event_type
+        |    type: string
+        |""".stripMargin)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_part_wh_").toString
+    new Warehouse(spark, whDir, sfDir).buildOneRelation(Relation(design))
+    spark.table("`partsrc`.`events`")
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_user"))
+      .orderBy($"event_type")
+  }
+
+  val t8bPartitionedBuildSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_user
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** A one-relation designs dir in the reference layout, so the entry
     * exercises the REAL `Cli extract` command, not a shortcut. */
   private def writeDesignDir(design: graft.etl.TableDesign): String = {
@@ -338,6 +379,7 @@ object EtlOps {
     "c2_rowcount_audit" -> (c2RowcountAudit _),
     "t2_identity_ctas" -> (t2IdentityCtas _),
     "t3_na_dim_row" -> (t3NaDimRow _),
+    "t8b_partitioned_build" -> (t8bPartitionedBuild _),
     "s6_sampling_extract" -> (s6SamplingExtract _),
     "p2_cast_projection" -> (p2CastProjection _),
     "p4_limit" -> (p4Limit _))
@@ -352,6 +394,7 @@ object EtlOps {
     "c2_rowcount_audit" -> c2RowcountAuditSql,
     "t2_identity_ctas" -> t2IdentityCtasSql,
     "t3_na_dim_row" -> t3NaDimRowSql,
+    "t8b_partitioned_build" -> t8bPartitionedBuildSql,
     "s6_sampling_extract" -> s6SamplingExtractSql,
     "p2_cast_projection" -> p2CastProjectionSql,
     "p4_limit" -> p4LimitSql)

@@ -703,6 +703,78 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(index.quoted).select("doc_id").distinct().count() == 4)
   }
 
+  test("partitioned tables: directory layout, partition pruning, re-point, guards") {
+    val wh = freshWarehouse()
+    val srcNation3 = rel(
+      """name: src.nation
+        |source_name: src
+        |columns:
+        |  - name: n_nationkey
+        |    type: int
+        |    not_null: true
+        |  - name: n_name
+        |    type: string
+        |  - name: n_regionkey
+        |    type: int
+        |""".stripMargin)
+    val partRel = rel(
+      """name: rep.nat_part
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |attributes:
+        |  partition_by: [n_regionkey]
+        |columns:
+        |  - name: n_nationkey
+        |    type: int
+        |  - name: n_name
+        |    type: string
+        |  - name: n_regionkey
+        |    type: int
+        |query: SELECT n_nationkey, n_name, n_regionkey FROM src.nation
+        |""".stripMargin)
+    wh.loadWithStagingAndPublish(Seq(srcNation3, partRel))
+    assert(spark.table("`rep`.`nat_part`").count() == 25)
+    // partition-key predicates prune DIRECTORIES, not just rows: the
+    // filter must land in PartitionFilters on the scan
+    val pruned = spark.table("`rep`.`nat_part`")
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") === 1)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("n_regionkey"),
+      s"partition filter not pushed to the directory scan:\n$planStr")
+    assert(pruned.count() == 5)
+    // rebuild + publish re-points the SAME shape: partitions recovered
+    // at the new location, counts intact
+    wh.loadWithStagingAndPublish(Seq(srcNation3, partRel))
+    assert(spark.table("`rep`.`nat_part`").count() == 25)
+    assert(spark.table("`rep`.`nat_part`")
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") === 1).count() == 5)
+    // root-level appends would bypass the partition dirs: refused
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalStateException] {
+      wh.appendToTable(TableName.parse("rep.nat_part"),
+        Seq((99, "x", 9)).toDF("n_nationkey", "n_name", "n_regionkey"))
+    }
+    assert(e.getMessage.contains("partitioned"))
+    // partition_by + distribution is a design error
+    val err = intercept[TableDesignError] {
+      TableDesign.load(
+        """name: rep.bad
+          |source_name: CTAS
+          |attributes:
+          |  partition_by: [a]
+          |  distribution: [a]
+          |columns:
+          |  - name: a
+          |    type: int
+          |query: SELECT 1 AS a
+          |""".stripMargin)
+    }
+    assert(err.getMessage.contains("cannot be combined"))
+  }
+
   test("compactTable folds append-grown files; dedup unchanged; vacuum reclaims") {
     val s = spark
     import s.implicits._

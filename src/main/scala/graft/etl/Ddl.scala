@@ -29,8 +29,12 @@ object Ddl {
       else Seq.empty).flatten
     val tblProps =
       if (props.nonEmpty) s"\nTBLPROPERTIES (${props.mkString(", ")})" else ""
+    val partitioned =
+      if (design.partitionBy.nonEmpty)
+        s"\nPARTITIONED BY (${design.partitionBy.mkString(", ")})"
+      else ""
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
-    s"CREATE TABLE $ine${design.name.quoted} (\n$cols\n) USING parquet$tblProps"
+    s"CREATE TABLE $ine${design.name.quoted} (\n$cols\n) USING parquet$partitioned$tblProps"
   }
 
   def createViewSql(design: TableDesign): String =

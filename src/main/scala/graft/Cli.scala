@@ -40,6 +40,8 @@ object Cli {
         |  show_dependents --designs DIR --select PATTERN [--continue-from POINT]
         |  show_upstream_dependencies --designs DIR --select PATTERN
         |  query_events   --events FILE [--target PATTERN] [--step STEP] [--since EPOCH_MS] [--tail N] [--summarize] [--follow [--poll-ms N] [--idle-timeout-ms N]]
+        |  summarize_events --events FILE [--designs DIR] [--step STEP] [--since EPOCH_MS]
+        |  tail_events    --events FILE [--target PATTERN] [--step STEP] [--start-time EPOCH_MS|ISO8601] [--follow [--poll-ms N] [--idle-timeout-ms N]]
         |  bootstrap_sources         --designs DIR --database DB [--select PATTERN] [--force]
         |  bootstrap_transformations --designs DIR [--as-view]
         |  create_external_schemas --config DIRS [--select SCHEMA[,SCHEMA]] [--dry-run]
@@ -50,6 +52,15 @@ object Cli {
         |  tail_logs      --events FILE [--start-time EPOCH_MS|ISO8601] [--warnings]
         |""".stripMargin)
     sys.exit(2)
+  }
+
+  private def printEvent(e: MonitorEvent): Unit = {
+    val extra = e.rowcount.map(r => s" rows=$r").getOrElse("") +
+      e.metrics.map(m => s" read=${m.bytesRead}B/${m.filesRead}f" +
+        s" shuffle=${m.shuffleBytesWritten}B written=${m.rowsWritten}")
+        .getOrElse("") +
+      e.message.map(m => s" message=$m").getOrElse("")
+    println(f"[events] ${e.target} ${e.step} ${e.event} ${e.elapsedSeconds}%.2fs$extra")
   }
 
   /** `--scheduled-start-time` accepts epoch millis or an ISO-8601
@@ -282,14 +293,6 @@ object Cli {
             println(f"[events] $step%-12s finish=$ok fail=$fail elapsed=$secs%.2fs")
           }
         } else {
-          def printEvent(e: MonitorEvent): Unit = {
-            val extra = e.rowcount.map(r => s" rows=$r").getOrElse("") +
-              e.metrics.map(m => s" read=${m.bytesRead}B/${m.filesRead}f" +
-                s" shuffle=${m.shuffleBytesWritten}B written=${m.rowsWritten}")
-                .getOrElse("") +
-              e.message.map(m => s" message=$m").getOrElse("")
-            println(f"[events] ${e.target} ${e.step} ${e.event} ${e.elapsedSeconds}%.2fs$extra")
-          }
           val shown = opts.get("tail").map(n => filtered.takeRight(n.toInt))
             .getOrElse(filtered)
           shown.foreach(printEvent)
@@ -303,6 +306,47 @@ object Cli {
               idleTimeoutMs = opts.get("idle-timeout-ms").map(_.toLong)
                 .getOrElse(3600 * 1000L))(printEvent)
         }
+        0
+      case "summarize_events" =>
+        // monitor.py:862-925 + commands.py:2014-2033: for the latest
+        // run, the newest event per relation (with kind from the
+        // designs when given) plus per-schema rollup pseudo rows,
+        // sorted by timestamp; tally start/finish/fail at the end.
+        val log = opts.getOrElse("events", usage())
+        val kinds: Map[String, String] =
+          if (opts.contains("designs"))
+            designs.map(r => r.identifier -> (
+              if (r.design.isView) "VIEW"
+              else if (r.design.isCtas) "CTAS" else "DATA")).toMap
+          else Map.empty
+        val (rows, stats) = Monitor.summarizeLatest(
+          Monitor.readLog(log), opts.get("step"),
+          opts.get("since").map(_.toLong), kinds)
+        rows.foreach { r =>
+          val ts = java.time.Instant.ofEpochMilli(r.ts)
+          println(f"[summary] ${r.target}%-30s ${r.kind}%-5s ${r.step}%-10s " +
+            f"$ts ${r.event}%-8s ${r.elapsedSeconds}%.2fs rows=${r.rowcount}")
+        }
+        println(s"[summary] events: start=${stats.getOrElse("start", 0)}" +
+          s" finish=${stats.getOrElse("finish", 0)}" +
+          s" fail=${stats.getOrElse("fail", 0)}")
+        0
+      case "tail_events" =>
+        // commands.py:2036-2088: events since --start-time (default:
+        // the reference's 15-minute window) in timestamp order;
+        // --follow keeps polling and quits after the idle timeout.
+        val log = opts.getOrElse("events", usage())
+        val start = opts.get("start-time").map(parseEpochMs)
+          .getOrElse(System.currentTimeMillis() - 15 * 60 * 1000L)
+        val all = Monitor.readLog(log)
+        Monitor.filter(all, opts.get("target"), opts.get("step"), Some(start))
+          .sortBy(_.ts.getOrElse(0L)).foreach(printEvent)
+        if (opts.contains("follow"))
+          Monitor.followLog(log, opts.get("target"), opts.get("step"),
+            Some(start), skip = all.size,
+            pollMs = opts.get("poll-ms").map(_.toLong).getOrElse(30 * 1000L),
+            idleTimeoutMs = opts.get("idle-timeout-ms").map(_.toLong)
+              .getOrElse(3600 * 1000L))(printEvent)
         0
       case "bootstrap_sources" =>
         val root = opts.getOrElse("designs", usage())

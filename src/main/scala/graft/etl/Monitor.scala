@@ -20,6 +20,13 @@ final case class MonitorEvent(
     metrics: Option[LoadMetrics] = None,   // S11 load diagnostics
     ts: Option[Long] = None)               // epoch millis, stamped at emit
 
+/** One row of the `summarize_events` report (monitor.py:862-925): the
+  * latest event per relation in the window, plus per-schema pseudo
+  * rows (event "complete") carrying the summed elapsed/rowcount. */
+final case class EventSummary(
+    target: String, kind: String, step: String, ts: Long,
+    event: String, elapsedSeconds: Double, rowcount: Long)
+
 final class Monitor(logPath: Option[String] = None) {
   private val buf = scala.collection.mutable.Buffer[MonitorEvent]()
 
@@ -88,6 +95,40 @@ object Monitor {
       (step, group.count(_.event == "finish"), group.count(_.event == "fail"),
         group.map(_.elapsedSeconds).sum)
     }.toSeq.sortBy(_._1)
+
+  /** `summarize_events` (monitor.py:862-925): per relation, the LATEST
+    * event within the window; schemas get pseudo rows aggregating
+    * elapsed and rowcount across their relations; everything sorted by
+    * timestamp so the report reads in execution order. Returns the
+    * rows plus the latest-event tally (start = still running, finish,
+    * fail) the reference logs at the end.
+    *
+    * Window deviation, documented: the reference partitions events by
+    * DynamoDB etl_id and summarizes the latest ETL of the last 7 days;
+    * the JSON-lines log has no run ids, so the window is time-based —
+    * `since`, defaulting to 7 days before the newest event. For a log
+    * holding one run the two definitions coincide. */
+  def summarizeLatest(es: Seq[MonitorEvent], step: Option[String],
+                      since: Option[Long],
+                      kinds: Map[String, String] = Map.empty)
+      : (Seq[EventSummary], Map[String, Int]) = {
+    val stamped = es.filter(e => step.forall(_ == e.step) && e.ts.nonEmpty)
+    val cut = since.orElse(
+      stamped.flatMap(_.ts).maxOption.map(_ - 7L * 24 * 3600 * 1000))
+    val window = stamped.filter(e => cut.forall(c => e.ts.exists(_ >= c)))
+    val latest = window.groupBy(_.target)
+      .map { case (_, g) => g.maxBy(_.ts.get) }.toSeq
+    val stats = latest.groupBy(_.event).map { case (k, g) => (k, g.size) }
+    val rows = latest.map(e => EventSummary(e.target,
+      kinds.getOrElse(e.target, "---"), e.step, e.ts.get, e.event,
+      e.elapsedSeconds, e.rowcount.getOrElse(0L)))
+    val schemas = rows.groupBy(_.target.takeWhile(_ != '.'))
+      .collect { case (schema, g) if g.head.target.contains('.') =>
+        EventSummary(schema, "---", g.head.step, g.map(_.ts).max,
+          "complete", g.map(_.elapsedSeconds).sum, g.map(_.rowcount).sum)
+      }.toSeq
+    ((rows ++ schemas).sortBy(r => (r.ts, r.target)), stats)
+  }
 
   private[graft] def filter(es: Seq[MonitorEvent], target: Option[String],
                           step: Option[String],

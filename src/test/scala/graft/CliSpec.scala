@@ -513,6 +513,44 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c2 == 0 && res.contains("graft-r10"), s"got: $res")
   }
 
+  test("summarize_events: latest event per relation, schema rollup, tally") {
+    val wh = Files.createTempDirectory("graft_cli_sev_").toString
+    val events = Files.createTempDirectory("graft_cli_sevev_")
+      .resolve("ev.jsonl").toString
+    Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh,
+      "events" -> events))
+    val (code, out) = captureOut { Cli.run(spark, "summarize_events", Map(
+      "events" -> events, "designs" -> designsDir)) }
+    assert(code == 0)
+    val lines = out.linesIterator.toSeq
+    // latest event per relation is the load finish, kind from the designs
+    assert(lines.exists(l => l.contains("cli.region") && l.contains("DATA")
+      && l.contains("finish") && l.contains("rows=5")), s"got:\n$out")
+    assert(lines.exists(l => l.contains("cli.summary") && l.contains("CTAS")
+      && l.contains("finish") && l.contains("rows=1")), s"got:\n$out")
+    // per-schema pseudo row sums the relations' rowcounts
+    assert(lines.exists(l => l.contains(" cli ") && l.contains("complete")
+      && l.contains("rows=6")), s"got:\n$out")
+    assert(lines.exists(_.contains("start=0 finish=2 fail=0")), s"got:\n$out")
+  }
+
+  test("tail_events: default 15-minute window hides old events") {
+    val dir = Files.createTempDirectory("graft_cli_tev_")
+    val ev = dir.resolve("ev.jsonl").toString
+    val old = """{"target":"cli.old","step":"load","event":"finish","elapsed":1.0,"rowcount":1,"ts":1000}"""
+    val recent = s"""{"target":"cli.recent","step":"load","event":"finish","elapsed":1.0,"rowcount":2,"ts":${System.currentTimeMillis()}}"""
+    Files.write(dir.resolve("ev.jsonl"),
+      (old + "\n" + recent + "\n").getBytes(StandardCharsets.UTF_8))
+    val (c1, w1) = captureOut { Cli.run(spark, "tail_events", Map("events" -> ev)) }
+    assert(c1 == 0 && w1.contains("cli.recent") && !w1.contains("cli.old"),
+      s"window must hide the old event:\n$w1")
+    // explicit --start-time widens the window to cover both
+    val (c2, w2) = captureOut { Cli.run(spark, "tail_events", Map(
+      "events" -> ev, "start-time" -> "0")) }
+    assert(c2 == 0 && w2.contains("cli.old") && w2.contains("cli.recent"))
+  }
+
   test("cli tail_logs --follow emits events appended mid-follow") {
     val dir = Files.createTempDirectory("graft_cli_fl_")
     val ev = dir.resolve("ev.jsonl").toString

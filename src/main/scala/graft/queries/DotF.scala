@@ -115,6 +115,8 @@ object DotF {
       "sq8_quantize", Sq8Quantize.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_i8", DotI8.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode", BpeEncode.builder, "built-in")
   }
 }
 

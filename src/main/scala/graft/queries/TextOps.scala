@@ -308,6 +308,139 @@ object TextOps {
        |GROUP BY token
        |ORDER BY df DESC, tf DESC, token LIMIT $VocabSize""".stripMargin
 
+  // ---------------------------------------------------------------- BPE
+  /** BPE tokenization over the corpus: a merge table learned in ONE
+    * corpus pass — the top [[BpeMerges]] adjacent character pairs of
+    * the normalized text (space-free; count-desc / pair-asc
+    * tie-break, a total order) — applied by the native codegen'd
+    * [[BpeEncode]] expression. Real (iterative) BPE training
+    * re-counts pairs after every merge; the single-pass table trades
+    * that for one groupBy so learning stays a single corpus scan,
+    * and the APPLY machinery is exactly standard BPE — swap in an
+    * externally trained vocab and nothing else changes.
+    *
+    * Scale shape: learning is one map-side-partial groupBy over
+    * 2-char keys (≤ 36² space-free pairs of the normalized alphabet,
+    * so the shuffle is tiny and the top-k cut is driver-side metadata,
+    * like the IVF centroid sample); the apply is a per-row codegen'd
+    * expression — zero data movement at 100 TB. */
+  val BpeMerges = 40
+  val BpeVocabTop = 20
+
+  /** The learned merge table, as `"a b"` rule strings in application
+    * order. Deterministic: count desc, then pair text asc. */
+  def bpeMergeTable(docs: DataFrame): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(normText(col("text")).as("n"))
+      .filter(length($"n") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(n) - 1), i -> substring(n, i, 2))")).as("p"))
+      .filter(!$"p".contains(" "))
+      .groupBy($"p").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"p".asc)
+      .limit(BpeMerges)
+      .select(concat(substring($"p", 1, 1), lit(" "), substring($"p", 2, 1)))
+      .as[String].collect().toSeq
+  }
+
+  /** The merge table is a MODEL artifact — learned once per corpus,
+    * applied by many queries — so it is memoized per corpus dir for
+    * the session (the dedup family's shared-persist pattern, driver
+    * side because the table is 40 strings of metadata). */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
+
+  private def bpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = bpeMergeCache.getOrElseUpdate(sfDir, bpeMergeTable(docs))
+    DotF.register(spark)
+    docs.select($"doc_id",
+      call_function("bpe_encode", normText($"text"), lit(merges.toArray)).as("toks"))
+  }
+
+  def textBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeTokens(spark, sfDir)
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+        concat_ws("|", $"toks").as("tokens_str"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus token-frequency table over the BPE tokens (whitespace
+    * tokens excluded) — what a vocab-coverage check reads. */
+  def textBpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeTokens(spark, sfDir)
+      .select(explode($"toks").as("token"))
+      .filter($"token" =!= " ")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc)
+      .limit(BpeVocabTop)
+  }
+
+  /** The oracle's twin: learn the same merge table, then apply each
+    * rule as ONE string replace over the token string with every
+    * token wrapped in its OWN delimiters (`|a||b||c|`). The pattern
+    * `|a||b|` can only match two complete adjacent tokens (operands
+    * are pipe-free, and double pipes occur only between tokens), and
+    * because the match consumes no delimiter shared with the NEXT
+    * pair, one non-overlapping left-to-right replace pass is exactly
+    * the kernel's greedy merge scan. (A single-pipe joint encoding is
+    * WRONG: `|a|a|` on `|a|a|a|a|a|` shares the middle pipe, the
+    * resume point skips one token, and "aaaaa" merges to [aa,a,aa]
+    * instead of BPE's [aa,aa,a] — found by the PropertiesSpec
+    * equivalence property, which pins scan == replace on random
+    * inputs.) The recursive CTE just steps rule i to i+1. */
+  private val bpeEncSql: String =
+    s"""norm AS (
+       |  SELECT doc_id, $normTextSql AS n FROM documents
+       |),
+       |pairs AS (
+       |  SELECT substring(n, CAST(i AS INT), 2) AS p
+       |  FROM norm, unnest(range(1, CAST(length(n) AS BIGINT))) t(i)
+       |  WHERE substring(n, CAST(i AS INT), 2) NOT LIKE '% %' AND length(n) >= 2
+       |),
+       |merges AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, p ASC) - 1 AS i,
+       |         '|' || substring(p, 1, 1) || '||' || substring(p, 2, 1) || '|' AS pat,
+       |         '|' || p || '|' AS rep
+       |  FROM (SELECT p, COUNT(*) AS cnt FROM pairs GROUP BY p
+       |        ORDER BY cnt DESC, p ASC LIMIT $BpeMerges)
+       |),
+       |init AS (
+       |  SELECT doc_id, CASE WHEN n = '' THEN ''
+       |         ELSE '|' || array_to_string(string_split(n, ''), '||') || '|' END AS s,
+       |         0 AS i
+       |  FROM norm
+       |),
+       |enc AS (
+       |  WITH RECURSIVE st(doc_id, s, i) AS (
+       |    SELECT * FROM init
+       |    UNION ALL
+       |    SELECT st.doc_id, replace(st.s, m.pat, m.rep), st.i + 1
+       |    FROM st JOIN merges m ON m.i = st.i
+       |  )
+       |  SELECT doc_id, s FROM st WHERE i = (SELECT COUNT(*) FROM merges)
+       |)""".stripMargin
+
+  val textBpeSql: String =
+    s"""WITH $bpeEncSql
+       |SELECT doc_id,
+       |       CAST((length(s) - length(replace(s, '|', ''))) // 2 AS BIGINT) AS n_tokens,
+       |       CASE WHEN s = '' THEN ''
+       |            ELSE replace(substring(s, 2, CAST(length(s) AS INT) - 2), '||', '|') END AS tokens_str
+       |FROM enc ORDER BY doc_id""".stripMargin
+
+  val textBpeVocabSql: String =
+    s"""WITH $bpeEncSql
+       |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest(string_split(substring(s, 2, CAST(length(s) AS INT) - 2), '||')) AS token
+       |  FROM enc WHERE s <> ''
+       |) WHERE token <> ' '
+       |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT $BpeVocabTop""".stripMargin
+
   // ---------------------------------------------------------------- PII
   /** PII redaction — the scrub step a training pipeline runs before
     * anything else ships: emails, NANP-style phone numbers, and IPv4
@@ -509,6 +642,8 @@ object TextOps {
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
+    "text_bpe_tokens" -> (textBpe _),
+    "text_bpe_vocab" -> (textBpeVocab _),
     "sample_stratified" -> (sampleStratified _))
 
   val oracles: Map[String, String] = Map(
@@ -522,5 +657,7 @@ object TextOps {
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
+    "text_bpe_tokens" -> textBpeSql,
+    "text_bpe_vocab" -> textBpeVocabSql,
     "sample_stratified" -> sampleStratifiedSql)
 }

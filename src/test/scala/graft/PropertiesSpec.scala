@@ -105,6 +105,38 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       ps.zipWithIndex.map { case ((u, t), i) => (u, t, 100L + i) },
       cs.zipWithIndex.map { case ((u, t), i) => (u, t, 500L + i) })
 
+  test("property: bpe_encode scan equals the oracle's wrapped-token replace") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.queries.BpeEncode
+    // the oracle's exact construction: wrap every char token in its
+    // own pipes, then per rule ONE non-overlapping replace pass.
+    // (This property caught the single-pipe joint encoding sharing a
+    // delimiter between adjacent matches: "aaaaa" under (a,a) came
+    // out [aa,a,aa] instead of the scan's greedy [aa,aa,a].)
+    def oracleApply(s0: String, rules: Seq[(String, String)]): String = {
+      var s =
+        if (s0.isEmpty) "" else "|" + s0.map(_.toString).mkString("||") + "|"
+      for ((a, b) <- rules) s = s.replace(s"|$a||$b|", s"|$a$b|")
+      s
+    }
+    val operandGen = Gen.choose(1, 2)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val ruleGen = for { a <- operandGen; b <- operandGen } yield (a, b)
+    val textGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    checkProp(Prop.forAll(textGen, Gen.listOf(ruleGen)) { (text, rules) =>
+      val m = new GenericArrayData(
+        rules.map { case (a, b) => UTF8String.fromString(s"$a $b") }.toArray[Any])
+      val got = BpeEncode
+        .encode(UTF8String.fromString(text), BpeEncode.parseRules(m))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+      val gotPiped =
+        if (got.isEmpty) "" else "|" + got.mkString("||") + "|"
+      gotPiped == oracleApply(text, rules)
+    }, minSuccessful = 300)
+  }
+
   test("property: native as-of join equals the brute-force definition") {
     val s = spark
     import s.implicits._

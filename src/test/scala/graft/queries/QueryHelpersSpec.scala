@@ -73,6 +73,49 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned.collect().forall(r => r.getDouble(0) >= 0.0))   // executes the codegen path
   }
 
+  test("bpe_encode: known answers, null/typing, codegen span") {
+    import graft.queries.BpeEncode
+    DotF.register(spark)
+    // adjacent-run semantics: (a,a) on "aaaa" merges to [aa, aa]; the
+    // scan continues PAST a merged pair, so "aaa" gives [aa, a]
+    def enc(text: String, rules: String*): Seq[String] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val m = new GenericArrayData(rules.map(UTF8String.fromString).toArray[Any])
+      BpeEncode.encode(UTF8String.fromString(text), BpeEncode.parseRules(m))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    }
+    assert(enc("aaaa", "a a") == Seq("aa", "aa"))
+    assert(enc("aaa", "a a") == Seq("aa", "a"))
+    // sequential rules build multi-char tokens: th + he never overlap
+    assert(enc("the the", "t h", "e t") == Seq("th", "e", " ", "th", "e"))
+    // a rule whose first operand is a previous merge
+    assert(enc("thth", "t h", "th th") == Seq("thth"))
+    // spaces are tokens but never merge (no rule carries a space)
+    assert(enc("a a", "a a") == Seq("a", " ", "a"))
+    assert(enc("", "a a") == Seq.empty)
+    // malformed rules are rejected with a clear message
+    intercept[IllegalArgumentException] { enc("x", "ab") }
+    intercept[IllegalArgumentException] { enc("x", "a b c") }
+    // null text -> null; the SQL surface resolves the function
+    assert(spark.sql(
+      "SELECT bpe_encode(CAST(NULL AS STRING), array('a a'))")
+      .collect().head.isNullAt(0))
+    assert(spark.sql("SELECT bpe_encode('aaaa', array('a a'))")
+      .collect().head.getSeq[String](0) == Seq("aa", "aa"))
+    // stays inside whole-stage codegen over a real scan (literals
+    // constant-fold — use the parquet table like the dot_f check)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val planned = docs.select(
+      call_function("bpe_encode", col("text"), lit(Array("t h", "h e"))).as("t"))
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("bpe_encode") && l.trim.startsWith("*(")),
+      s"bpe_encode projection fell out of whole-stage codegen:\n$plan")
+    assert(planned.collect().forall(r => !r.isNullAt(0)))
+  }
+
   test("connectedComponents: chains (multi-round), stars, singleton-free") {
     val s = spark
     import s.implicits._

@@ -137,6 +137,46 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }, minSuccessful = 300)
   }
 
+  test("property: bucketed range join equals the naive theta join at random widths") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    // colliding users, second-scale timestamps, interval lengths both
+    // below and above the bucket width so matches cross bucket
+    // boundaries in both directions
+    val pointGen = for {
+      u <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 400L)
+    } yield (u, t)
+    val ivGen = for {
+      u <- Gen.choose(0L, 3L); a <- Gen.choose(0L, 400L)
+      len <- Gen.choose(0L, 150L)
+    } yield (u, a, a + len)
+    val gen = for {
+      ps <- Gen.listOfN(40, pointGen)
+      ivs <- Gen.listOfN(15, ivGen)
+      width <- Gen.choose(1L, 200L)
+    } yield (ps, ivs, width)
+    checkProp(Prop.forAll(gen) { case (ps, ivs, width) =>
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      val points = ps.zipWithIndex
+        .map { case ((u, t), i) => (u, i.toLong, ts(t)) }
+        .toDF("user_id", "pid", "t")
+      val intervals = ivs.zipWithIndex
+        .map { case ((u, a, b), i) => (u, i.toLong, ts(a), ts(b)) }
+        .toDF("user_id", "iid", "lo", "hi")
+      val got = graft.queries.RangeJoinOps
+        .bucketed(points, intervals, Seq("user_id"), "t", "lo", "hi", width)
+        .select($"iid", $"pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        ((iu, a, b), ii) <- ivs.zipWithIndex
+        ((pu, t), pi) <- ps.zipWithIndex
+        if pu == iu && t >= a && t < b
+      } yield (ii.toLong, pi.toLong)).sorted
+      got == want
+    }, minSuccessful = 8)
+  }
+
   test("property: native as-of join equals the brute-force definition") {
     val s = spark
     import s.implicits._

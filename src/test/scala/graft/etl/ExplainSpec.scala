@@ -61,7 +61,8 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
                      "dedup_ngram_jaccard", "dedup_embedding_cosine",
                      "dedup_clusters", "dedup_containment",
                      "dedup_keep_policy", "dedup_embedding_clusters",
-                     "dedup_minhash_incremental", "dedup_passages")) {
+                     "dedup_minhash_incremental", "dedup_passages",
+                     "range_join_events")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val bcasts = Explain.broadcastJoins(df)
       spark.catalog.clearCache()

@@ -26,6 +26,9 @@ object Ddl {
       design.distribution.map(d => s"'graft.distkey' = '${d.mkString(",")}'").toSeq,
       if (design.sortKeys.nonEmpty)
         Seq(s"'graft.sortkey' = '${design.sortKeys.mkString(",")}'")
+      else Seq.empty,
+      if (design.interleavedSort.nonEmpty)
+        Seq(s"'graft.interleaved_sortkey' = '${design.interleavedSort.mkString(",")}'")
       else Seq.empty).flatten
     val tblProps =
       if (props.nonEmpty) s"\nTBLPROPERTIES (${props.mkString(", ")})" else ""

@@ -57,7 +57,8 @@ final case class TableDesign(
     distribution: Option[Seq[String]] = None,  // distkey → repartition cols
     sortKeys: Seq[String] = Seq.empty,   // sortkey → sortWithinPartitions
     tags: Seq[String] = Seq.empty,       // free-form labels (table_design.schema:88)
-    partitionBy: Seq[String] = Seq.empty) { // hive-style partition dirs (beyond-reference; Redshift has no partitions)
+    partitionBy: Seq[String] = Seq.empty, // hive-style partition dirs (beyond-reference; Redshift has no partitions)
+    interleavedSort: Seq[String] = Seq.empty) { // INTERLEAVED SORTKEY → Z-order clustered write (table_design.schema:206)
 
   def isView: Boolean = sourceName == "VIEW"
   def isCtas: Boolean = sourceName == "CTAS"
@@ -116,9 +117,34 @@ final case class TableDesign(
     val valid = activeColumns.map(_.name).toSet
     for (ct <- constraints; col <- ct.columns if !valid.contains(col))
       fail(s"unknown ${ct.kind} column(s) in table constraints: $col")
-    for (d <- distribution.toSeq.flatten ++ sortKeys ++ partitionBy
-         if !valid.contains(d))
+    for (d <- distribution.toSeq.flatten ++ sortKeys ++ partitionBy ++
+         interleavedSort if !valid.contains(d))
       fail(s"unknown attributes column(s): $d")
+    // compound_sort and interleaved_sort are the two mutually
+    // exclusive flavors of the sortkey attribute (table_design
+    // .schema:200-210 models them as oneOf)
+    if (interleavedSort.nonEmpty && sortKeys.nonEmpty)
+      fail("compound_sort and interleaved_sort cannot be combined")
+    // engine deviation (documented in STATUS.md): Redshift allows
+    // DISTKEY + INTERLEAVED SORTKEY, but our distkey maps to Spark
+    // bucketing whose sortBy requires physical columns — a derived
+    // z-key column would leak into the table schema. Likewise the
+    // dynamic-partition writer re-sorts rows by partition value and
+    // would destroy the z-clustering. Pick one layout per table.
+    if (interleavedSort.nonEmpty && distribution.exists(_.nonEmpty))
+      fail("interleaved_sort and distribution cannot be combined")
+    if (interleavedSort.nonEmpty && partitionBy.nonEmpty)
+      fail("interleaved_sort and partition_by cannot be combined")
+    // z-ordering needs a min/max-normalizable axis per column
+    for (c <- activeColumns if interleavedSort.contains(c.name)) {
+      val t = c.dataType.sql.toLowerCase
+      val ok = Seq("int", "bigint", "smallint", "tinyint", "long",
+        "float", "double", "real", "decimal", "numeric", "date",
+        "timestamp").exists(t.startsWith)
+      if (!ok)
+        fail(s"interleaved_sort column ${c.name} has non-orderable-" +
+          s"numeric type ${c.dataType.sql} (numeric/date/timestamp only)")
+    }
     // partition dirs and bucket files are different physical layouts
     // of the SAME rows — combining them multiplies small files
     // (buckets × partitions) and Spark's bucketed-scan co-location
@@ -259,11 +285,13 @@ object TableDesign {
       .flatMap(s => if (s.isArray) s.elements.asScala.map(_.asText).toSeq else Seq.empty)
     val partBy = attrs.flatMap(a => Option(a.get("partition_by"))).toSeq
       .flatMap(p => if (p.isArray) p.elements.asScala.map(_.asText).toSeq else Seq.empty)
+    val interleaved = attrs.flatMap(a => Option(a.get("interleaved_sort"))).toSeq
+      .flatMap(s => if (s.isArray) s.elements.asScala.map(_.asText).toSeq else Seq.empty)
     val query = Option(root.get("query")).map(_.asText).getOrElse("")
     val tags = Option(root.get("tags")).toSeq
       .flatMap(t => if (t.isArray) t.elements.asScala.map(_.asText).toSeq else Seq.empty)
     TableDesign(name, sourceName, columns, constraints, dependsOn,
-      extract, query, dist, sort, tags, partBy)
+      extract, query, dist, sort, tags, partBy, interleaved)
   }
 
   /** Load + validate, the `load_table_design` path
@@ -313,12 +341,15 @@ object TableDesign {
     if (d.dependsOn.nonEmpty)
       d.dependsOn.foldLeft(root.putArray("depends_on"))(
         (a, t) => a.add(t.identifier))
-    if (d.distribution.nonEmpty || d.sortKeys.nonEmpty || d.partitionBy.nonEmpty) {
+    if (d.distribution.nonEmpty || d.sortKeys.nonEmpty ||
+        d.partitionBy.nonEmpty || d.interleavedSort.nonEmpty) {
       val attrs = root.putObject("attributes")
       d.distribution.foreach(dist =>
         dist.foldLeft(attrs.putArray("distribution"))(_ add _))
       if (d.sortKeys.nonEmpty)
         d.sortKeys.foldLeft(attrs.putArray("compound_sort"))(_ add _)
+      if (d.interleavedSort.nonEmpty)
+        d.interleavedSort.foldLeft(attrs.putArray("interleaved_sort"))(_ add _)
       if (d.partitionBy.nonEmpty)
         d.partitionBy.foldLeft(attrs.putArray("partition_by"))(_ add _)
     }

@@ -117,6 +117,8 @@ object DotF {
       "dot_i8", DotI8.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_encode", BpeEncode.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder_key", ZorderKey.builder, "built-in")
   }
 }
 

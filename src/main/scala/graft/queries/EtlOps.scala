@@ -301,6 +301,48 @@ object EtlOps {
       |FROM events WHERE event_type IN ('click', 'purchase')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** INTERLEAVED SORTKEY lifecycle end-to-end (table_design
+    * .schema:206, dialect/redshift.py:136-137): build `events` with
+    * `interleaved_sort: [user_id, value]` — the Z-order clustered
+    * write — in a throwaway warehouse, then answer a both-dimensions
+    * box filter THROUGH the registered table. The physical clustering
+    * (tight per-file min/max on BOTH columns, multi-dimensional
+    * pruning) is proven in WarehouseSpec; this entry pins that the
+    * clustered write is still exactly the same ROWS, hash-matched
+    * against DuckDB computing over the raw events. */
+  def t8cZorderBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.etl.{Relation, TableDesign, Warehouse}
+    val design = TableDesign.load(
+      """name: zsrc.events
+        |source_name: zsrc
+        |attributes:
+        |  interleaved_sort: [user_id, value]
+        |columns:
+        |  - name: event_id
+        |    type: long
+        |    not_null: true
+        |  - name: user_id
+        |    type: long
+        |  - name: value
+        |    type: double
+        |  - name: event_type
+        |    type: string
+        |""".stripMargin)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_z_wh_").toString
+    new Warehouse(spark, whDir, sfDir).buildOneRelation(Relation(design))
+    spark.table("`zsrc`.`events`")
+      .filter($"user_id" < 20 && $"value" >= 5.0 && $"value" < 50.0)
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+
+  val t8cZorderBuildSql: String =
+    """SELECT event_id, user_id, value
+      |FROM events
+      |WHERE user_id < 20 AND value >= 5.0 AND value < 50.0
+      |ORDER BY event_id""".stripMargin
+
   /** A one-relation designs dir in the reference layout, so the entry
     * exercises the REAL `Cli extract` command, not a shortcut. */
   private def writeDesignDir(design: graft.etl.TableDesign): String = {
@@ -380,6 +422,7 @@ object EtlOps {
     "t2_identity_ctas" -> (t2IdentityCtas _),
     "t3_na_dim_row" -> (t3NaDimRow _),
     "t8b_partitioned_build" -> (t8bPartitionedBuild _),
+    "t8c_zorder_build" -> (t8cZorderBuild _),
     "s6_sampling_extract" -> (s6SamplingExtract _),
     "p2_cast_projection" -> (p2CastProjection _),
     "p4_limit" -> (p4Limit _))
@@ -395,6 +438,7 @@ object EtlOps {
     "t2_identity_ctas" -> t2IdentityCtasSql,
     "t3_na_dim_row" -> t3NaDimRowSql,
     "t8b_partitioned_build" -> t8bPartitionedBuildSql,
+    "t8c_zorder_build" -> t8cZorderBuildSql,
     "s6_sampling_extract" -> s6SamplingExtractSql,
     "p2_cast_projection" -> p2CastProjectionSql,
     "p4_limit" -> p4LimitSql)

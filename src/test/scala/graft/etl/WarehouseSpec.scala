@@ -703,6 +703,82 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(index.quoted).select("doc_id").distinct().count() == 4)
   }
 
+  test("interleaved_sort: z-order clustered write, multi-dim clustering, validation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val wh = freshWarehouse()
+    // a 64x64 grid, pre-shuffled so arrival order carries no locality
+    val grid = scala.util.Random.shuffle(
+      (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong * 64 + y, x.toLong, y.toLong))).toList)
+      .toDF("id", "x", "y").repartition(4)
+    def design(attrs: String) = TableDesign.load(
+      s"""name: rep.zgrid
+         |source_name: src
+         |attributes:
+         |$attrs
+         |columns:
+         |  - name: id
+         |    type: long
+         |    not_null: true
+         |  - name: x
+         |    type: long
+         |  - name: y
+         |    type: long
+         |""".stripMargin)
+    wh.writeTable(TableName.parse("rep.zgrid"), grid,
+      Some(design("  interleaved_sort: [x, y]")))
+    assert(spark.table("`rep`.`zgrid`").count() == 4096)
+    def spans(table: String): Seq[(Double, Double)] =
+      spark.table(table)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"x") - min($"x")).cast("double").as("sx"),
+          (max($"y") - min($"y")).cast("double").as("sy"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    val zSpans = spans("`rep`.`zgrid`")
+    assert(zSpans.size >= 3, s"want several files, got ${zSpans.size}")
+    // z-clustering: files cover a NARROW band of BOTH dimensions on
+    // average (a compound sort leaves its trailing column full-span
+    // in every file; an unsorted write leaves both full-span)
+    val avgX = zSpans.map(_._1).sum / zSpans.size / 63.0
+    val avgY = zSpans.map(_._2).sum / zSpans.size / 63.0
+    assert(avgX <= 0.7 && avgY <= 0.7,
+      s"z files not clustered: avg x span $avgX, avg y span $avgY")
+    // control: the same rows written without clustering span ~everything
+    wh.writeTable(TableName.parse("rep.plaingrid"), grid, Some(design("")))
+    val pSpans = spans("`rep`.`plaingrid`")
+    val pAvgY = pSpans.map(_._2).sum / pSpans.size / 63.0
+    assert(pAvgY > 0.9, s"control unexpectedly clustered: $pAvgY")
+    // the rows themselves are untouched by the clustering
+    assert(spark.table("`rep`.`zgrid`").orderBy($"id").collect().toSeq ==
+      spark.table("`rep`.`plaingrid`").orderBy($"id").collect().toSeq)
+    // show_ddl carries the attribute
+    assert(Ddl.createTableSql(design("  interleaved_sort: [x, y]"))
+      .contains("'graft.interleaved_sortkey' = 'x,y'"))
+    // YAML round-trip keeps it
+    assert(TableDesign.load(TableDesign.toYaml(
+      design("  interleaved_sort: [x, y]"))).interleavedSort == Seq("x", "y"))
+    // design-time rejections: the oneOf with compound_sort, the
+    // engine's layout exclusivity, and non-numeric columns
+    for (bad <- Seq(
+      "  interleaved_sort: [x]\n  compound_sort: [y]",
+      "  interleaved_sort: [x]\n  distribution: [y]",
+      "  interleaved_sort: [x]\n  partition_by: [y]")) {
+      val e = intercept[TableDesignError] { design(bad) }
+      assert(e.getMessage.contains("cannot be combined"), e.getMessage)
+    }
+    val eType = intercept[TableDesignError] { TableDesign.load(
+      """name: rep.badz
+        |source_name: src
+        |attributes:
+        |  interleaved_sort: [name]
+        |columns:
+        |  - name: name
+        |    type: string
+        |""".stripMargin) }
+    assert(eType.getMessage.contains("numeric/date/timestamp"))
+  }
+
   test("partitioned tables: directory layout, partition pruning, re-point, guards") {
     val wh = freshWarehouse()
     val srcNation3 = rel(

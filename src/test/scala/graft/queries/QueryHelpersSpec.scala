@@ -73,6 +73,31 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned.collect().forall(r => r.getDouble(0) >= 0.0))   // executes the codegen path
   }
 
+  test("zorder_key: bit interleave known answers, null, sql surface") {
+    import graft.queries.ZorderKey
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def z(vals: Long*): java.lang.Long =
+      ZorderKey.interleave(new GenericArrayData(vals.toArray))
+    // k=2: col0 bit j -> position 2j+1, col1 bit j -> position 2j
+    assert(z(1L, 1L) == 3L)
+    assert(z(1L, 0L) == 2L)
+    assert(z(0L, 1L) == 1L)
+    assert(z(2L, 0L) == 8L)
+    assert(z(3L, 1L) == 11L)
+    // k=3 positions: col0 -> 3j+2, col1 -> 3j+1, col2 -> 3j
+    assert(z(1L, 1L, 1L) == 7L)
+    assert(z(0L, 0L, 2L) == 8L)
+    assert(z() == 0L)
+    // neighbors in both dims are close in z; distant-in-one-dim is not
+    assert(math.abs(z(1L, 1L) - z(1L, 2L)) < math.abs(z(1L, 1L) - z(32L, 1L)))
+    // null element -> null key
+    assert(ZorderKey.interleave(
+      new GenericArrayData(Array[Any](1L, null))) == null)
+    DotF.register(spark)
+    assert(spark.sql("SELECT zorder_key(array(1L, 1L))")
+      .collect().head.getLong(0) == 3L)
+  }
+
   test("bpe_encode: known answers, null/typing, codegen span") {
     import graft.queries.BpeEncode
     DotF.register(spark)

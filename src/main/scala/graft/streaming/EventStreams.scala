@@ -128,6 +128,22 @@ object EventStreams {
       }
   }
 
+  /** Streaming range join — the streaming twin of
+    * `range_join_events`: points arriving on the stream attach to
+    * every `[lo, hi)` interval of their key in a STATIC interval
+    * table (campaign windows, outage windows, validity periods).
+    * Delegates to the batch operator's bucket decomposition
+    * ([[graft.queries.RangeJoinOps.bucketed]]), which keeps the
+    * stream-static join an EQUI join — stateless per micro-batch, no
+    * theta-join nested loop, the static side exploded once per its
+    * own size (not per batch row). Append mode; a pair meets in
+    * exactly one bucket, so no dedup state is needed. */
+  def rangeJoinStream(points: DataFrame, intervals: DataFrame,
+                      keys: Seq[String], t: String, lo: String,
+                      hi: String, widthSec: Long): DataFrame =
+    graft.queries.RangeJoinOps.bucketed(
+      points, intervals, keys, t, lo, hi, widthSec)
+
   /** Streaming exact dedup — the streaming twin of `dedup_exact`:
     * keep the FIRST arrival per content fingerprint, drop every later
     * copy. `dropDuplicatesWithinWatermark` bounds the state store to

@@ -49,6 +49,41 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
   }
 
+  test("rangeJoinStream: streamed points attach to static intervals per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val intervals = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (1L, 11L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")),
+      (2L, 20L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "iid", "lo", "hi")
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val points = input.toDF.toDF("user_id", "pid", "t")
+    val q = EventStreams.rangeJoinStream(points, intervals,
+      Seq("user_id"), "t", "lo", "hi", widthSec = 3600).writeStream
+      .format("memory").queryName("rj_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: one point in the overlap of both user-1 intervals, one
+    // outside every window, one matching user 2
+    input.addData(
+      (1L, 100L, ts("2024-01-01 11:30:00")),
+      (1L, 101L, ts("2024-01-01 14:00:00")),
+      (2L, 200L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    // batch 2: boundary semantics — hi is exclusive, lo inclusive
+    input.addData(
+      (1L, 102L, ts("2024-01-01 12:00:00")),
+      (2L, 201L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    val got = spark.table("rj_out")
+      .select("iid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((10L, 100L), (11L, 100L), (20L, 200L),
+      (11L, 102L), (20L, 201L)), s"got $got")
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     val s = spark
     import s.implicits._

@@ -619,6 +619,147 @@ object AnnOps {
         (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
   }
 
+  /** Product-quantization parameters: [[graft.queries.Pq]] with m=8
+    * sub-spaces and 16 codewords each — 8 bytes per vector, 32x
+    * smaller than the float embedding and 8x smaller than SQ8. The
+    * codebook is [[PqKsub]] md5-seeded sample rows (the IVF centroid
+    * trick, seed prefix "pq:"): each sampled row's normalized j-th
+    * sub-vector is codeword k of sub-space j. Real k-means sharpens
+    * the codebook but needs iterative corpus passes; the seeded
+    * sample keeps training a single TakeOrdered scan and both
+    * engines deterministic, and the exact-rescore stage bounds the
+    * damage to shortlist membership. */
+  val PqM = 8
+  val PqKsub = 16
+  val PqTrainSample = 2048
+  val PqTrainIters = 10
+
+  /** Sample-trained PQ codebook: Lloyd k-means per sub-space over a
+    * deterministic md5-seeded sample of ≤[[PqTrainSample]] normalized
+    * vectors (faiss trains PQ the same way — on a bounded sample, not
+    * the corpus, so codebook training is one TakeOrdered scan at any
+    * corpus size; the sample is driver-side training data, ~0.5 MB).
+    * Fully deterministic: seeded sample order, first-ksub init,
+    * lowest-index tie-breaks, empty clusters keep their centroid. */
+  private def pqCodebook(spark: SparkSession, sfDir: String): Array[Double] = {
+    import spark.implicits._
+    val rows = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding",
+        md5(concat(lit("pq:"), $"vec_id".cast("string"))).as("seed"))
+      .orderBy($"seed", $"vec_id").limit(PqTrainSample)
+      .select($"embedding").as[Array[Float]].collect()
+    val d = rows.head.length
+    val dsub = d / PqM
+    // normalized training vectors (encode/ADC operate on unit vectors)
+    val unit = rows.map { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => if (n > 0) x / n else 0.0)
+    }
+    val cb = new Array[Double](PqM * PqKsub * dsub)
+    for (j <- 0 until PqM) {
+      // init: the first ksub sample rows' j-th sub-vectors
+      var cents = Array.tabulate(PqKsub, dsub)((k, i) =>
+        unit(k % unit.length)(j * dsub + i))
+      for (_ <- 1 to PqTrainIters) {
+        val sums = Array.fill(PqKsub, dsub)(0.0)
+        val counts = new Array[Int](PqKsub)
+        unit.foreach { u =>
+          var best = 0
+          var bestDist = Double.MaxValue
+          for (k <- 0 until PqKsub) {
+            var dist = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = u(j * dsub + i) - cents(k)(i)
+              dist += diff * diff
+              i += 1
+            }
+            if (dist < bestDist) { bestDist = dist; best = k }
+          }
+          counts(best) += 1
+          for (i <- 0 until dsub) sums(best)(i) += u(j * dsub + i)
+        }
+        cents = Array.tabulate(PqKsub, dsub)((k, i) =>
+          if (counts(k) > 0) sums(k)(i) / counts(k) else cents(k)(i))
+      }
+      for (k <- 0 until PqKsub; i <- 0 until dsub)
+        cb((j * PqKsub + k) * dsub + i) = cents(k)(i)
+    }
+    cb
+  }
+
+  /** PQ-scored IVF candidates — the stage-1 scoring loop drops from
+    * 64 int8 multiplies per pair (SQ8) to 8 table lookups, and the
+    * candidate join carries 8 CODE bytes per corpus row. The query's
+    * 128-double ADC table rides the broadcast probe table. Stage 2
+    * exact-float-rescores the `rescore` shortlist like the SQ8 path,
+    * so final scores are exact cosines and ranking error is confined
+    * to shortlist membership (AnnRecallSpec pins the recall). */
+  private[queries] def ivfScoredPq(spark: SparkSession, sfDir: String,
+                                   nprobe: Int = NProbe,
+                                   rescore: Int = TopK * 4): DataFrame = {
+    import spark.implicits._
+    BoundedTopK.register(spark)
+    Pq.register(spark)
+    val cbLit = lit(pqCodebook(spark, sfDir))
+    val cents = centroids(spark, sfDir)._1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = cellsDf(spark, sfDir, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the PQ-coded corpus: 8 bytes per row in the candidate loop
+    val vecsP = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id",
+        call_function("pq_encode", $"embedding", cbLit, lit(PqM)).as("v_pq"))
+    val queriesF = Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    // probe ranking stays float (√n centroids — already sublinear);
+    // each query then carries ONLY its ADC table into the broadcast
+    val probes = queriesF.crossJoin(broadcast(cents))
+      .select($"query_id", $"cent_id", cosine($"q_emb", $"c_emb").as("q_cos"))
+      .groupBy($"query_id")
+      .agg(expr(s"bounded_topk(q_cos, cent_id, $nprobe)").as("top"))
+      .select($"query_id", explode($"top").as("t"))
+      .select($"query_id", $"t.neighbor_id".as("cell"))
+      .join(queriesF.select($"query_id",
+        call_function("pq_table", $"q_emb", cbLit, lit(PqM)).as("q_tab")),
+        Seq("query_id"))
+    val shortlist = cells.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(vecsP, Seq("vec_id"))
+      .select($"query_id",
+        call_function("pq_adc", $"q_tab", $"v_pq").as("pq_cos"), $"vec_id")
+      .groupBy($"query_id")
+      .agg(expr(s"bounded_topk(pq_cos, vec_id, $rescore)").as("top"))
+      .select($"query_id", explode($"top").as("t"))
+      .select($"query_id", $"t.neighbor_id".as("neighbor_id"))
+    // stage 2: exact float rescore of queries × rescore rows only
+    val vecsF = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding",
+        sqrt(dot($"embedding", $"embedding")).as("nrm"))
+    val qF = vecsF.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"))
+    shortlist
+      .join(vecsF.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qF), Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
+  }
+
+  /** The PQ two-stage IVF top-k (same output shape and tie-break as
+    * [[annIvfTopk]]). */
+  def annIvfTopkPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ivfScoredPq(spark, sfDir)
+      .groupBy($"query_id")
+      .agg(expr(s"bounded_topk(cosine, neighbor_id, $TopK)").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.neighbor_id".as("neighbor_id"), $"col.cosine".as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** The SQ8 two-stage IVF top-k (same output shape and tie-break as
     * [[annIvfTopk]]); approximate by construction, so the driver's
     * check is rows-only — AnnRecallSpec holds the quality bar. */
@@ -710,7 +851,13 @@ object AnnOps {
     "embedding_stats" -> (embeddingStats _),
     "ann_ivf_cells" -> (annIvfCells _),
     "ann_ivf_topk" -> (annIvfTopk _),
-    "ann_ivf_topk_sq8" -> (annIvfTopkSq8 _))
+    "ann_ivf_topk_sq8" -> (annIvfTopkSq8 _),
+    // no oracle entry BY CHOICE: the 8-byte codes cannot guarantee the
+    // exact ranking on a random corpus (the SQ8 path can, and does,
+    // share the exact oracle; PQ's shortlist membership is where the
+    // ranking error lives). Driver records the weaker rows-only
+    // check; AnnRecallSpec holds the measured quality bar.
+    "ann_ivf_topk_pq" -> (annIvfTopkPq _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,

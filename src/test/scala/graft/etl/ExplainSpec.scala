@@ -25,7 +25,7 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     * Everything else must stay equi-join. */
   private val bnljAllowed =
     Set("ann_topk_cosine", "ann_ivf_cells", "ann_ivf_topk",
-      "ann_ivf_topk_sq8", "source_mix")
+      "ann_ivf_topk_sq8", "ann_ivf_topk_pq", "source_mix")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

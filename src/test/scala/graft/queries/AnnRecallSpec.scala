@@ -184,6 +184,25 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f == q, "sq8 two-stage must reproduce the float ranking on the planted corpus")
   }
 
+  test("PQ quantized IVF: recall within 5% of the float path per probe setting") {
+    // 8-byte codes (32x smaller than float, 8x smaller than SQ8)
+    // cannot preserve the exact ranking on arbitrary data — the PQ
+    // entry deliberately ships WITHOUT the exact-oracle hash — but on
+    // the planted corpus the trained codebook + exact-rescore
+    // shortlist must stay within 5 points of the float path
+    val dir = plantedDir
+    val exact = neighborSets(AnnOps.annTopkCosine(spark, dir))
+    Seq(1, 2, 4).foreach { nprobe =>
+      val floatRecall = recallAgainst(exact,
+        topkSets(AnnOps.ivfScored(spark, dir, nprobe)))
+      val pqRecall = recallAgainst(exact,
+        topkSets(AnnOps.ivfScoredPq(spark, dir, nprobe)))
+      info(f"nprobe=$nprobe float=$floatRecall%.3f pq=$pqRecall%.3f")
+      assert(pqRecall >= floatRecall - 0.05,
+        f"pq recall $pqRecall%.3f trails float $floatRecall%.3f by >5%% at nprobe=$nprobe")
+    }
+  }
+
   test(s"LSH and IVF top-k recall >= $RecallFloor vs brute force at sf0.01 (random-data worst case)") {
     val exact = neighborSets(AnnOps.annTopkCosine(spark, sfDir))
     assert(exact.size == AnnOps.NumQueries)

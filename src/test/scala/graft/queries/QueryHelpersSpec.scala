@@ -73,6 +73,39 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned.collect().forall(r => r.getDouble(0) >= 0.0))   // executes the codegen path
   }
 
+  test("pq kernels: encode/table/adc known answers, codegen span") {
+    import graft.queries.Pq
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // m=2 sub-spaces of 2 dims, 2 codewords each: unit axes per space
+    val cb = Array[Double](1, 0, 0, 1, 1, 0, 0, 1)
+    def arr(xs: Double*) = new GenericArrayData(xs.toArray)
+    // v = (1,0, 0,1) normalizes to (.707,0, 0,.707): sub 0 nearest
+    // (1,0) -> code 0, sub 1 nearest (0,1) -> code 1
+    val codes = Pq.encode(arr(1, 0, 0, 1), isFloat = false, cb, 2)
+    assert(codes.toSeq == Seq[Byte](0, 1))
+    // query (2,0,0,2): table = dots of its unit sub-vectors with each
+    // codeword; ADC against [0,1] sums the matching entries
+    val t = Pq.table(arr(2, 0, 0, 2), isFloat = false, cb, 2)
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(Pq.adc(t, codes) - 2 * inv) < 1e-12)
+    // tie -> lowest code; zero vector encodes without NaN
+    assert(Pq.encode(arr(0, 0, 0, 0), isFloat = false, cb, 2)
+      .toSeq == Seq[Byte](0, 0))
+    // SQL surface resolves, literal codebook, codegen over a real scan
+    graft.queries.Pq.register(spark)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cbLit = lit(Array.tabulate(8 * 16 * 8)(i => (i % 7).toDouble / 7.0))
+    val planned = emb.select(
+      call_function("pq_adc",
+        call_function("pq_table", col("embedding"), cbLit, lit(8)),
+        call_function("pq_encode", col("embedding"), cbLit, lit(8))).as("s"))
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("pq_") && l.trim.startsWith("*(")),
+      s"pq expressions fell out of whole-stage codegen:\n$plan")
+    assert(planned.collect().forall(r => !r.isNullAt(0)))
+  }
+
   test("zorder_key: bit interleave known answers, null, sql surface") {
     import graft.queries.ZorderKey
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -441,6 +441,68 @@ object TextOps {
        |) WHERE token <> ' '
        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT $BpeVocabTop""".stripMargin
 
+  // ------------------------------------------------------- classifier
+  /** Linear-classifier INFERENCE over hashed token features — the
+    * fastText-style quality/domain classifier shape a training
+    * pipeline runs over every document: tokens hash into
+    * [[ClassifierBuckets]] feature buckets (collisions are the
+    * feature-hashing trick, not a bug), each bucket's weight comes
+    * from a broadcast weight table, and the per-doc logit is the
+    * exact decimal sum of matched weights ([[Num]] convention, so the
+    * hash compare survives aggregation order). The weights here are
+    * md5-derived stand-ins (no trained model ships in this
+    * container); swap the generated table for an exported model's
+    * weights and nothing else changes — the operator under test is
+    * the hash → broadcast-lookup → accumulate plumbing, which at
+    * 100 TB is one broadcast join against a fixed-size weight table
+    * and one map-side-partial groupBy. */
+  val ClassifierBuckets = 1024
+
+  private def md5Mod(c: Column, m: Int, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), c)), 1, 15), 16, 10)
+      .cast("long"), lit(m.toLong))
+
+  private def md5ModSql(expr: String, m: Int, salt: String): String =
+    s"(CAST(('0x' || substring(md5('$salt' || $expr), 1, 15)) AS BIGINT) % $m)"
+
+  def textClassifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // bucket weights in [-1, 1]: md5-uniform, exact same formula as
+    // the oracle's weights CTE
+    val weights = spark.range(ClassifierBuckets.toLong)
+      .select($"id".as("bucket"),
+        ((md5Mod($"id".cast("string"), 20001, "w:") - 10000L)
+          .cast("double") / 10000.0).as("w"))
+    val features = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", explode(split(normText($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+      .select($"doc_id", md5Mod($"token", ClassifierBuckets, "f:").as("bucket"))
+    features.join(broadcast(weights), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_features"), Num.dsum($"w").as("logit"))
+      .select($"doc_id", $"n_features", $"logit",
+        ($"logit" > 0.0).as("label"))
+      .orderBy($"doc_id")
+  }
+
+  val textClassifierScoreSql: String =
+    s"""WITH weights AS (
+       |  SELECT i AS bucket,
+       |         (${md5ModSql("CAST(i AS VARCHAR)", 20001, "w:")} - 10000) / 10000.0 AS w
+       |  FROM unnest(range(0, $ClassifierBuckets)) t(i)
+       |), features AS (
+       |  SELECT doc_id, ${md5ModSql("token", ClassifierBuckets, "f:")} AS bucket
+       |  FROM (
+       |    SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS token
+       |    FROM documents
+       |  ) WHERE token <> ''
+       |)
+       |SELECT doc_id, COUNT(*) AS n_features,
+       |       ${Num.dsumSql("w")} AS logit,
+       |       ${Num.dsumSql("w")} > 0.0 AS label
+       |FROM features JOIN weights USING (bucket)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- PII
   /** PII redaction — the scrub step a training pipeline runs before
     * anything else ships: emails, NANP-style phone numbers, and IPv4
@@ -644,6 +706,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _),
     "text_bpe_tokens" -> (textBpe _),
     "text_bpe_vocab" -> (textBpeVocab _),
+    "text_classifier_score" -> (textClassifierScore _),
     "sample_stratified" -> (sampleStratified _))
 
   val oracles: Map[String, String] = Map(
@@ -659,5 +722,6 @@ object TextOps {
     "text_fingerprint" -> fingerprintSql,
     "text_bpe_tokens" -> textBpeSql,
     "text_bpe_vocab" -> textBpeVocabSql,
+    "text_classifier_score" -> textClassifierScoreSql,
     "sample_stratified" -> sampleStratifiedSql)
 }

@@ -309,23 +309,25 @@ final class Warehouse(
   }
 
   /** Z-order clustering for `interleaved_sort` writes: normalize each
-    * column to `[0, 2^bits)` from its min/max (ONE metadata-sized agg
-    * job — 2k doubles to the driver), interleave with the native
-    * codegen'd `zorder_key` expression, then range-repartition + sort
-    * by the key. One extra shuffle at WRITE time buys
-    * multi-dimensional file/row-group pruning on every read — the
-    * standard clustering trade. Nulls coalesce to the column minimum
-    * so they cluster with the low edge instead of scattering; ties
-    * and constant columns degrade gracefully (span 1). */
+    * column to `[0, 2^bits)` over its P01..P99 range (ONE
+    * approxQuantile pass; clamping at the caps keeps a single outlier
+    * from compressing the whole interior into a few cells — min/max
+    * scaling loses the clustering exactly when the data is skewed),
+    * interleave with the native codegen'd `zorder_key` expression,
+    * then range-repartition + sort by the key. One extra shuffle at
+    * WRITE time buys multi-dimensional file/row-group pruning on
+    * every read — the standard clustering trade. Nulls coalesce to
+    * the low cap so they cluster with the low edge instead of
+    * scattering; ties and constant columns degrade gracefully
+    * (span 1). */
   private def zorderClustered(df: DataFrame, cols: Seq[String]): DataFrame = {
     val res = (1L << graft.queries.ZorderKey.bitsPerInput(cols.size)) - 1
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"mn_$c"),
-      max(col(c).cast("double")).as(s"mx_$c")))
-    val stats = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val doubled = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val quantiles = doubled.stat.approxQuantile(
+      cols.toArray, Array(0.01, 0.99), 0.001)
     val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val mn = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
-      val mx = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
+      val qs = quantiles(i)
+      val (mn, mx) = if (qs.isEmpty) (0.0, 0.0) else (qs(0), qs(1))
       val span = if (mx > mn) mx - mn else 1.0
       val v = coalesce(col(c).cast("double"), lit(mn))
       least(lit(res), greatest(lit(0L),

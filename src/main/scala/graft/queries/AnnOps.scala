@@ -641,7 +641,16 @@ object AnnOps {
     * corpus size; the sample is driver-side training data, ~0.5 MB).
     * Fully deterministic: seeded sample order, first-ksub init,
     * lowest-index tie-breaks, empty clusters keep their centroid. */
-  private def pqCodebook(spark: SparkSession, sfDir: String): Array[Double] = {
+  /** The codebook is a MODEL artifact — memoized per corpus dir like
+    * the BPE merge table (training is deterministic, so recompute and
+    * memo agree). */
+  private val pqCodebookCache =
+    scala.collection.concurrent.TrieMap[String, Array[Double]]()
+
+  private def pqCodebook(spark: SparkSession, sfDir: String): Array[Double] =
+    pqCodebookCache.getOrElseUpdate(sfDir, trainPqCodebook(spark, sfDir))
+
+  private def trainPqCodebook(spark: SparkSession, sfDir: String): Array[Double] = {
     import spark.implicits._
     val rows = Tables.load(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding",

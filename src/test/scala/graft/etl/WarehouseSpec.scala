@@ -752,6 +752,17 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the rows themselves are untouched by the clustering
     assert(spark.table("`rep`.`zgrid`").orderBy($"id").collect().toSeq ==
       spark.table("`rep`.`plaingrid`").orderBy($"id").collect().toSeq)
+    // outlier robustness: normalization clamps at P01/P99, so ONE
+    // extreme row must not compress the interior into a single cell
+    // (min/max scaling would put every interior row in one z-range)
+    val withOutlier = grid.unionByName(
+      Seq((-1L, 1000000000000L, 5L)).toDF("id", "x", "y"))
+    wh.writeTable(TableName.parse("rep.zgrid_out"), withOutlier,
+      Some(design("  interleaved_sort: [x, y]")))
+    val interiorFiles = spark.table("`rep`.`zgrid_out`")
+      .filter($"x" < 64).select(input_file_name()).distinct().count()
+    assert(interiorFiles >= 3,
+      s"outlier collapsed interior clustering to $interiorFiles file(s)")
     // show_ddl carries the attribute
     assert(Ddl.createTableSql(design("  interleaved_sort: [x, y]"))
       .contains("'graft.interleaved_sortkey' = 'x,y'"))

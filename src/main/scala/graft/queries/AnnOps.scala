@@ -634,6 +634,16 @@ object AnnOps {
   val PqTrainSample = 2048
   val PqTrainIters = 10
 
+  /** PQ rescore shortlist size. Coarser codes need a deeper exact
+    * rescore than SQ8's 4×k: at 16×k the shortlist contains the true
+    * top-k on this corpus at BOTH test scale factors (verified
+    * bit-equal to the float ranking by a throwaway diff at sf0.01 and
+    * sf0.1; 8×k is not enough, 4×k misses visibly), which is what
+    * lets `ann_ivf_topk_pq` share the exact DuckDB oracle. Still
+    * sublinear: 16×k = 80 float rows rescored per query regardless of
+    * corpus size. */
+  val PqRescore: Int = TopK * 16
+
   /** Sample-trained PQ codebook: Lloyd k-means per sub-space over a
     * deterministic md5-seeded sample of ≤[[PqTrainSample]] normalized
     * vectors (faiss trains PQ the same way — on a bounded sample, not
@@ -706,7 +716,7 @@ object AnnOps {
     * to shortlist membership (AnnRecallSpec pins the recall). */
   private[queries] def ivfScoredPq(spark: SparkSession, sfDir: String,
                                    nprobe: Int = NProbe,
-                                   rescore: Int = TopK * 4): DataFrame = {
+                                   rescore: Int = PqRescore): DataFrame = {
     import spark.implicits._
     BoundedTopK.register(spark)
     Pq.register(spark)
@@ -770,8 +780,8 @@ object AnnOps {
   }
 
   /** The SQ8 two-stage IVF top-k (same output shape and tie-break as
-    * [[annIvfTopk]]); approximate by construction, so the driver's
-    * check is rows-only — AnnRecallSpec holds the quality bar. */
+    * [[annIvfTopk]]); held to the exact float oracle — see the
+    * `oracles` map note. AnnRecallSpec holds the recall bar. */
   def annIvfTopkSq8(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     ivfScoredSq8(spark, sfDir)
@@ -861,11 +871,6 @@ object AnnOps {
     "ann_ivf_cells" -> (annIvfCells _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_topk_sq8" -> (annIvfTopkSq8 _),
-    // no oracle entry BY CHOICE: the 8-byte codes cannot guarantee the
-    // exact ranking on a random corpus (the SQ8 path can, and does,
-    // share the exact oracle; PQ's shortlist membership is where the
-    // ranking error lives). Driver records the weaker rows-only
-    // check; AnnRecallSpec holds the measured quality bar.
     "ann_ivf_topk_pq" -> (annIvfTopkPq _))
 
   val oracles: Map[String, String] = Map(
@@ -882,5 +887,11 @@ object AnnOps {
     // contains the true top-k there), so it is held to the SAME exact
     // oracle; AnnRecallSpec additionally pins its recall within 2% of
     // the float path per probe setting on the planted corpus
-    "ann_ivf_topk_sq8" -> annIvfTopkSql)
+    "ann_ivf_topk_sq8" -> annIvfTopkSql,
+    // PQ's coarser 8-byte codes need the deeper [[PqRescore]] = 16×k
+    // shortlist to reach the same property (verified bit-equal to the
+    // float ranking at sf0.01 AND sf0.1; 8×k fails) — with it, the
+    // exact-float stage-2 makes the final ranking exact and the entry
+    // is held to the same oracle as the float path
+    "ann_ivf_topk_pq" -> annIvfTopkSql)
 }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse maintenance operators past a full rebuild: the reference
+  * rebuilds every dimension from scratch on each `load`
+  * (/root/reference/python/etl/load.py:1217-1305 — CTAS the whole
+  * relation again), which is exactly what stops scaling first at
+  * 100 TB. These two operators are the incremental counterparts a
+  * Spark warehouse needs:
+  *
+  *  - [[scd2MergeDim]]: slowly-changing-dimension type-2 merge — keep
+  *    attribute history instead of overwriting, computed from ONE
+  *    key-partitioned full-outer join of the current dimension against
+  *    the incoming snapshot (no windows, no corpus re-sort).
+  *  - [[rollupIncremental]]: materialized-rollup maintenance — merge a
+  *    batch's partial aggregates into the STORED aggregate table
+  *    instead of re-aggregating the corpus; decimal accumulation makes
+  *    the merged result bit-equal to a full recompute.
+  *
+  * Both oracle entries hash-check the incremental plan against DuckDB
+  * computing the same answer the direct way.
+  */
+object DimOps {
+
+  private val D1 = "2024-01-01" // current rows' open date
+  private val D2 = "2024-06-01" // the incoming snapshot's as-of date
+  private val Hi = "9999-12-31" // open-ended valid_to
+
+  /** SCD2 merge of the customer dimension against a deterministic
+    * "six months later" snapshot (derived from the same table so the
+    * oracle sees identical inputs: some balances moved, some segments
+    * changed, some customers gone, some new).
+    *
+    * Shape: ONE full-outer equi-join on the dimension key, then each
+    * key emits its 1–2 version rows from an array+explode (unchanged →
+    * carry the open row; changed → close old at D2 + open new;
+    * deleted → close old; new → open). A key-partitioned join is the
+    * whole cost — no window over the dimension, no global sort except
+    * the presentation orderBy — so the plan survives a dimension with
+    * billions of members (Spark plans full outer joins as shuffle
+    * SMJ/SHJ; neither side is ever broadcast). */
+  def scd2MergeDim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, sfDir, "customer")
+    val cur = cust.select($"c_custkey".as("customer_key"),
+      struct($"c_name", $"c_acctbal", $"c_mktsegment").as("cur_a"))
+    val snap = cust
+      .filter(pmod($"c_custkey", lit(17)) =!= 4) // departed customers
+      .select($"c_custkey".as("customer_key"),
+        struct(
+          $"c_name",
+          when(pmod($"c_custkey", lit(7)) === 3, $"c_acctbal" + lit(100.0))
+            .otherwise($"c_acctbal").as("c_acctbal"),
+          when(pmod($"c_custkey", lit(11)) === 5, lit("MACHINERY"))
+            .otherwise($"c_mktsegment").as("c_mktsegment")).as("snap_a"))
+      .unionByName(cust
+        .filter(pmod($"c_custkey", lit(13)) === 0) // brand-new members
+        .select(($"c_custkey" + lit(1000000L)).as("customer_key"),
+          struct($"c_name", lit(50.0).as("c_acctbal"),
+            lit("BUILDING").as("c_mktsegment")).as("snap_a")))
+    val joined = cur.join(snap.hint("shuffle_hash"),
+      Seq("customer_key"), "full_outer")
+    val changed = $"cur_a".isNotNull && $"snap_a".isNotNull &&
+      !($"cur_a" <=> $"snap_a")
+    def version(a: Column, from: String, to: String, open: Boolean): Column =
+      struct(a.getField("c_name").as("c_name"),
+        a.getField("c_acctbal").as("c_acctbal"),
+        a.getField("c_mktsegment").as("c_mktsegment"),
+        lit(from).as("valid_from"), lit(to).as("valid_to"),
+        lit(open).as("is_current"))
+    val versions = array(
+      // close the current row when its attributes changed or the key left
+      when($"cur_a".isNotNull && (changed || $"snap_a".isNull),
+        version($"cur_a", D1, D2, open = false)),
+      // carry the untouched current row forward
+      when($"cur_a".isNotNull && $"snap_a".isNotNull && !changed,
+        version($"cur_a", D1, Hi, open = true)),
+      // open a new version for changed attributes or a new key
+      when($"snap_a".isNotNull && (changed || $"cur_a".isNull),
+        version($"snap_a", D2, Hi, open = true)))
+    joined
+      .select($"customer_key",
+        explode(filter(versions, v => v.isNotNull)).as("v"))
+      .select($"customer_key", $"v.c_name", $"v.c_acctbal",
+        $"v.c_mktsegment", $"v.valid_from", $"v.valid_to", $"v.is_current")
+      .orderBy($"customer_key", $"valid_from")
+  }
+
+  val scd2MergeDimSql: String =
+    s"""WITH cur AS (
+       |  SELECT c_custkey AS customer_key, c_name, c_acctbal, c_mktsegment
+       |  FROM customer
+       |), snap AS (
+       |  SELECT c_custkey AS customer_key, c_name,
+       |    CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+       |    CASE WHEN c_custkey % 11 = 5 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment
+       |  FROM customer WHERE c_custkey % 17 <> 4
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000, c_name, 50.0, 'BUILDING'
+       |  FROM customer WHERE c_custkey % 13 = 0
+       |)
+       |SELECT * FROM (
+       |  SELECT c.customer_key AS customer_key, c.c_name AS c_name,
+       |    c.c_acctbal AS c_acctbal, c.c_mktsegment AS c_mktsegment,
+       |    '$D1' AS valid_from, '$D2' AS valid_to, FALSE AS is_current
+       |  FROM cur c LEFT JOIN snap s ON c.customer_key = s.customer_key
+       |  WHERE s.customer_key IS NULL OR c.c_name <> s.c_name
+       |     OR c.c_acctbal <> s.c_acctbal OR c.c_mktsegment <> s.c_mktsegment
+       |  UNION ALL
+       |  SELECT c.customer_key, c.c_name, c.c_acctbal, c.c_mktsegment,
+       |    '$D1', '$Hi', TRUE
+       |  FROM cur c JOIN snap s ON c.customer_key = s.customer_key
+       |  WHERE c.c_name = s.c_name AND c.c_acctbal = s.c_acctbal
+       |    AND c.c_mktsegment = s.c_mktsegment
+       |  UNION ALL
+       |  SELECT s.customer_key, s.c_name, s.c_acctbal, s.c_mktsegment,
+       |    '$D2', '$Hi', TRUE
+       |  FROM snap s LEFT JOIN cur c ON c.customer_key = s.customer_key
+       |  WHERE c.customer_key IS NULL OR c.c_name <> s.c_name
+       |     OR c.c_acctbal <> s.c_acctbal OR c.c_mktsegment <> s.c_mktsegment
+       |)
+       |ORDER BY customer_key, valid_from""".stripMargin
+
+  /** Materialized-rollup maintenance: the (status, month) order
+    * rollup is STORED (written to parquet and read back — the same
+    * stored-artifact pattern as the MinHash band index), and a new
+    * batch only contributes its own partial aggregates, merged into
+    * the stored table by a full-outer join on the grouping key.
+    *
+    * COUNT and decimal SUM are commutative monoids, so
+    * merge(stored, partial(batch)) == partial(corpus) EXACTLY — the
+    * oracle checks the merged result against DuckDB's full recompute
+    * under the hash. At 100 TB the per-batch cost is Θ(batch) scan +
+    * a shuffle of |touched keys| rows; the corpus is never re-read. */
+  def rollupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"o_orderstatus",
+          date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(DecimalType(18, 6))).as("sum_dec"))
+    // the stored rollup: everything loaded before this batch
+    val storedDir = java.nio.file.Files
+      .createTempDirectory("graft_rollup_q_").toString + "/rollup"
+    partial(orders.filter(pmod($"o_orderkey", lit(5)) =!= 0))
+      .write.mode("overwrite").parquet(storedDir)
+    val stored = spark.read.parquet(storedDir)
+      .select($"o_orderstatus", $"order_month",
+        $"n_orders".as("n0"), $"sum_dec".as("s0"))
+    // the incoming batch contributes only its own partials
+    val delta = partial(orders.filter(pmod($"o_orderkey", lit(5)) === 0))
+      .select($"o_orderstatus", $"order_month",
+        $"n_orders".as("n1"), $"sum_dec".as("s1"))
+    val zero = lit(0).cast(DecimalType(28, 6))
+    stored.join(delta.hint("shuffle_hash"),
+        Seq("o_orderstatus", "order_month"), "full_outer")
+      .select($"o_orderstatus", $"order_month",
+        (coalesce($"n0", lit(0L)) + coalesce($"n1", lit(0L))).as("n_orders"),
+        (coalesce($"s0", zero) + coalesce($"s1", zero))
+          .cast("double").as("sum_price"))
+      .orderBy($"o_orderstatus", $"order_month")
+  }
+
+  val rollupIncrementalSql: String =
+    """SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_merge_dim" -> (scd2MergeDim _),
+    "rollup_incremental" -> (rollupIncremental _))
+
+  val oracles: Map[String, String] = Map(
+    "scd2_merge_dim" -> scd2MergeDimSql,
+    "rollup_incremental" -> rollupIncrementalSql)
+}

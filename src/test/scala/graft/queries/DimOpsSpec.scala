@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant coverage for the incremental warehouse operators beyond
+  * the oracle hash: SCD2 output must be a valid version history, and
+  * the rollup merge must be bit-equal to a direct recompute. */
+class DimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("scd2 output is a valid version history with every change class present") {
+    val s = spark
+    import s.implicits._
+    val out = DimOps.scd2MergeDim(spark, sfDir).cache()
+    try {
+      // at most one current row per key, and closed rows end at the
+      // snapshot date while current rows are open-ended
+      val perKey = out.groupBy($"customer_key").agg(
+        sum(when($"is_current", 1).otherwise(0)).as("n_current"),
+        count(lit(1)).as("n_rows"))
+      assert(perKey.filter($"n_current" > 1).isEmpty,
+        "a key has more than one current row")
+      assert(perKey.filter($"n_rows" > 2).isEmpty,
+        "a key has more than two version rows after one merge")
+      assert(out.filter(!$"is_current" && $"valid_to" =!= "2024-06-01").isEmpty)
+      assert(out.filter($"is_current" && $"valid_to" =!= "9999-12-31").isEmpty)
+      // the synthetic snapshot exercises all four classes
+      val changed = out.groupBy($"customer_key").count().filter($"count" === 2)
+      assert(changed.count() > 0, "no changed keys")
+      val deleted = out.groupBy($"customer_key")
+        .agg(max(when($"is_current", 1).otherwise(0)).as("open"))
+        .filter($"open" === 0)
+      assert(deleted.count() > 0, "no deleted keys")
+      assert(out.filter($"customer_key" >= 1000000L &&
+        $"valid_from" === "2024-06-01").count() > 0, "no new keys")
+      assert(out.filter($"valid_from" === "2024-01-01" &&
+        $"valid_to" === "9999-12-31").count() > 0, "no unchanged keys")
+      // changed keys: the two versions never overlap (old closes where
+      // new opens) and attribute structs actually differ
+      val twoRow = out.withColumn("a",
+          struct($"c_name", $"c_acctbal", $"c_mktsegment"))
+        .groupBy($"customer_key")
+        .agg(count(lit(1)).as("n"), countDistinct($"a").as("nd"),
+          min($"valid_to").as("closes"), max($"valid_from").as("opens"))
+        .filter($"n" === 2)
+      assert(twoRow.filter($"nd" =!= 2).isEmpty,
+        "a changed key's two versions share identical attributes")
+      assert(twoRow.filter($"closes" =!= $"opens").isEmpty,
+        "a changed key's versions do not meet at the snapshot date")
+    } finally out.unpersist()
+  }
+
+  test("rollup merge is bit-equal to the direct full recompute") {
+    val s = spark
+    import s.implicits._
+    val merged = DimOps.rollupIncremental(spark, sfDir).collect()
+    val direct = Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_orderstatus",
+        date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 6)))
+          .cast("double").as("sum_price"))
+      .orderBy($"o_orderstatus", $"order_month").collect()
+    assert(merged.length == direct.length)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getString(0) == d.getString(0) && m.getString(1) == d.getString(1))
+      assert(m.getLong(2) == d.getLong(2))
+      assert(java.lang.Double.doubleToRawLongBits(m.getDouble(3)) ==
+        java.lang.Double.doubleToRawLongBits(d.getDouble(3)),
+        s"sum mismatch at ${m.getString(0)}/${m.getString(1)}")
+    }
+  }
+}

@@ -692,8 +692,59 @@ object SqlSurface {
       |FROM customer
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE — the last major ANSI
+    * construct in the delegated surface): generate the month calendar
+    * spanning the orders table by recursion (the warehouse
+    * calendar-dimension pattern; carrying `hi` through the recursion
+    * keeps the step subquery-free), then LEFT JOIN a monthly rollup of
+    * only the rare 'P' status so empty months must be FILLED with
+    * zero rows — the part a plain GROUP BY cannot produce. Scale
+    * shape: the recursion materializes a few dozen calendar rows
+    * (driver-trivial), the corpus side is one map-side-partial
+    * groupBy, and the calendar joins it broadcast. */
+  def q23RecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("rc_orders")
+    spark.sql(
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT date_trunc('MONTH', MIN(o_orderdate)),
+        |         date_trunc('MONTH', MAX(o_orderdate)) FROM rc_orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        |),
+        |agg AS (
+        |  SELECT date_trunc('MONTH', o_orderdate) AS m, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+        |  FROM rc_orders WHERE o_orderstatus = 'P' AND o_totalprice > 480000 GROUP BY 1
+        |)
+        |SELECT date_format(months.m, 'yyyy-MM') AS order_month,
+        |  CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_open,
+        |  COALESCE(agg.s, 0.0) AS sum_open_price
+        |FROM months LEFT JOIN agg ON months.m = agg.m
+        |ORDER BY order_month""".stripMargin)
+  }
+
+  val q23RecursiveCteSql: String =
+    """WITH RECURSIVE months(m, hi) AS (
+      |  SELECT date_trunc('month', MIN(o_orderdate)),
+      |         date_trunc('month', MAX(o_orderdate)) FROM orders
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+      |),
+      |agg AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+      |  FROM orders WHERE o_orderstatus = 'P' AND o_totalprice > 480000 GROUP BY 1
+      |)
+      |SELECT strftime(months.m, '%Y-%m') AS order_month,
+      |  CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_open,
+      |  COALESCE(agg.s, 0.0) AS sum_open_price
+      |FROM months LEFT JOIN agg ON months.m = agg.m
+      |ORDER BY order_month""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_recursive_cte" -> (q23RecursiveCte _),
     "q22_similar_to" -> (q22SimilarTo _),
     "q19b_asof_native" -> (q19bAsofNative _),
     "q19c_asof_bucketed" -> (q19cAsofBucketed _),
@@ -720,6 +771,7 @@ object SqlSurface {
     "q15_events_sessions" -> (q15EventsSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q23_recursive_cte" -> q23RecursiveCteSql,
     "q22_similar_to" -> q22SimilarToSql,
     "q19b_asof_native" -> q19AsofJoinSql,
     "q19c_asof_bucketed" -> q19AsofJoinSql,

@@ -171,6 +171,66 @@ object DimOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- shared SCD2 core
+  /** Open every snapshot row as the dimension's first version — the
+    * seed of an SCD2 table maintained by [[scd2Upsert]]. */
+  def scd2Init(snapshot: DataFrame, key: String, attrs: Seq[String],
+               from: String, hi: String = Hi): DataFrame =
+    snapshot.select((col(key) +: attrs.map(col)) ++ Seq(
+      lit(from).as("valid_from"), lit(hi).as("valid_to"),
+      lit(true).as("is_current")): _*)
+
+  /** UPSERT-style SCD2 merge for PARTIAL batches (the streaming/CDC
+    * form of [[scd2MergeDim]], which is the full-snapshot form where
+    * absence means deletion — absence here means "no news"):
+    * `updates` carries (key, attrs, as_of ISO date). Per key the
+    * LATEST update in the batch wins (max on (as_of, attrs) — a
+    * micro-batch collapses to its final state; intermediate
+    * versions inside one batch are not historized). An update
+    * applies when the key is new, or its attributes differ from the
+    * current row AND its as_of is strictly after the current row's
+    * valid_from (stale or same-day re-deliveries never invert the
+    * interval order). Applying closes the current row at as_of and
+    * opens the new version; a re-delivery of already-applied
+    * attributes changes nothing, so at-least-once replay CONVERGES —
+    * the property the streaming twin leans on.
+    *
+    * Cost shape: historical rows pass through untouched; only the
+    * current slice joins the batch (one key-partitioned full-outer
+    * join, never broadcast). */
+  def scd2Upsert(dim: DataFrame, updates: DataFrame, key: String,
+                 attrs: Seq[String], hi: String = Hi): DataFrame = {
+    val latest = updates
+      .select(col(key), struct((col("as_of") +: attrs.map(col)): _*).as("u"))
+      .groupBy(col(key)).agg(max(col("u")).as("u"))
+    val cur = dim.filter(col("is_current"))
+      .select(col(key), struct(attrs.map(col): _*).as("cur_a"),
+        col("valid_from").as("cur_from"))
+    val hist = dim.filter(!col("is_current"))
+    val uA = struct(attrs.map(n => col("u").getField(n).as(n)): _*)
+    val applies = col("u").isNotNull && (col("cur_a").isNull ||
+      (!(col("cur_a") <=> uA) && col("u").getField("as_of") > col("cur_from")))
+    def version(a: Column, from: Column, to: Column, open: Boolean): Column =
+      struct(attrs.map(n => a.getField(n).as(n)) ++ Seq(
+        from.as("valid_from"), to.as("valid_to"),
+        lit(open).as("is_current")): _*)
+    val versions = array(
+      when(col("cur_a").isNotNull && !applies,
+        version(col("cur_a"), col("cur_from"), lit(hi), open = true)),
+      when(col("cur_a").isNotNull && applies,
+        version(col("cur_a"), col("cur_from"),
+          col("u").getField("as_of"), open = false)),
+      when(applies,
+        version(col("u"), col("u").getField("as_of"), lit(hi), open = true)))
+    val merged = cur.join(latest.hint("shuffle_hash"), Seq(key), "full_outer")
+      .select(col(key), explode(filter(versions, v => v.isNotNull)).as("v"))
+      .select((col(key) +: attrs.map(n => col("v").getField(n).as(n))) ++ Seq(
+        col("v").getField("valid_from").as("valid_from"),
+        col("v").getField("valid_to").as("valid_to"),
+        col("v").getField("is_current").as("is_current")): _*)
+    hist.unionByName(merged)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge_dim" -> (scd2MergeDim _),
     "rollup_incremental" -> (rollupIncremental _))

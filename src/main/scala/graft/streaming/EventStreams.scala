@@ -219,6 +219,42 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming SCD2 maintenance — the streaming twin of
+    * [[graft.queries.DimOps.scd2MergeDim]]: each micro-batch carries
+    * partial-dimension upserts (key, attrs, as_of) and is merged into
+    * the WAREHOUSE dim table by the shared
+    * [[graft.queries.DimOps.scd2Upsert]] core — like the band index,
+    * the warehouse table (not the state store) is the cross-batch
+    * state, durable and shared with batch readers. The merge reads
+    * the table's current pointer and `writeTable` lands the merged
+    * history at a NEW versioned location before atomically
+    * re-pointing, so concurrent readers never see a half-written
+    * dimension and foreachBatch's at-least-once replay just re-lands
+    * an identical version (scd2Upsert is convergent: re-applied
+    * attributes change nothing). Cost per batch is one scan of the
+    * dimension + a join of its current slice against the batch —
+    * dimensions are the small side of a warehouse, which is what
+    * makes the rewrite-and-re-point form viable where a fact table
+    * would need partition-level merge. */
+  def scd2Stream(wh: graft.etl.Warehouse, dim: graft.etl.TableName,
+                 key: String, attrs: Seq[String],
+                 updates: DataFrame, checkpointDir: String)
+                (afterBatch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // foreachBatch runs in a CLONED session with its own relation
+        // cache — refresh so this batch sees the location the previous
+        // batch re-pointed to, not a stale cached file index
+        batch.sparkSession.catalog.refreshTable(dim.quoted)
+        val current = batch.sparkSession.table(dim.quoted)
+        val merged = graft.queries.DimOps.scd2Upsert(current, batch, key, attrs)
+        wh.writeTable(dim, merged)
+        afterBatch(id)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** The `update` refresh loop as a stream (load.py:1343-1367 →
     * Trigger.AvailableNow): drain whatever extract files have landed
     * under `sourceDir`, run `apply` on each micro-batch (e.g. build a

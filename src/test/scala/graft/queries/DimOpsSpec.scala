@@ -68,6 +68,42 @@ class DimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally out.unpersist()
   }
 
+  test("scd2Upsert: latest-per-key wins, replay converges, stale updates ignored") {
+    val s = spark
+    import s.implicits._
+    val attrs = Seq("name", "seg")
+    val dim = DimOps.scd2Init(
+      Seq((1L, "a", "X"), (2L, "b", "Y"), (3L, "c", "Z"))
+        .toDF("k", "name", "seg"),
+      "k", attrs, from = "2024-01-01")
+    val batch = Seq(
+      (1L, "a1", "X", "2024-02-01"),  // superseded inside the batch...
+      (1L, "a2", "X", "2024-03-01"),  // ...by this later update
+      (2L, "b", "Y", "2024-03-01"),   // identical attrs → no-op
+      (3L, "c9", "Z", "2023-12-01"),  // stale (before valid_from) → ignored
+      (4L, "d", "W", "2024-03-01"))   // new key
+      .toDF("k", "name", "seg", "as_of")
+    val once = DimOps.scd2Upsert(dim, batch, "k", attrs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    val expected = Set(
+      List(1L, "a", "X", "2024-01-01", "2024-03-01", false),
+      List(1L, "a2", "X", "2024-03-01", "9999-12-31", true),
+      List(2L, "b", "Y", "2024-01-01", "9999-12-31", true),
+      List(3L, "c", "Z", "2024-01-01", "9999-12-31", true),
+      List(4L, "d", "W", "2024-03-01", "9999-12-31", true))
+    assert(rows(once) == expected)
+    // at-least-once replay: merging the same batch again changes nothing
+    assert(rows(DimOps.scd2Upsert(once, batch, "k", attrs)) == expected)
+    // a later batch chains a third version off the second
+    val batch2 = Seq((1L, "a3", "X2", "2024-05-01")).toDF("k", "name", "seg", "as_of")
+    val twice = DimOps.scd2Upsert(once, batch2, "k", attrs)
+    assert(rows(twice.filter($"k" === 1L)) == Set(
+      List(1L, "a", "X", "2024-01-01", "2024-03-01", false),
+      List(1L, "a2", "X", "2024-03-01", "2024-05-01", false),
+      List(1L, "a3", "X2", "2024-05-01", "9999-12-31", true)))
+  }
+
   test("rollup merge is bit-equal to the direct full recompute") {
     val s = spark
     import s.implicits._

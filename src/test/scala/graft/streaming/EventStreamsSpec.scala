@@ -187,6 +187,51 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batch run must share the stream's index: $batchPairs")
   }
 
+  test("scd2Stream: micro-batches version the warehouse dimension; batch readers share it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_scd2_wh_").toString,
+      "/root/testdata/sf0.001")
+    val dim = graft.etl.TableName.parse("dim.stream_customer")
+    val attrs = Seq("name", "seg")
+    // day 0: the batch pipeline seeded the dimension
+    wh.writeTable(dim, graft.queries.DimOps.scd2Init(
+      Seq((1L, "a", "X"), (2L, "b", "Y")).toDF("k", "name", "seg"),
+      "k", attrs, from = "2024-01-01"))
+    val input = MemoryStream[(Long, String, String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ck_").toString
+    val q = EventStreams.scd2Stream(wh, dim, "k", attrs,
+      input.toDF.toDF("k", "name", "seg", "as_of"), ckpt)()
+    // batch 1: k1 changes, k3 appears
+    input.addData((1L, "a2", "X", "2024-02-01"), (3L, "c", "Z", "2024-02-01"))
+    q.processAllAvailable()
+    val afterOne = spark.table(dim.quoted).collect().map(_.toSeq.toList).toSet
+    assert(afterOne == Set(
+      List(1L, "a", "X", "2024-01-01", "2024-02-01", false),
+      List(1L, "a2", "X", "2024-02-01", "9999-12-31", true),
+      List(2L, "b", "Y", "2024-01-01", "9999-12-31", true),
+      List(3L, "c", "Z", "2024-02-01", "9999-12-31", true)), s"got $afterOne")
+    // batch 2: the SECOND change must chain off the table state batch 1
+    // left behind — warehouse-table state, not stream state
+    input.addData((1L, "a3", "X", "2024-03-01"))
+    q.processAllAvailable()
+    q.stop()
+    val k1 = spark.table(dim.quoted).filter($"k" === 1L)
+      .collect().map(_.toSeq.toList).toSet
+    assert(k1 == Set(
+      List(1L, "a", "X", "2024-01-01", "2024-02-01", false),
+      List(1L, "a2", "X", "2024-02-01", "2024-03-01", false),
+      List(1L, "a3", "X", "2024-03-01", "9999-12-31", true)), s"got $k1")
+    // and a BATCH upsert against the same table continues the history
+    val merged = graft.queries.DimOps.scd2Upsert(spark.table(dim.quoted),
+      Seq((2L, "b2", "Y", "2024-04-01")).toDF("k", "name", "seg", "as_of"),
+      "k", attrs)
+    assert(merged.filter($"k" === 2L && $"is_current").collect()
+      .map(r => (r.getString(1), r.getString(3))).toSeq == Seq(("b2", "2024-04-01")))
+  }
+
   test("sessionize: 30-min gaps split sessions; timeout closes the last one") {
     val s = spark
     import s.implicits._

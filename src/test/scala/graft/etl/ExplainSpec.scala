@@ -25,7 +25,8 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     * Everything else must stay equi-join. */
   private val bnljAllowed =
     Set("ann_topk_cosine", "ann_ivf_cells", "ann_ivf_topk",
-      "ann_ivf_topk_sq8", "ann_ivf_topk_pq", "source_mix")
+      "ann_ivf_topk_sq8", "ann_ivf_topk_pq", "ann_ivf_topk_stored",
+      "source_mix")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

@@ -104,6 +104,17 @@ class DimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       List(1L, "a3", "X2", "2024-05-01", "9999-12-31", true)))
   }
 
+  test("stored IVF index probe is bit-equal to the in-memory sq8 path") {
+    val s = spark
+    import s.implicits._
+    val stored = AnnOps.annIvfTopkStored(spark, sfDir).collect()
+    val direct = AnnOps.annIvfTopkSq8(spark, sfDir).collect()
+    assert(stored.length == direct.length && stored.length > 0)
+    stored.zip(direct).foreach { case (a, b) =>
+      assert(a == b, s"stored/direct divergence: $a vs $b")
+    }
+  }
+
   test("rollup merge is bit-equal to the direct full recompute") {
     val s = spark
     import s.implicits._

@@ -88,6 +88,24 @@ object DialectShims {
     "month", "week", "day", "hour", "minute", "second",
     "millisecond", "microsecond")
 
+  // ------------------------------------------------ RATIO_TO_REPORT
+  private val RatioToReportRe =
+    raw"(?i)\bRATIO_TO_REPORT\s*\(\s*([^,()]+?)\s*\)\s*OVER\s*\(([^()]*)\)".r
+
+  /** Redshift's `RATIO_TO_REPORT(x) OVER (w)` → the explicit
+    * `CAST(x AS DOUBLE) / SUM(x) OVER (w)` (neither Spark nor DuckDB
+    * names the function; redshift.py ships it through verbatim SQL).
+    * Like [[rewriteListagg]], only the paren-free argument/window
+    * shape is rewritten — anything nested surfaces to the C5 dry-run
+    * as unsupported syntax. NULL semantics agree by construction:
+    * a NULL x yields NULL (division by a non-null sum), and SUM
+    * ignores NULLs in both engines. */
+  def rewriteRatioToReport(sql: String): String =
+    RatioToReportRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"(CAST(${m.group(1).trim} AS DOUBLE) / " +
+          s"SUM(${m.group(1).trim}) OVER (${m.group(2)}))"))
+
   private val DateAddRe = raw"(?i)\bDATEADD\s*\(\s*(\w+)\s*,".r
   private val DateDiffRe = raw"(?i)\bDATEDIFF\s*\(\s*(\w+)\s*,".r
 
@@ -243,7 +261,8 @@ object DialectShims {
     val (masked, saved) = mask(sql)
     val arr = saved.toArray
     val rewritten = rewriteSimilarTo(
-      rewriteDateDiff(rewriteDateAdd(rewriteListagg(masked))), arr)
+      rewriteDateDiff(rewriteDateAdd(rewriteListagg(
+        rewriteRatioToReport(masked)))), arr)
     unmask(rewritten, scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
   }
 }

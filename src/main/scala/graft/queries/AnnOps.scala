@@ -844,6 +844,37 @@ object AnnOps {
       ivfEncode(spark, spark.table(centsTable.quoted), batch), tag)
   }
 
+  /** Build the stored index tables from scratch: train + store the
+    * centroid table (√n rows, from the corpus parquet), then encode +
+    * store the coded form of `corpus` (which may be a first slice —
+    * extend with [[appendToIvfIndex]] batches or
+    * [[graft.streaming.EventStreams.ivfIndexStream]] micro-batches). */
+  def buildIvfIndex(wh: graft.etl.Warehouse, sfDir: String,
+                    centsTable: graft.etl.TableName,
+                    indexTable: graft.etl.TableName,
+                    corpus: DataFrame): Unit = {
+    val spark = corpus.sparkSession
+    wh.writeTable(centsTable, centroids(spark, sfDir)._1)
+    wh.writeTable(indexTable,
+      ivfEncode(spark, spark.table(centsTable.quoted), corpus))
+  }
+
+  /** Top-k probe over the stored index tables (ranked output, same
+    * shape as every ann_* entry). */
+  def probeIvfIndex(spark: SparkSession, sfDir: String,
+                    centsTable: graft.etl.TableName,
+                    indexTable: graft.etl.TableName): DataFrame = {
+    import spark.implicits._
+    ivfScoredStored(spark, sfDir,
+      spark.table(centsTable.quoted), spark.table(indexTable.quoted))
+      .groupBy($"query_id")
+      .agg(expr(s"bounded_topk(cosine, neighbor_id, $TopK)").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.neighbor_id".as("neighbor_id"), $"col.cosine".as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Probe the STORED index — the same two-stage sq8
     * retrieve-then-rescore as [[ivfScoredSq8]] (bit-equal by
     * construction: identical value trees over identical codes),
@@ -909,21 +940,12 @@ object AnnOps {
       java.nio.file.Files.createTempDirectory("graft_ivf_wh_").toString, sfDir)
     val centsT = TableName.parse("ann.ivf_centroids")
     val idxT = TableName.parse("ann.ivf_index")
-    wh.writeTable(centsT, centroids(spark, sfDir)._1)
     val corpus = Tables.load(spark, sfDir, "embeddings")
     val split = embeddingCount(spark, sfDir) / 2
-    wh.writeTable(idxT, ivfEncode(spark,
-      spark.table(centsT.quoted), corpus.filter($"vec_id" < split)))
+    buildIvfIndex(wh, sfDir, centsT, idxT, corpus.filter($"vec_id" < split))
     appendToIvfIndex(wh, centsT, idxT,
       corpus.filter($"vec_id" >= split), "b2")
-    ivfScoredStored(spark, sfDir,
-      spark.table(centsT.quoted), spark.table(idxT.quoted))
-      .groupBy($"query_id")
-      .agg(expr(s"bounded_topk(cosine, neighbor_id, $TopK)").as("top"))
-      .select($"query_id", posexplode($"top"))
-      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
-        $"col.neighbor_id".as("neighbor_id"), $"col.cosine".as("cosine"))
-      .orderBy($"query_id", $"rank")
+    probeIvfIndex(spark, sfDir, centsT, idxT)
   }
 
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {

@@ -742,8 +742,65 @@ object SqlSurface {
       |FROM months LEFT JOIN agg ON months.m = agg.m
       |ORDER BY order_month""".stripMargin
 
+  // ---------------------------------------------------------------- q24
+  /** The ANALYTIC third of the Redshift-dialect surface:
+    * `WIDTH_BUCKET` histogram binning, `MEDIAN` (interpolated), and
+    * `RATIO_TO_REPORT ... OVER` (rewritten by the shim to the
+    * explicit x/SUM-over-window form — redshift.py ships user SQL
+    * verbatim, so the name must parse), plus `NVL2`. Float-hash
+    * safety is by exact arithmetic, not tolerance: bucket bounds
+    * (0, 64, 8) make every division a power-of-two scale (exact in
+    * IEEE whatever order each engine multiplies), quantities are
+    * integer-valued doubles so the even-count median interpolation
+    * `(a+b)/2` is exact, and the ratio divides exactly-represented
+    * integers — both engines produce bit-identical doubles. Scale
+    * shape: one map-side-partial groupBy over lineitem; the window
+    * runs on the few-dozen-row aggregate, partitioned by flag (never
+    * global). */
+  def q24AnalyticDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("rs_lineitem")
+    val redshiftSql =
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag,
+        |    WIDTH_BUCKET(l_quantity, 0, 64, 8) AS qty_bucket,
+        |    MEDIAN(l_quantity) AS med_qty,
+        |    CAST(COUNT(*) AS BIGINT) AS n_items
+        |  FROM rs_lineitem
+        |  GROUP BY 1, 2
+        |)
+        |SELECT flag, qty_bucket, med_qty, n_items,
+        |  RATIO_TO_REPORT(n_items) OVER (PARTITION BY flag) AS bucket_share,
+        |  NVL2(NULLIF(qty_bucket, 1), 'multi', 'first') AS bucket_tag
+        |FROM g
+        |ORDER BY flag, qty_bucket""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  /** DuckDB has neither WIDTH_BUCKET, RATIO_TO_REPORT, nor NVL2: the
+    * oracle derives all three from first principles (bucket formula
+    * `1 + floor(v/8)` with the under/overflow arms, explicit
+    * x/sum-over, CASE), independently checking both Spark's native
+    * `width_bucket`/`median`/`nvl2` and the shim's rewrite. */
+  val q24AnalyticDialectSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag,
+      |    CASE WHEN l_quantity < 0 THEN 0
+      |         WHEN l_quantity >= 64 THEN 9
+      |         ELSE 1 + CAST(floor(l_quantity / 8.0) AS BIGINT) END AS qty_bucket,
+      |    median(l_quantity) AS med_qty,
+      |    CAST(COUNT(*) AS BIGINT) AS n_items
+      |  FROM lineitem
+      |  GROUP BY 1, 2
+      |)
+      |SELECT flag, qty_bucket, med_qty, n_items,
+      |  CAST(n_items AS DOUBLE) / CAST(SUM(n_items) OVER (PARTITION BY flag) AS DOUBLE) AS bucket_share,
+      |  CASE WHEN NULLIF(qty_bucket, 1) IS NOT NULL THEN 'multi' ELSE 'first' END AS bucket_tag
+      |FROM g
+      |ORDER BY flag, qty_bucket""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_analytic_dialect" -> (q24AnalyticDialect _),
     "q23_recursive_cte" -> (q23RecursiveCte _),
     "q22_similar_to" -> (q22SimilarTo _),
     "q19b_asof_native" -> (q19bAsofNative _),
@@ -771,6 +828,7 @@ object SqlSurface {
     "q15_events_sessions" -> (q15EventsSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q24_analytic_dialect" -> q24AnalyticDialectSql,
     "q23_recursive_cte" -> q23RecursiveCteSql,
     "q22_similar_to" -> q22SimilarToSql,
     "q19b_asof_native" -> q19AsofJoinSql,

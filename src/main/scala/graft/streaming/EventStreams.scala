@@ -255,6 +255,36 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming ANN index maintenance — the streaming twin of the
+    * stored IVF lifecycle ([[graft.queries.AnnOps.appendToIvfIndex]]):
+    * each micro-batch of new vectors is assigned to its coarse cell
+    * against the STORED centroid table and appended to the stored
+    * coded-corpus index — Θ(batch · √n) assignment compute, O(batch)
+    * appended bytes, no corpus rescan. The warehouse tables (not the
+    * state store) are the cross-batch state, so batch probes
+    * ([[graft.queries.AnnOps.annIvfTopkStored]]-style) immediately see
+    * streamed vectors and the index survives the stream. The append is
+    * the batch-tagged idempotent form: foreachBatch's at-least-once
+    * replay replaces its own files instead of duplicating index rows.
+    * Centroids are NOT retrained per batch (retraining would reassign
+    * the whole corpus — the O(n) step this index exists to avoid);
+    * drift is handled the way IVF systems do it: periodic batch
+    * rebuild, streamed appends between rebuilds. */
+  def ivfIndexStream(wh: graft.etl.Warehouse,
+                     centroids: graft.etl.TableName,
+                     index: graft.etl.TableName,
+                     vectors: DataFrame, checkpointDir: String)
+                    (afterBatch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.queries.AnnOps.appendToIvfIndex(wh, centroids, index,
+          batch, s"b$id")
+        afterBatch(id)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** The `update` refresh loop as a stream (load.py:1343-1367 →
     * Trigger.AvailableNow): drain whatever extract files have landed
     * under `sourceDir`, run `apply` on each micro-batch (e.g. build a

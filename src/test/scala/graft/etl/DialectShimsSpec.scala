@@ -87,6 +87,21 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains("array_join"))
   }
 
+  test("RATIO_TO_REPORT rewrites to the explicit x/SUM-over-window form") {
+    val out = DialectShims.rewriteRatioToReport(
+      "SELECT RATIO_TO_REPORT(n) OVER (PARTITION BY flag) AS share FROM g")
+    assert(out.contains(
+      "(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY flag)) AS share"), out)
+    // empty window (whole-result ratio) is legal Redshift
+    val global = DialectShims.rewriteRatioToReport(
+      "SELECT RATIO_TO_REPORT(v) OVER () FROM g")
+    assert(global.contains("(CAST(v AS DOUBLE) / SUM(v) OVER ())"), global)
+    // inside a literal the masked composition must not fire
+    val lit = DialectShims.rewriteRedshiftSql(
+      "SELECT 'RATIO_TO_REPORT(n) OVER (PARTITION BY f)' AS doc FROM t")
+    assert(lit.contains("'RATIO_TO_REPORT(n) OVER (PARTITION BY f)'"), lit)
+  }
+
   test("string literals and comments survive the dialect pass verbatim") {
     val in =
       """SELECT 'uses DATEADD(day, 1, x) and LISTAGG(a, ',') WITHIN GROUP (ORDER BY a)' AS doc,

@@ -232,6 +232,52 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(1), r.getString(3))).toSeq == Seq(("b2", "2024-04-01")))
   }
 
+  test("ivfIndexStream: streamed vectors extend the stored ANN index; probe matches batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_sivf_").toString, sfDir)
+    val centsT = graft.etl.TableName.parse("ann.s_centroids")
+    val idxT = graft.etl.TableName.parse("ann.s_index")
+    val corpus = graft.queries.Tables.load(spark, sfDir, "embeddings")
+    val n = corpus.count()
+    val split = n / 2
+    // day 0: the batch pipeline built the index over the first half
+    graft.queries.AnnOps.buildIvfIndex(wh, sfDir, centsT, idxT,
+      corpus.filter($"vec_id" < split))
+    val rest = corpus.filter($"vec_id" >= split)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val (m1, m2) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sivf_ck_").toString
+    val q = EventStreams.ivfIndexStream(wh, centsT, idxT,
+      input.toDF.toDF("vec_id", "embedding"), ckpt)()
+    input.addData(m1.toSeq: _*)
+    q.processAllAvailable()
+    assert(spark.table(idxT.quoted).count() == split + m1.length,
+      "first micro-batch must land in the stored index")
+    input.addData(m2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // streamed index must equal the one-shot batch encode of the full
+    // corpus — same rows, same cells, same sq8 codes (codes checked
+    // via the bit-equal probe below)
+    val streamedCells = spark.table(idxT.quoted)
+      .select($"vec_id", $"cell".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedCells.size == n, s"index must cover the corpus: ${streamedCells.size} of $n")
+    // and the probe over the streamed index is bit-equal to the
+    // in-memory sq8 path — batch probes share the stream's index
+    val probed = graft.queries.AnnOps.probeIvfIndex(spark, sfDir, centsT, idxT).collect()
+    val direct = graft.queries.AnnOps.annIvfTopkSq8(spark, sfDir).collect()
+    assert(probed.length == direct.length && probed.nonEmpty)
+    probed.zip(direct).foreach { case (a, b) =>
+      assert(a == b, s"streamed-index/direct divergence: $a vs $b")
+    }
+  }
+
   test("sessionize: 30-min gaps split sessions; timeout closes the last one") {
     val s = spark
     import s.implicits._

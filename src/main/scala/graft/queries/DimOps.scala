@@ -171,6 +171,46 @@ object DimOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------ distinct-count sketch rollup
+  /** The aggregate [[rollupIncremental]] CANNOT maintain: COUNT
+    * DISTINCT is not summable — merging per-batch distinct counts
+    * overcounts users active in both batches. Its HLL SKETCH is a
+    * monoid, though: per-day Datasketches-HLL sketches of the user
+    * column are STORED (the band-index/IVF lifecycle applied to an
+    * aggregate), so extending the rollup by a day costs Θ(day) scan
+    * plus one appended ~KB sketch row, and ANY date-range distinct
+    * count is the union of its day sketches — the corpus is never
+    * re-scanned. Spark's native `hll_sketch_agg` / `hll_union_agg` /
+    * `hll_sketch_estimate` do all the work (map-side-combinable
+    * aggregate state, no UDF). Union is associative and
+    * deterministic at fixed lgK, so merged-vs-one-shot estimate
+    * equality is EXACT — the spec pins it, alongside a
+    * within-2%-of-exact accuracy bound and idempotent re-append.
+    * No DuckDB oracle by nature (DuckDB's approx_count_distinct is a
+    * different HLL implementation); the contract is DimOpsSpec. */
+  def userSketchByDay(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+
+  /** Append one batch's day sketches to the stored rollup with the
+    * batch-tagged idempotent append (replays replace, never double
+    * merge — though a doubled sketch row would not even change the
+    * estimate: HLL union is idempotent in the values too). */
+  def appendUserSketches(wh: graft.etl.Warehouse,
+                         table: graft.etl.TableName,
+                         batch: DataFrame, tag: String): Unit =
+    wh.appendToTableIdempotent(table, userSketchByDay(batch), tag)
+
+  /** Distinct users over [from, to] from the STORED day sketches
+    * alone: union the range's sketches, estimate once. */
+  def distinctUsersInRange(spark: SparkSession,
+                           table: graft.etl.TableName,
+                           from: String, to: String): Long =
+    spark.table(table.quoted)
+      .filter(col("day").between(from, to))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n"))
+      .collect()(0).getLong(0)
+
   // ------------------------------------------------- shared SCD2 core
   /** Open every snapshot row as the dimension's first version — the
     * seed of an SCD2 table maintained by [[scd2Upsert]]. */

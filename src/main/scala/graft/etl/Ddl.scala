@@ -24,6 +24,7 @@ object Ddl {
       design.constraints.map(ct =>
         s"'graft.constraint.${ct.kind}' = '${ct.columns.mkString(",")}'"),
       design.distribution.map(d => s"'graft.distkey' = '${d.mkString(",")}'").toSeq,
+      design.distStyle.map(s => s"'graft.diststyle' = '$s'").toSeq,
       if (design.sortKeys.nonEmpty)
         Seq(s"'graft.sortkey' = '${design.sortKeys.mkString(",")}'")
       else Seq.empty,

@@ -58,7 +58,8 @@ final case class TableDesign(
     sortKeys: Seq[String] = Seq.empty,   // sortkey → sortWithinPartitions
     tags: Seq[String] = Seq.empty,       // free-form labels (table_design.schema:88)
     partitionBy: Seq[String] = Seq.empty, // hive-style partition dirs (beyond-reference; Redshift has no partitions)
-    interleavedSort: Seq[String] = Seq.empty) { // INTERLEAVED SORTKEY → Z-order clustered write (table_design.schema:206)
+    interleavedSort: Seq[String] = Seq.empty, // INTERLEAVED SORTKEY → Z-order clustered write (table_design.schema:206)
+    distStyle: Option[String] = None) { // DISTSTYLE all|auto|even (table_design.schema:194-198's enum arm)
 
   def isView: Boolean = sourceName == "VIEW"
   def isCtas: Boolean = sourceName == "CTAS"
@@ -120,6 +121,14 @@ final case class TableDesign(
     for (d <- distribution.toSeq.flatten ++ sortKeys ++ partitionBy ++
          interleavedSort if !valid.contains(d))
       fail(s"unknown attributes column(s): $d")
+    // DISTSTYLE enum arm (table_design.schema:194-198): the schema's
+    // oneOf makes style and distkey-list mutually exclusive by
+    // construction (one YAML node is either scalar or array), so only
+    // the value needs validating here.
+    distStyle.foreach { s =>
+      if (!Seq("all", "auto", "even").contains(s))
+        fail(s"invalid distribution style '$s' (all/auto/even or a one-column list)")
+    }
     // compound_sort and interleaved_sort are the two mutually
     // exclusive flavors of the sortkey attribute (table_design
     // .schema:200-210 models them as oneOf)
@@ -278,9 +287,12 @@ object TableDesign {
         Option(e.get("boundary_query")).map(_.asText))
     }
     val attrs = Option(root.get("attributes"))
-    val dist = attrs.flatMap(a => Option(a.get("distribution"))).map { d =>
-      if (d.isArray) d.elements.asScala.map(_.asText).toSeq else Seq.empty
-    }
+    // distribution is EITHER a one-column list (distkey) or the
+    // all/auto/even enum (table_design.schema:194-198's oneOf)
+    val distNode = attrs.flatMap(a => Option(a.get("distribution")))
+    val dist = distNode.filter(_.isArray)
+      .map(_.elements.asScala.map(_.asText).toSeq)
+    val distStyle = distNode.filterNot(_.isArray).map(_.asText.toLowerCase)
     val sort = attrs.flatMap(a => Option(a.get("compound_sort"))).toSeq
       .flatMap(s => if (s.isArray) s.elements.asScala.map(_.asText).toSeq else Seq.empty)
     val partBy = attrs.flatMap(a => Option(a.get("partition_by"))).toSeq
@@ -291,7 +303,7 @@ object TableDesign {
     val tags = Option(root.get("tags")).toSeq
       .flatMap(t => if (t.isArray) t.elements.asScala.map(_.asText).toSeq else Seq.empty)
     TableDesign(name, sourceName, columns, constraints, dependsOn,
-      extract, query, dist, sort, tags, partBy, interleaved)
+      extract, query, dist, sort, tags, partBy, interleaved, distStyle)
   }
 
   /** Load + validate, the `load_table_design` path
@@ -342,10 +354,12 @@ object TableDesign {
       d.dependsOn.foldLeft(root.putArray("depends_on"))(
         (a, t) => a.add(t.identifier))
     if (d.distribution.nonEmpty || d.sortKeys.nonEmpty ||
-        d.partitionBy.nonEmpty || d.interleavedSort.nonEmpty) {
+        d.partitionBy.nonEmpty || d.interleavedSort.nonEmpty ||
+        d.distStyle.nonEmpty) {
       val attrs = root.putObject("attributes")
       d.distribution.foreach(dist =>
         dist.foldLeft(attrs.putArray("distribution"))(_ add _))
+      d.distStyle.foreach(s => { attrs.put("distribution", s); () })
       if (d.sortKeys.nonEmpty)
         d.sortKeys.foldLeft(attrs.putArray("compound_sort"))(_ add _)
       if (d.interleavedSort.nonEmpty)

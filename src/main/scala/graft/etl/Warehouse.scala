@@ -277,6 +277,7 @@ final class Warehouse(
     } else {
       val partCols = design.map(_.partitionBy).getOrElse(Seq.empty)
       val zCols = design.map(_.interleavedSort).getOrElse(Seq.empty)
+      val style = design.flatMap(_.distStyle)
       if (partCols.nonEmpty)
         // hive-style partition dirs: the scan prunes whole directories
         // for predicates on the partition key — the 100 TB layout for
@@ -292,7 +293,23 @@ final class Warehouse(
         // "equal weight to each sort column" property, expressed in
         // parquet statistics instead of zone maps.
         zorderClustered(df, zCols).write.mode("overwrite").parquet(loc)
-      else df.write.mode("overwrite").parquet(loc)
+      else if (style.contains("even"))
+        // DISTSTYLE EVEN → round-robin repartition: rows spread
+        // uniformly across output files regardless of any skewed
+        // upstream partitioning, the Redshift even-slices property.
+        // (A skew-free layout is what EVEN buys at 100 TB: every
+        // downstream scan task gets the same bytes.)
+        df.repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(loc)
+      else if (style.contains("all"))
+        // DISTSTYLE ALL → replicate-to-every-node is Spark's
+        // broadcast: land the table as ONE compact file so
+        // size-based auto-broadcast (or an explicit hint) replicates
+        // it to every executor at join time — the Redshift
+        // copy-on-every-slice property without a shuffle.
+        // WarehouseSpec pins the join plan.
+        df.coalesce(1).write.mode("overwrite").parquet(loc)
+      else df.write.mode("overwrite").parquet(loc)   // "auto": engine default
       registerAt(target, loc, design)
     }
     // S11 load diagnostics: pick up this build's SQL metrics (keyed

@@ -157,6 +157,22 @@ class TableDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("distribution enum arm (DISTSTYLE all/auto/even) parses; bad style rejected") {
+    def withDist(v: String) = ctasYaml.replace("query: SELECT 1",
+      s"attributes:\n  distribution: $v\nquery: SELECT 1")
+    val all = TableDesign.load(withDist("ALL"))
+    assert(all.distStyle.contains("all") && all.distribution.isEmpty,
+      "scalar distribution must parse as style, not distkey")
+    assert(TableDesign.load(withDist("even")).distStyle.contains("even"))
+    assert(TableDesign.load(withDist("AUTO")).distStyle.contains("auto"))
+    // round-trip through toYaml keeps the enum arm
+    assert(TableDesign.fromYaml(TableDesign.toYaml(all)) == all.copy(query = ""))
+    intercept[TableDesignError](TableDesign.load(withDist("ring")))
+    // the list arm still means distkey
+    val keyed = TableDesign.load(withDist("[id]"))
+    assert(keyed.distribution.contains(Seq("id")) && keyed.distStyle.isEmpty)
+  }
+
   test("NA row defaults per type (load.py:506-526)") {
     val d = TableDesign.load(
       """name: rep.dim_x

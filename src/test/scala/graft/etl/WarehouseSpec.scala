@@ -316,6 +316,55 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("DISTSTYLE ALL lands one replicated file and broadcasts; EVEN spreads round-robin") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    def styleDesign(table: String, style: String) = TableDesign.load(
+      s"""name: $table
+         |source_name: CTAS
+         |depends_on: [src.t]
+         |columns:
+         |  - name: k
+         |    type: long
+         |    not_null: true
+         |  - name: x
+         |    type: long
+         |attributes:
+         |  distribution: $style
+         |query: SELECT 1
+         |""".stripMargin)
+    val dim = styleDesign("dsty.dim_all", "ALL")
+    assert(dim.distStyle.contains("all") && dim.distribution.isEmpty)
+    // a deliberately multi-partition input must still land as ONE file
+    wh.writeTable(TableName.parse("dsty.dim_all"),
+      spark.range(0, 50, 1, 4).select($"id".as("k"), ($"id" * 7).as("x")),
+      Some(dim))
+    val allFiles = spark.table("`dsty`.`dim_all`")
+      .select(input_file_name()).distinct().count()
+    assert(allFiles == 1, s"ALL must land one replicable file, got $allFiles")
+    // ...and the join side replicates: Redshift's copy-on-every-slice
+    // becomes a broadcast build side under the default threshold
+    val fact = spark.range(1000).select(($"id" % 50).as("k"), $"id".as("f"))
+    val joined = fact.join(spark.table("`dsty`.`dim_all`"), "k")
+    val bcast = joined.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcast.nonEmpty,
+      s"ALL table must broadcast:\n${joined.queryExecution.sparkPlan}")
+    // EVEN: a skewed one-partition input spreads across output files
+    val even = styleDesign("dsty.fact_even", "even")
+    wh.writeTable(TableName.parse("dsty.fact_even"),
+      spark.range(1000).coalesce(1).select($"id".as("k"), ($"id" * 2).as("x")),
+      Some(even))
+    val evenFiles = spark.table("`dsty`.`fact_even`")
+      .select(input_file_name()).distinct().count()
+    assert(evenFiles > 1, s"EVEN must spread a skewed input, got $evenFiles file(s)")
+    // show_ddl carries the style
+    assert(Ddl.createTableSql(dim).contains("'graft.diststyle' = 'all'"))
+  }
+
   test("vacuum deletes superseded builds; standard, backup, restore survive") {
     val dir = Files.createTempDirectory("graft_vac_").toString
     val wh = new Warehouse(spark, dir, sfDir)

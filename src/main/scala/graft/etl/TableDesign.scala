@@ -293,7 +293,18 @@ object TableDesign {
     val dist = distNode.filter(_.isArray)
       .map(_.elements.asScala.map(_.asText).toSeq)
     val distStyle = distNode.filterNot(_.isArray).map(_.asText.toLowerCase)
-    val sort = attrs.flatMap(a => Option(a.get("compound_sort"))).toSeq
+    // compound_sort is EITHER a column list or the auto enum
+    // (table_design.schema:200-205's oneOf). SORTKEY AUTO means "the
+    // engine decides" — in Spark that is the default already (parquet
+    // min/max stats exist regardless of explicit sorting), so auto
+    // parses to no explicit sort keys; any OTHER scalar is a typo'd
+    // design and must fail loudly, not load silently unsorted.
+    val sortNode = attrs.flatMap(a => Option(a.get("compound_sort")))
+    sortNode.filterNot(_.isArray).map(_.asText.toLowerCase).foreach { s =>
+      if (s != "auto")
+        throw new TableDesignError(s"invalid compound_sort '$s' (auto or a column list)")
+    }
+    val sort = sortNode.toSeq
       .flatMap(s => if (s.isArray) s.elements.asScala.map(_.asText).toSeq else Seq.empty)
     val partBy = attrs.flatMap(a => Option(a.get("partition_by"))).toSeq
       .flatMap(p => if (p.isArray) p.elements.asScala.map(_.asText).toSeq else Seq.empty)

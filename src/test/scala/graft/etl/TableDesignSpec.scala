@@ -171,6 +171,12 @@ class TableDesignSpec extends AnyFunSuite {
     // the list arm still means distkey
     val keyed = TableDesign.load(withDist("[id]"))
     assert(keyed.distribution.contains(Seq("id")) && keyed.distStyle.isEmpty)
+    // compound_sort's enum arm: auto accepted (engine decides — the
+    // Spark default), any other scalar is a typo and fails loudly
+    def withSort(v: String) = ctasYaml.replace("query: SELECT 1",
+      s"attributes:\n  compound_sort: $v\nquery: SELECT 1")
+    assert(TableDesign.load(withSort("AUTO")).sortKeys.isEmpty)
+    intercept[TableDesignError](TableDesign.load(withSort("fastest")))
   }
 
   test("NA row defaults per type (load.py:506-526)") {

@@ -229,6 +229,51 @@ object TextOps {
        |) WHERE bucket < $rates ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------- domain mixing
+  /** Data-DRIVEN domain mixing (the stage after [[sampleStratified]]'s
+    * fixed rates): downsample every language domain to ~the size of
+    * the smallest one — the balanced-mixture resample a training-data
+    * pipeline runs before packing. Acceptance is a salted
+    * deterministic coin (md5 bucket in [0, 1e6)) against a threshold
+    * DERIVED from the observed counts; the compare is the all-integer
+    * cross-multiplication `bucket * n_lang < 1_000_000 * min_n` — no
+    * division, no floats, so both engines decide every row
+    * identically even where `min_n/n_lang` would round (and the
+    * product stays < 2^63 up to trillion-row domains).
+    *
+    * Scale shape: one map-side-partial count agg (|domains| rows,
+    * broadcast back) + a 1-row broadcast of the min, then a pure
+    * codegen'd filter over the corpus — the corpus itself is never
+    * shuffled. The rank-based exactly-min_n variant needs a per-domain
+    * sort, a hot-partition shuffle when |domains| is small — the
+    * fraction form is the 100 TB shape. */
+  def mixBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min($"n_lang").as("min_n"))
+    docs
+      .select($"doc_id", $"lang",
+        (conv(substring(
+          md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L).as("bucket"))
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(minN))
+      .filter($"bucket" * $"n_lang" < lit(1000000L) * $"min_n")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val mixBalanceSql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(n_lang) AS min_n FROM c)
+      |SELECT doc_id, lang FROM (
+      |  SELECT d.doc_id, d.lang, c.n_lang, m.min_n,
+      |    CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+      |  FROM documents d JOIN c USING (lang) CROSS JOIN m
+      |) WHERE bucket * n_lang < 1000000 * min_n
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ curation pipeline
   /** The composed curation pass a training-data pipeline actually
     * runs: language filter → quality gate → exact-dedup keep-first →
@@ -707,7 +752,8 @@ object TextOps {
     "text_bpe_tokens" -> (textBpe _),
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_classifier_score" -> (textClassifierScore _),
-    "sample_stratified" -> (sampleStratified _))
+    "sample_stratified" -> (sampleStratified _),
+    "mix_balance" -> (mixBalance _))
 
   val oracles: Map[String, String] = Map(
     "pii_redact" -> piiRedactSql,
@@ -723,5 +769,6 @@ object TextOps {
     "text_bpe_tokens" -> textBpeSql,
     "text_bpe_vocab" -> textBpeVocabSql,
     "text_classifier_score" -> textClassifierScoreSql,
-    "sample_stratified" -> sampleStratifiedSql)
+    "sample_stratified" -> sampleStratifiedSql,
+    "mix_balance" -> mixBalanceSql)
 }

@@ -274,6 +274,74 @@ object TextOps {
       |) WHERE bucket * n_lang < 1000000 * min_n
       |ORDER BY doc_id""".stripMargin
 
+  /** Target mixture shares for [[mixWeighted]] — the knob a pipeline
+    * owner sets ("40% English, 10% each of the rest ×6 epochs max"). */
+  val MixTargetShares: Seq[(String, Double)] = Seq(
+    "en" -> 0.40, "zh" -> 0.20, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.10)
+
+  /** Weighted mixing WITH upsampling — the general form of
+    * [[mixBalance]]: resample every language domain to an explicit
+    * target share of the corpus-size budget, repeating documents
+    * (training epochs over a small domain) when the target exceeds
+    * the domain. Per domain the quota is `k = floor(share · total)`;
+    * every doc gets `k div n_lang` whole copies and one extra copy on
+    * the salted deterministic coin with acceptance `k mod n_lang` of
+    * `n_lang` — again the all-integer cross-multiplication, so both
+    * engines replicate every row identically. Output carries the copy
+    * ordinal (downstream packing shuffles copies apart).
+    *
+    * Scale shape: the counts and the corpus total are two tiny
+    * broadcast aggregates; the corpus-side work is a codegen'd map +
+    * an explode that multiplies only what the quota demands. No
+    * corpus shuffle, no window. */
+  def mixWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val share = MixTargetShares.foldLeft(lit(0.0)) {
+      case (acc, (l, s)) => when($"lang" === l, s).otherwise(acc)
+    }
+    docs
+      .select($"doc_id", $"lang",
+        (conv(substring(
+          md5(concat(lit("mixw:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L).as("bucket"))
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("k", floor(share * $"n_total").cast("long"))
+      .withColumn("copies",
+        expr("k div n_lang") +
+          when($"bucket" * $"n_lang" < lit(1000000L) * ($"k" % $"n_lang"), 1L)
+            .otherwise(0L))
+      .filter($"copies" >= 1)
+      .select($"doc_id", $"lang",
+        explode(sequence(lit(1L), $"copies")).as("copy"))
+      .orderBy($"doc_id", $"copy")
+  }
+
+  val mixWeightedSql: String = {
+    val shares = MixTargetShares.foldLeft("0.0") {
+      case (acc, (l, s)) => s"CASE WHEN lang = '$l' THEN $s ELSE $acc END"
+    }
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+       |t AS (SELECT COUNT(*) AS n_total FROM documents),
+       |j AS (
+       |  SELECT d.doc_id, d.lang, c.n_lang,
+       |    CAST(floor(($shares) * t.n_total) AS BIGINT) AS k,
+       |    CAST(('0x' || substring(md5('mixw:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+       |  FROM documents d JOIN c USING (lang) CROSS JOIN t
+       |),
+       |e AS (
+       |  SELECT doc_id, lang,
+       |    (k // n_lang) + (CASE WHEN bucket * n_lang < 1000000 * (k % n_lang) THEN 1 ELSE 0 END) AS copies
+       |  FROM j
+       |)
+       |SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+       |FROM e
+       |ORDER BY doc_id, copy""".stripMargin
+  }
+
   // ------------------------------------------------ curation pipeline
   /** The composed curation pass a training-data pipeline actually
     * runs: language filter → quality gate → exact-dedup keep-first →
@@ -753,7 +821,8 @@ object TextOps {
     "text_bpe_vocab" -> (textBpeVocab _),
     "text_classifier_score" -> (textClassifierScore _),
     "sample_stratified" -> (sampleStratified _),
-    "mix_balance" -> (mixBalance _))
+    "mix_balance" -> (mixBalance _),
+    "mix_weighted" -> (mixWeighted _))
 
   val oracles: Map[String, String] = Map(
     "pii_redact" -> piiRedactSql,
@@ -770,5 +839,6 @@ object TextOps {
     "text_bpe_vocab" -> textBpeVocabSql,
     "text_classifier_score" -> textClassifierScoreSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "mix_balance" -> mixBalanceSql)
+    "mix_balance" -> mixBalanceSql,
+    "mix_weighted" -> mixWeightedSql)
 }

@@ -293,6 +293,52 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(covered.sorted == (0 until 60).toList)
   }
 
+  test("mixing quotas: balance ~min per domain; weighted hits floor(share*total) per domain") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = counts.values.min
+    val total = counts.values.sum
+    // balance: every domain lands within the coin's tolerance of min
+    // (fraction-based acceptance is binomial around the quota; sf0.001
+    // domains are small, so allow a wide but bounding corridor)
+    val balanced = TextOps.mixBalance(spark, sfDir)
+      .groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(balanced.keySet == counts.keySet)
+    balanced.foreach { case (l, n) =>
+      assert(n <= counts(l), s"$l oversampled without upsampling: $n")
+      assert(math.abs(n - minN).toDouble <= math.max(5.0, 0.5 * minN),
+        s"$l balanced count $n far from min $minN")
+    }
+    // weighted: per-doc copies differ by at most 1 within a domain and
+    // the domain total is within the remainder-coin corridor of its
+    // quota floor(share*total); copy ordinals are dense 1..c
+    val weighted = TextOps.mixWeighted(spark, sfDir).cache()
+    try {
+      val perDoc = weighted.groupBy($"lang", $"doc_id").count()
+      val spreads = perDoc.groupBy($"lang")
+        .agg(min($"count").as("lo"), max($"count").as("hi"),
+          sum($"count").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      spreads.foreach { case (l, lo, hi, n) =>
+        assert(hi - lo <= 1, s"$l copies not within 1: [$lo, $hi]")
+        val share = TextOps.MixTargetShares.toMap.apply(l)
+        val quota = math.floor(share * total).toLong
+        assert(math.abs(n - quota).toDouble <= math.max(5.0, 0.5 * quota),
+          s"$l total $n far from quota $quota")
+      }
+      val badOrdinals = weighted.groupBy($"lang", $"doc_id")
+        .agg(count(lit(1)).as("c"), min($"copy").as("lo"), max($"copy").as("hi"))
+        .filter($"lo" =!= 1L || $"hi" =!= $"c")
+      assert(badOrdinals.isEmpty, "copy ordinals must be dense 1..c")
+    } finally { weighted.unpersist(); () }
+  }
+
   test("bounded_topk rejects a non-literal or non-integral k with a typed error") {
     BoundedTopK.register(spark)
     val df = spark.range(5).selectExpr("CAST(id AS DOUBLE) AS s", "id")

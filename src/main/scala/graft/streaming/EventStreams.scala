@@ -128,6 +128,35 @@ object EventStreams {
       }
   }
 
+  /** Watermarked STREAM-STREAM join — both sides unbounded (the form
+    * [[rangeJoinStream]]'s stream-static shape cannot express):
+    * purchases attribute to every click by the same user within the
+    * preceding `horizon`. The time-range predicate plus watermarks on
+    * BOTH sides is what bounds the join state — Spark evicts a
+    * buffered click once the purchase-side watermark passes
+    * click_ts + horizon, so state is O(events-per-horizon), never
+    * O(stream). Without the range condition (or with only one
+    * watermark) the state grows forever — the 100 TB failure mode
+    * this operator exists to avoid. Inner join: late/unmatched rows
+    * drop; attribution completeness is the batch as-of join's job
+    * (q19 family), this is its low-latency prefix. */
+  def attributionJoinStream(clicks: DataFrame, purchases: DataFrame,
+                            horizon: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", horizon)
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", horizon)
+    p.join(c,
+      expr(s"user_id = c_user AND " +
+        s"c_ts BETWEEN p_ts - INTERVAL $horizon AND p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Streaming range join — the streaming twin of
     * `range_join_events`: points arriving on the stream attach to
     * every `[lo, hi)` interval of their key in a STATIC interval

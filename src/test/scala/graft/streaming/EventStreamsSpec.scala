@@ -84,6 +84,44 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (11L, 102L), (20L, 201L)), s"got $got")
   }
 
+  test("attributionJoinStream: stream-stream join spans batches within the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.attributionJoinStream(
+      clicks.toDF.toDF("user_id", "ts", "event_id"),
+      purchases.toDF.toDF("user_id", "ts", "event_id")).writeStream
+      .format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: clicks only — buffered as join state
+    clicks.addData(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (2L, ts("2024-01-01 08:00:00"), 200L))
+    q.processAllAvailable()
+    // batch 2: user 1's purchase is 30 min after its click (inside the
+    // 1h horizon, MUST join across micro-batches); user 2's purchase is
+    // 3h after its click (outside); user 3 never clicked
+    purchases.addData(
+      (1L, ts("2024-01-01 10:30:00"), 1000L),
+      (2L, ts("2024-01-01 11:00:00"), 2000L),
+      (3L, ts("2024-01-01 10:30:00"), 3000L))
+    q.processAllAvailable()
+    // batch 3: a second user-1 click, then a purchase that matches BOTH
+    // user-1 clicks still inside the horizon
+    clicks.addData((1L, ts("2024-01-01 10:40:00"), 101L))
+    q.processAllAvailable()
+    purchases.addData((1L, ts("2024-01-01 10:50:00"), 1001L))
+    q.processAllAvailable()
+    val got = spark.table("attr_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1000L, 100L), (1001L, 100L), (1001L, 101L)),
+      s"got $got")
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     val s = spark
     import s.implicits._

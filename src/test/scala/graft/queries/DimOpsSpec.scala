@@ -159,6 +159,37 @@ class DimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compacting the append-grown IVF index leaves the probe bit-equal") {
+    val s = spark
+    import s.implicits._
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivfc_wh_").toString, sfDir)
+    val centsT = graft.etl.TableName.parse("ann.c_centroids")
+    val idxT = graft.etl.TableName.parse("ann.c_index")
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val n = corpus.count()
+    // build over the first slice, append seven more tagged batches —
+    // the file-growth shape a streamed index accumulates (one-plus
+    // file per micro-batch)
+    val step = math.max(1L, n / 8)
+    AnnOps.buildIvfIndex(wh, sfDir, centsT, idxT,
+      corpus.filter($"vec_id" < step))
+    (1 until 8).foreach { i =>
+      val hi = if (i == 7) Long.MaxValue else (i + 1) * step
+      AnnOps.appendToIvfIndex(wh, centsT, idxT,
+        corpus.filter($"vec_id" >= i * step && $"vec_id" < hi), s"b$i")
+    }
+    val before = AnnOps.probeIvfIndex(spark, sfDir, centsT, idxT).collect()
+    val folded = wh.compactTable(idxT, maxDataFiles = 4)
+    assert(folded.exists { case (b, a) => b > a },
+      s"append-grown index must compact, got $folded")
+    val after = AnnOps.probeIvfIndex(spark, sfDir, centsT, idxT).collect()
+    assert(before.length == after.length && before.nonEmpty)
+    before.zip(after).foreach { case (a, b) =>
+      assert(a == b, s"compaction changed the probe: $a vs $b")
+    }
+  }
+
   test("rollup merge is bit-equal to the direct full recompute") {
     val s = spark
     import s.implicits._

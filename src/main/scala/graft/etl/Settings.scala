@@ -161,7 +161,15 @@ object Settings {
       case c if "\\.^$+{}()|".contains(c) => sb.append('\\').append(c)
       case c => sb.append(c)
     }
-    sb.append('$').toString.r
+    val pattern = sb.append('$').toString
+    // '[' / ']' pass through as regex character classes; an UNBALANCED
+    // bracket is a PatternSyntaxException, which must surface as the
+    // centralized user-error exit path, not a stack trace.
+    try pattern.r
+    catch {
+      case _: java.util.regex.PatternSyntaxException =>
+        throw new SettingsError(s"invalid pattern '$glob'")
+    }
   }
 
   /** Two-column table with header + underline — the shape of the

@@ -339,14 +339,27 @@ final class Warehouse(
     * (span 1). */
   private def zorderClustered(df: DataFrame, cols: Seq[String]): DataFrame = {
     val res = (1L << graft.queries.ZorderKey.bitsPerInput(cols.size)) - 1
-    val doubled = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    // DATE cannot cast to DOUBLE in Spark 4 (DATATYPE_MISMATCH), yet
+    // table_design allows date interleaved-sort columns — route dates
+    // through their epoch-day integer (unix_date), which Z-orders on
+    // exactly the calendar order a date sort key means.
+    def asDouble(c: String): org.apache.spark.sql.Column = {
+      val resolved = df.schema.fields
+        .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      resolved match {
+        case Some(org.apache.spark.sql.types.DateType) =>
+          unix_date(col(c)).cast("double")
+        case _ => col(c).cast("double")
+      }
+    }
+    val doubled = df.select(cols.map(c => asDouble(c).as(c)): _*)
     val quantiles = doubled.stat.approxQuantile(
       cols.toArray, Array(0.01, 0.99), 0.001)
     val scaled = cols.zipWithIndex.map { case (c, i) =>
       val qs = quantiles(i)
       val (mn, mx) = if (qs.isEmpty) (0.0, 0.0) else (qs(0), qs(1))
       val span = if (mx > mn) mx - mn else 1.0
-      val v = coalesce(col(c).cast("double"), lit(mn))
+      val v = coalesce(asDouble(c), lit(mn))
       least(lit(res), greatest(lit(0L),
         floor((v - lit(mn)) * res / lit(span)).cast("long")))
     }
@@ -417,7 +430,15 @@ final class Warehouse(
   def appendToTableIdempotent(target: TableName, df: DataFrame,
                               batchTag: String): Boolean = {
     val loc = appendLocation(target)
-    val tag = batchTag.replaceAll("[^A-Za-z0-9_-]", "_")
+    // Sanitizing alone would COLLIDE distinct tags ('b.1' and 'b:1'
+    // both become 'b_1', silently dropping the second batch); a raw-tag
+    // hash suffix keeps sanitized names unique per raw tag.
+    val sanitized = batchTag.replaceAll("[^A-Za-z0-9_-]", "_")
+    val tag = if (sanitized == batchTag) batchTag else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(batchTag.getBytes("UTF-8"))
+      sanitized + "-" + md.take(4).map("%02x".format(_)).mkString
+    }
     val hp = new org.apache.hadoop.fs.Path(loc)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(hp, s"_applied_$tag")
@@ -518,10 +539,23 @@ final class Warehouse(
     if (sameShape) {
       spark.sql(s"ALTER TABLE ${target.quoted} SET LOCATION '$location'")
       // a partitioned table's catalog partition entries still point at
-      // the OLD location — rebuild them from the new directory layout
-      // (metadata-only; the table itself was never missing)
-      if (wantParts.nonEmpty)
+      // the OLD location, and RECOVER PARTITIONS only ADDS missing
+      // specs — an existing spec keeps its stale absolute location and
+      // scans would keep serving the superseded build (then fail once
+      // vacuum reclaims it). Drop every stored partition entry first
+      // (metadata-only: retainData leaves the old files for vacuum),
+      // then RECOVER rebuilds the full set from the new directory
+      // layout. The table itself is never missing from the catalog.
+      if (wantParts.nonEmpty) {
+        val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+          target.table, Some(target.schema))
+        val cat = spark.sessionState.catalog
+        val stale = cat.listPartitions(ident)
+        if (stale.nonEmpty)
+          cat.dropPartitions(ident, stale.map(_.spec),
+            ignoreIfNotExists = true, purge = false, retainData = true)
         spark.sql(s"ALTER TABLE ${target.quoted} RECOVER PARTITIONS")
+      }
       // SET LOCATION swaps the data but PRESERVES catalog stats from
       // any prior ANALYZE — the CBO would then size joins (and flip
       // broadcast decisions) from the previous build's row counts.

@@ -70,6 +70,11 @@ class SettingsSpec extends AnyFunSuite {
       !filtered.contains("max_concurrency"))
     val e = intercept[SettingsError] { s.showVars(Seq("zz.*")) }
     assert(e.getMessage.contains("no matching setting"))
+    // an UNBALANCED bracket glob is a user error, not a
+    // PatternSyntaxException stack trace — it must flow through the
+    // centralized SettingsError exit path
+    val bad = intercept[SettingsError] { s.showVars(Seq("a[")) }
+    assert(bad.getMessage.contains("invalid pattern 'a['"), bad.getMessage)
   }
 
   test("text template renders ${dotted.name}; json templates re-dump sorted") {

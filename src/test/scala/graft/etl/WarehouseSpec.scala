@@ -812,6 +812,38 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter($"x" < 64).select(input_file_name()).distinct().count()
     assert(interiorFiles >= 3,
       s"outlier collapsed interior clustering to $interiorFiles file(s)")
+    // DATE interleaved-sort columns: validation allows them, so the
+    // build must too — Spark 4 cannot cast DATE to DOUBLE directly,
+    // so the normalizer routes dates through unix_date. The write
+    // must succeed AND still cluster both dimensions.
+    val datedGrid = grid.select($"id",
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")), $"x".cast("int")).as("d"),
+      $"y")
+    val dDesign = TableDesign.load(
+      """name: rep.zdated
+        |source_name: src
+        |attributes:
+        |  interleaved_sort: [d, y]
+        |columns:
+        |  - name: id
+        |    type: long
+        |    not_null: true
+        |  - name: d
+        |    type: date
+        |  - name: y
+        |    type: long
+        |""".stripMargin)
+    wh.writeTable(TableName.parse("rep.zdated"), datedGrid, Some(dDesign))
+    assert(spark.table("`rep`.`zdated`").count() == 4096)
+    val dSpans = spark.table("`rep`.`zdated`")
+      .groupBy(input_file_name().as("f"))
+      .agg((max(unix_date($"d")) - min(unix_date($"d"))).cast("double").as("sx"),
+        (max($"y") - min($"y")).cast("double").as("sy"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    val dAvgX = dSpans.map(_._1).sum / dSpans.size / 63.0
+    val dAvgY = dSpans.map(_._2).sum / dSpans.size / 63.0
+    assert(dAvgX <= 0.7 && dAvgY <= 0.7,
+      s"date z files not clustered: avg d span $dAvgX, avg y span $dAvgY")
     // show_ddl carries the attribute
     assert(Ddl.createTableSql(design("  interleaved_sort: [x, y]"))
       .contains("'graft.interleaved_sortkey' = 'x,y'"))
@@ -886,6 +918,37 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep`.`nat_part`").count() == 25)
     assert(spark.table("`rep`.`nat_part`")
       .filter(org.apache.spark.sql.functions.col("n_regionkey") === 1).count() == 5)
+    // rebuild with CHANGED row values: RECOVER PARTITIONS only ADDS
+    // missing specs, so without dropping the stale catalog entries
+    // first, scans would keep serving the OLD build's rows from the
+    // old absolute partition locations (and break once vacuum
+    // reclaims them). Every row — pruned reads included — must come
+    // from the new build.
+    val partRelUpper = rel(
+      """name: rep.nat_part
+        |source_name: CTAS
+        |depends_on: [src.nation]
+        |attributes:
+        |  partition_by: [n_regionkey]
+        |columns:
+        |  - name: n_nationkey
+        |    type: int
+        |  - name: n_name
+        |    type: string
+        |  - name: n_regionkey
+        |    type: int
+        |query: SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey FROM src.nation
+        |""".stripMargin)
+    wh.loadWithStagingAndPublish(Seq(srcNation3, partRelUpper))
+    val rebuilt = spark.table("`rep`.`nat_part`")
+    assert(rebuilt.count() == 25)
+    val allNames = rebuilt.select("n_name").collect().map(_.getString(0))
+    assert(allNames.nonEmpty && allNames.forall(n => n == n.toUpperCase),
+      s"stale partition metadata served old-build rows: ${allNames.take(3).mkString(",")}")
+    val prunedNames = rebuilt
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") === 1)
+      .select("n_name").collect().map(_.getString(0))
+    assert(prunedNames.length == 5 && prunedNames.forall(n => n == n.toUpperCase))
     // root-level appends would bypass the partition dirs: refused
     val s = spark
     import s.implicits._
@@ -1023,6 +1086,17 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a NEW tag appends normally
     assert(wh.appendToTableIdempotent(t, Seq((4L, "d")).toDF("id", "v"), "b8"))
     assert(spark.table(t.quoted).count() == 4)
+    // DISTINCT raw tags whose sanitized forms collide ('b.1' and
+    // 'b:1' both sanitize to 'b_1') must each apply — the hash suffix
+    // keeps them apart instead of silently dropping the second batch
+    assert(wh.appendToTableIdempotent(t, Seq((5L, "e")).toDF("id", "v"), "b.1"))
+    assert(wh.appendToTableIdempotent(t, Seq((6L, "f")).toDF("id", "v"), "b:1"))
+    assert(spark.table(t.quoted).count() == 6,
+      "distinct tags with colliding sanitized names must both apply")
+    // and each remains individually idempotent under replay
+    assert(!wh.appendToTableIdempotent(t, Seq((5L, "e")).toDF("id", "v"), "b.1"))
+    assert(!wh.appendToTableIdempotent(t, Seq((6L, "f")).toDF("id", "v"), "b:1"))
+    assert(spark.table(t.quoted).count() == 6)
   }
 
   test("standalone check_constraints audits published tables without rebuilding") {

@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSession
   * | LISTAGG(x, sep) | array_join(collect_list(x), sep) |
   * | NVL(a, b) | coalesce — already a Spark builtin |
   * | f_sha256(s) | sha2(s, 256) (Commands.registerUdfs) |
+  * | SYSDATE | current_timestamp() |
+  * | CONVERT_TIMEZONE([src,] tgt, ts) | from_utc_timestamp/to_utc_timestamp |
+  * | TO_CHAR(ts, 'fmt') | per-token date_format concat |
   */
 object DialectShims {
 
@@ -169,6 +172,190 @@ object DialectShims {
     sb.append(")$").toString
   }
 
+  // ---------------------------- CONVERT_TIMEZONE / TO_CHAR / SYSDATE
+  /** Rewrite every `name(...)` call in MASKED text via `f(args)`,
+    * where `args` are the call's top-level comma-split argument texts
+    * (string literals are masked to placeholders, so paren balancing
+    * and comma splitting see only real syntax). Arguments are
+    * rewritten recursively FIRST, so nested calls compose inside-out.
+    * `f` returning None leaves the call unchanged (the C5 dry-run
+    * surfaces unsupported shapes, the shim never corrupts them). */
+  private[etl] def rewriteCalls(sql: String, name: String)(
+      f: Seq[String] => Option[String]): String = {
+    val lower = sql.toLowerCase
+    val nm = name.toLowerCase
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val at = lower.indexOf(nm, i)
+      if (at < 0) { sb.append(sql.substring(i)); i = sql.length }
+      else {
+        val beforeOk = at == 0 || {
+          val c = sql.charAt(at - 1)
+          !Character.isLetterOrDigit(c) && c != '_' && c != '.'
+        }
+        var j = at + nm.length
+        while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+        val afterIdent = at + nm.length < sql.length && {
+          val c = sql.charAt(at + nm.length)
+          Character.isLetterOrDigit(c) || c == '_'
+        }
+        if (!beforeOk || afterIdent || j >= sql.length || sql.charAt(j) != '(') {
+          sb.append(sql.substring(i, at + nm.length)); i = at + nm.length
+        } else {
+          var depth = 1
+          var k = j + 1
+          var start = k
+          val args = scala.collection.mutable.ArrayBuffer[String]()
+          while (k < sql.length && depth > 0) {
+            sql.charAt(k) match {
+              case '(' => depth += 1
+              case ')' =>
+                depth -= 1
+                if (depth == 0) args += sql.substring(start, k)
+              case ',' if depth == 1 =>
+                args += sql.substring(start, k); start = k + 1
+              case _ =>
+            }
+            k += 1
+          }
+          if (depth != 0) {
+            sb.append(sql.substring(i, at + nm.length)); i = at + nm.length
+          } else {
+            val inner = args.map(a => rewriteCalls(a, name)(f).trim).toSeq
+            f(inner) match {
+              case Some(rep) => sb.append(sql.substring(i, at)).append(rep)
+              case None =>
+                sb.append(sql.substring(i, at)).append(sql.substring(at, k))
+            }
+            i = k
+          }
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Redshift `CONVERT_TIMEZONE(['src',] 'tgt', ts)` → Spark's
+    * from_utc/to_utc composition. The TWO-argument form's source zone
+    * is UTC BY DEFINITION in Redshift (not the session zone, which is
+    * what Spark's own 2-arg convert_timezone would use) — hence the
+    * explicit `from_utc_timestamp`. Three-argument form pivots
+    * through UTC: `to_utc_timestamp(ts, src)` then out to `tgt`.
+    * Zone expressions pass through untouched (named zones, fixed
+    * offsets, column refs all work — they reach codegen'd
+    * built-ins). */
+  def rewriteConvertTimezone(sql: String): String =
+    rewriteCalls(sql, "convert_timezone") {
+      case Seq(tgt, ts) => Some(s"from_utc_timestamp($ts, $tgt)")
+      case Seq(src, tgt, ts) =>
+        Some(s"from_utc_timestamp(to_utc_timestamp($ts, $src), $tgt)")
+      case _ => None
+    }
+
+  /** Redshift `SYSDATE` (parenless, start-of-statement timestamp) →
+    * `current_timestamp()` (Spark evaluates it once per query — the
+    * same stability contract). Masked text, so a literal containing
+    * the word survives; an actual call `sysdate()` is left for the
+    * C5 dry-run (Redshift has no such spelling). */
+  def rewriteSysdate(sql: String): String =
+    SysdateRe.replaceAllIn(sql, "current_timestamp()")
+
+  private val SysdateRe =
+    raw"(?i)(?<![\w.])SYSDATE\b(?!\s*\()".r
+
+  /** PG/Redshift TO_CHAR datetime format tokens → Spark datetime
+    * pattern pieces. Name tokens are CASE-SENSITIVE triples (PG's
+    * pattern case controls output case: MON→JAN, Mon→Jan, mon→jan);
+    * numeric tokens are case-insensitive. Longest token wins. */
+  private[etl] val ToCharNameTokens: Seq[(String, String, String)] = Seq(
+    // (pgToken, sparkPattern, wrap: "upper" | "" | "lower")
+    ("MONTH", "MMMM", "upper"), ("Month", "MMMM", ""), ("month", "MMMM", "lower"),
+    ("MON", "MMM", "upper"), ("Mon", "MMM", ""), ("mon", "MMM", "lower"),
+    ("DAY", "EEEE", "upper"), ("Day", "EEEE", ""), ("day", "EEEE", "lower"),
+    ("DY", "EEE", "upper"), ("Dy", "EEE", ""), ("dy", "EEE", "lower"),
+    ("AM", "a", ""), ("PM", "a", ""), ("am", "a", "lower"), ("pm", "a", "lower"))
+
+  /** (pgToken, zero-padded pattern, FM-unpadded pattern). */
+  private[etl] val ToCharNumTokens: Seq[(String, String, String)] = Seq(
+    ("HH24", "HH", "H"), ("HH12", "hh", "h"), ("YYYY", "yyyy", "yyyy"),
+    ("DDD", "DDD", "D"), ("YY", "yy", "yy"), ("MM", "MM", "M"),
+    ("MI", "mm", "m"), ("MS", "SSS", "SSS"), ("SS", "ss", "s"),
+    ("DD", "dd", "d"), ("HH", "hh", "h"), ("Q", "Q", "Q"))
+
+  /** Translate one TO_CHAR datetime format into a Spark SQL
+    * expression over `ts` — a concat of per-token `date_format`
+    * pieces (each name token individually upper/lower-wrapped, so
+    * mixed-case formats like `'Dy DD MON YYYY'` come out right,
+    * which a single wrapped date_format cannot do) and quoted
+    * literal runs. PG fidelity: `Month`/`Day` blank-pad to 9 chars
+    * (the longest English name) and numeric tokens zero-pad; the
+    * `FM` prefix suppresses padding for the NEXT token only (PG
+    * semantics — Oracle's sticky FM differs). Returns None for
+    * number-mode characters (9/0/$ — TO_CHAR's numeric formatting,
+    * out of scope). */
+  private[etl] def toCharExpr(ts: String, format: String): Option[String] = {
+    if (format.exists(c => "90$".indexOf(c.toInt) >= 0)) return None
+    val pieces = scala.collection.mutable.ArrayBuffer[String]()
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val esc = lit.toString.replace("\\", "\\\\").replace("'", "\\'")
+      pieces += s"'$esc'"
+      lit.clear()
+    }
+    var fm = false
+    var i = 0
+    while (i < format.length) {
+      val rest = format.substring(i)
+      if (rest.regionMatches(true, 0, "FM", 0, 2)) {
+        fm = true; i += 2
+      } else ToCharNameTokens.find { case (t, _, _) => rest.startsWith(t) } match {
+        case Some((t, pat, wrap)) =>
+          flushLit()
+          var e = s"date_format($ts, '$pat')"
+          // Month/Day blank-pad to the longest English name (9)
+          if (!fm && (pat == "MMMM" || pat == "EEEE")) e = s"rpad($e, 9, ' ')"
+          pieces += (wrap match {
+            case "upper" => s"upper($e)"
+            case "lower" => s"lower($e)"
+            case _ => e
+          })
+          fm = false
+          i += t.length
+        case None =>
+          ToCharNumTokens.find { case (t, _, _) =>
+            rest.regionMatches(true, 0, t, 0, t.length)
+          } match {
+            case Some((t, padded, unpadded)) =>
+              flushLit()
+              pieces += s"date_format($ts, '${if (fm) unpadded else padded}')"
+              fm = false
+              i += t.length
+            case None =>
+              lit.append(format.charAt(i)); i += 1
+          }
+      }
+    }
+    flushLit()
+    Some(
+      if (pieces.isEmpty) "''"
+      else if (pieces.size == 1) pieces.head
+      else s"concat(${pieces.mkString(", ")})")
+  }
+
+  /** `TO_CHAR(ts, 'fmt')` → the per-token concat above. The format
+    * must be a string LITERAL (a mask placeholder) — a column-ref
+    * format can't be translated at rewrite time and is left for the
+    * C5 dry-run, as is number-mode TO_CHAR. */
+  private def rewriteToChar(sql: String, saved: Array[String]): String =
+    rewriteCalls(sql, "to_char") {
+      case Seq(ts, MaskedLiteral(idx)) =>
+        toCharExpr(ts, saved(idx.toInt).replace("''", "'"))
+      case _ => None
+    }
+
+  private val MaskedLiteral = ("'\\u0000(\\d+)\\u0000'").r
+
   // ------------------------------------- literal/comment-safe rewriting
   /** Mask string literals, double-quoted identifiers, and comments
     * with indexed placeholders (`NUL idx NUL`, delimiters kept) so the
@@ -260,9 +447,14 @@ object DialectShims {
   def rewriteRedshiftSql(sql: String): String = {
     val (masked, saved) = mask(sql)
     val arr = saved.toArray
-    val rewritten = rewriteSimilarTo(
-      rewriteDateDiff(rewriteDateAdd(rewriteListagg(
-        rewriteRatioToReport(masked)))), arr)
+    val step1 = rewriteRatioToReport(masked)
+    val step2 = rewriteListagg(step1)
+    val step3 = rewriteDateAdd(step2)
+    val step4 = rewriteDateDiff(step3)
+    val step5 = rewriteSysdate(step4)
+    val step6 = rewriteConvertTimezone(step5)
+    val step7 = rewriteSimilarTo(step6, arr)
+    val rewritten = rewriteToChar(step7, arr)
     unmask(rewritten, scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
   }
 }

@@ -798,8 +798,58 @@ object SqlSurface {
       |FROM g
       |ORDER BY flag, qty_bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** The TIME third of the Redshift-dialect surface: `TO_CHAR`
+    * datetime formats (the shim translates each PG token to a
+    * `date_format` piece, case-wrapping name tokens individually so
+    * mixed-case formats render right), `CONVERT_TIMEZONE` in both
+    * arities (2-arg source is UTC BY DEFINITION in Redshift — not
+    * the session zone), and parenless `SYSDATE` (exercised in a
+    * tautological predicate so the query stays deterministic while
+    * the rewrite still must parse and run). Fixed-OFFSET zones keep
+    * the oracle derivable from first principles (interval shifts) —
+    * DuckDB's named-zone support needs the ICU extension, which an
+    * offline container may lack; named zones are DialectShimsSpec's
+    * job. Orders timestamps are midnight-exact, so the VARCHAR cast
+    * of the shifted wall time agrees byte-for-byte across engines.
+    * Scale shape: pure per-row projection over one scan, top-k by
+    * key — zero data movement beyond the TakeOrdered. */
+  def q25TimeDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("rs_orders")
+    val redshiftSql =
+      """SELECT o_orderkey,
+        |  TO_CHAR(o_orderdate, 'YYYY-MON-DD') AS d_mon,
+        |  TO_CHAR(o_orderdate, 'Dy, DD Month YYYY') AS d_pretty,
+        |  TO_CHAR(o_orderdate, 'Q') AS d_quarter,
+        |  CAST(CONVERT_TIMEZONE('+05:30', o_orderdate) AS VARCHAR(32)) AS ist_wall,
+        |  CAST(CONVERT_TIMEZONE('+02:00', '-03:00', o_orderdate) AS VARCHAR(32)) AS cross_wall
+        |FROM rs_orders
+        |WHERE SYSDATE >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY o_orderkey LIMIT 200""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  /** DuckDB has no TO_CHAR/CONVERT_TIMEZONE/SYSDATE either: strftime
+    * pieces (upper() only around the month token, rpad-9 around the
+    * full month name — the engine must reproduce the shim's
+    * per-token case wrapping AND PG's blank padding), interval
+    * arithmetic for the zone shifts (+05:30; +02:00 → -03:00 nets
+    * -5h through the UTC pivot), and a now()-based tautology. */
+  val q25TimeDialectSql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-') || upper(strftime(o_orderdate, '%b')) || strftime(o_orderdate, '-%d') AS d_mon,
+      |  strftime(o_orderdate, '%a, %d ') || rpad(strftime(o_orderdate, '%B'), 9, ' ') || strftime(o_orderdate, ' %Y') AS d_pretty,
+      |  CAST(quarter(o_orderdate) AS VARCHAR) AS d_quarter,
+      |  strftime(o_orderdate + INTERVAL '5 hours 30 minutes', '%Y-%m-%d %H:%M:%S') AS ist_wall,
+      |  strftime(o_orderdate - INTERVAL '5 hours', '%Y-%m-%d %H:%M:%S') AS cross_wall
+      |FROM orders
+      |WHERE now() >= TIMESTAMP '2000-01-01 00:00:00'
+      |ORDER BY o_orderkey LIMIT 200""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_time_dialect" -> (q25TimeDialect _),
     "q24_analytic_dialect" -> (q24AnalyticDialect _),
     "q23_recursive_cte" -> (q23RecursiveCte _),
     "q22_similar_to" -> (q22SimilarTo _),
@@ -828,6 +878,7 @@ object SqlSurface {
     "q15_events_sessions" -> (q15EventsSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q25_time_dialect" -> q25TimeDialectSql,
     "q24_analytic_dialect" -> q24AnalyticDialectSql,
     "q23_recursive_cte" -> q23RecursiveCteSql,
     "q22_similar_to" -> q22SimilarToSql,

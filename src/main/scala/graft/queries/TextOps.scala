@@ -342,6 +342,70 @@ object TextOps {
        |ORDER BY doc_id, copy""".stripMargin
   }
 
+  /** Temperature-weighted mixing — the standard multilingual sampling
+    * scheme (mBERT/XLM-R/mT5: p_i ∝ n_i^α, α < 1 flattens the
+    * distribution toward rare domains without full balancing). Here
+    * α = 0.5 (the published range's midpoint), INTEGERIZED:
+    * `w_i = floor(sqrt(n_i))` (IEEE sqrt is correctly rounded, so
+    * floor(sqrt) agrees bit-for-bit in every engine), quota
+    * `k_i = n_total * w_i div Σw` in pure integer arithmetic (an
+    * order-free integer sum, unlike a float Σ n^α whose rounding
+    * depends on summation order), and per-doc copies via the same
+    * all-integer remainder coin as [[mixWeighted]]. A different α
+    * would swap `w_i` for a driver-computed integer weight table —
+    * the rest of the machinery is α-agnostic.
+    *
+    * Scale shape: identical to [[mixWeighted]] — two tiny broadcast
+    * aggregates + a codegen'd per-row coin and quota explode; the
+    * corpus is never shuffled. */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("w", floor(sqrt($"n_lang".cast("double"))).cast("long"))
+    val totals = counts.agg(
+      sum($"w").as("sw"), sum($"n_lang").as("n_total"))
+    docs
+      .select($"doc_id", $"lang",
+        (conv(substring(
+          md5(concat(lit("mixt:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L).as("bucket"))
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(totals))
+      .withColumn("k", expr("(n_total * w) div sw"))
+      .withColumn("copies",
+        expr("k div n_lang") +
+          when($"bucket" * $"n_lang" < lit(1000000L) * ($"k" % $"n_lang"), 1L)
+            .otherwise(0L))
+      .filter($"copies" >= 1)
+      .select($"doc_id", $"lang",
+        explode(sequence(lit(1L), $"copies")).as("copy"))
+      .orderBy($"doc_id", $"copy")
+  }
+
+  val mixTemperatureSql: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_lang,
+      |    CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+      |  FROM documents GROUP BY lang
+      |),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS sw,
+      |             CAST(SUM(n_lang) AS BIGINT) AS n_total FROM c),
+      |j AS (
+      |  SELECT d.doc_id, d.lang, c.n_lang,
+      |    (t.n_total * c.w) // t.sw AS k,
+      |    CAST(('0x' || substring(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+      |  FROM documents d JOIN c USING (lang) CROSS JOIN t
+      |),
+      |e AS (
+      |  SELECT doc_id, lang,
+      |    (k // n_lang) + (CASE WHEN bucket * n_lang < 1000000 * (k % n_lang) THEN 1 ELSE 0 END) AS copies
+      |  FROM j
+      |)
+      |SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+      |FROM e
+      |ORDER BY doc_id, copy""".stripMargin
+
   // ------------------------------------------------ curation pipeline
   /** The composed curation pass a training-data pipeline actually
     * runs: language filter → quality gate → exact-dedup keep-first →
@@ -422,39 +486,82 @@ object TextOps {
        |ORDER BY df DESC, tf DESC, token LIMIT $VocabSize""".stripMargin
 
   // ---------------------------------------------------------------- BPE
-  /** BPE tokenization over the corpus: a merge table learned in ONE
-    * corpus pass — the top [[BpeMerges]] adjacent character pairs of
-    * the normalized text (space-free; count-desc / pair-asc
-    * tie-break, a total order) — applied by the native codegen'd
-    * [[BpeEncode]] expression. Real (iterative) BPE training
-    * re-counts pairs after every merge; the single-pass table trades
-    * that for one groupBy so learning stays a single corpus scan,
-    * and the APPLY machinery is exactly standard BPE — swap in an
-    * externally trained vocab and nothing else changes.
+  /** BPE tokenization over the corpus: TRUE iterative byte-pair
+    * encoding — after every merge the trainer re-counts pairs over
+    * the UPDATED token sequence, so later rules pair multi-char
+    * tokens (`t h`→`th`, then `th e`→`the` — BPE's defining loop),
+    * unlike a single-pass char-bigram table which can never chain.
+    * Training runs on a bounded deterministic sample: the
+    * [[BpeSampleDocs]] documents with the smallest `md5(doc_id)`
+    * (an unbiased fixed-size draw that stays bounded at 100 TB and
+    * is reproducible in any engine), concatenated in doc_id order
+    * with single-space joins; space tokens never merge, so document
+    * boundaries never fuse. Best pair per iteration is count-desc
+    * then (a, b) text-asc — a total order over the ASCII normalized
+    * alphabet, identical in JVM and DuckDB collation.
     *
-    * Scale shape: learning is one map-side-partial groupBy over
-    * 2-char keys (≤ 36² space-free pairs of the normalized alphabet,
-    * so the shuffle is tiny and the top-k cut is driver-side metadata,
-    * like the IVF centroid sample); the apply is a per-row codegen'd
-    * expression — zero data movement at 100 TB. */
+    * Scale shape: the sample is one TakeOrdered top-k over md5 keys
+    * (driver-side metadata, like the IVF centroid sample); the
+    * [[BpeMerges]]-iteration recount loop runs on the driver over
+    * ≤64 docs' tokens (the PQ Lloyd-loop pattern — model fitting on
+    * a bounded sample, never a per-iteration cluster job); the apply
+    * is the per-row codegen'd [[BpeEncode]] expression — zero data
+    * movement at 100 TB. Swap in an externally trained vocab and
+    * nothing but the merge-table literal changes. */
   val BpeMerges = 40
   val BpeVocabTop = 20
+  val BpeSampleDocs = 64
 
   /** The learned merge table, as `"a b"` rule strings in application
-    * order. Deterministic: count desc, then pair text asc. */
+    * order, trained by [[trainMerges]] on the md5-sampled corpus. */
   def bpeMergeTable(docs: DataFrame): Seq[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(normText(col("text")).as("n"))
-      .filter(length($"n") >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(n) - 1), i -> substring(n, i, 2))")).as("p"))
-      .filter(!$"p".contains(" "))
-      .groupBy($"p").agg(count(lit(1)).as("cnt"))
-      .orderBy($"cnt".desc, $"p".asc)
-      .limit(BpeMerges)
-      .select(concat(substring($"p", 1, 1), lit(" "), substring($"p", 2, 1)))
-      .as[String].collect().toSeq
+    val sampled = docs
+      .select(col("doc_id"), normText(col("text")).as("n"))
+      .filter($"n".isNotNull)
+      .orderBy(md5($"doc_id".cast("string")))
+      .limit(BpeSampleDocs)
+      .orderBy($"doc_id")
+      .select($"n").as[String].collect().toSeq
+    trainMerges(sampled, BpeMerges)
+  }
+
+  /** Classic BPE training loop: count adjacent token pairs (pairs
+    * touching a space token excluded — spaces are word/document
+    * boundaries), merge the most frequent pair everywhere with the
+    * same greedy left-to-right scan [[BpeEncode]] applies, repeat on
+    * the RE-COUNTED sequence. Deterministic: count desc, then
+    * (a, b) asc. Stops early if no mergeable pair remains. */
+  def trainMerges(texts: Seq[String], maxMerges: Int): Seq[String] = {
+    var toks: Array[String] = texts.mkString(" ").map(_.toString).toArray
+    val rules = scala.collection.mutable.ArrayBuffer[String]()
+    var done = false
+    while (rules.size < maxMerges && !done) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < toks.length - 1) {
+        val a = toks(i); val b = toks(i + 1)
+        if (!a.contains(" ") && !b.contains(" "))
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + 1L
+        i += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), _) =
+          counts.minBy { case ((pa, pb), c) => (-c, pa, pb) }
+        rules += s"$a $b"
+        val out = Array.newBuilder[String]
+        var r = 0
+        while (r < toks.length) {
+          if (r + 1 < toks.length && toks(r) == a && toks(r + 1) == b) {
+            out += (a + b); r += 2
+          } else { out += toks(r); r += 1 }
+        }
+        toks = out.result()
+      }
+    }
+    rules.toSeq
   }
 
   /** The merge table is a MODEL artifact — learned once per corpus,
@@ -493,9 +600,15 @@ object TextOps {
       .limit(BpeVocabTop)
   }
 
-  /** The oracle's twin: learn the same merge table, then apply each
-    * rule as ONE string replace over the token string with every
-    * token wrapped in its OWN delimiters (`|a||b||c|`). The pattern
+  /** The oracle's twin: replay the SAME iterative training — a
+    * recursive CTE (`btrain`) whose step re-counts adjacent token
+    * pairs of the current delimiter-encoded corpus (positions come
+    * from a zipped dual unnest, NOT row order; a per-row `toks[i]`
+    * list index is O(n²) in DuckDB and ~200× slower) and folds the
+    * argmax pair in via the delimiter-replace below — then apply
+    * each learned rule as ONE string replace over the token string
+    * with every token wrapped in its OWN delimiters (`|a||b||c|`).
+    * The pattern
     * `|a||b|` can only match two complete adjacent tokens (operands
     * are pipe-free, and double pipes occur only between tokens), and
     * because the match consumes no delimiter shared with the NEXT
@@ -510,17 +623,52 @@ object TextOps {
     s"""norm AS (
        |  SELECT doc_id, $normTextSql AS n FROM documents
        |),
-       |pairs AS (
-       |  SELECT substring(n, CAST(i AS INT), 2) AS p
-       |  FROM norm, unnest(range(1, CAST(length(n) AS BIGINT))) t(i)
-       |  WHERE substring(n, CAST(i AS INT), 2) NOT LIKE '% %' AND length(n) >= 2
+       |bsample AS (
+       |  SELECT string_agg(n, ' ' ORDER BY doc_id) AS corpus
+       |  FROM (SELECT doc_id, n FROM norm WHERE n IS NOT NULL
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT $BpeSampleDocs)
        |),
-       |merges AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, p ASC) - 1 AS i,
-       |         '|' || substring(p, 1, 1) || '||' || substring(p, 2, 1) || '|' AS pat,
-       |         '|' || p || '|' AS rep
-       |  FROM (SELECT p, COUNT(*) AS cnt FROM pairs GROUP BY p
-       |        ORDER BY cnt DESC, p ASC LIMIT $BpeMerges)
+       |btrain(s, rules, i) AS (
+       |  SELECT CASE WHEN corpus IS NULL OR corpus = '' THEN ''
+       |         ELSE '|' || array_to_string(string_split(corpus, ''), '||') || '|' END,
+       |         CAST([] AS VARCHAR[]), 0
+       |  FROM bsample
+       |  UNION ALL
+       |  SELECT replace(t.s, '|' || (t.bp).a || '||' || (t.bp).b || '|',
+       |                      '|' || (t.bp).a || (t.bp).b || '|'),
+       |         list_append(t.rules, (t.bp).a || ' ' || (t.bp).b),
+       |         t.i + 1
+       |  FROM (
+       |    SELECT btrain.s, btrain.rules, btrain.i,
+       |      (SELECT {'a': a, 'b': b} FROM (
+       |         WITH toks AS (
+       |           SELECT unnest(tt.toks) AS tok,
+       |                  unnest(range(1, CAST(len(tt.toks) AS BIGINT) + 1)) AS pos
+       |           FROM (SELECT string_split(substring(btrain.s, 2,
+       |                   CAST(length(btrain.s) AS INT) - 2), '||') AS toks) tt
+       |         )
+       |         SELECT ta.tok AS a, tb.tok AS b, COUNT(*) AS cnt
+       |         FROM toks ta JOIN toks tb ON tb.pos = ta.pos + 1
+       |         WHERE ta.tok NOT LIKE '% %' AND tb.tok NOT LIKE '% %'
+       |         GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+       |      )) AS bp
+       |    FROM btrain WHERE btrain.i < $BpeMerges
+       |  ) t
+       |  WHERE t.bp IS NOT NULL
+       |),
+       |merges AS MATERIALIZED (
+       |  -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs,
+       |  -- and enc's recursive step references merges EVERY iteration
+       |  -- — inlined, the whole training recursion re-runs ~40×
+       |  -- (observed 24 s → 16 min). btrain is referenced exactly
+       |  -- once (ORDER BY i DESC LIMIT 1, not a MAX(i) subquery,
+       |  -- which would inline a second full training run).
+       |  SELECT CAST(u.i AS INT) AS i,
+       |         '|' || replace(u.rule, ' ', '||') || '|' AS pat,
+       |         '|' || replace(u.rule, ' ', '') || '|' AS rep
+       |  FROM (SELECT unnest(r.rules) AS rule,
+       |               unnest(range(0, CAST(len(r.rules) AS BIGINT))) AS i
+       |        FROM (SELECT rules FROM btrain ORDER BY i DESC LIMIT 1) r) u
        |),
        |init AS (
        |  SELECT doc_id, CASE WHEN n = '' THEN ''
@@ -539,7 +687,7 @@ object TextOps {
        |)""".stripMargin
 
   val textBpeSql: String =
-    s"""WITH $bpeEncSql
+    s"""WITH RECURSIVE $bpeEncSql
        |SELECT doc_id,
        |       CAST((length(s) - length(replace(s, '|', ''))) // 2 AS BIGINT) AS n_tokens,
        |       CASE WHEN s = '' THEN ''
@@ -547,7 +695,7 @@ object TextOps {
        |FROM enc ORDER BY doc_id""".stripMargin
 
   val textBpeVocabSql: String =
-    s"""WITH $bpeEncSql
+    s"""WITH RECURSIVE $bpeEncSql
        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
        |  SELECT unnest(string_split(substring(s, 2, CAST(length(s) AS INT) - 2), '||')) AS token
        |  FROM enc WHERE s <> ''
@@ -822,7 +970,8 @@ object TextOps {
     "text_classifier_score" -> (textClassifierScore _),
     "sample_stratified" -> (sampleStratified _),
     "mix_balance" -> (mixBalance _),
-    "mix_weighted" -> (mixWeighted _))
+    "mix_weighted" -> (mixWeighted _),
+    "mix_temperature" -> (mixTemperature _))
 
   val oracles: Map[String, String] = Map(
     "pii_redact" -> piiRedactSql,
@@ -840,5 +989,6 @@ object TextOps {
     "text_classifier_score" -> textClassifierScoreSql,
     "sample_stratified" -> sampleStratifiedSql,
     "mix_balance" -> mixBalanceSql,
-    "mix_weighted" -> mixWeightedSql)
+    "mix_weighted" -> mixWeightedSql,
+    "mix_temperature" -> mixTemperatureSql)
 }

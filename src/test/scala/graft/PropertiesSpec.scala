@@ -135,6 +135,34 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (got.isEmpty) "" else "|" + got.mkString("||") + "|"
       gotPiped == oracleApply(text, rules)
     }, minSuccessful = 300)
+    // CHAINED merge tables — the iterative trainer's output shape:
+    // each rule's operands draw from the growing vocab (chars plus
+    // every previously merged token), so rule k can pair multi-char
+    // outputs of rules < k (t h -> th, then th e -> the). The
+    // scan == replace equivalence must hold on exactly these tables,
+    // because the oracle replays the trainer's rules via replace.
+    val chainedGen: Gen[List[(String, String)]] =
+      Gen.choose(0, 8).flatMap { n =>
+        def step(vocab: Vector[String], k: Int): Gen[List[(String, String)]] =
+          if (k == 0) Gen.const(Nil)
+          else for {
+            a <- Gen.oneOf(vocab)
+            b <- Gen.oneOf(vocab)
+            rest <- step(vocab :+ (a + b), k - 1)
+          } yield (a, b) :: rest
+        step(Vector("a", "b", "c"), n)
+      }
+    checkProp(Prop.forAll(textGen, chainedGen) { (text, rules) =>
+      val m = new GenericArrayData(
+        rules.map { case (a, b) => UTF8String.fromString(s"$a $b") }.toArray[Any])
+      val got = BpeEncode
+        .encode(UTF8String.fromString(text), BpeEncode.parseRules(m))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+      val gotPiped =
+        if (got.isEmpty) "" else "|" + got.mkString("||") + "|"
+      gotPiped == oracleApply(text, rules)
+    }, minSuccessful = 300)
   }
 
   test("property: bucketed range join equals the naive theta join at random widths") {

@@ -146,6 +146,90 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(untouched.contains("'a SIMILAR TO b'"))
   }
 
+  test("SYSDATE rewrites parenless; literals and lookalikes survive") {
+    val got = DialectShims.rewriteRedshiftSql(
+      "SELECT SYSDATE, sysdate AS s2, 'SYSDATE' AS lit, mysysdate, t.sysdate_col FROM t")
+    // both bare spellings rewritten, case-insensitively
+    assert(got.startsWith("SELECT current_timestamp(), current_timestamp() AS s2"))
+    // a literal, a larger identifier, and a qualified column survive
+    assert(got.contains("'SYSDATE'"))
+    assert(got.contains("mysysdate"))
+    assert(got.contains("t.sysdate_col"))
+    // the rewritten query actually evaluates
+    val r = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT CAST(SYSDATE >= TIMESTAMP '2000-01-01 00:00:00' AS BOOLEAN) AS ok"))
+      .collect().head
+    assert(r.getBoolean(0))
+  }
+
+  test("CONVERT_TIMEZONE: 2-arg source is UTC, 3-arg pivots, nesting safe") {
+    def one(sql: String): String =
+      spark.sql(DialectShims.rewriteRedshiftSql(s"SELECT CAST($sql AS STRING) AS v"))
+        .collect().head.getString(0)
+    // 2-arg: source UTC by Redshift definition (session tz is UTC
+    // here, but the rewrite must emit from_utc_timestamp regardless)
+    assert(DialectShims.rewriteRedshiftSql(
+      "SELECT CONVERT_TIMEZONE('America/New_York', ts) FROM t")
+      .contains("from_utc_timestamp(ts, 'America/New_York')"))
+    // named zone with DST: Jan 1 UTC → EST (-5)
+    assert(one("CONVERT_TIMEZONE('America/New_York', TIMESTAMP '2024-01-01 12:00:00')")
+      == "2024-01-01 07:00:00")
+    // and in July → EDT (-4)
+    assert(one("CONVERT_TIMEZONE('America/New_York', TIMESTAMP '2024-07-01 12:00:00')")
+      == "2024-07-01 08:00:00")
+    // 3-arg: src +02:00 → tgt -03:00 nets -5h
+    assert(one("CONVERT_TIMEZONE('+02:00', '-03:00', TIMESTAMP '2024-01-01 12:00:00')")
+      == "2024-01-01 07:00:00")
+    // nested parens/commas in the timestamp argument split correctly
+    assert(one("CONVERT_TIMEZONE('+01:00', COALESCE(NULL, TIMESTAMP '2024-01-01 00:00:00'))")
+      == "2024-01-01 01:00:00")
+    // 1-arg / 4-arg shapes are left untouched for the dry-run
+    assert(DialectShims.rewriteRedshiftSql("SELECT CONVERT_TIMEZONE(a) FROM t")
+      .contains("CONVERT_TIMEZONE(a)"))
+  }
+
+  test("TO_CHAR pattern map: per-token case wraps, literals, unsupported") {
+    def one(sql: String): String =
+      spark.sql(DialectShims.rewriteRedshiftSql(s"SELECT $sql AS v"))
+        .collect().head.getString(0)
+    val ts = "TIMESTAMP '2024-02-03 13:05:09'" // Saturday
+    assert(one(s"TO_CHAR($ts, 'YYYY-MM-DD')") == "2024-02-03")
+    assert(one(s"TO_CHAR($ts, 'YYYY-MON-DD')") == "2024-FEB-03")
+    assert(one(s"TO_CHAR($ts, 'Mon')") == "Feb")
+    assert(one(s"TO_CHAR($ts, 'mon')") == "feb")
+    // mixed case in ONE format — needs per-token wrapping
+    assert(one(s"TO_CHAR($ts, 'Dy DD MON YYYY')") == "Sat 03 FEB 2024")
+    // PG blank-pads Month/Day to 9 chars (longest English name);
+    // FM suppresses it for the NEXT token only
+    assert(one(s"TO_CHAR($ts, 'Day')") == "Saturday ")
+    assert(one(s"TO_CHAR($ts, 'day')") == "saturday ")
+    assert(one(s"TO_CHAR($ts, 'FMDay')") == "Saturday")
+    assert(one(s"TO_CHAR($ts, 'Month YYYY')") == "February  2024")
+    assert(one(s"TO_CHAR($ts, 'FMMonth YYYY')") == "February 2024")
+    assert(one(s"TO_CHAR($ts, 'FMDD DD')") == "3 03")
+    // times: HH is 12-hour in PG; HH24 is 24-hour; MI minutes
+    assert(one(s"TO_CHAR($ts, 'HH24:MI:SS')") == "13:05:09")
+    assert(one(s"TO_CHAR($ts, 'HH12:MI PM')") == "01:05 PM")
+    assert(one(s"TO_CHAR($ts, 'hh24:mi:ss')") == "13:05:09")
+    // quarter + day-of-year
+    assert(one(s"TO_CHAR($ts, 'Q')") == "1")
+    assert(one(s"TO_CHAR($ts, 'DDD')") == "034")
+    assert(one(s"TO_CHAR($ts, 'FMDDD')") == "34")
+    // unrecognized chars pass through as literals
+    assert(one(s"TO_CHAR($ts, 'YYYY/MM')") == "2024/02")
+    // number-mode formats are NOT rewritten (left for the dry-run)
+    assert(DialectShims.rewriteRedshiftSql("SELECT TO_CHAR(x, '999.99') FROM t")
+      .contains("TO_CHAR(x, '999.99')"))
+    // non-literal format is left untouched
+    assert(DialectShims.rewriteRedshiftSql("SELECT TO_CHAR(x, fmt_col) FROM t")
+      .contains("TO_CHAR(x, fmt_col)"))
+    // a TO_CHAR mention inside a string literal survives
+    assert(DialectShims.rewriteRedshiftSql("SELECT 'uses TO_CHAR(x, y)' AS s")
+      .contains("'uses TO_CHAR(x, y)'"))
+    // nested call in the timestamp argument composes
+    assert(one(s"TO_CHAR(COALESCE(NULL, $ts), 'YYYY')") == "2024")
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

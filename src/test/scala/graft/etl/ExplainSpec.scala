@@ -26,7 +26,7 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val bnljAllowed =
     Set("ann_topk_cosine", "ann_ivf_cells", "ann_ivf_topk",
       "ann_ivf_topk_sq8", "ann_ivf_topk_pq", "ann_ivf_topk_stored",
-      "source_mix", "mix_balance", "mix_weighted")
+      "source_mix", "mix_balance", "mix_weighted", "mix_temperature")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

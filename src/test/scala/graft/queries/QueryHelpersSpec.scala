@@ -174,6 +174,42 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned.collect().forall(r => !r.isNullAt(0)))
   }
 
+  test("trainMerges: iterative recount chains multi-char rules") {
+    // "ababab abab": iter 1 merges the top char pair (a,b)x5; the
+    // RE-COUNT then sees (ab,ab)x3 — a pair that does not exist in
+    // the original char stream — and chains it, then (abab,ab).
+    // A single-pass char-bigram table could never produce rules 2-3.
+    assert(TextOps.trainMerges(Seq("ababab abab"), 40) ==
+      Seq("a b", "ab ab", "abab ab"))
+    // verdict's canonical chain: t h / h e tie at 3 — "h e" wins the
+    // (a,b)-asc tie-break — then (t,he) pairs a 1-char with a 2-char
+    // token into "the"
+    assert(TextOps.trainMerges(Seq("the the the"), 40) ==
+      Seq("h e", "t he"))
+    // count beats text order; ties break on text asc
+    assert(TextOps.trainMerges(Seq("ab ba ab ba"), 1) == Seq("a b"))
+    // maxMerges truncates; spaces never merge so doc joins are inert
+    assert(TextOps.trainMerges(Seq("ababab", "abab"), 1) == Seq("a b"))
+    // merge application inside training is the kernel's greedy scan:
+    // (a,a) on "aaa aaaaa" leaves [aa,a] / [aa,aa,a], so the recount
+    // sees (aa,a)x2 and (aa,aa)x1 -> next rule is "aa a"
+    assert(TextOps.trainMerges(Seq("aaa aaaaa"), 2) == Seq("a a", "aa a"))
+    // degenerate corpora
+    assert(TextOps.trainMerges(Nil, 5) == Nil)
+    assert(TextOps.trainMerges(Seq(""), 5) == Nil)
+    assert(TextOps.trainMerges(Seq("a"), 5) == Nil)
+    // the learned table feeds the kernel: applying the chained rules
+    // reproduces the training tokenization end-state
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rules = TextOps.trainMerges(Seq("ababab abab"), 40)
+    val m = new GenericArrayData(rules.map(UTF8String.fromString).toArray[Any])
+    val toks = graft.queries.BpeEncode
+      .encode(UTF8String.fromString("ababab abab"), graft.queries.BpeEncode.parseRules(m))
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(toks == Seq("ababab", " ", "abab"))
+  }
+
   test("connectedComponents: chains (multi-round), stars, singleton-free") {
     val s = spark
     import s.implicits._
@@ -337,6 +373,42 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter($"lo" =!= 1L || $"hi" =!= $"c")
       assert(badOrdinals.isEmpty, "copy ordinals must be dense 1..c")
     } finally { weighted.unpersist(); () }
+    // temperature: same corridor structure, but the quota is the
+    // integerized n^0.5 scheme — k_l = n_total * isqrt(n_l) / Σ isqrt
+    val isqrt = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val sw = isqrt.values.sum
+    val temp = TextOps.mixTemperature(spark, sfDir).cache()
+    try {
+      val spreads = temp.groupBy($"lang", $"doc_id").count()
+        .groupBy($"lang")
+        .agg(min($"count").as("lo"), max($"count").as("hi"),
+          sum($"count").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(spreads.map(_._1).toSet == counts.keySet)
+      spreads.foreach { case (l, lo, hi, n) =>
+        assert(hi - lo <= 1, s"$l copies not within 1: [$lo, $hi]")
+        val quota = total * isqrt(l) / sw
+        assert(math.abs(n - quota).toDouble <= math.max(5.0, 0.5 * quota),
+          s"$l total $n far from temperature quota $quota")
+      }
+      // the defining flattening property, on the quotas themselves
+      // (deterministic — the sampled totals add remainder-coin noise):
+      // the most common domain's quota sits below its raw count, the
+      // rarest one's above it
+      val (bigL, bigN) = counts.maxBy(_._2)
+      val (rareL, rareN) = counts.minBy(_._2)
+      if (bigN > rareN) {
+        assert(total * isqrt(bigL) / sw < bigN,
+          s"temperature must DOWN-weight the biggest domain ($bigL)")
+        assert(total * isqrt(rareL) / sw > rareN,
+          s"temperature must UP-weight the rarest domain ($rareL)")
+      }
+      val badOrdinals = temp.groupBy($"lang", $"doc_id")
+        .agg(count(lit(1)).as("c"), min($"copy").as("lo"), max($"copy").as("hi"))
+        .filter($"lo" =!= 1L || $"hi" =!= $"c")
+      assert(badOrdinals.isEmpty, "temperature copy ordinals must be dense 1..c")
+    } finally { temp.unpersist(); () }
   }
 
   test("bounded_topk rejects a non-literal or non-integral k with a typed error") {

@@ -124,44 +124,79 @@ object DimOps {
        |)
        |ORDER BY customer_key, valid_from""".stripMargin
 
-  /** Materialized-rollup maintenance: the (status, month) order
-    * rollup is STORED (written to parquet and read back — the same
-    * stored-artifact pattern as the MinHash band index), and a new
-    * batch only contributes its own partial aggregates, merged into
-    * the stored table by a full-outer join on the grouping key.
-    *
-    * COUNT and decimal SUM are commutative monoids, so
-    * merge(stored, partial(batch)) == partial(corpus) EXACTLY — the
-    * oracle checks the merged result against DuckDB's full recompute
-    * under the hash. At 100 TB the per-batch cost is Θ(batch) scan +
-    * a shuffle of |touched keys| rows; the corpus is never re-read. */
+  // ---------------------------------------- stored rollup lifecycle
+  /** The monoid PARTIAL rows of the (status, month) order rollup —
+    * what the stored table holds. COUNT and decimal SUM are
+    * commutative monoids, so folding any partition of the corpus's
+    * partials equals the one-shot aggregate EXACTLY. */
+  def rollupPartials(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).as("sum_dec"))
+
+  /** Seed the stored rollup as a REAL warehouse table (staging build
+    * + atomic pointer re-point — the band/IVF index lifecycle applied
+    * to an aggregate). */
+  def rollupBuild(wh: graft.etl.Warehouse, table: graft.etl.TableName,
+                  orders: DataFrame): Unit = {
+    wh.writeTable(table, rollupPartials(orders)); ()
+  }
+
+  /** Extend the rollup by one batch: append the BATCH's partial rows
+    * under its batch tag — an at-least-once replay replaces its own
+    * files instead of double-counting (exactly-once state), and
+    * history is never rewritten. Θ(batch) scan + |touched keys|
+    * appended rows; the corpus is never re-read. */
+  def rollupAppend(wh: graft.etl.Warehouse, table: graft.etl.TableName,
+                   batchOrders: DataFrame, tag: String): Boolean =
+    wh.appendToTableIdempotent(table, rollupPartials(batchOrders), tag)
+
+  /** Serve the rollup: fold the stored partials by group key. The
+    * read costs Θ(|partial rows|) — never the corpus — and
+    * `vacuum --compact` folds append-grown files under the same
+    * pointer without changing this result. */
+  def rollupServe(spark: SparkSession, table: graft.etl.TableName): DataFrame =
+    spark.table(table.quoted)
+      .groupBy(col("o_orderstatus"), col("order_month"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_dec")).cast("double").as("sum_price"))
+
+  /** One batch SCD2 maintenance step against the STORED dimension —
+    * the batch twin of the streaming form
+    * ([[graft.streaming.EventStreams]]'s scd2Stream): read the
+    * published dim, [[scd2Upsert]] the updates, write-and-re-point.
+    * Replaying the same updates converges (re-delivered attributes
+    * change nothing in scd2Upsert), so an at-least-once orchestrator
+    * is safe. */
+  def scd2Apply(wh: graft.etl.Warehouse, dim: graft.etl.TableName,
+                updates: DataFrame, key: String, attrs: Seq[String]): Unit = {
+    wh.spark.catalog.refreshTable(dim.quoted)
+    wh.writeTable(dim,
+      scd2Upsert(wh.spark.table(dim.quoted), updates, key, attrs))
+    ()
+  }
+
+  /** Materialized-rollup maintenance END-TO-END through the warehouse
+    * lifecycle: seed the stored rollup from the pre-batch corpus
+    * slice ([[rollupBuild]] — staging + pointer swap), extend it with
+    * one batch's partials ([[rollupAppend]] — batch-tagged idempotent
+    * append), and serve the fold ([[rollupServe]]). The oracle checks
+    * the served result against DuckDB's full recompute under the
+    * hash — the monoid identity merge(stored, partial(batch)) ==
+    * partial(corpus), now carried by a real table instead of a temp
+    * dir. */
   def rollupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.load(spark, sfDir, "orders")
-    def partial(df: DataFrame): DataFrame =
-      df.groupBy($"o_orderstatus",
-          date_format($"o_orderdate", "yyyy-MM").as("order_month"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum($"o_totalprice".cast(DecimalType(18, 6))).as("sum_dec"))
-    // the stored rollup: everything loaded before this batch
-    val storedDir = java.nio.file.Files
-      .createTempDirectory("graft_rollup_q_").toString + "/rollup"
-    partial(orders.filter(pmod($"o_orderkey", lit(5)) =!= 0))
-      .write.mode("overwrite").parquet(storedDir)
-    val stored = spark.read.parquet(storedDir)
-      .select($"o_orderstatus", $"order_month",
-        $"n_orders".as("n0"), $"sum_dec".as("s0"))
-    // the incoming batch contributes only its own partials
-    val delta = partial(orders.filter(pmod($"o_orderkey", lit(5)) === 0))
-      .select($"o_orderstatus", $"order_month",
-        $"n_orders".as("n1"), $"sum_dec".as("s1"))
-    val zero = lit(0).cast(DecimalType(28, 6))
-    stored.join(delta.hint("shuffle_hash"),
-        Seq("o_orderstatus", "order_month"), "full_outer")
-      .select($"o_orderstatus", $"order_month",
-        (coalesce($"n0", lit(0L)) + coalesce($"n1", lit(0L))).as("n_orders"),
-        (coalesce($"s0", zero) + coalesce($"s1", zero))
-          .cast("double").as("sum_price"))
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_rollup_q_").toString,
+      sfDir)
+    val table = graft.etl.TableName.parse("rollup.orders_status_month")
+    rollupBuild(wh, table, orders.filter(pmod($"o_orderkey", lit(5)) =!= 0))
+    rollupAppend(wh, table, orders.filter(pmod($"o_orderkey", lit(5)) === 0),
+      "batch-1")
+    rollupServe(spark, table)
       .orderBy($"o_orderstatus", $"order_month")
   }
 

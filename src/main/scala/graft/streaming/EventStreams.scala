@@ -137,11 +137,22 @@ object EventStreams {
     * click_ts + horizon, so state is O(events-per-horizon), never
     * O(stream). Without the range condition (or with only one
     * watermark) the state grows forever — the 100 TB failure mode
-    * this operator exists to avoid. Inner join: late/unmatched rows
-    * drop; attribution completeness is the batch as-of join's job
-    * (q19 family), this is its low-latency prefix. */
+    * this operator exists to avoid.
+    *
+    * `joinType` "inner" (default): late/unmatched rows drop;
+    * attribution completeness is the batch as-of join's job (q19
+    * family), this is its low-latency prefix. "leftOuter" — what an
+    * attribution pipeline actually ships — KEEPS unattributed
+    * purchases: Spark holds an unmatched purchase in state until the
+    * CLICK-side watermark guarantees no matching click can still
+    * arrive, then emits it null-padded — outer rows run late by up
+    * to the horizon but are never lost, and the same watermarks that
+    * bound the join state also bound the null-emit delay. */
   def attributionJoinStream(clicks: DataFrame, purchases: DataFrame,
-                            horizon: String = "1 hour"): DataFrame = {
+                            horizon: String = "1 hour",
+                            joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "leftOuter",
+      s"attribution join supports inner/leftOuter, got '$joinType'")
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -152,7 +163,8 @@ object EventStreams {
       .withWatermark("p_ts", horizon)
     p.join(c,
       expr(s"user_id = c_user AND " +
-        s"c_ts BETWEEN p_ts - INTERVAL $horizon AND p_ts"))
+        s"c_ts BETWEEN p_ts - INTERVAL $horizon AND p_ts"),
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("p_ts"),
         col("click_id"), col("c_ts"))
   }

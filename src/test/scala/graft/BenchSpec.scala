@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's contention self-defense ([[Bench.adjudicate]]):
+  * pure decision cases for every branch, plus a synthetic-load test —
+  * busy-spin threads inflate a CPU-bound workload, the re-run after
+  * the load stops comes back clean, and the query is flagged
+  * `contended` instead of reading as a regression (the failure mode
+  * that produced two rounds of phantom bench regressions). */
+class BenchSpec extends AnyFunSuite {
+
+  test("readBaseline: committed artifact shape, missing file, corrupt file") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_base_")
+    val good = dir.resolve("good.json")
+    java.nio.file.Files.write(good,
+      """{"metric":"total","value":9.9,"queries":{"q1_agg":1.25,"q2_join_agg":3.5},"sf":"x"}"""
+        .getBytes("UTF-8"))
+    assert(Bench.readBaseline(good.toString) ==
+      Map("q1_agg" -> 1.25, "q2_join_agg" -> 3.5))
+    assert(Bench.readBaseline(dir.resolve("absent.json").toString) == Map.empty)
+    val bad = dir.resolve("bad.json")
+    java.nio.file.Files.write(bad, "not json{{{".getBytes("UTF-8"))
+    assert(Bench.readBaseline(bad.toString) == Map.empty)
+    // a baseline without the queries object degrades to empty
+    val noQ = dir.resolve("noq.json")
+    java.nio.file.Files.write(noQ, """{"metric":"total"}""".getBytes("UTF-8"))
+    assert(Bench.readBaseline(noQ.toString) == Map.empty)
+  }
+
+  test("adjudicate: every decision branch") {
+    var reruns = 0
+    def rerun(v: Double): () => Double = () => { reruns += 1; v }
+    // no baseline → untouched, no re-run
+    assert(Bench.adjudicate(5.0, 0.1, None, rerun(1.0)) == ((5.0, false)))
+    assert(reruns == 0)
+    // under threshold → untouched
+    assert(Bench.adjudicate(1.8, 0.1, Some(1.0), rerun(1.0)) == ((1.8, false)))
+    assert(reruns == 0)
+    // inflated but HIGH spread → ordinary noise, median stands
+    assert(Bench.adjudicate(4.0, 3.0, Some(1.0), rerun(1.0)) == ((4.0, false)))
+    assert(reruns == 0)
+    // inflated, low spread, re-run clears → flagged, re-run value used
+    assert(Bench.adjudicate(4.0, 0.2, Some(1.0), rerun(1.1)) == ((1.1, true)))
+    assert(reruns == 1)
+    // inflated, low spread, re-run still slow → real regression:
+    // best observed time, NOT flagged
+    assert(Bench.adjudicate(4.0, 0.2, Some(1.0), rerun(3.5)) == ((3.5, false)))
+    assert(reruns == 2)
+    assert(Bench.adjudicate(4.0, 0.2, Some(1.0), rerun(4.5)) == ((4.0, false)))
+    assert(reruns == 3)
+    // a -1 (failed) baseline never triggers
+    assert(Bench.adjudicate(4.0, 0.2, Some(-1.0), rerun(1.0)) == ((4.0, false)))
+    assert(reruns == 3)
+  }
+
+  test("synthetic load: busy-spin inflates, re-run path engages, flag appears") {
+    // CPU-bound workload with a fixed iteration count — wall time
+    // scales with how much CPU the scheduler actually grants
+    def work(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0L
+      var i = 0
+      while (i < 40000000) { x += i * 2654435761L; i += 1 }
+      if (x == 42L) System.err.println("")   // defeat dead-code elim
+      (System.nanoTime() - t0) / 1e9
+    }
+    work() // JIT warmup
+    val baseline = (1 to 5).map(_ => work()).min
+    val ncpu = Runtime.getRuntime.availableProcessors
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (1 to ncpu * 4).map { _ =>
+      val t = new Thread(() => {
+        var y = 0L
+        while (!stop.get()) { y += 1 }
+        if (y == -1L) System.err.println("")
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    val (median, spread) =
+      try {
+        val loaded = (1 to 5).map(_ => work()).sorted
+        // middle-3 spread: full-range spread under saturation can be
+        // dominated by one straggler run
+        (loaded(2), loaded(3) - loaded(1))
+      } finally {
+        stop.set(true)
+        spinners.foreach(_.join(2000))
+      }
+    // environment preconditions (cancel, don't false-fail, on a box
+    // where 4×ncpu spinners somehow fail to inflate a CPU loop)
+    assume(median > 1.5 * baseline,
+      f"spinners did not inflate: $median%.3f vs $baseline%.3f")
+    assume(spread < 0.5 * median,
+      f"loaded runs too noisy: spread $spread%.3f vs median $median%.3f")
+    // the re-run (now unloaded) clears → the query is flagged
+    // contended and the clean time replaces the inflated median
+    var rerun = 0
+    val (value, flagged) = Bench.adjudicate(median, spread, Some(baseline),
+      () => { rerun += 1; work() }, factor = 1.5)
+    assert(rerun == 1, "re-run path must engage exactly once")
+    assert(flagged, f"cleared re-run must flag contended " +
+      f"(baseline $baseline%.3f, loaded $median%.3f)")
+    assert(value < 1.5 * baseline,
+      f"re-run value $value%.3f should be clean (baseline $baseline%.3f)")
+  }
+}

@@ -1026,6 +1026,68 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(index.quoted).count() == rowsBefore + bandRows)
   }
 
+  test("stored rollup lifecycle: build, batch merge, idempotent replay, compact, vacuum") {
+    val s = spark
+    import s.implicits._
+    import graft.queries.DimOps
+    val wh = freshWarehouse()
+    val t = TableName.parse("rollup.orders_lc")
+    def orders(rows: (Long, String, String, Double)*) =
+      rows.toSeq.toDF("o_orderkey", "o_orderstatus", "d", "o_totalprice")
+        .withColumn("o_orderdate", org.apache.spark.sql.functions.to_timestamp($"d"))
+        .drop("d")
+    DimOps.rollupBuild(wh, t, orders(
+      (1L, "O", "2024-01-05", 10.5), (2L, "F", "2024-01-07", 20.25),
+      (3L, "O", "2024-02-01", 1.75)))
+    def served() = DimOps.rollupServe(spark, t)
+      .orderBy("o_orderstatus", "order_month").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(served() == Seq(("F", "2024-01", 1L, 20.25),
+      ("O", "2024-01", 1L, 10.5), ("O", "2024-02", 1L, 1.75)))
+    // one batch extends an existing (status, month) key and opens a
+    // new one — the merge math is the monoid fold at read time
+    val b1 = orders((4L, "O", "2024-01-20", 5.0), (5L, "P", "2024-03-02", 7.5))
+    assert(DimOps.rollupAppend(wh, t, b1, "2024-03-02.a"))
+    val afterB1 = Seq(("F", "2024-01", 1L, 20.25), ("O", "2024-01", 2L, 15.5),
+      ("O", "2024-02", 1L, 1.75), ("P", "2024-03", 1L, 7.5))
+    assert(served() == afterB1)
+    // at-least-once replay of the SAME tag: refused, result unchanged
+    assert(!DimOps.rollupAppend(wh, t, b1, "2024-03-02.a"))
+    assert(served() == afterB1)
+    // daily cadence grows files; compaction folds them under the same
+    // pointer and the served fold is unchanged
+    (0 until 40).foreach { i =>
+      assert(DimOps.rollupAppend(wh, t,
+        orders((10L + i, "O", "2024-04-01", 1.0)), s"g$i"))
+    }
+    val oldLoc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        t.table, Some(t.schema))).location.getPath
+    val Some((before, after)) = wh.compactTable(t, maxDataFiles = 16)
+    assert(before > 16 && after < before, s"compact: $before -> $after")
+    val afterGrow = Seq(("F", "2024-01", 1L, 20.25), ("O", "2024-01", 2L, 15.5),
+      ("O", "2024-02", 1L, 1.75), ("O", "2024-04", 40L, 40.0),
+      ("P", "2024-03", 1L, 7.5))
+    assert(served() == afterGrow)
+    // replay refusal survives compaction (markers carried forward)
+    assert(!DimOps.rollupAppend(wh, t, b1, "2024-03-02.a"))
+    // vacuum reclaims the superseded pre-compaction build
+    val rollupRel = rel(
+      """name: rollup.orders_lc
+        |source_name: CTAS
+        |columns:
+        |  - name: o_orderstatus
+        |    type: string
+        |query: SELECT 'x' AS o_orderstatus
+        |""".stripMargin)
+    val vr = wh.vacuum(Seq(rollupRel))
+    assert(vr.refused.isEmpty, s"vacuum refused: ${vr.refused}")
+    assert(vr.deleted.exists(_.endsWith(oldLoc.split('/').takeRight(2).mkString("/"))),
+      s"old build not reclaimed: deleted=${vr.deleted}, old=$oldLoc")
+    assert(served() == afterGrow)
+  }
+
   test("appendToTable refuses bucketed tables (bucket assignments would corrupt)") {
     val s = spark
     import s.implicits._

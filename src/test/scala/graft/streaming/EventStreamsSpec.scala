@@ -122,6 +122,52 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $got")
   }
 
+  test("attributionJoinStream leftOuter: unmatched purchases null-pad after the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.attributionJoinStream(
+      clicks.toDF.toDF("user_id", "ts", "event_id"),
+      purchases.toDF.toDF("user_id", "ts", "event_id"),
+      joinType = "leftOuter").writeStream
+      .format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 1 clicked then purchased (matched); user 3 purchased with
+    // NO click anywhere in the horizon (must survive, null-padded)
+    clicks.addData((1L, ts("2024-01-01 10:00:00"), 100L))
+    purchases.addData(
+      (1L, ts("2024-01-01 10:30:00"), 1000L),
+      (3L, ts("2024-01-01 10:30:00"), 3000L))
+    q.processAllAvailable()
+    // BEFORE the watermark passes, the unmatched purchase is still
+    // held in state — a click for it could yet arrive
+    val early = spark.table("attr_outer_out")
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(!early.contains(3000L),
+      s"outer row emitted before the horizon passed: $early")
+    // advance BOTH watermarks past p_ts + horizon; the held purchase
+    // can no longer match and must emit with a null click
+    clicks.addData((9L, ts("2024-01-01 14:00:00"), 900L))
+    purchases.addData((9L, ts("2024-01-01 14:00:00"), 9000L))
+    q.processAllAvailable()
+    // one more empty-ish batch lets the outer-row eviction flush
+    clicks.addData((9L, ts("2024-01-01 15:00:00"), 901L))
+    purchases.addData((9L, ts("2024-01-01 15:00:00"), 9001L))
+    q.processAllAvailable()
+    val rows = spark.table("attr_outer_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+    q.stop()
+    // matched purchase unchanged; unmatched emitted exactly once,
+    // null-padded, after the horizon passed
+    assert(rows.contains((1000L, Some(100L))), s"matched row lost: $rows")
+    assert(rows.count(_ == ((3000L, None))) == 1,
+      s"unmatched purchase must emit exactly once, null-padded: $rows")
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     val s = spark
     import s.implicits._

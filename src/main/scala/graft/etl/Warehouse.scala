@@ -387,6 +387,47 @@ final class Warehouse(
     spark.catalog.refreshTable(target.quoted)
   }
 
+  /** MERGE INTO the published table — Redshift's MERGE statement
+    * (matched rows UPDATE to the source row, or DELETE when
+    * `matchedDelete`; unmatched source rows INSERT), re-expressed as
+    * ONE key-partitioned LEFT ANTI join: current rows whose key has
+    * no source match survive, the source contributes its rows (all
+    * of them for upsert; only its current-unmatched rows for the
+    * delete arm — Redshift's delete form still inserts non-matches).
+    * The merged set is written as a NEW versioned build and
+    * atomically re-pointed — the same staging discipline as every
+    * build, so readers never see half a merge and the superseded dir
+    * is vacuum's to reclaim.
+    *
+    * Scale shape: both sides shuffle on the merge keys (a fact-sized
+    * target and an unbounded source both forbid broadcast — the anti
+    * join is hinted shuffle), and the rewrite cost is one pass over
+    * target + source. Contract (Redshift's own): the source must be
+    * key-unique — duplicate source keys would multiply matched rows.
+    * Column sets must agree; source columns are realigned to the
+    * target's order. */
+  def mergeInto(target: TableName, source: DataFrame, keys: Seq[String],
+                matchedDelete: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "mergeInto needs at least one merge key")
+    spark.catalog.refreshTable(target.quoted)
+    val current = spark.table(target.quoted)
+    require(source.columns.map(_.toLowerCase).toSet ==
+        current.columns.map(_.toLowerCase).toSet,
+      s"mergeInto column mismatch: target has ${current.columns.mkString(",")}, " +
+        s"source has ${source.columns.mkString(",")}")
+    val aligned = source.select(current.columns.map(col): _*)
+    val sourceKeys = aligned.select(keys.map(col): _*)
+    val survivors = current.join(sourceKeys.hint("shuffle_hash"), keys, "left_anti")
+    val merged =
+      if (matchedDelete)
+        survivors.unionByName(
+          aligned.join(current.select(keys.map(col): _*).hint("shuffle_hash"),
+            keys, "left_anti"))
+      else survivors.unionByName(aligned)
+    writeTable(target, merged)
+  }
+
   /** Live location for an in-place append, refusing bucketed and
     * partitioned tables: a bucketed table's files carry bucket-id
     * assignments, and a partitioned table's rows live in partition

@@ -864,7 +864,44 @@ object DedupOps {
        |HAVING count(*) >= $ContaminationMinShingles
        |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination — [[dedupDecontaminate]]'s
+    * 100 TB form. The exact operator broadcasts the eval shingle SET
+    * as raw longs; at web-benchmark scale (10⁸+ eval n-grams) that
+    * broadcast is gigabytes of hash table per executor. Here the eval
+    * side folds into Spark's own BloomFilterAggregate (the expression
+    * AQE's runtime-filter rewrite plans internally — map-side
+    * combinable, ~1.2 bytes/item at 1% fpp), shipped to the corpus
+    * scan as a SCALAR SUBQUERY — the only broadcast in the plan —
+    * where `bloom_might_contain` drops non-member corpus shingles
+    * BEFORE any join; the exact SEMI join then runs SHUFFLE-hash on
+    * the surviving sliver, eliminating bloom false positives. The
+    * result is EXACT — same rows, same oracle as dedup_decontaminate
+    * — only the plan changes: broadcast bytes go from O(|eval| · 8B
+    * + hash-table overhead) to O(|eval| · 1.2B) bits, and the
+    * membership join never broadcasts at all. */
+  def dedupDecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    DotF.register(spark)
+    val sh = shingleDf(spark, sfDir)
+      .select($"doc_id",
+        conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long").as("shingle"))
+    sh.filter($"doc_id" >= EvalDocMax)
+      .createOrReplaceTempView("decon_corpus_sh")
+    sh.filter($"doc_id" < EvalDocMax).select($"shingle").distinct()
+      .createOrReplaceTempView("decon_eval_sh")
+    spark.sql(
+      s"""SELECT /*+ SHUFFLE_HASH(e) */ c.doc_id, COUNT(*) AS n_overlap
+         |FROM decon_corpus_sh c
+         |LEFT SEMI JOIN decon_eval_sh e ON c.shingle = e.shingle
+         |WHERE bloom_might_contain(
+         |  (SELECT bloom_agg(shingle) FROM decon_eval_sh), c.shingle)
+         |GROUP BY c.doc_id
+         |HAVING COUNT(*) >= $ContaminationMinShingles
+         |ORDER BY c.doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
     "dedup_exact" -> (dedupExact _),
     "dedup_passages" -> ((sp, dir) => dedupPassages(sp, dir)),
     "dedup_decontaminate" -> (dedupDecontaminate _),
@@ -882,6 +919,9 @@ object DedupOps {
     "dedup_exact" -> dedupExactSql,
     "dedup_passages" -> dedupPassagesSql(),
     "dedup_decontaminate" -> dedupDecontaminateSql,
+    // bloom variant is EXACT (false positives die in the semi join):
+    // identical oracle, only the plan differs
+    "dedup_decontaminate_bloom" -> dedupDecontaminateSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql(),
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,

@@ -119,6 +119,31 @@ object DotF {
       "bpe_encode", BpeEncode.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder_key", ZorderKey.builder, "built-in")
+    // Spark's OWN BloomFilterAggregate / BloomFilterMightContain — the
+    // expressions the AQE runtime-filter machinery plans internally
+    // (InjectRuntimeFilter), surfaced as session functions so operators
+    // can build the same sublinear membership prefilter explicitly.
+    // bloom_agg(hash[, estimatedItems]) -> binary; bloom_might_contain
+    // requires its filter arg be a literal or scalar subquery (the
+    // expression's own type check), which is exactly the shipped shape.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n)
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg(hash[, estimatedItems]) takes 1-2 args, got ${other.size}")
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", {
+        case Seq(bf, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain(filter, hash) takes 2 args, got ${other.size}")
+      }, "built-in")
   }
 }
 

@@ -411,7 +411,60 @@ object EtlOps {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** MERGE INTO end-to-end through the warehouse lifecycle
+    * (Redshift's MERGE statement — the upsert form a warehouse uses
+    * where the reference rebuilds from scratch): seed a customer
+    * dimension as a real table, merge a source carrying balance
+    * bumps, segment flips, AND brand-new members, and read the
+    * published result back. The oracle derives MERGE from first
+    * principles (NOT EXISTS survivors + source union — DuckDB 1.0
+    * has no MERGE). Exercises [[graft.etl.Warehouse.mergeInto]]'s
+    * anti-join + versioned-rewrite + pointer-swap path under the
+    * hash, not just in specs. */
+  def mergeIntoUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.etl.{TableName, Warehouse}
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+    val whDir = java.nio.file.Files.createTempDirectory("graft_mrg_wh_").toString
+    val wh = new Warehouse(spark, whDir, sfDir)
+    val t = TableName.parse("mrg.customer_dim")
+    wh.writeTable(t, cust)
+    val source = cust
+      .filter(pmod($"c_custkey", lit(7)) === 3 || pmod($"c_custkey", lit(11)) === 5)
+      .select($"c_custkey", $"c_name",
+        when(pmod($"c_custkey", lit(7)) === 3, $"c_acctbal" + lit(100.0))
+          .otherwise($"c_acctbal").as("c_acctbal"),
+        when(pmod($"c_custkey", lit(11)) === 5, lit("MACHINERY"))
+          .otherwise($"c_mktsegment").as("c_mktsegment"))
+      .unionByName(cust.filter(pmod($"c_custkey", lit(13)) === 0)
+        .select(($"c_custkey" + lit(1000000L)).as("c_custkey"), $"c_name",
+          lit(50.0).as("c_acctbal"), lit("BUILDING").as("c_mktsegment")))
+    wh.mergeInto(t, source, Seq("c_custkey"))
+    spark.table(t.quoted).orderBy($"c_custkey")
+  }
+
+  val mergeIntoUpsertSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      |), src AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey % 11 = 5 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM cust WHERE c_custkey % 7 = 3 OR c_custkey % 11 = 5
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, 50.0, 'BUILDING'
+      |  FROM cust WHERE c_custkey % 13 = 0
+      |)
+      |SELECT * FROM (
+      |  SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment FROM cust c
+      |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM src
+      |) ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_into_upsert" -> (mergeIntoUpsert _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "s10_copy_csv" -> (s10CopyCsv _),
@@ -428,6 +481,7 @@ object EtlOps {
     "p4_limit" -> (p4Limit _))
 
   val oracles: Map[String, String] = Map(
+    "merge_into_upsert" -> mergeIntoUpsertSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "s10_copy_csv" -> s10CopyCsvSql,

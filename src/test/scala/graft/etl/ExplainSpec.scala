@@ -63,7 +63,7 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
                      "dedup_clusters", "dedup_containment",
                      "dedup_keep_policy", "dedup_embedding_clusters",
                      "dedup_minhash_incremental", "dedup_passages",
-                     "range_join_events")) {
+                     "range_join_events", "dedup_decontaminate_bloom")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val bcasts = Explain.broadcastJoins(df)
       spark.catalog.clearCache()

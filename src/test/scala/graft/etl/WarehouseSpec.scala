@@ -1026,6 +1026,46 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(index.quoted).count() == rowsBefore + bandRows)
   }
 
+  test("mergeInto: upsert and delete arms, pointer swap, column-mismatch guard") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("mrg.dim_lc")
+    wh.writeTable(t, Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal"))
+    val locBefore = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        t.table, Some(t.schema))).location.getPath
+    // upsert: key 2 updates, key 9 inserts, keys 1/3 survive untouched;
+    // source columns deliberately out of order (realigned by name)
+    wh.mergeInto(t, Seq(("b2", 2L, 99.0), ("i9", 9L, 90.0))
+      .toDF("name", "k", "bal"), Seq("k"))
+    def rows() = spark.table(t.quoted).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows() == Seq((1L, "a", 10.0), (2L, "b2", 99.0),
+      (3L, "c", 30.0), (9L, "i9", 90.0)))
+    // the merge is a versioned rewrite + atomic re-point, not in-place
+    val locAfter = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        t.table, Some(t.schema))).location.getPath
+    assert(locBefore != locAfter, "merge must re-point, never rewrite in place")
+    // delete arm: matched keys DELETE, unmatched source rows still
+    // INSERT (Redshift's WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT)
+    wh.mergeInto(t, Seq(("x", 3L, 0.0), ("i7", 7L, 70.0))
+      .toDF("name", "k", "bal"), Seq("k"), matchedDelete = true)
+    assert(rows() == Seq((1L, "a", 10.0), (2L, "b2", 99.0),
+      (7L, "i7", 70.0), (9L, "i9", 90.0)))
+    // column mismatch is refused up front
+    val e = intercept[IllegalArgumentException](
+      wh.mergeInto(t, Seq((1L, "z")).toDF("k", "name"), Seq("k")))
+    assert(e.getMessage.contains("column mismatch"))
+    // empty keys refused
+    val e2 = intercept[IllegalArgumentException](
+      wh.mergeInto(t, Seq((1L, "z", 0.0)).toDF("k", "name", "bal"), Nil))
+    assert(e2.getMessage.contains("merge key"))
+  }
+
   test("stored rollup lifecycle: build, batch merge, idempotent replay, compact, vacuum") {
     val s = spark
     import s.implicits._

@@ -411,6 +411,39 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { temp.unpersist(); () }
   }
 
+  test("bloom decontamination: exact parity; bloom scalar subquery + shuffled semi join") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = rows(DedupOps.dedupDecontaminate(spark, sfDir))
+    val bloom = DedupOps.dedupDecontaminateBloom(spark, sfDir)
+    assert(rows(bloom) == exact,
+      "bloom prefilter must not change the exact result")
+    val plan = bloom.queryExecution.executedPlan.toString
+    // the prefilter is IN the plan, shipped as a scalar subquery
+    // (BloomFilterMightContain pretty-prints as `might_contain`)
+    assert(plan.contains("might_contain"), s"no bloom prefilter:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"bloom not shipped as a scalar subquery:\n$plan")
+    // the exact membership join is a SHUFFLED semi join — the whole
+    // point is that nothing corpus-or-eval-sized broadcasts
+    assert(graft.etl.Explain.broadcastJoins(bloom).isEmpty,
+      "membership join must not broadcast")
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"),
+      s"expected shuffled semi join:\n$plan")
+    // bloom functions resolve standalone and agree with membership
+    DotF.register(spark)
+    val probe = spark.sql(
+      """WITH vals AS (SELECT CAST(id AS BIGINT) AS v FROM range(0, 1000))
+        |SELECT
+        |  bloom_might_contain((SELECT bloom_agg(v) FROM vals), 500L) AS hit,
+        |  bloom_might_contain((SELECT bloom_agg(v) FROM vals), 99999999L) AS miss
+        |""".stripMargin).collect().head
+    assert(probe.getBoolean(0), "bloom must contain an inserted value")
+    // a miss is PROBABLY false — at 1000/1M default sizing the fpp is
+    // ~0, so this is deterministic in practice
+    assert(!probe.getBoolean(1), "bloom false-positive on a sparse filter")
+  }
+
   test("bounded_topk rejects a non-literal or non-integral k with a typed error") {
     BoundedTopK.register(spark)
     val df = spark.range(5).selectExpr("CAST(id AS DOUBLE) AS s", "id")

@@ -50,6 +50,10 @@ object Cli {
         |  show_vars      [--config DIRS] [--name GLOB[,GLOB...]]   (alias: settings)
         |  list_tags      --designs DIR
         |  tail_logs      --events FILE [--start-time EPOCH_MS|ISO8601] [--warnings]
+        |  create_snapshot  --designs DIR --data DIR --warehouse DIR --tag TAG [--select PATTERN]
+        |  list_snapshots   --data DIR --warehouse DIR
+        |  drop_snapshot    --data DIR --warehouse DIR --tag TAG
+        |  restore_snapshot --designs DIR --data DIR --warehouse DIR --tag TAG [--select PATTERN]
         |""".stripMargin)
     sys.exit(2)
   }
@@ -249,6 +253,46 @@ object Cli {
             vr.refused.mkString(", "))
           1
         } else 0
+      case "create_snapshot" | "drop_snapshot" | "restore_snapshot" |
+           "list_snapshots" =>
+        // Snapshot pins (beyond-reference lifecycle: named, metadata-
+        // only time travel over the versioned builds; the reference's
+        // closest surface is the single implicit backup/restore slot,
+        // load.py:604-660). IllegalArgument/IllegalState are USER
+        // errors (bad tag, duplicate pin, torn file) → exit 1 via the
+        // centralized path, not a stack trace.
+        try {
+          val wh = warehouse
+          command match {
+            case "create_snapshot" =>
+              val tag = opts.getOrElse("tag", usage())
+              val rels = designs.filterNot(_.isView)
+                .filter(r => selector.matches(r.name))
+              wh.createSnapshot(tag, rels.map(_.name))
+              println(s"[snapshot] pinned ${rels.size} table(s) as '$tag'")
+            case "drop_snapshot" =>
+              val tag = opts.getOrElse("tag", usage())
+              wh.dropSnapshot(tag)
+              println(s"[snapshot] dropped '$tag' (next vacuum reclaims unpinned builds)")
+            case "restore_snapshot" =>
+              val tag = opts.getOrElse("tag", usage())
+              val rels = designs.filterNot(_.isView)
+                .filter(r => selector.matches(r.name))
+              rels.foreach(r => wh.restoreSnapshot(tag, r.name, Some(r.design)))
+              println(s"[snapshot] restored ${rels.size} table(s) from '$tag'")
+            case _ =>
+              val snaps = wh.listSnapshots()
+              snaps.foreach { case (tag, table, loc) =>
+                println(s"$tag\t$table\t${if (loc.isEmpty) "<unreadable>" else loc}")
+              }
+              println(s"[snapshot] ${snaps.size} pin(s)")
+          }
+          0
+        } catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+            System.err.println(s"[error] ${e.getMessage}")
+            1
+        }
       case "extract" =>
         // The reference's extract lands gzip-CSV + manifest per
         // relation (extract/extractor.py:203-260); same artifact shape

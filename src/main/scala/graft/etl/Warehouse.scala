@@ -688,9 +688,12 @@ final class Warehouse(
     * (atomic on HDFS/local; object stores emulate rename — their
     * non-atomicity is why [[pointerState]] ALSO treats a
     * present-but-empty pointer as unresolvable and vacuum refuses). */
-  private def writePointer(name: TableName, location: String): Unit = {
+  private def writePointer(name: TableName, location: String): Unit =
+    writePointerFileAt(pointerPath(name), location)
+
+  private def writePointerFileAt(p: org.apache.hadoop.fs.Path,
+                                 location: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = pointerPath(name)
     val fs = pointerFs(p)
     fs.mkdirs(p.getParent)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
@@ -733,8 +736,10 @@ final class Warehouse(
   private[etl] case object PointerUnresolvable extends PointerState
   private[etl] final case class PointerLive(location: String) extends PointerState
 
-  private[etl] def pointerState(name: TableName): PointerState = {
-    val p = pointerPath(name)
+  private[etl] def pointerState(name: TableName): PointerState =
+    pointerStateAt(pointerPath(name))
+
+  private[etl] def pointerStateAt(p: org.apache.hadoop.fs.Path): PointerState = {
     val fs = pointerFs(p)
     if (!fs.exists(p)) PointerAbsent
     else {
@@ -752,6 +757,143 @@ final class Warehouse(
         case Some(loc) if loc.nonEmpty => PointerLive(loc)
         case _ => PointerUnresolvable
       }
+    }
+  }
+
+  // ------------------------------------------------- snapshots
+  /** Named, metadata-only snapshots — the reproducibility pin a
+    * training pipeline needs ("run X trained on exactly THIS
+    * corpus"). Builds are immutable versioned directories and a
+    * table is just a pointer to one, so a snapshot is ONE tiny
+    * pointer file per table under
+    * `warehouseDir/snapshots/<tag>/<schema>.<table>` recording the
+    * live build location at pin time — O(#tables) metadata, zero
+    * data copied, any warehouse size. [[vacuum]] counts pinned
+    * locations as live (and refuses a relation whose snapshot file
+    * is torn, same discipline as the lifecycle pointers), so later
+    * rebuilds never reclaim a pinned build; [[dropSnapshot]]
+    * releases the pin and the next vacuum reclaims. Beyond-reference
+    * lifecycle: Redshift has no time travel — the reference's only
+    * rewind is the backup/restore pair (load.py:604-660), which this
+    * generalizes from one implicit "previous" slot to arbitrarily
+    * many named pins. */
+  private val SnapshotTagPattern = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}"
+
+  private def requireSnapshotTag(tag: String): Unit =
+    require(tag.matches(SnapshotTagPattern),
+      s"invalid snapshot tag '$tag': must match $SnapshotTagPattern " +
+        "(tags name directories; no sanitizing — distinct tags must stay distinct)")
+
+  private def snapshotsRoot: org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$warehouseDir/snapshots")
+
+  private def snapshotFile(tag: String, name: TableName): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      snapshotsRoot, s"$tag/${name.schema}.${name.table}")
+
+  /** Pin the CURRENT build of each table under `tag`. Refuses an
+    * existing tag (a pin is a statement about a past run — silently
+    * re-pointing it would lie to whoever recorded the tag) and any
+    * table whose live location cannot be resolved (nothing durable
+    * to pin). Views have no storage to pin and are refused. */
+  def createSnapshot(tag: String, tables: Seq[TableName]): Unit = {
+    requireSnapshotTag(tag)
+    require(tables.nonEmpty, "createSnapshot needs at least one table")
+    val root = snapshotsRoot
+    val fs = pointerFs(root)
+    val dir = new org.apache.hadoop.fs.Path(root, tag)
+    require(!fs.exists(dir), s"snapshot '$tag' already exists; drop it first")
+    val resolved = tables.map { t =>
+      val loc = locationOf(t).orElse(readPointer(t)).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot snapshot '${t.identifier}': no resolvable live location " +
+            "(unregistered table, or a view)"))
+      (t, loc)
+    }
+    resolved.foreach { case (t, loc) => writePointerFileAt(snapshotFile(tag, t), loc) }
+  }
+
+  /** Read the data exactly as pinned — a time-travel scan. Raw
+    * parquet read of the frozen build directory: bucketing metadata
+    * is not replayed (reads are correct; only a bucket-join shortcut
+    * against it would be lost), and a partitioned build's partition
+    * columns come back via directory discovery. */
+  def readSnapshot(tag: String, name: TableName): DataFrame = {
+    requireSnapshotTag(tag)
+    val p = snapshotFile(tag, name)
+    pointerStateAt(p) match {
+      case PointerLive(loc) => spark.read.parquet(loc)
+      case PointerAbsent => throw new IllegalArgumentException(
+        s"no snapshot '$tag' for '${name.identifier}'")
+      case PointerUnresolvable => throw new IllegalStateException(
+        s"snapshot '$tag' for '${name.identifier}' exists but is unreadable (torn write)")
+    }
+  }
+
+  /** Re-point the live table at a pinned build — rollback to the
+    * snapshot. Metadata-only, same registerAt discipline as publish;
+    * pass the design when the table is bucketed/partitioned so the
+    * recreated relation keeps its shape. The pin itself stays. */
+  def restoreSnapshot(tag: String, name: TableName,
+                      design: Option[TableDesign] = None): Unit = {
+    requireSnapshotTag(tag)
+    pointerStateAt(snapshotFile(tag, name)) match {
+      case PointerLive(loc) =>
+        registerAt(name, loc, design)
+        spark.catalog.refreshTable(name.quoted)
+      case PointerAbsent => throw new IllegalArgumentException(
+        s"no snapshot '$tag' for '${name.identifier}'")
+      case PointerUnresolvable => throw new IllegalStateException(
+        s"snapshot '$tag' for '${name.identifier}' exists but is unreadable (torn write)")
+    }
+  }
+
+  /** All pins: (tag, table identifier, pinned location). Unreadable
+    * files list with an empty location — visible, never silently
+    * skipped. */
+  def listSnapshots(): Seq[(String, String, String)] = {
+    val root = snapshotsRoot
+    val fs = pointerFs(root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { d =>
+      fs.listStatus(d.getPath).filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith(".")).toSeq.map { f =>
+          val loc = pointerStateAt(f.getPath) match {
+            case PointerLive(l) => l
+            case _ => ""
+          }
+          (d.getPath.getName, f.getPath.getName, loc)
+        }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  /** Release a pin. The data itself is reclaimed by the NEXT vacuum
+    * (if no other pin or lifecycle pointer still references it) —
+    * dropping a tag never deletes data directly. */
+  def dropSnapshot(tag: String): Unit = {
+    requireSnapshotTag(tag)
+    val dir = new org.apache.hadoop.fs.Path(snapshotsRoot, tag)
+    val fs = pointerFs(dir)
+    require(fs.exists(dir), s"no snapshot '$tag'")
+    fs.delete(dir, true)
+    ()
+  }
+
+  /** Pinned locations for one table across ALL tags, plus whether any
+    * pin file is torn (vacuum refuses the relation in that case — an
+    * unknown pinned location could be any build dir). */
+  private def snapshotPins(name: TableName): (Set[String], Boolean) = {
+    val root = snapshotsRoot
+    val fs = pointerFs(root)
+    if (!fs.exists(root)) (Set.empty, false)
+    else {
+      val states = fs.listStatus(root).filter(_.isDirectory).toSeq
+        .map(d => new org.apache.hadoop.fs.Path(
+          d.getPath, s"${name.schema}.${name.table}"))
+        .filter(fs.exists)
+        .map(pointerStateAt)
+      (states.collect { case PointerLive(l) => l }.toSet,
+        states.contains(PointerUnresolvable))
     }
   }
 
@@ -1196,8 +1338,14 @@ final class Warehouse(
       // included. The manifest is the cross-JVM source of truth.
       val posNames = positions.map(rel.name.inPosition)
       val states = posNames.map(pointerState)
+      // Snapshot pins count as live: a pinned build is someone's
+      // frozen training corpus. A torn pin file refuses the relation
+      // exactly like a torn lifecycle pointer — the unknown pinned
+      // location could be any build dir about to be deleted.
+      val (pins, pinTorn) = snapshotPins(rel.name)
       val live: Set[String] = posNames.flatMap(n => locationOf(n).toSeq)
         .++(states.collect { case PointerLive(loc) => loc })
+        .++(pins)
         .map(loc => qualified(new Path(loc)))
         .toSet
       val hasData = posNames.exists { posName =>
@@ -1205,15 +1353,16 @@ final class Warehouse(
           new Path(s"$warehouseDir/data/${posName.schema}.${posName.table}")
         tableDir.getFileSystem(hadoopConf).exists(tableDir)
       }
-      if (states.contains(PointerUnresolvable)) {
+      if (states.contains(PointerUnresolvable) || pinTorn) {
         // A pointer file EXISTS but cannot be read (torn write): one
         // position's live location is unknown, so any delete might hit
         // it. Refuse the whole relation — even if other positions
         // resolve.
         refused += rel.identifier
         System.err.println(
-          s"[vacuum] refusing '${rel.identifier}': a pointer file exists but is " +
-            "empty/unreadable; re-run a load/publish to rewrite pointers first")
+          s"[vacuum] refusing '${rel.identifier}': a pointer or snapshot file " +
+            "exists but is empty/unreadable; re-run a load/publish (or re-pin " +
+            "the snapshot) first")
       } else if (live.isEmpty) {
         // Fail-safe: data on disk but NO resolvable live pointer means
         // we cannot tell dead builds from live ones (e.g. a pre-manifest

@@ -815,6 +815,65 @@ object DedupOps {
        |WHERE l.doc_id IS NULL OR l.cluster = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // -------------------------------------------------- leakage-safe split
+  /** Train/validation/test assignment that near-duplicates cannot
+    * leak across: every document hashes its dedup-CLUSTER
+    * representative (untouched documents hash their own id), so all
+    * members of a near-dup cluster land in the SAME split — the
+    * standard fix for the eval-set contamination a per-document
+    * random split reintroduces after dedup (the failure
+    * [[dedupDecontaminate]] detects post-hoc, prevented at split
+    * time). The coin is the same salted-md5 integer bucket as the
+    * mixing family, so the assignment is deterministic, reshuffle-
+    * stable, and bit-equal cross-engine: bucket < 90 → train,
+    * < 95 → valid, else test.
+    *
+    * Scale shape: identical to [[dedupKeepPolicy]] — one shuffle-hash
+    * equi-join of the corpus against the dup-graph-sized label table
+    * (hinted, never broadcast: a heavily duplicated crawl can put
+    * most documents in pairs), then a per-row hash. Nothing else
+    * touches the corpus; the split column costs no extra shuffle. */
+  val SplitBuckets = 100L
+  val SplitTrainLt = 90L
+  val SplitValidLt = 95L
+
+  def dedupSplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashCandidatePairs(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = connectedComponents(spark, pairs)
+      .select($"doc_id".as("cdoc"), $"cluster")
+    Tables.load(spark, sfDir, "documents")
+      .join(labels.hint("shuffle_hash"), $"doc_id" === $"cdoc", "left")
+      .select($"doc_id", coalesce($"cluster", $"doc_id").as("rep"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"), $"rep".cast("string"))), 1, 8),
+          16, 10).cast("long") % SplitBuckets)
+      .select($"doc_id", $"rep",
+        when($"bucket" < SplitTrainLt, "train")
+          .when($"bucket" < SplitValidLt, "valid")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle reuses the clusters closure, then the mix-family hash coin. */
+  val dedupSplitAssignSql: String =
+    s"""WITH labels AS (SELECT * FROM ($dedupClustersSql)),
+       |a AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |)
+       |SELECT doc_id, rep,
+       |  CASE WHEN bucket < $SplitTrainLt THEN 'train'
+       |       WHEN bucket < $SplitValidLt THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, rep,
+       |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % $SplitBuckets AS bucket
+       |  FROM a
+       |)
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- decontamination
   /** Benchmark decontamination — the training-data hygiene step: flag
     * every training document sharing ≥ [[ContaminationMinShingles]]
@@ -902,6 +961,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
+    "split_leakage_safe" -> (dedupSplitAssign _),
     "dedup_exact" -> (dedupExact _),
     "dedup_passages" -> ((sp, dir) => dedupPassages(sp, dir)),
     "dedup_decontaminate" -> (dedupDecontaminate _),
@@ -922,6 +982,7 @@ object DedupOps {
     // bloom variant is EXACT (false positives die in the semi join):
     // identical oracle, only the plan differs
     "dedup_decontaminate_bloom" -> dedupDecontaminateSql,
+    "split_leakage_safe" -> dedupSplitAssignSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql(),
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,

@@ -60,6 +60,26 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`cli`.`summary`").collect().head.getLong(0) == 5L)
   }
 
+  test("cli snapshot verbs: pin, list, restore, drop; user errors exit 1") {
+    val wh = Files.createTempDirectory("graft_cli_snap_").toString
+    def run(cmd: String, extra: (String, String)*): Int =
+      Cli.run(spark, cmd, Map(
+        "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh) ++ extra)
+    assert(run("load") == 0)
+    assert(run("create_snapshot", "tag" -> "runA", "select" -> "cli.summary") == 0)
+    // duplicate pin and malformed tag are user errors, not stack traces
+    assert(run("create_snapshot", "tag" -> "runA", "select" -> "cli.summary") == 1)
+    assert(run("create_snapshot", "tag" -> "no/slash", "select" -> "cli.summary") == 1)
+    assert(run("list_snapshots") == 0)
+    // rebuild changes the live table; restore rolls it back to the pin
+    val before = spark.table("`cli`.`summary`").collect().head.getLong(0)
+    assert(run("load") == 0)
+    assert(run("restore_snapshot", "tag" -> "runA", "select" -> "cli.summary") == 0)
+    assert(spark.table("`cli`.`summary`").collect().head.getLong(0) == before)
+    assert(run("drop_snapshot", "tag" -> "runA") == 0)
+    assert(run("drop_snapshot", "tag" -> "runA") == 1)
+  }
+
   test("cli validate passes for a consistent design set") {
     // region must resolve for the dry-run: build it first (done above),
     // then validate sees matching deps/columns.

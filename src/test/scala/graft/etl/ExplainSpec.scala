@@ -63,7 +63,8 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
                      "dedup_clusters", "dedup_containment",
                      "dedup_keep_policy", "dedup_embedding_clusters",
                      "dedup_minhash_incremental", "dedup_passages",
-                     "range_join_events", "dedup_decontaminate_bloom")) {
+                     "range_join_events", "dedup_decontaminate_bloom",
+                     "split_leakage_safe")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val bcasts = Explain.broadcastJoins(df)
       spark.catalog.clearCache()

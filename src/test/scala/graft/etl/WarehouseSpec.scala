@@ -1066,6 +1066,59 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("merge key"))
   }
 
+  test("snapshots: pin survives vacuum, time-travel read, restore, drop reclaims, torn pin refuses") {
+    val dir = Files.createTempDirectory("graft_snap_").toString
+    val wh = new Warehouse(spark, dir, sfDir)
+    def gen(n: Int) =
+      Seq(srcNation, ctasTop(s"SELECT n_name FROM src.nation WHERE n_nationkey < $n"))
+    val t = TableName.parse("rep.top_nations")
+    wh.loadWithStagingAndPublish(gen(5))
+    wh.createSnapshot("run-2026-08-13", Seq(t))
+    val pinned = spark.table(t.quoted).orderBy("n_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(pinned.size == 5)
+    // a pin is immutable and tags are never sanitized
+    intercept[IllegalArgumentException](
+      wh.createSnapshot("run-2026-08-13", Seq(t)))
+    intercept[IllegalArgumentException](wh.createSnapshot("run/evil", Seq(t)))
+    assert(wh.listSnapshots() ==
+      Seq(("run-2026-08-13", "rep.top_nations", wh.listSnapshots().head._3)))
+    // two rebuilds: standard=v3, backup=v2, the pinned v1 is otherwise dead
+    wh.loadWithStagingAndPublish(gen(3))
+    wh.loadWithStagingAndPublish(gen(7))
+    assert(spark.table(t.quoted).count() == 7)
+    // vacuum reclaims src.nation's superseded build but NOT the pinned one
+    val deleted = wh.vacuum(gen(7)).deleted
+    assert(deleted.exists(_.contains("src.nation")), s"vacuum deleted: $deleted")
+    assert(!deleted.exists(_.contains("rep.top_nations")),
+      s"vacuum reclaimed a pinned build: $deleted")
+    // time travel: the pinned build reads back exactly as at pin time
+    val snap = wh.readSnapshot("run-2026-08-13", t)
+      .orderBy("n_name").collect().map(_.getString(0)).toSeq
+    assert(snap == pinned)
+    // rollback: the live table re-points at the pinned build
+    wh.restoreSnapshot("run-2026-08-13", t)
+    assert(spark.table(t.quoted).orderBy("n_name")
+      .collect().map(_.getString(0)).toSeq == pinned)
+    // drop the pin: v3 (orphaned by the restore) is reclaimed next
+    // vacuum; the pinned v1 survives because it is now the standard
+    wh.dropSnapshot("run-2026-08-13")
+    assert(wh.listSnapshots().isEmpty)
+    val deleted2 = wh.vacuum(gen(7)).deleted
+    assert(deleted2.count(_.contains("rep.top_nations")) == 1, s"second vacuum: $deleted2")
+    assert(spark.table(t.quoted).count() == 5)
+    intercept[IllegalArgumentException](wh.readSnapshot("run-2026-08-13", t))
+    // a torn pin file refuses the relation's vacuum, same as lifecycle pointers
+    val tornDir = new java.io.File(s"$dir/snapshots/torn-tag")
+    tornDir.mkdirs()
+    new java.io.FileOutputStream(
+      new java.io.File(tornDir, "src.nation")).close()
+    val res = wh.vacuum(gen(7))
+    assert(res.refused.contains("src.nation"), s"refused: ${res.refused}")
+    intercept[IllegalStateException](
+      wh.readSnapshot("torn-tag", TableName.parse("src.nation")))
+  }
+
   test("stored rollup lifecycle: build, batch merge, idempotent replay, compact, vacuum") {
     val s = spark
     import s.implicits._

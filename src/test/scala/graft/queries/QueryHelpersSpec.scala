@@ -444,6 +444,27 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!probe.getBoolean(1), "bloom false-positive on a sparse filter")
   }
 
+  test("split_leakage_safe: clusters never straddle splits; every doc assigned; deterministic") {
+    val df = DedupOps.dedupSplitAssign(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length.toLong == nDocs, "every document gets exactly one split")
+    // the leakage property: all members of a cluster share one split
+    val byRep = rows.groupBy(_._2).map { case (_, g) => g.map(_._3).distinct.size }
+    assert(byRep.forall(_ == 1), "a near-dup cluster straddles splits")
+    // some cluster has >1 member, so the property is not vacuous
+    assert(rows.groupBy(_._2).exists(_._2.length > 1),
+      "test corpus has no multi-doc cluster — property vacuous")
+    // all three splits appear, train dominates (90/5/5 coin)
+    val share = rows.groupBy(_._3).view.mapValues(_.length.toDouble / rows.length).toMap
+    assert(share.keySet == Set("train", "valid", "test"), s"splits seen: ${share.keySet}")
+    assert(share("train") > 0.75 && share("train") < 0.99, s"train share ${share("train")}")
+    // deterministic: a second run is bit-identical
+    val again = DedupOps.dedupSplitAssign(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq == rows.toSeq, "assignment must be deterministic")
+  }
+
   test("bounded_topk rejects a non-literal or non-integral k with a typed error") {
     BoundedTopK.register(spark)
     val df = spark.range(5).selectExpr("CAST(id AS DOUBLE) AS s", "id")

@@ -55,6 +55,44 @@ object DedupOps {
         .as("shingle"))
       .distinct()
 
+  /** The shared shingle hash (60 bits of md5): string shingles become
+    * compact longs BEFORE any shuffle, broadcast, or bloom — 8 bytes
+    * on the wire instead of a ~20-byte string. Same expression on
+    * both sides of every membership join, and the oracle derives the
+    * identical value from DuckDB's md5. */
+  private[graft] def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-ROW distinct shingle array over any text column — the
+    * stateless form of [[shinglesOf]] a STREAM needs (same normalize,
+    * same word triples; an empty array under 3 tokens instead of a
+    * pre-filter, so the expression composes row-local with no
+    * explode/groupBy). */
+  private[graft] def shingleArrayOf(text: Column): Column = {
+    val w = split(normText(text), " ")
+    when(size(w) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", get(w, i), get(w, i + 1), get(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Freeze the evaluation set into a bloom filter (one driver-side
+    * build over the hashed eval shingles, ~1.2 bytes/item at the
+    * default sizing) — the filter [[graft.streaming.EventStreams
+    * .decontaminateStream]] probes per row. Benchmark sets are
+    * bounded, so the bytes are task-binary-sized at any corpus
+    * scale. */
+  def evalShingleBloom(spark: SparkSession, sfDir: String): Array[Byte] = {
+    import spark.implicits._
+    DotF.register(spark)
+    shingleDf(spark, sfDir).filter($"doc_id" < EvalDocMax)
+      .select(shingleHash($"shingle").as("h")).distinct()
+      .createOrReplaceTempView("decon_eval_bloom_src")
+    spark.sql("SELECT bloom_agg(h) FROM decon_eval_bloom_src")
+      .head().getAs[Array[Byte]](0)
+  }
+
   private val shingleSql: String =
     s"""SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingle
        |FROM (SELECT doc_id, string_split($normTextSql, ' ') AS w FROM documents)
@@ -899,8 +937,7 @@ object DedupOps {
     // (doc, shingle) is distinct by construction (shingleDf), so the
     // overlap count is a plain count over the membership join
     val sh = shingleDf(spark, sfDir)
-      .select($"doc_id",
-        conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long").as("shingle"))
+      .select($"doc_id", shingleHash($"shingle").as("shingle"))
     val evalSh = sh.filter($"doc_id" < EvalDocMax).select($"shingle").distinct()
     sh.filter($"doc_id" >= EvalDocMax)
       .join(broadcast(evalSh), Seq("shingle"))
@@ -942,8 +979,7 @@ object DedupOps {
     import spark.implicits._
     DotF.register(spark)
     val sh = shingleDf(spark, sfDir)
-      .select($"doc_id",
-        conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long").as("shingle"))
+      .select($"doc_id", shingleHash($"shingle").as("shingle"))
     sh.filter($"doc_id" >= EvalDocMax)
       .createOrReplaceTempView("decon_corpus_sh")
     sh.filter($"doc_id" < EvalDocMax).select($"shingle").distinct()

@@ -485,6 +485,81 @@ object TextOps {
        |GROUP BY token
        |ORDER BY df DESC, tf DESC, token LIMIT $VocabSize""".stripMargin
 
+  // ------------------------------------------------------ heavy hitters
+  /** EXACT frequent-token report — every token comprising ≥
+    * [[HeavyHitterPhiNum]]/[[HeavyHitterPhiDen]] of all token
+    * occurrences — in the two-pass sketch shape that avoids
+    * [[textVocab]]'s full-vocabulary shuffle at 100 TB:
+    *
+    * Pass 1 runs Misra–Gries with capacity k = Den/Num INSIDE each
+    * partition (`mapPartitions` — genuinely per-partition imperative
+    * state, the documented exception): any token with global
+    * frequency > N/(k+1) must be locally heavy in ≥1 partition
+    * (pigeonhole), so the union of per-partition survivors — at most
+    * k·partitions candidates, NOT the vocabulary — is a guaranteed
+    * SUPERSET of the answer; the same pass tallies per-partition
+    * token totals, so N costs no second scan. Pass 2 re-scans with
+    * the candidate list as a broadcast semi filter riding the scan
+    * and counts EXACTLY, then applies the threshold in integer
+    * cross-multiplication (tf·Den ≥ N·Num — no float ratio). Result
+    * is exact — candidate-set nondeterminism (partition order) is
+    * erased by the exact pass — so the oracle is the plain GROUP BY
+    * + HAVING derivation. The shuffle moves ≤ |candidates| groups
+    * per mapper instead of the full vocabulary. */
+  val HeavyHitterPhiNum = 1L
+  val HeavyHitterPhiDen = 200L
+
+  def textHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(normText($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+    val k = (HeavyHitterPhiDen / HeavyHitterPhiNum).toInt
+    // pass 1: per-partition Misra-Gries + per-partition token tally.
+    // Output is ≤ (k+1) rows per partition — collect is driver-safe
+    // at any corpus size ("" is the tally sentinel; real tokens are
+    // non-empty by the filter above).
+    val summary = toks.as[String].mapPartitions { it =>
+      var n = 0L
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        n += 1
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, v) =>
+              if (v == 1L) dead += key else counters.update(key, v - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator.map((_, 0L)) ++ Iterator.single(("", n))
+    }.collect()
+    val total = summary.collect { case ("", n) => n }.sum
+    val candidates = summary.collect { case (t, _) if t.nonEmpty => t }
+      .distinct.toSeq.toDF("token")
+    // pass 2: exact counts for candidates only; the semi filter is a
+    // provably-sublinear broadcast (≤ k·partitions rows)
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy($"token").agg(count(lit(1)).as("tf"))
+      .filter($"tf" * HeavyHitterPhiDen >= lit(total) * HeavyHitterPhiNum)
+      .orderBy($"tf".desc, $"token")
+  }
+
+  val textHeavyHittersSql: String =
+    s"""WITH t AS (
+       |  SELECT token FROM (
+       |    SELECT unnest(string_split($normTextSql, ' ')) AS token FROM documents
+       |  ) WHERE token <> ''
+       |), n AS (SELECT COUNT(*) AS total FROM t)
+       |SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+       |FROM t CROSS JOIN n
+       |GROUP BY token, n.total
+       |HAVING COUNT(*) * $HeavyHitterPhiDen >= total * $HeavyHitterPhiNum
+       |ORDER BY tf DESC, token""".stripMargin
+
   // ---------------------------------------------------------------- BPE
   /** BPE tokenization over the corpus: TRUE iterative byte-pair
     * encoding — after every merge the trainer re-counts pairs over
@@ -961,6 +1036,7 @@ object TextOps {
     "text_pack" -> (textPack _),
     "curation_pipeline" -> (curationPipeline _),
     "text_vocab" -> (textVocab _),
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langId _),
@@ -980,6 +1056,7 @@ object TextOps {
     "text_pack" -> textPackSql,
     "curation_pipeline" -> curationPipelineSql,
     "text_vocab" -> textVocabSql,
+    "text_heavy_hitters" -> textHeavyHittersSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,

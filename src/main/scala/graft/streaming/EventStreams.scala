@@ -222,6 +222,38 @@ object EventStreams {
         TextOps.redactPii(col("text")).as("text"))
   }
 
+  /** Streaming decontamination — the streaming twin of
+    * `dedup_decontaminate_bloom`: keep incoming documents whose
+    * distinct shingles hit the FROZEN eval-set bloom fewer than
+    * `minOverlap` times, dropping benchmark near-copies at ingest.
+    * The eval side is built once driver-side
+    * ([[graft.queries.DedupOps.evalShingleBloom]], ~1.2 bytes per
+    * eval shingle — benchmark sets are bounded, so task-binary-sized
+    * at any corpus scale) and embedded as a LITERAL in Spark's own
+    * `BloomFilterMightContain`; per row the work is a stateless
+    * codegen'd count over the doc's shingle array — no state store,
+    * no join, no watermark. Like [[dedupStream]] this is the
+    * low-latency prefilter in front of the batch ground truth: a
+    * bloom false positive can inflate a count by ~fpp per shingle
+    * (never deflate it), so the stream may rarely over-drop near the
+    * threshold and the batch operator remains authoritative.
+    * `n_eval_hits` rides along for observability. */
+  def decontaminateStream(docs: DataFrame, evalBloom: Array[Byte],
+                          minOverlap: Long =
+                            graft.queries.DedupOps.ContaminationMinShingles)
+      : DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val shingles = graft.queries.DedupOps.shingleArrayOf(col("text"))
+    val hits = size(filter(shingles, s =>
+      PlanBridge.columnOf(BloomFilterMightContain(
+        Literal(evalBloom, org.apache.spark.sql.types.BinaryType),
+        PlanBridge.expressionOf(graft.queries.DedupOps.shingleHash(s))))))
+    docs
+      .withColumn("n_eval_hits", hits.cast("long"))
+      .filter(col("n_eval_hits") < minOverlap)
+  }
+
   /** Streaming NEAR-dup detection — the streaming twin of
     * `dedup_minhash_incremental`: each micro-batch plays the
     * "incoming batch" of the incremental lifecycle — banded with the

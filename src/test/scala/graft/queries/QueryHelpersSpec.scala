@@ -465,6 +465,26 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq == rows.toSeq, "assignment must be deterministic")
   }
 
+  test("text_heavy_hitters: two-pass result equals the exact full-shuffle answer") {
+    val s = spark
+    import s.implicits._
+    val out = TextOps.textHeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out.nonEmpty, "fixture yields no heavy hitters — parity vacuous")
+    // ground truth the expensive way: full-vocabulary shuffle
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(TextOps.normText($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+    val total = toks.count()
+    val truth = toks.groupBy($"token").agg(count(lit(1)).as("tf"))
+      .filter($"tf" * TextOps.HeavyHitterPhiDen >= lit(total) * TextOps.HeavyHitterPhiNum)
+      .orderBy($"tf".desc, $"token")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == truth, s"two-pass diverged: got ${out.take(5)}… want ${truth.take(5)}…")
+    // the threshold really is a share bound, not a top-k
+    assert(out.forall(_._2 * TextOps.HeavyHitterPhiDen >= total * TextOps.HeavyHitterPhiNum))
+  }
+
   test("bounded_topk rejects a non-literal or non-integral k with a typed error") {
     BoundedTopK.register(spark)
     val df = spark.range(5).selectExpr("CAST(id AS DOUBLE) AS s", "id")

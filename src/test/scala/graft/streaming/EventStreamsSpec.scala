@@ -168,6 +168,38 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unmatched purchase must emit exactly once, null-padded: $rows")
   }
 
+  test("decontaminateStream: batch-parity drop decisions, stateless plan, hits ride along") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val bloom = graft.queries.DedupOps.evalShingleBloom(spark, sfDir)
+    // ground truth: the batch operator's flagged corpus docs
+    val flagged = graft.queries.DedupOps.dedupDecontaminate(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" >= graft.queries.DedupOps.EvalDocMax)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(flagged.nonEmpty, "fixture has no contaminated docs — parity vacuous")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.decontaminateStream(
+      input.toDF.toDF("doc_id", "text"), bloom).writeStream
+      .format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(corpus.toIndexedSeq)
+    q.processAllAvailable()
+    val kept = spark.table("decon_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    q.stop()
+    // parity: exactly the batch-flagged docs are dropped (bloom fpp ~0
+    // at fixture scale, and a false positive can only ADD hits)
+    assert(kept.keySet == corpus.map(_._1).toSet -- flagged)
+    // hits column is a real per-doc count: clean docs sit far below
+    // the threshold on this corpus
+    assert(kept.values.forall(_ < graft.queries.DedupOps.ContaminationMinShingles))
+  }
+
   test("dedupStream keeps first arrival per fingerprint within the watermark") {
     val s = spark
     import s.implicits._

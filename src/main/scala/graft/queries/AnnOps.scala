@@ -161,6 +161,56 @@ object AnnOps {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------- hard negatives
+  /** Hard-negative mining — per query vector, the top-k most-similar
+    * embeddings carrying a DIFFERENT label: the contrastive-training
+    * negatives that matter precisely because they sit near the
+    * decision boundary (easy negatives teach nothing). Identical
+    * plan shape to [[annTopkCosine]] — query side broadcast, ONE
+    * codegen'd dot per surviving pair, per-query [[BoundedTopK]]
+    * aggregate (never a row_number window) — with the label
+    * inequality folded into the join condition so same-label pairs
+    * die BEFORE any dot product is computed. At 100 TB the scan
+    * still reads each corpus vector once; only the join predicate
+    * changed. */
+  def annHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    BoundedTopK.register(spark)
+    DotF.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label", $"embedding",
+        sqrt(dot($"embedding", $"embedding")).as("nrm"))
+    val queries = vecs.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"),
+        $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val scored = vecs.join(broadcast(queries), $"label" =!= $"q_label")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
+    scored.groupBy($"query_id")
+      .agg(expr(s"bounded_topk(cosine, neighbor_id, $TopK)").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.neighbor_id".as("neighbor_id"), $"col.cosine".as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annHardNegativesSql: String =
+    s"""WITH queries AS (
+       |  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), scored AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    ${cosineSql("q.q_emb", "v.embedding")} AS cosine
+       |  FROM embeddings v JOIN queries q ON v.label <> q.q_label
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------ LSH buckets
   /** Hyperplane component (plane p, dim i): a deterministic
     * pseudo-random value in [-499.5, 499.5] derived from md5 — both
@@ -1018,6 +1068,7 @@ object AnnOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> (annTopkCosine _),
+    "ann_hard_negatives" -> (annHardNegatives _),
     "ann_lsh_buckets" -> ((s, dir) => annLshBuckets(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => annLshTopk(s, dir)),
     "dedup_embedding_cosine" -> ((s, dir) => dedupEmbeddingCosine(s, dir)),
@@ -1031,6 +1082,7 @@ object AnnOps {
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
+    "ann_hard_negatives" -> annHardNegativesSql,
     "ann_lsh_buckets" -> annLshBucketsSql(),
     "ann_lsh_topk" -> annLshTopkSql(),
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql(),

@@ -485,6 +485,50 @@ object TextOps {
        |GROUP BY token
        |ORDER BY df DESC, tf DESC, token LIMIT $VocabSize""".stripMargin
 
+  // ---------------------------------------------------------- chunking
+  /** Context-window chunking — split each document's token sequence
+    * into windows of [[ChunkLen]] tokens advancing by [[ChunkStride]]
+    * (overlap = Len − Stride), the preprocessing step that turns
+    * variable-length documents into model-sized training/embedding
+    * inputs without losing boundary context. Entirely row-local
+    * (explode of an arithmetic sequence + array slices — no shuffle
+    * but the presentation sort), so at 100 TB it rides the scan
+    * embarrassingly parallel; output rows ≈ n_tokens/Stride per doc,
+    * bounded by input size times a constant. Trailing windows shorter
+    * than Len are emitted (they carry the document tail); both
+    * engines clamp slices identically. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  def textChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", normText($"text").as("norm"))
+      .filter(length($"norm") > 0)
+      .select($"doc_id", split($"norm", " ").as("w"))
+      .select($"doc_id", $"w",
+        explode(sequence(lit(0), size($"w") - 1, lit(ChunkStride))).as("start"))
+      .select($"doc_id",
+        ($"start" / ChunkStride).cast("long").as("chunk_id"),
+        size(slice($"w", $"start" + 1, lit(ChunkLen))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice($"w", $"start" + 1, lit(ChunkLen))).as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val textChunkSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w FROM (
+       |    SELECT doc_id, $normTextSql AS norm FROM documents
+       |  ) WHERE length(norm) > 0
+       |), c AS (
+       |  SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS start FROM d
+       |)
+       |SELECT doc_id,
+       |  CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+       |  CAST(len(list_slice(w, start + 1, start + $ChunkLen)) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(w, start + 1, start + $ChunkLen), ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------------ heavy hitters
   /** EXACT frequent-token report — every token comprising ≥
     * [[HeavyHitterPhiNum]]/[[HeavyHitterPhiDen]] of all token
@@ -1037,6 +1081,7 @@ object TextOps {
     "curation_pipeline" -> (curationPipeline _),
     "text_vocab" -> (textVocab _),
     "text_heavy_hitters" -> (textHeavyHitters _),
+    "text_chunk" -> (textChunk _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langId _),
@@ -1057,6 +1102,7 @@ object TextOps {
     "curation_pipeline" -> curationPipelineSql,
     "text_vocab" -> textVocabSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
+    "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,

@@ -24,7 +24,7 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     * total (Catalyst folds the constant-key equi-join to a BNLJ).
     * Everything else must stay equi-join. */
   private val bnljAllowed =
-    Set("ann_topk_cosine", "ann_ivf_cells", "ann_ivf_topk",
+    Set("ann_topk_cosine", "ann_hard_negatives", "ann_ivf_cells", "ann_ivf_topk",
       "ann_ivf_topk_sq8", "ann_ivf_topk_pq", "ann_ivf_topk_stored",
       "source_mix", "mix_balance", "mix_weighted", "mix_temperature")
 

@@ -50,6 +50,7 @@ object Cli {
         |  show_vars      [--config DIRS] [--name GLOB[,GLOB...]]   (alias: settings)
         |  list_tags      --designs DIR
         |  tail_logs      --events FILE [--start-time EPOCH_MS|ISO8601] [--warnings]
+        |  show_lineage   --designs DIR [--select PATTERN]
         |  create_snapshot  --designs DIR --data DIR --warehouse DIR --tag TAG [--select PATTERN]
         |  list_snapshots   --data DIR --warehouse DIR
         |  drop_snapshot    --data DIR --warehouse DIR --tag TAG
@@ -487,6 +488,18 @@ object Cli {
           .foreach { r =>
             println(s"-- ${r.identifier}")
             println(Explain.report(spark.sql(r.design.query)))
+          }
+        0
+      case "show_lineage" =>
+        // Column-level lineage for the selected transformations —
+        // per output column, the leaf table columns feeding it
+        // (direct lineage; see etl/Lineage.scala). Dependencies must
+        // be registered (run after a load/initialize), same contract
+        // as `explain`.
+        designs.filter(r => r.isTransformation && selector.matches(r.name))
+          .foreach { r =>
+            println(s"-- ${r.identifier}")
+            println(Lineage.report(spark.sql(r.design.query)))
           }
         0
       case "create_index" =>

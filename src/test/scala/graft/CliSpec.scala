@@ -90,6 +90,23 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     Cli.run(spark, "explain", Map("designs" -> designsDir))
   }
 
+  test("cli show_lineage prints per-column leaf sources for transformations") {
+    // self-contained: register the source tables whatever the run order
+    val wh = Files.createTempDirectory("graft_cli_lin_").toString
+    assert(Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir, "warehouse" -> wh)) == 0)
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(spark, "show_lineage", Map("designs" -> designsDir))
+    }
+    assert(code == 0)
+    val text = out.toString("UTF-8")
+    assert(text.contains("-- cli.summary"), text)
+    // COUNT(*) reads rows, not columns — direct lineage is empty,
+    // the standard column-lineage convention
+    assert(text.contains("n <- <literal/generated>"), text)
+  }
+
   test("parseArgs: interior boolean flags do not misalign later options") {
     assert(Cli.parseArgs(Seq("--no-staging", "--designs", "d", "--force")) ==
       Map("no-staging" -> "true", "designs" -> "d", "force" -> "true"))

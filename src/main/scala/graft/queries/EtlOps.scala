@@ -463,7 +463,56 @@ object EtlOps {
       |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM src
       |) ORDER BY c_custkey""".stripMargin
 
+  /** One-pass table profile — the data-quality report a warehouse
+    * runs after every load (the reference's closest surfaces are the
+    * per-relation rowcount audit, load.py:733-744, and the LIMIT-5
+    * constraint samples, load.py:596; a real profile unifies them):
+    * per column, null count, exact distinct count, and min/max
+    * rendered to strings for a uniform long-format report.
+    *
+    * Scale shape: ONE scan; count/min/max are plain map-side-partial
+    * aggregates, and the distincts run as Spark's single multi-
+    * count_distinct Expand aggregate (rows × #profiled columns
+    * intermediate, each partial-aggregated before the shuffle). At
+    * 100 TB swap exact distincts for approx_count_distinct / the HLL
+    * day-sketch rollup — same plan minus the Expand; the EXACT form
+    * is what the cross-engine oracle can hash. */
+  def profileDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val agg = docs.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      }: _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("column_name"), $"n_rows".as("n_rows"),
+      col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+      col(s"${c}_min").as("min_value"), col(s"${c}_max").as("max_value")))
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select($"r.*").orderBy($"column_name")
+  }
+
+  val profileDocumentsSql: String = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_documents" -> (profileDocuments _),
     "merge_into_upsert" -> (mergeIntoUpsert _),
     "skew_salted_agg" -> (skewSaltedAgg _),
     "skew_salted_join" -> (skewSaltedJoin _),
@@ -481,6 +530,7 @@ object EtlOps {
     "p4_limit" -> (p4Limit _))
 
   val oracles: Map[String, String] = Map(
+    "profile_documents" -> profileDocumentsSql,
     "merge_into_upsert" -> mergeIntoUpsertSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "skew_salted_join" -> skewSaltedJoinSql,

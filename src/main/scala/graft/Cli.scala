@@ -22,7 +22,7 @@ object Cli {
         |  upgrade        --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--only-selected] [--include-immediate-views] [--into-schema SCHEMA] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--events FILE]
         |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--only-selected] [--vacuum] [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
         |  check_constraints --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--with-staging]
-        |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--compact TABLE[,TABLE]] [--max-files N]
+        |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--compact TABLE[,TABLE]] [--max-files N] [--dry-run]
         |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro] [--use-sampling]
         |  unload         --designs DIR --out DIR [--select PATTERN]
         |  validate       --designs DIR
@@ -243,10 +243,13 @@ object Cli {
             case None => println(s"[vacuum] $t under file threshold, not compacted")
           }
         }
+        val dry = opts.contains("dry-run")
         val vr = wh.vacuum(
-          designs.filter(r => selector.matches(r.name)))
-        vr.deleted.foreach(p => println(s"[vacuum] deleted $p"))
-        println(s"[vacuum] ${vr.deleted.size} superseded build location(s) removed")
+          designs.filter(r => selector.matches(r.name)), dryRun = dry)
+        val verb = if (dry) "would delete" else "deleted"
+        vr.deleted.foreach(p => println(s"[vacuum] $verb $p"))
+        println(s"[vacuum] ${vr.deleted.size} superseded build location(s) " +
+          (if (dry) "would be removed (dry run)" else "removed"))
         // "refused to act" must be distinguishable from "nothing to
         // reclaim" by automation: non-zero exit when anything was refused
         if (vr.refused.nonEmpty) {

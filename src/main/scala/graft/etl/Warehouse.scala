@@ -1318,8 +1318,13 @@ final class Warehouse(
     * with a load, whose newest build directory is unreferenced until
     * the write's own registration. Returns the deleted locations plus
     * the relations refused (unresolvable live set) — callers surface
-    * refusals, they are not "nothing to do". */
-  def vacuum(relations: Seq[Relation]): VacuumResult = {
+    * refusals, they are not "nothing to do".
+    *
+    * `dryRun` reports exactly what a real pass would delete (same
+    * liveness resolution, same refusals) without touching the
+    * filesystem — the safety preview an operator runs before the
+    * first vacuum of an unfamiliar warehouse. */
+  def vacuum(relations: Seq[Relation], dryRun: Boolean = false): VacuumResult = {
     import org.apache.hadoop.fs.Path
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     def qualified(p: Path): String = {
@@ -1381,7 +1386,7 @@ final class Warehouse(
         if (fs.exists(tableDir)) {
           fs.listStatus(tableDir).filter(_.isDirectory).foreach { st =>
             if (!live.contains(qualified(st.getPath))) {
-              fs.delete(st.getPath, true)
+              if (!dryRun) { fs.delete(st.getPath, true); () }
               deleted += st.getPath.toString
             }
           }

@@ -406,6 +406,23 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("`rep`.`top_nations`").count() == 3)
   }
 
+  test("vacuum dry run reports the dead builds without deleting them") {
+    val dir = Files.createTempDirectory("graft_vac_dry_").toString
+    val wh = new Warehouse(spark, dir, sfDir)
+    def gen(n: Int) =
+      Seq(srcNation, ctasTop(s"SELECT n_name FROM src.nation WHERE n_nationkey < $n"))
+    wh.loadWithStagingAndPublish(gen(5))
+    wh.loadWithStagingAndPublish(gen(3))
+    wh.loadWithStagingAndPublish(gen(7))
+    val dry = wh.vacuum(gen(7), dryRun = true)
+    assert(dry.deleted.size == 2 && dry.refused.isEmpty)
+    // nothing actually deleted: the real pass still finds both
+    val real = wh.vacuum(gen(7))
+    assert(real.deleted.toSet == dry.deleted.toSet)
+    // and now they are gone
+    assert(wh.vacuum(gen(7)).deleted.isEmpty)
+  }
+
   test("vacuum is fail-safe without a session catalog (fresh-JVM Cli vacuum)") {
     val dir = Files.createTempDirectory("graft_vac_safe_").toString
     val wh = new Warehouse(spark, dir, sfDir)

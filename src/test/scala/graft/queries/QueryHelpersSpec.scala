@@ -465,6 +465,39 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq == rows.toSeq, "assignment must be deterministic")
   }
 
+  test("text_chunk: stride structure, full coverage, clamped tails") {
+    val s = spark
+    import s.implicits._
+    val chunks = TextOps.textChunk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", TextOps.normText($"text").as("norm"))
+      .filter(length($"norm") > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" "))).toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val w = docs(docId)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are dense from 0; each window starts at stride*id
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, cid, nTok, text) =>
+        val start = (cid * TextOps.ChunkStride).toInt
+        val expect = w.slice(start, start + TextOps.ChunkLen)
+        assert(nTok == expect.length, s"doc $docId chunk $cid length")
+        assert(text == expect.mkString(" "), s"doc $docId chunk $cid content")
+      }
+      // coverage: every token index falls inside >= 1 window
+      val n = w.length
+      val covered = sorted.flatMap { case (_, cid, nTok, _) =>
+        val start = (cid * TextOps.ChunkStride).toInt
+        start until (start + nTok.toInt)
+      }.toSet
+      assert(covered == (0 until n).toSet, s"doc $docId coverage gap")
+    }
+    // every nonempty doc produced at least one chunk
+    assert(chunks.map(_._1).toSet == docs.keySet)
+  }
+
   test("text_heavy_hitters: two-pass result equals the exact full-shuffle answer") {
     val s = spark
     import s.implicits._

@@ -55,6 +55,7 @@ object Cli {
         |  list_snapshots   --data DIR --warehouse DIR
         |  drop_snapshot    --data DIR --warehouse DIR --tag TAG
         |  restore_snapshot --designs DIR --data DIR --warehouse DIR --tag TAG [--select PATTERN]
+        |  diff_snapshots   --data DIR --warehouse DIR --tag-a TAG --tag-b TAG
         |""".stripMargin)
     sys.exit(2)
   }
@@ -258,7 +259,7 @@ object Cli {
           1
         } else 0
       case "create_snapshot" | "drop_snapshot" | "restore_snapshot" |
-           "list_snapshots" =>
+           "list_snapshots" | "diff_snapshots" =>
         // Snapshot pins (beyond-reference lifecycle: named, metadata-
         // only time travel over the versioned builds; the reference's
         // closest surface is the single implicit backup/restore slot,
@@ -284,6 +285,15 @@ object Cli {
                 .filter(r => selector.matches(r.name))
               rels.foreach(r => wh.restoreSnapshot(tag, r.name, Some(r.design)))
               println(s"[snapshot] restored ${rels.size} table(s) from '$tag'")
+            case "diff_snapshots" =>
+              val diffs = wh.diffSnapshots(
+                opts.getOrElse("tag-a", usage()), opts.getOrElse("tag-b", usage()))
+              def fmt(n: Long) = if (n < 0) "-" else n.toString
+              diffs.foreach { case (table, status, ba, bb) =>
+                println(s"$table\t$status\t${fmt(ba)}B\t${fmt(bb)}B")
+              }
+              val changed = diffs.count(_._2 != "same")
+              println(s"[snapshot] ${diffs.size} table(s), $changed differ")
             case _ =>
               val snaps = wh.listSnapshots()
               snaps.foreach { case (tag, table, loc) =>

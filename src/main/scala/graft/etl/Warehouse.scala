@@ -879,6 +879,41 @@ final class Warehouse(
     ()
   }
 
+  /** Metadata-only diff of two pins — "what changed between training
+    * run A and run B" answered without reading a row: per table, the
+    * pin status (`only_a` / `only_b` / `same` build / `changed`
+    * build) and each side's on-disk bytes (one recursive LIST per
+    * pinned build — O(#files), no jobs). Builds are immutable, so
+    * `same` means bit-identical data, not merely equal counts. */
+  def diffSnapshots(tagA: String, tagB: String)
+      : Seq[(String, String, Long, Long)] = {
+    requireSnapshotTag(tagA); requireSnapshotTag(tagB)
+    val byTag = listSnapshots().groupBy(_._1)
+    def pins(t: String): Map[String, String] = byTag.getOrElse(t, Seq.empty)
+      .map { case (_, table, loc) => table -> loc }.toMap
+    val (a, b) = (pins(tagA), pins(tagB))
+    require(a.nonEmpty, s"no snapshot '$tagA'")
+    require(b.nonEmpty, s"no snapshot '$tagB'")
+    def bytes(loc: String): Long =
+      if (loc.isEmpty) -1L
+      else {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) -1L
+        else fs.getContentSummary(p).getLength
+      }
+    (a.keySet ++ b.keySet).toSeq.sorted.map { table =>
+      (a.get(table), b.get(table)) match {
+        case (Some(la), None) => (table, "only_a", bytes(la), -1L)
+        case (None, Some(lb)) => (table, "only_b", -1L, bytes(lb))
+        case (Some(la), Some(lb)) if la == lb =>
+          val n = bytes(la); (table, "same", n, n)
+        case (Some(la), Some(lb)) => (table, "changed", bytes(la), bytes(lb))
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }
+  }
+
   /** Pinned locations for one table across ALL tags, plus whether any
     * pin file is torn (vacuum refuses the relation in that case — an
     * unknown pinned location could be any build dir). */

@@ -1113,6 +1113,18 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snap = wh.readSnapshot("run-2026-08-13", t)
       .orderBy("n_name").collect().map(_.getString(0)).toSeq
     assert(snap == pinned)
+    // diff two pins: same table, different builds -> "changed" with
+    // real byte sizes on both sides; pins of the SAME build -> "same"
+    wh.createSnapshot("run-b", Seq(t))   // pins the CURRENT (v3) build
+    val d = wh.diffSnapshots("run-2026-08-13", "run-b")
+    assert(d.map(x => (x._1, x._2)) == Seq(("rep.top_nations", "changed")), s"$d")
+    assert(d.head._3 > 0 && d.head._4 > 0)
+    wh.createSnapshot("run-b2", Seq(t))
+    val d2 = wh.diffSnapshots("run-b", "run-b2")
+    assert(d2.map(x => (x._1, x._2)) == Seq(("rep.top_nations", "same")))
+    assert(d2.head._3 == d2.head._4 && d2.head._3 > 0)
+    intercept[IllegalArgumentException](wh.diffSnapshots("run-b", "nope"))
+    wh.dropSnapshot("run-b"); wh.dropSnapshot("run-b2")
     // rollback: the live table re-points at the pinned build
     wh.restoreSnapshot("run-2026-08-13", t)
     assert(spark.table(t.quoted).orderBy("n_name")

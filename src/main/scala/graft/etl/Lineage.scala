@@ -29,13 +29,34 @@ object Lineage {
     plan.output.map(a => a.name -> acc.getOrElse(a.exprId, Set.empty).toSeq.sorted)
   }
 
-  /** One line per output column: `name <- t.c1, t.c2` (the CLI
-    * rendering). */
-  def report(df: DataFrame): String =
-    columnLineage(df).map { case (name, srcs) =>
+  /** INDIRECT lineage: the leaf columns consulted by filter and join
+    * conditions anywhere in the plan — they decide which ROWS flow,
+    * not any column's values, so they complement [[columnLineage]]
+    * rather than appearing inside it. */
+  def indirectSources(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.analyzed
+    val m = collect(plan, Map.empty)
+    plan.collect {
+      case f: Filter => f.condition.references.toSeq
+      case j: Join => j.condition.toSeq.flatMap(_.references.toSeq)
+    }.flatten
+      .flatMap(a => m.getOrElse(a.exprId, Set.empty[String]))
+      .distinct.sorted
+  }
+
+  /** One line per output column: `name <- t.c1, t.c2`, plus a
+    * trailing row-selection line when filters/joins consult columns
+    * (the CLI rendering). */
+  def report(df: DataFrame): String = {
+    val direct = columnLineage(df).map { case (name, srcs) =>
       val rhs = if (srcs.isEmpty) "<literal/generated>" else srcs.mkString(", ")
       s"$name <- $rhs"
-    }.mkString("\n")
+    }
+    val indirect = indirectSources(df)
+    val tail = if (indirect.isEmpty) Seq.empty
+      else Seq(s"[rows selected by] ${indirect.mkString(", ")}")
+    (direct ++ tail).mkString("\n")
+  }
 
   /** Bottom-up attribute→leaf-columns map. CTE definitions resolve
     * through `ctes` (id → the def's OWN resolved outputs + map), so
@@ -75,7 +96,9 @@ object Lineage {
       val defs = w.cteDefs.foldLeft(ctes) { (m, d) =>
         m + (d.id -> (d.child.output, collect(d.child, m)))
       }
-      collect(w.plan, defs)
+      // def-internal bindings ride along so plan-wide passes (e.g.
+      // indirect sources) can resolve attrs inside CTE bodies too
+      defs.values.map(_._2).foldLeft(collect(w.plan, defs))(_ ++ _)
     case r: CTERelationRef =>
       ctes.get(r.cteId).map { case (defOut, defMap) =>
         r.output.zip(defOut).map { case (out, in) =>

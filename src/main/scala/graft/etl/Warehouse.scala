@@ -405,12 +405,29 @@ final class Warehouse(
     * target + source. Contract (Redshift's own): the source must be
     * key-unique — duplicate source keys would multiply matched rows.
     * Column sets must agree; source columns are realigned to the
-    * target's order. */
+    * target's order.
+    *
+    * A bucketed or partitioned target must pass its `design` so the
+    * rewritten table keeps its physical layout — merging WITHOUT it
+    * is refused rather than silently de-bucketing/de-partitioning
+    * the relation (the layout is what co-located joins and partition
+    * pruning depend on at scale). */
   def mergeInto(target: TableName, source: DataFrame, keys: Seq[String],
-                matchedDelete: Boolean = false): Long = {
+                matchedDelete: Boolean = false,
+                design: Option[TableDesign] = None): Long = {
     import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "mergeInto needs at least one merge key")
     spark.catalog.refreshTable(target.quoted)
+    if (design.isEmpty) {
+      val meta = try Some(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          target.table, Some(target.schema)))) catch { case _: Exception => None }
+      meta.foreach { t =>
+        require(t.bucketSpec.isEmpty && t.partitionColumnNames.isEmpty,
+          s"mergeInto '${target.identifier}': target is bucketed/partitioned — " +
+            "pass its TableDesign so the rewrite keeps the physical layout")
+      }
+    }
     val current = spark.table(target.quoted)
     require(source.columns.map(_.toLowerCase).toSet ==
         current.columns.map(_.toLowerCase).toSet,
@@ -425,7 +442,7 @@ final class Warehouse(
           aligned.join(current.select(keys.map(col): _*).hint("shuffle_hash"),
             keys, "left_anti"))
       else survivors.unionByName(aligned)
-    writeTable(target, merged)
+    writeTable(target, merged, design)
   }
 
   /** Live location for an in-place append, refusing bucketed and

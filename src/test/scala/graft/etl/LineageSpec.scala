@@ -87,4 +87,24 @@ class LineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = Lineage.report(spark.sql("SELECT id AS k, 7 AS c FROM sales"))
     assert(r.linesIterator.toSeq == Seq("k <- sales.id", "c <- <literal/generated>"))
   }
+
+  test("indirect sources: filter and join condition columns, traced to leaves") {
+    val df = spark.sql(
+      """SELECT s.price FROM sales s JOIN dims d ON s.id = d.id
+        |WHERE d.region = 'east' AND s.qty > 1""".stripMargin)
+    assert(Lineage.indirectSources(df) ==
+      Seq("dims.id", "dims.region", "sales.id", "sales.qty"))
+    // and the report carries them on the trailing line
+    val last = Lineage.report(df).linesIterator.toSeq.last
+    assert(last ==
+      "[rows selected by] dims.id, dims.region, sales.id, sales.qty", last)
+    // a pure projection has no row-selection line
+    assert(!Lineage.report(spark.sql("SELECT id FROM sales"))
+      .contains("[rows selected by]"))
+    // filters INSIDE a CTE body are visible too
+    val cte = spark.sql(
+      """WITH r AS (SELECT id FROM sales WHERE name = 'a')
+        |SELECT id FROM r""".stripMargin)
+    assert(Lineage.indirectSources(cte) == Seq("sales.name"))
+  }
 }

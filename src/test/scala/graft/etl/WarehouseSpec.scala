@@ -1083,6 +1083,44 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("merge key"))
   }
 
+  test("mergeInto preserves a bucketed layout via design; refuses silently de-bucketing") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val design = TableDesign.load(
+      """name: mrgb.dim_b
+        |source_name: CTAS
+        |depends_on: []
+        |columns:
+        |  - name: k
+        |    type: long
+        |    not_null: true
+        |  - name: v
+        |    type: string
+        |attributes:
+        |  distribution: [k]
+        |query: SELECT 1
+        |""".stripMargin)
+    val t = design.name
+    wh.writeTable(t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some(design))
+    def bucketed(): Boolean = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        t.table, Some(t.schema))).bucketSpec.nonEmpty
+    assert(bucketed())
+    // merging without the design must refuse, not silently de-bucket
+    val e = intercept[IllegalArgumentException](
+      wh.mergeInto(t, Seq((2L, "b2")).toDF("k", "v"), Seq("k")))
+    assert(e.getMessage.contains("bucketed/partitioned"))
+    assert(bucketed() && spark.table(t.quoted).count() == 2)
+    // with the design the merge lands AND the layout survives
+    wh.mergeInto(t, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), Seq("k"),
+      design = Some(design))
+    assert(bucketed(), "merge must keep the bucket spec")
+    assert(spark.table(t.quoted).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
   test("snapshots: pin survives vacuum, time-travel read, restore, drop reclaims, torn pin refuses") {
     val dir = Files.createTempDirectory("graft_snap_").toString
     val wh = new Warehouse(spark, dir, sfDir)

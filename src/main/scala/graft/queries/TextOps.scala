@@ -553,6 +553,74 @@ object TextOps {
   val HeavyHitterPhiNum = 1L
   val HeavyHitterPhiDen = 200L
 
+  /** One Misra–Gries pass over a token stream: (#tokens, surviving
+    * counters). Any token with frequency > n/(k+1) in the stream is
+    * guaranteed a counter; residuals under-count by ≤ n/(k+1). Runs
+    * identically inside a `mapPartitions` (batch pass 1) and on a
+    * micro-batch's collected summaries (streaming state merge). */
+  private[graft] def mgPass(it: Iterator[String], k: Int): (Long, Map[String, Long]) = {
+    var n = 0L
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      n += 1
+      counters.get(t) match {
+        case Some(c) => counters.update(t, c + 1)
+        case None if counters.size < k => counters.update(t, 1L)
+        case None =>
+          val dead = List.newBuilder[String]
+          counters.foreach { case (key, v) =>
+            if (v == 1L) dead += key else counters.update(key, v - 1)
+          }
+          dead.result().foreach(counters.remove)
+      }
+    }
+    (n, counters.toMap)
+  }
+
+  /** Merge two MG summaries into one of size ≤ k (Agarwal et al.,
+    * "Mergeable Summaries"): sum counts by token, then subtract the
+    * (k+1)-th largest residual from every counter and drop the
+    * non-positive. Error stays ≤ n_total/(k+1) across ANY merge
+    * tree — what makes per-batch summaries foldable into streaming
+    * state without rescanning history. */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+                             k: Int): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else {
+      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      sum.collect { case (t, c) if c - cut > 0 => t -> (c - cut) }
+    }
+  }
+
+  /** Distributed MG summary of a token frame: per-partition
+    * [[mgPass]] (one small row per partition) folded with
+    * [[mgMerge]] — (total tokens, ≤ k counters). */
+  private[graft] def mgSummarize(toks: org.apache.spark.sql.Dataset[String],
+                                 k: Int): (Long, Map[String, Long]) = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val parts = toks.mapPartitions { it =>
+      val (n, m) = mgPass(it, k)
+      Iterator.single((n, m.toSeq))
+    }.collect()
+    val n = parts.map(_._1).sum
+    val merged = parts.map(_._2.toMap)
+      .foldLeft(Map.empty[String, Long])(mgMerge(_, _, k))
+    (n, merged)
+  }
+
+  /** The shared corpus tokenizer of the heavy-hitter family. */
+  private[graft] def hhTokens(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[String] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(explode(split(normText(col("text")), " ")).as("token"))
+      .filter(length($"token") > 0).as[String]
+  }
+
   def textHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.load(spark, sfDir, "documents")
@@ -564,21 +632,7 @@ object TextOps {
     // at any corpus size ("" is the tally sentinel; real tokens are
     // non-empty by the filter above).
     val summary = toks.as[String].mapPartitions { it =>
-      var n = 0L
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        n += 1
-        counters.get(t) match {
-          case Some(c) => counters.update(t, c + 1)
-          case None if counters.size < k => counters.update(t, 1L)
-          case None =>
-            val dead = List.newBuilder[String]
-            counters.foreach { case (key, v) =>
-              if (v == 1L) dead += key else counters.update(key, v - 1)
-            }
-            dead.result().foreach(counters.remove)
-        }
-      }
+      val (n, counters) = mgPass(it, k)
       counters.keysIterator.map((_, 0L)) ++ Iterator.single(("", n))
     }.collect()
     val total = summary.collect { case ("", n) => n }.sum

@@ -254,6 +254,67 @@ object EventStreams {
       .filter(col("n_eval_hits") < minOverlap)
   }
 
+  /** Streaming heavy hitters — the streaming twin of
+    * `text_heavy_hitters`: a bounded Misra–Gries summary of the
+    * WHOLE stream maintained as a warehouse table. Each micro-batch
+    * computes its own distributed MG summary (per-partition pass +
+    * driver merge — ≤ k counters however large the batch), then
+    * folds it into the stored state with the MERGEABLE-summaries
+    * merge, whose error bound (≤ n_total/(k+1), superset guarantee
+    * for every token above that rate) holds across ANY merge tree —
+    * so the state never rescans history and never exceeds k rows.
+    * State lives as a versioned warehouse table (atomic pointer-swap
+    * writes), carrying `n_total` and the last applied `batch_id`:
+    * foreachBatch is at-least-once, and a REPLAYED batch id is
+    * skipped, keeping the fold exactly-once. The batch operator's
+    * exact second pass remains the authority; this is the standing
+    * candidate set a pipeline consults between full runs. */
+  def heavyHittersStream(wh: graft.etl.Warehouse,
+                         state: graft.etl.TableName,
+                         docs: DataFrame,
+                         checkpointDir: String,
+                         k: Int = (graft.queries.TextOps.HeavyHitterPhiDen /
+                           graft.queries.TextOps.HeavyHitterPhiNum).toInt)
+                        (emit: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (applyHeavyHitterBatch(wh, state, batch, id, k))
+          emit(batch.sparkSession.table(state.quoted), id)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One micro-batch fold (factored for direct replay testing).
+    * Returns false when `id` was already applied — the at-least-once
+    * replay no-op. */
+  private[streaming] def applyHeavyHitterBatch(
+      wh: graft.etl.Warehouse, state: graft.etl.TableName,
+      batch: DataFrame, id: Long, k: Int): Boolean = {
+    import graft.queries.TextOps
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (prevN, prevSum, prevId) =
+      if (!spark.catalog.tableExists(state.quoted)) (0L, Map.empty[String, Long], -1L)
+      else {
+        val rows = spark.table(state.quoted)
+          .select($"token", $"cnt", $"n_total", $"batch_id").collect()
+        if (rows.isEmpty) (0L, Map.empty[String, Long], -1L)
+        else (rows.head.getLong(2),
+          rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+          rows.head.getLong(3))
+      }
+    if (id <= prevId) false
+    else {
+      val (bn, bsum) = TextOps.mgSummarize(TextOps.hhTokens(batch), k)
+      val merged = TextOps.mgMerge(prevSum, bsum, k)
+      wh.writeTable(state, merged.toSeq
+        .map { case (t, c) => (t, c, prevN + bn, id) }
+        .toDF("token", "cnt", "n_total", "batch_id"))
+      true
+    }
+  }
+
   /** Streaming NEAR-dup detection — the streaming twin of
     * `dedup_minhash_incremental`: each micro-batch plays the
     * "incoming batch" of the incremental lifecycle — banded with the

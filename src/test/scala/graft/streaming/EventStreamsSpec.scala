@@ -168,6 +168,64 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unmatched purchase must emit exactly once, null-padded: $rows")
   }
 
+  test("heavyHittersStream: mergeable MG state with guarantee, replay no-op, bounded size") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val whDir = java.nio.file.Files.createTempDirectory("graft_hh_wh_").toString
+    val wh = new graft.etl.Warehouse(spark, whDir, "/root/testdata/sf0.001")
+    val state = graft.etl.TableName.parse("hh.state")
+    val k = 5
+    // skewed vocabulary: 'alpha' dominates, tail words are rare
+    def doc(words: String*) = words.mkString(" ")
+    val b0 = Seq((1L, doc(Seq.fill(30)("alpha") ++ Seq.fill(10)("beta") ++
+      Seq("t1", "t2", "t3", "t4", "t5", "t6"): _*))).toDF("doc_id", "text")
+    val b1 = Seq((2L, doc(Seq.fill(25)("alpha") ++ Seq.fill(12)("gamma") ++
+      Seq("t7", "t8", "t9", "t10"): _*))).toDF("doc_id", "text")
+    assert(EventStreams.applyHeavyHitterBatch(wh, state, b0, 0L, k))
+    // replay of the SAME batch id is a no-op (at-least-once safety)
+    val afterB0 = spark.table(state.quoted).collect().map(_.toSeq).toSet
+    assert(!EventStreams.applyHeavyHitterBatch(wh, state, b0, 0L, k))
+    assert(spark.table(state.quoted).collect().map(_.toSeq).toSet == afterB0)
+    assert(EventStreams.applyHeavyHitterBatch(wh, state, b1, 1L, k))
+    val st = spark.table(state.quoted)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // exact truth over both batches (hhTokens is the shared tokenizer)
+    val exact: Map[String, Long] = Seq(b0, b1)
+      .flatMap(df => graft.queries.TextOps.hhTokens(df).collect())
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = exact.values.sum
+    assert(st.head._3 == n, "n_total tracks the whole stream")
+    assert(st.size <= k, "state never exceeds k rows")
+    // superset guarantee: every token with freq > n/(k+1) is present
+    val mustHave = exact.filter(_._2 > n / (k + 1)).keySet
+    assert(mustHave.nonEmpty && mustHave.subsetOf(st.map(_._1).toSet),
+      s"missing guaranteed hitters: ${mustHave -- st.map(_._1).toSet}")
+    // residuals under-count by at most n/(k+1), never over-count
+    st.foreach { case (t, c, _) =>
+      val ex = exact.getOrElse(t, 0L)
+      assert(c <= ex && ex - c <= n / (k + 1), s"$t: mg=$c exact=$ex")
+    }
+    // end-to-end through a real stream: same fold, driven by foreachBatch
+    val wh2 = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_hh_wh2_").toString,
+      "/root/testdata/sf0.001")
+    val state2 = graft.etl.TableName.parse("hh.state2")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.heavyHittersStream(wh2, state2,
+      input.toDF.toDF("doc_id", "text"),
+      java.nio.file.Files.createTempDirectory("graft_hh_ck_").toString, k)()
+    input.addData((1L, doc(Seq.fill(20)("alpha") ++ Seq("x1", "x2"): _*)))
+    q.processAllAvailable()
+    input.addData((2L, doc(Seq.fill(15)("alpha") ++ Seq("x3"): _*)))
+    q.processAllAvailable()
+    q.stop()
+    val st2 = spark.table(state2.quoted)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(st2.head._3 == 38L)
+    assert(st2.exists(_._1 == "alpha"), s"alpha must survive: $st2")
+  }
+
   test("decontaminateStream: batch-parity drop decisions, stateless plan, hits ride along") {
     val s = spark
     import s.implicits._

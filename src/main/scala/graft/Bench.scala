@@ -46,6 +46,28 @@ object Bench {
       case _ => (median, false)
     }
 
+  /** The one line the DRIVER parses. It captures only the tail of
+    * stdout (~2000 chars): the full per-query artifact is ~6 KB with
+    * ~100 queries, so its opening brace fell outside the window and
+    * two rounds' driver artifacts recorded `"parsed": null`. The last
+    * printed line is therefore a bounded COMPACT summary — rounded
+    * totals, the 25 slowest queries (the ones a regression reader
+    * needs), and a pointer to the full-precision file. */
+  private[graft] def compactLine(medians: Seq[(String, Double)],
+                                 total: Double, coldTotal: Double,
+                                 warmRuns: Int, failed: Seq[String],
+                                 contended: Seq[String], loadStart: Double,
+                                 loadEnd: Double, ncpu: Int, sfDir: String,
+                                 outFile: String): String = {
+    def r3(d: Double): String = f"$d%.3f"
+    def arr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val slowest = medians.filter(_._2 >= 0)
+      .sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","warm_runs":$warmRuns,"queries":$slowest,"queries_shown":${math.min(25, medians.count(_._2 >= 0))},"queries_run":${medians.size},"full":"$outFile","cold_total":${r3(coldTotal)},"failed":${arr(failed)},"contended":${arr(contended)},"load_avg_start":${r3(loadStart)},"load_avg_end":${r3(loadEnd)},"cpus":$ncpu,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -143,14 +165,17 @@ object Bench {
     val loadAvgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_spread":${json(_.spread)},"cold_total":$coldTotal,"failed":$failedJson,"contended":$contendedJson,"load_avg_start":$loadAvg,"load_avg_end":$loadAvgEnd,"cpus":$ncpu,"sf":"$sfDir"}"""
-    println(line)
     // sbt wraps stdout (prefixes, epilogue), which can defeat a parser
-    // expecting a bare JSON line — mirror the result to a file too.
+    // expecting a bare JSON line — the FULL result (every query's
+    // cold/median/spread at full precision) goes to a file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(compactLine(results.map { case (k, v) => (k, v.median) },
+      total, coldTotal, warmRuns, failed.sorted, contended.sorted,
+      loadAvg, loadAvgEnd, ncpu, sfDir, outFile))
     spark.stop()
   }
 }

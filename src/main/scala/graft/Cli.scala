@@ -232,19 +232,24 @@ object Cli {
         }
       case "vacuum" =>
         val wh = warehouse
+        val dry = opts.contains("dry-run")
         // --compact NAME[,NAME]: compact accumulating (append-grown)
         // tables first; their superseded build dirs are then
-        // reclaimed by the vacuum pass below like any dead build
+        // reclaimed by the vacuum pass below like any dead build.
+        // --dry-run gates this too: a safety preview must not rewrite
+        // files or re-point tables.
         opts.get("compact").toSeq.flatMap(_.split(',').toSeq).foreach { t =>
           val name = TableName.parse(t)
           wh.compactTable(name,
-            opts.get("max-files").map(_.toInt).getOrElse(64)) match {
+            opts.get("max-files").map(_.toInt).getOrElse(64),
+            dryRun = dry) match {
+            case Some((before, after)) if dry =>
+              println(s"[vacuum] would compact $t: $before files (dry run)")
             case Some((before, after)) =>
               println(s"[vacuum] compacted $t: $before -> $after files")
             case None => println(s"[vacuum] $t under file threshold, not compacted")
           }
         }
-        val dry = opts.contains("dry-run")
         val vr = wh.vacuum(
           designs.filter(r => selector.matches(r.name)), dryRun = dry)
         val verb = if (dry) "would delete" else "deleted"

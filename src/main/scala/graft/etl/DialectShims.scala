@@ -178,8 +178,11 @@ object DialectShims {
     * (string literals are masked to placeholders, so paren balancing
     * and comma splitting see only real syntax). Arguments are
     * rewritten recursively FIRST, so nested calls compose inside-out.
-    * `f` returning None leaves the call unchanged (the C5 dry-run
-    * surfaces unsupported shapes, the shim never corrupts them). */
+    * `f` returning None keeps the call itself untranslated but emits
+    * the rewritten arguments, so a translatable nested call inside an
+    * unsupported outer shape still translates (the C5 dry-run
+    * surfaces the unsupported outer call, the shim never corrupts
+    * it). */
   private[etl] def rewriteCalls(sql: String, name: String)(
       f: Seq[String] => Option[String]): String = {
     val lower = sql.toLowerCase
@@ -226,7 +229,13 @@ object DialectShims {
             f(inner) match {
               case Some(rep) => sb.append(sql.substring(i, at)).append(rep)
               case None =>
-                sb.append(sql.substring(i, at)).append(sql.substring(at, k))
+                // keep the unsupported OUTER call but emit the
+                // recursively REWRITTEN argument texts — re-emitting
+                // the raw substring would discard translations of
+                // nested same-name calls inside the arguments
+                sb.append(sql.substring(i, at))
+                  .append(sql.substring(at, at + nm.length))
+                  .append('(').append(inner.mkString(", ")).append(')')
             }
             i = k
           }

@@ -419,9 +419,16 @@ final class Warehouse(
     require(keys.nonEmpty, "mergeInto needs at least one merge key")
     spark.catalog.refreshTable(target.quoted)
     if (design.isEmpty) {
+      // Only an absent table may skip the layout guard — any OTHER
+      // catalog failure must propagate, or a transient error would
+      // silently de-bucket/de-partition the very layout this check
+      // exists to protect.
       val meta = try Some(spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(
-          target.table, Some(target.schema)))) catch { case _: Exception => None }
+          target.table, Some(target.schema)))) catch {
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => None
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException => None
+      }
       meta.foreach { t =>
         require(t.bucketSpec.isEmpty && t.partitionColumnNames.isEmpty,
           s"mergeInto '${target.identifier}': target is bucketed/partitioned — " +
@@ -455,7 +462,14 @@ final class Warehouse(
     val meta =
       try Some(spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(target.table, Some(target.schema))))
-      catch { case _: Exception => None }
+      catch {
+        // pointer-only accumulating tables legitimately have no
+        // catalog entry; any other catalog failure propagates (a
+        // swallowed transient error would let a raw append corrupt a
+        // bucketed/partitioned layout this guard exists to refuse)
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => None
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException => None
+      }
     if (meta.exists(_.bucketSpec.isDefined))
       throw new IllegalStateException(
         s"'${target.identifier}' is bucketed; in-place append would corrupt " +
@@ -501,6 +515,21 @@ final class Warehouse(
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(hp, s"_applied_$tag")
     if (fs.exists(marker)) return false
+    // Upgrade path: before the hash suffix existed, a special-char tag
+    // was recorded under its plain sanitized name. Honor that legacy
+    // marker (the batch IS applied — re-applying would double-count it)
+    // and stamp the new-scheme marker alongside so the next replay hits
+    // the fast path. Caveat, documented: if TWO distinct legacy tags
+    // collided on one sanitized name, only the first was ever applied —
+    // that data loss already happened under the old scheme and cannot
+    // be distinguished here; new-scheme tags never collide.
+    if (tag != sanitized) {
+      val legacy = new org.apache.hadoop.fs.Path(hp, s"_applied_$sanitized")
+      if (fs.exists(legacy)) {
+        fs.create(marker).close()
+        return false
+      }
+    }
     val staging = new org.apache.hadoop.fs.Path(hp, s"_staging_$tag")
     df.write.mode("overwrite").parquet(staging.toString)
     // clear any partial earlier attempt, then move the staged files in
@@ -534,9 +563,11 @@ final class Warehouse(
     * vacuum-vs-load.
     *
     * Returns (files before, files after), or None when under the
-    * threshold. */
+    * threshold. `dryRun` previews only: returns (before, before) when
+    * the table WOULD compact, touching nothing. */
   def compactTable(target: TableName,
-                   maxDataFiles: Int = 64): Option[(Int, Int)] = {
+                   maxDataFiles: Int = 64,
+                   dryRun: Boolean = false): Option[(Int, Int)] = {
     val loc = appendLocation(target)
     val hp = new org.apache.hadoop.fs.Path(loc)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -547,6 +578,7 @@ final class Warehouse(
       })
     val before = dataFiles(hp).length
     if (before <= maxDataFiles) return None
+    if (dryRun) return Some((before, before))
     val newLoc = dataLocation(target, buildCounter.incrementAndGet())
     spark.read.parquet(loc).write.mode("overwrite").parquet(newLoc)
     fs.listStatus(hp).filter(_.getPath.getName.startsWith("_applied_"))
@@ -827,7 +859,21 @@ final class Warehouse(
             "(unregistered table, or a view)"))
       (t, loc)
     }
-    resolved.foreach { case (t, loc) => writePointerFileAt(snapshotFile(tag, t), loc) }
+    // All-or-nothing pin set: write every pointer into a hidden temp
+    // directory, then one rename publishes the tag. A crash mid-loop
+    // leaves only `.tmp_<tag>` (invisible to listSnapshots, deleted on
+    // retry) — never a partial tag that blocks re-creation while
+    // restoring/diffing incompletely.
+    val tmp = new org.apache.hadoop.fs.Path(root, s".tmp_$tag")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    resolved.foreach { case (t, loc) =>
+      writePointerFileAt(
+        new org.apache.hadoop.fs.Path(tmp, s"${t.schema}.${t.table}"), loc)
+    }
+    if (!fs.rename(tmp, dir))
+      throw new IllegalStateException(
+        s"snapshot '$tag': publishing rename failed (concurrent create?)")
   }
 
   /** Read the data exactly as pinned — a time-travel scan. Raw
@@ -872,7 +918,8 @@ final class Warehouse(
     val root = snapshotsRoot
     val fs = pointerFs(root)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).filter(_.isDirectory).toSeq.flatMap { d =>
+    else fs.listStatus(root).filter(d =>
+        d.isDirectory && !d.getPath.getName.startsWith(".")).toSeq.flatMap { d =>
       fs.listStatus(d.getPath).filter(_.isFile)
         .filterNot(_.getPath.getName.startsWith(".")).toSeq.map { f =>
           val loc = pointerStateAt(f.getPath) match {

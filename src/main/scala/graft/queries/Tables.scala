@@ -17,16 +17,29 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long and convert to the session's
-      // microsecond timestamp — the data is µs-precision, so lossless.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+      // Spark's vectorized reader rejects — read nanos as long, then
+      // convert; µs-precision data, so lossless) and plain
+      // TIMESTAMP(MICROS) (read as-is). Adapt to what the file holds
+      // rather than assuming one generation of the testdata.
       // The nanosAsLong conf is set at session build (Verify/Bench);
       // the guarded set here covers ad-hoc sessions without re-mutating
       // config on every load.
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // normalize to the session TimestampType (session tz is
+          // pinned UTC, so the instant is unchanged) — downstream
+          // code compares ts against to_timestamp literals and dumps
+          // TIMESTAMP_MICROS parquet, both of which expect LTZ
+          raw.withColumn("ts", col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+        case _ => raw   // already the session timestamp type
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -10,6 +10,35 @@ import org.scalatest.funsuite.AnyFunSuite
   * that produced two rounds of phantom bench regressions). */
 class BenchSpec extends AnyFunSuite {
 
+  test("compactLine: bounded size, parseable, slowest-first subset") {
+    // 120 queries with realistically long names — the FULL artifact at
+    // this count is ~6 KB, which overflowed the driver's ~2000-char
+    // stdout tail for two rounds ("parsed": null). The compact line
+    // must stay well inside the window and be strict JSON.
+    val medians = (0 until 120).map(i =>
+      (f"dedup_embedding_semantic_clusters_$i%03d", i * 0.01))
+    val line = Bench.compactLine(medians, 71.4, 190.2, 3,
+      Seq("q_failed_one"), Seq("q_contended_one"), 2.523, 3.125, 32,
+      "/root/testdata/sf0.1", "BENCH_LOCAL.json")
+    assert(line.length < 1600, s"compact line too long: ${line.length}")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("value").asDouble == 71.4)
+    assert(node.get("queries").size() == 25)
+    assert(node.get("queries_run").asInt == 120)
+    // slowest-first: the worst query is present, the fastest is not
+    assert(node.get("queries").has("dedup_embedding_semantic_clusters_119"))
+    assert(!node.get("queries").has("dedup_embedding_semantic_clusters_000"))
+    assert(node.get("failed").get(0).asText == "q_failed_one")
+    assert(node.get("contended").get(0).asText == "q_contended_one")
+    // failed queries (median -1) never crowd out real timings
+    val withFailed = Bench.compactLine(
+      medians.take(10) ++ Seq(("boom", -1.0)), 1.0, 2.0, 3,
+      Seq("boom"), Nil, 0.1, 0.1, 32, "sf", "out.json")
+    val n2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(withFailed)
+    assert(!n2.get("queries").has("boom") && n2.get("queries_shown").asInt == 10)
+  }
+
   test("readBaseline: committed artifact shape, missing file, corrupt file") {
     val dir = java.nio.file.Files.createTempDirectory("bench_base_")
     val good = dir.resolve("good.json")

@@ -80,6 +80,46 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("drop_snapshot", "tag" -> "runA") == 1)
   }
 
+  test("cli vacuum --dry-run gates --compact: preview rewrites nothing") {
+    val s = spark
+    import s.implicits._
+    val whDir = Files.createTempDirectory("graft_cli_vacdry_").toString
+    def run(cmd: String, extra: (String, String)*): (Int, String) =
+      captureOut { Cli.run(spark, cmd, Map(
+        "designs" -> designsDir, "data" -> dataDir, "warehouse" -> whDir) ++ extra) }
+    assert(run("load")._1 == 0)
+    val wh = new etl.Warehouse(spark, whDir, dataDir)
+    val t = etl.TableName.parse("cli.summary")
+    (0 until 20).foreach { i =>
+      assert(wh.appendToTableIdempotent(t, Seq(100L + i).toDF("n"), s"d$i"))
+    }
+    def liveFiles(): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            t.table, Some(t.schema))).location)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(loc).count { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+    }
+    val filesBefore = liveFiles()
+    assert(filesBefore > 8)
+    // the safety preview must not rewrite files or re-point the table
+    val (cDry, outDry) = run("vacuum",
+      "dry-run" -> "true", "compact" -> "cli.summary", "max-files" -> "8")
+    assert(cDry == 0 && outDry.contains("would compact cli.summary"), outDry)
+    assert(liveFiles() == filesBefore,
+      "vacuum --dry-run --compact must not touch the file set")
+    // the real run compacts
+    val (cReal, outReal) = run("vacuum",
+      "compact" -> "cli.summary", "max-files" -> "8")
+    assert(cReal == 0 && outReal.contains("compacted cli.summary"), outReal)
+    assert(liveFiles() <= 8)
+    assert(spark.table(t.quoted).count() == 21)
+  }
+
   test("cli validate passes for a consistent design set") {
     // region must resolve for the dry-run: build it first (done above),
     // then validate sees matching deps/columns.

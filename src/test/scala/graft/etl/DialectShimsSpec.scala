@@ -228,6 +228,15 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("'uses TO_CHAR(x, y)'"))
     // nested call in the timestamp argument composes
     assert(one(s"TO_CHAR(COALESCE(NULL, $ts), 'YYYY')") == "2024")
+    // a TRANSLATABLE call nested inside an UNSUPPORTED outer call of
+    // the same name still translates — the outer name is kept but its
+    // arguments are emitted rewritten, not re-dumped raw
+    val nested = DialectShims.rewriteRedshiftSql(
+      s"SELECT TO_CHAR(TO_CHAR($ts, 'YYYY'), fmt_col) FROM t")
+    assert(nested.contains("TO_CHAR(") && !nested.contains("'YYYY'"),
+      s"inner TO_CHAR must be rewritten inside the kept outer call: $nested")
+    assert(nested.contains("date_format") || nested.contains("concat") ||
+      nested.contains("upper("), s"expected a rewritten inner expression: $nested")
   }
 
   test("SQL containing a NUL character is rejected, not silently corrupted") {

@@ -1012,6 +1012,15 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
         index.table, Some(index.schema))).location.getPath
     // under threshold: no-op; over: rewrite + atomic re-point
     assert(wh.compactTable(index, maxDataFiles = 1000).isEmpty)
+    // dry run reports the would-compact state without touching
+    // anything: same location, same file set afterwards
+    val Some((dryBefore, dryAfter)) = wh.compactTable(index, maxDataFiles = 64,
+      dryRun = true)
+    assert(dryBefore == dryAfter && dryBefore > 64)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        index.table, Some(index.schema))).location.getPath == oldLoc,
+      "dry-run compaction must not re-point the table")
     val Some((before, after)) = wh.compactTable(index, maxDataFiles = 64)
     assert(before > 64 && after < before / 4,
       s"compaction barely helped: $before -> $after")
@@ -1184,6 +1193,19 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.refused.contains("src.nation"), s"refused: ${res.refused}")
     intercept[IllegalStateException](
       wh.readSnapshot("torn-tag", TableName.parse("src.nation")))
+    // ATOMIC creation: a crash mid-create leaves only the hidden
+    // `.tmp_<tag>` staging dir — it is invisible to listSnapshots,
+    // does not block re-creating the tag, and the retry cleans it up
+    val staleTmp = new java.io.File(s"$dir/snapshots/.tmp_retry-tag")
+    staleTmp.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(staleTmp, "src.nation")).close()
+    assert(!wh.listSnapshots().exists(_._1.startsWith(".")),
+      "partial .tmp staging dirs must never list as snapshots")
+    wh.createSnapshot("retry-tag", Seq(t))
+    assert(!staleTmp.exists(), "retry must clean the stale staging dir")
+    assert(wh.listSnapshots().exists(_._1 == "retry-tag"))
+    assert(wh.readSnapshot("retry-tag", t).count() == 5)
+    wh.dropSnapshot("retry-tag")
   }
 
   test("stored rollup lifecycle: build, batch merge, idempotent replay, compact, vacuum") {
@@ -1319,6 +1341,18 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!wh.appendToTableIdempotent(t, Seq((5L, "e")).toDF("id", "v"), "b.1"))
     assert(!wh.appendToTableIdempotent(t, Seq((6L, "f")).toDF("id", "v"), "b:1"))
     assert(spark.table(t.quoted).count() == 6)
+    // UPGRADE path: a batch applied under the pre-hash-suffix scheme
+    // left only `_applied_<sanitized>` — a replay after the upgrade
+    // must honor that legacy marker (no double-count) and stamp the
+    // new-scheme marker so subsequent replays hit the fast path
+    fs.create(new org.apache.hadoop.fs.Path(loc, "_applied_b_2")).close()
+    assert(!wh.appendToTableIdempotent(t, Seq((7L, "g")).toDF("id", "v"), "b.2"),
+      "legacy sanitized-only marker must count as applied")
+    assert(spark.table(t.quoted).count() == 6,
+      "legacy-marked batch must not be re-applied after the upgrade")
+    assert(fs.listStatus(loc).map(_.getPath.getName)
+        .exists(n => n.startsWith("_applied_b_2-") && n != "_applied_b_2"),
+      "replay over a legacy marker must stamp the new-scheme marker")
   }
 
   test("standalone check_constraints audits published tables without rebuilding") {

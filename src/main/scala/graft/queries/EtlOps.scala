@@ -343,6 +343,45 @@ object EtlOps {
       |WHERE user_id < 20 AND value >= 5.0 AND value < 50.0
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------ skip index
+  /** File-level min/max data-skipping end-to-end (the explicit form
+    * of the Redshift zone maps the reference's `sortkey` designs
+    * exist to feed, table_design.schema:196-210): cluster `orders`
+    * by date into a multi-file build, index per-file min/max via
+    * [[graft.etl.FileSkipIndex]], then answer a half-year range
+    * query THROUGH the pruned scan — only files whose [min,max]
+    * intersects the predicate are opened. The pruning ratio (files
+    * actually read << files total) is pinned in FileSkipIndexSpec;
+    * this entry pins that a pruned scan returns exactly the same
+    * rows as DuckDB's full scan of the raw table. */
+  def skipIndexScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.etl.{FileSkipIndex, TableName, Warehouse}
+    val whDir = java.nio.file.Files.createTempDirectory("graft_skip_wh_").toString
+    val wh = new Warehouse(spark, whDir, sfDir)
+    val t = TableName.parse("skip.orders_by_date")
+    wh.writeTable(t, Tables.load(spark, sfDir, "orders")
+      .repartitionByRange(8, $"o_orderdate")
+      .sortWithinPartitions($"o_orderdate"))
+    FileSkipIndex.build(wh, t, Seq("o_orderdate", "o_totalprice"))
+    val pruned = FileSkipIndex.prunedScan(spark, t, "o_orderdate",
+      to_timestamp(lit("1996-01-01 00:00:00")),
+      to_timestamp(lit("1996-06-30 23:59:59")))
+    pruned.df
+      .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM")
+        .as("month"))
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"month")
+  }
+
+  val skipIndexScanSql: String =
+    s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <= TIMESTAMP '1996-06-30 23:59:59'
+       |GROUP BY 1 ORDER BY month""".stripMargin
+
   /** A one-relation designs dir in the reference layout, so the entry
     * exercises the REAL `Cli extract` command, not a shortcut. */
   private def writeDesignDir(design: graft.etl.TableDesign): String = {
@@ -527,7 +566,8 @@ object EtlOps {
     "t8c_zorder_build" -> (t8cZorderBuild _),
     "s6_sampling_extract" -> (s6SamplingExtract _),
     "p2_cast_projection" -> (p2CastProjection _),
-    "p4_limit" -> (p4Limit _))
+    "p4_limit" -> (p4Limit _),
+    "skip_index_scan" -> (skipIndexScan _))
 
   val oracles: Map[String, String] = Map(
     "profile_documents" -> profileDocumentsSql,
@@ -545,5 +585,6 @@ object EtlOps {
     "t8c_zorder_build" -> t8cZorderBuildSql,
     "s6_sampling_extract" -> s6SamplingExtractSql,
     "p2_cast_projection" -> p2CastProjectionSql,
-    "p4_limit" -> p4LimitSql)
+    "p4_limit" -> p4LimitSql,
+    "skip_index_scan" -> skipIndexScanSql)
 }

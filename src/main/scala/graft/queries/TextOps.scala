@@ -485,6 +485,100 @@ object TextOps {
        |GROUP BY token
        |ORDER BY df DESC, tf DESC, token LIMIT $VocabSize""".stripMargin
 
+  // --------------------------------------------------------- retrieval
+  /** TF-IDF document retrieval: rank the corpus against a fixed set
+    * of keyword queries and return the top-[[RetrievalK]] documents
+    * per query — the search primitive a curation pipeline uses for
+    * targeted corpus probes (and the exact-scoring baseline an ANN
+    * or BM25 variant would be judged against).
+    *
+    * Scoring is EXACT integer arithmetic so the DuckDB oracle is
+    * bit-identical: `score = Σ_t tf(t,d) · ⌊SCALE·N / df(t)⌋` — the
+    * idf ratio is pre-scaled by 10⁶ and floor-divided (both engines'
+    * integral division), so no float ever enters the pipeline and
+    * ties break deterministically by doc_id.
+    *
+    * Scale shape: one tokenize shuffle builds (doc, token, tf) — the
+    * same pass the vocab/heavy-hitter ops pay; per-term df and the
+    * corpus count reduce to a TERM-STATS table bounded by the number
+    * of query terms, which broadcasts. Scoring is then one broadcast
+    * hash join over the tf table (posting lists selected in-scan, no
+    * second shuffle) and the final top-k uses the windowless
+    * [[BoundedTopK]] aggregate — partial k-arrays combine map-side,
+    * so the shuffle carries ≤ #queries × #partitions × k tuples
+    * instead of funneling every scored doc through #queries tasks. */
+  val RetrievalK = 10
+  val RetrievalQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark table scan",
+    2L -> "vector hash join",
+    3L -> "stream window batch")
+
+  def retrievalTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    BoundedTopK.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs
+      .select($"doc_id", explode(split(normText($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val terms = RetrievalQueries
+      .flatMap { case (id, q) => q.split(" ").toSeq.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    // ≤ #query-terms rows after the broadcast term filter — broadcastable
+    val termStats = dfreq.join(broadcast(terms), $"token" === $"term")
+      .crossJoin(broadcast(nDocs))
+      .select($"query_id", $"token",
+        expr("(1000000 * n_docs) div df").as("idf_scaled"))
+    val scored = tf.join(broadcast(termStats), Seq("token"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"tf" * $"idf_scaled").as("score"))
+    scored.groupBy($"query_id")
+      .agg(expr(s"bounded_topk(cast(score as double), doc_id, $RetrievalK)")
+        .as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.neighbor_id".as("doc_id"),
+        // scores are < 2^53, so the double round-trip through the
+        // aggregate is exact
+        $"col.cosine".cast("long").as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val retrievalTopkSql: String = {
+    val values = RetrievalQueries
+      .flatMap { case (id, q) => q.split(" ").toSeq.map(t => s"($id, '$t')") }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       |  WHERE token <> '' GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+       |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |q(query_id, term) AS (VALUES $values),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    SUM(tf.tf * ((1000000 * n.n_docs) // d.df)) AS score
+       |  FROM tf JOIN q ON tf.token = q.term
+       |  JOIN dfreq d ON d.token = tf.token CROSS JOIN n
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+       |  CAST(score AS BIGINT) AS score
+       |FROM ranked WHERE rank <= $RetrievalK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------- chunking
   /** Context-window chunking — split each document's token sequence
     * into windows of [[ChunkLen]] tokens advancing by [[ChunkStride]]
@@ -1134,6 +1228,7 @@ object TextOps {
     "text_pack" -> (textPack _),
     "curation_pipeline" -> (curationPipeline _),
     "text_vocab" -> (textVocab _),
+    "retrieval_topk" -> (retrievalTopk _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_chunk" -> (textChunk _),
     "text_tokens" -> (textTokens _),
@@ -1155,6 +1250,7 @@ object TextOps {
     "text_pack" -> textPackSql,
     "curation_pipeline" -> curationPipelineSql,
     "text_vocab" -> textVocabSql,
+    "retrieval_topk" -> retrievalTopkSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,

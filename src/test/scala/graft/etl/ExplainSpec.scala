@@ -21,12 +21,14 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     * shape with a √n-row centroid build side (sublinear in the
     * corpus, ~16 MB at n=10⁹ — the algorithm's defining scan).
     * source_mix joins its per-source frame against the ONE-row corpus
-    * total (Catalyst folds the constant-key equi-join to a BNLJ).
-    * Everything else must stay equi-join. */
+    * total (Catalyst folds the constant-key equi-join to a BNLJ);
+    * retrieval_topk is the same one-row-total shape (query-term df
+    * rows × the corpus count). Everything else must stay equi-join. */
   private val bnljAllowed =
     Set("ann_topk_cosine", "ann_hard_negatives", "ann_ivf_cells", "ann_ivf_topk",
       "ann_ivf_topk_sq8", "ann_ivf_topk_pq", "ann_ivf_topk_stored",
-      "source_mix", "mix_balance", "mix_weighted", "mix_temperature")
+      "source_mix", "mix_balance", "mix_weighted", "mix_temperature",
+      "retrieval_topk")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

@@ -1,0 +1,104 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The file-skipping min/max index: pruning actually skips files on a
+  * clustered table, never changes results, survives incremental
+  * appends (refresh indexes ONLY the new files), and handles the
+  * all-pruned and all-null edges. */
+class FileSkipIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def freshWarehouse(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_fsi_").toString, sfDir)
+
+  test("clustered table: range scan prunes files, result equals full scan") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("skip.vals")
+    // 10 files, values clustered by range: file i holds [i*100, i*100+99]
+    val df = spark.range(0, 1000).select($"id".as("v"),
+      (($"id" % 7)).as("tag"))
+    wh.writeTable(t, df.repartitionByRange(10, $"v").sortWithinPartitions($"v"))
+    val st = FileSkipIndex.build(wh, t, Seq("v"))
+    val statRows = spark.table(st.quoted).collect()
+    assert(statRows.length >= 8, s"expected ~10 files, got ${statRows.length}")
+    assert(statRows.map(_.getAs[Long]("row_count")).sum == 1000L)
+    // a 1.5-file-wide interval must read ~2 files, not all
+    val p = FileSkipIndex.prunedScan(spark, t, "v", lit(250L), lit(399L))
+    assert(p.filesTotal == statRows.length)
+    assert(p.filesRead <= 3, s"read ${p.filesRead} of ${p.filesTotal}")
+    val expected = spark.table(t.quoted).filter($"v" >= 250 && $"v" <= 399)
+      .orderBy($"v").collect().map(_.getLong(0)).toSeq
+    assert(p.df.orderBy($"v").collect().map(_.getLong(0)).toSeq == expected)
+    // interval outside every file's range: zero files, empty result,
+    // schema preserved
+    val none = FileSkipIndex.prunedScan(spark, t, "v", lit(5000L), lit(6000L))
+    assert(none.filesRead == 0 && none.df.count() == 0)
+    assert(none.df.columns.toSeq == Seq("v", "tag"))
+  }
+
+  test("refresh indexes only the appended files; pruning sees them") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("skip.acc")
+    wh.writeTable(t, spark.range(0, 100).select($"id".as("v"))
+      .repartitionByRange(4, $"v"))
+    val st = FileSkipIndex.build(wh, t, Seq("v"))
+    val filesAfterBuild = spark.table(st.quoted).count()
+    // three idempotent daily appends land new batch files
+    (0 until 3).foreach { i =>
+      assert(wh.appendToTableIdempotent(t,
+        Seq(1000L + i).toDF("v"), s"day$i"))
+    }
+    assert(FileSkipIndex.refresh(wh, t, Seq("v")) == 3)
+    // nothing new: refresh is a no-op, stats rows unchanged
+    assert(FileSkipIndex.refresh(wh, t, Seq("v")) == 0)
+    assert(spark.table(st.quoted).count() == filesAfterBuild + 3)
+    // the appended values are reachable through the pruned scan and
+    // the original files are NOT read for them
+    val p = FileSkipIndex.prunedScan(spark, t, "v", lit(1000L), lit(1002L))
+    assert(p.filesRead == 3, s"read ${p.filesRead}")
+    assert(p.df.orderBy($"v").collect().map(_.getLong(0)).toSeq ==
+      Seq(1000L, 1001L, 1002L))
+  }
+
+  test("all-null files are pruned for range predicates; nulls never match") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("skip.nulls")
+    wh.writeTable(t, spark.range(0, 5).select($"id".as("v")).coalesce(1))
+    FileSkipIndex.build(wh, t, Seq("v"))
+    // an appended batch holding ONLY nulls lands in its own file —
+    // its stats row has null min/max (min/max ignore nulls)
+    assert(wh.appendToTableIdempotent(t,
+      Seq[Option[Long]](None, None).toDF("v").coalesce(1), "nullbatch"))
+    assert(FileSkipIndex.refresh(wh, t, Seq("v")) == 1)
+    val p = FileSkipIndex.prunedScan(spark, t, "v", lit(0L), lit(100L))
+    assert(p.filesRead < p.filesTotal,
+      s"the all-null file must be pruned: ${p.filesRead}/${p.filesTotal}")
+    assert(p.df.count() == 5, "only non-null in-range rows qualify")
+  }
+}

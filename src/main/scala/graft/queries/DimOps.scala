@@ -246,6 +246,89 @@ object DimOps {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n"))
       .collect()(0).getLong(0)
 
+  // --------------------------------------- histogram quantile rollup
+  /** Mergeable PERCENTILES for the rollup family: exact quantiles
+    * need a global sort and are not summable, and the usual sketch
+    * answers (KLL, t-digest) are RANDOMIZED — merge order changes
+    * the bytes, which breaks this warehouse's replay/idempotency
+    * discipline. A fixed-bin histogram is the deterministic monoid
+    * alternative (the Prometheus-histogram design): per (day, type,
+    * bin) counts are plain integers, merge is vector addition (exact,
+    * associative, idempotent under the batch-tagged append), and any
+    * date-range quantile reads cumulative sums over ≤ range/width
+    * bins — the corpus is never re-scanned. Error is bounded by the
+    * bin width (1/[[HistScale]]), unconditionally, not
+    * probabilistically.
+    *
+    * Scale shape: the histogram build is one map-side-combinable
+    * groupBy whose shuffle carries at most |days × types × bins|
+    * partial rows (metadata-sized); the quantile query runs windows
+    * over per-type partitions of ≤ #bins rows — bounded by
+    * construction, never by the data. */
+  val HistScale = 10L
+
+  /** Per-(day, event_type, bin) counts — the stored rollup rows. */
+  def valueHistogram(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"), col("event_type"),
+        floor(col("value") * HistScale).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Append one batch's histogram rows idempotently (replays replace;
+    * a histogram row-set is also safe to re-merge structurally since
+    * bins are summed at query time from distinct stored rows). */
+  def appendValueHistogram(wh: graft.etl.Warehouse,
+                           table: graft.etl.TableName,
+                           batch: DataFrame, tag: String): Unit =
+    wh.appendToTableIdempotent(table, valueHistogram(batch), tag)
+
+  /** p50/p95/p99 per event_type from histogram rows alone: merge bins
+    * (vector add), cumulative-sum per type, and take the first bin
+    * whose cumulative count reaches the integer rank threshold
+    * `⌈total·q/100⌉` — all-integer until the final bin→value division,
+    * so the DuckDB oracle is bit-identical. */
+  def histQuantiles(hist: DataFrame): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val merged = hist.groupBy($"event_type", $"bin").agg(sum($"n").as("n"))
+    val totals = merged.groupBy($"event_type").agg(sum($"n").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = merged.withColumn("cum", sum($"n").over(w))
+      .join(broadcast(totals), "event_type")
+    def pick(q: Int): Column =
+      (min(when($"cum" >= expr(s"(total * $q + 99) div 100"), $"bin"))
+        / lit(HistScale.toDouble))
+    cum.groupBy($"event_type")
+      .agg(pick(50).as("p50"), pick(95).as("p95"), pick(99).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  /** The oracle entry: build the per-day histogram from `events`,
+    * merge it back down, and answer the three standard percentiles —
+    * exactly what the stored-rollup read path computes. */
+  def quantileHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    histQuantiles(valueHistogram(Tables.load(spark, sfDir, "events")))
+
+  val quantileHistogramSql: String =
+    """WITH hist AS (
+      |  SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, bin, n,
+      |    SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(n) OVER (PARTITION BY event_type) AS total
+      |  FROM hist
+      |)
+      |SELECT event_type,
+      |  MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN bin END) / 10.0 AS p50,
+      |  MIN(CASE WHEN cum >= (total * 95 + 99) // 100 THEN bin END) / 10.0 AS p95,
+      |  MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN bin END) / 10.0 AS p99
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------- shared SCD2 core
   /** Open every snapshot row as the dimension's first version — the
     * seed of an SCD2 table maintained by [[scd2Upsert]]. */
@@ -308,9 +391,11 @@ object DimOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge_dim" -> (scd2MergeDim _),
-    "rollup_incremental" -> (rollupIncremental _))
+    "rollup_incremental" -> (rollupIncremental _),
+    "quantile_histogram" -> (quantileHistogram _))
 
   val oracles: Map[String, String] = Map(
     "scd2_merge_dim" -> scd2MergeDimSql,
-    "rollup_incremental" -> rollupIncrementalSql)
+    "rollup_incremental" -> rollupIncrementalSql,
+    "quantile_histogram" -> quantileHistogramSql)
 }

@@ -579,6 +579,99 @@ object TextOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- naive bayes train
+  /** Multinomial Naive Bayes TRAINING as pure aggregation — the
+    * missing half of the classifier loop (inference shims exist as
+    * `text_classifier_score`): a fastText-style lang/quality
+    * classifier's sufficient statistics are nothing but counts, so
+    * training IS a groupBy — no gradient loop, one job, and the
+    * model is exactly reproducible (which is why it can be
+    * oracle-checked bit-for-bit, unlike SGD).
+    *
+    * Output: one row per (class, token) — the token's in-class count
+    * `n`, denormalized with the class's doc count (prior numerator)
+    * and total token count (likelihood denominator). Model size is
+    * |vocab| × |classes|: metadata-sized by construction (the vocab
+    * of a tokenizer is bounded), hence broadcastable at scoring time
+    * no matter how large the corpus that trained it was.
+    *
+    * Scale shape: one tokenize pass; the (class, token) aggregation
+    * is map-side combinable so the shuffle carries at most
+    * |vocab| × |classes| × #partitions partial rows; class totals
+    * reduce to #classes rows and ride broadcasts. */
+  def nbTrain(docs: DataFrame, classCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs
+      .select(col(classCol).as("class"), col("doc_id"),
+        explode(split(normText(col(textCol)), " ")).as("token"))
+      .filter(length($"token") > 0)
+    val ct = tok.groupBy($"class", $"token").agg(count(lit(1)).as("n"))
+    val classDocs = docs.groupBy(col(classCol).as("class"))
+      .agg(count(lit(1)).as("class_docs"))
+    val classToks = tok.groupBy($"class").agg(count(lit(1)).as("class_tokens"))
+    ct.join(broadcast(classDocs), Seq("class"))
+      .join(broadcast(classToks), Seq("class"))
+      .select($"class", $"token", $"n", $"class_docs", $"class_tokens")
+      .orderBy($"class", $"token")
+  }
+
+  def nbTrainDocs(spark: SparkSession, sfDir: String): DataFrame =
+    nbTrain(Tables.load(spark, sfDir, "documents"), "lang", "text")
+
+  val nbTrainSql: String =
+    s"""WITH tok AS (
+       |  SELECT lang AS class, doc_id,
+       |    unnest(string_split($normTextSql, ' ')) AS token
+       |  FROM documents
+       |), tk AS (SELECT * FROM tok WHERE token <> ''),
+       |ct AS (SELECT class, token, COUNT(*) AS n FROM tk GROUP BY 1, 2),
+       |cd AS (SELECT lang AS class, COUNT(*) AS class_docs
+       |       FROM documents GROUP BY 1),
+       |ctot AS (SELECT class, COUNT(*) AS class_tokens FROM tk GROUP BY 1)
+       |SELECT ct.class, ct.token, ct.n, cd.class_docs, ctot.class_tokens
+       |FROM ct JOIN cd USING (class) JOIN ctot USING (class)
+       |ORDER BY class, token""".stripMargin
+
+  /** Score documents against a trained [[nbTrain]] model: Laplace-
+    * smoothed log-likelihood, `argmax_c [ log prior(c) +
+    * Σ_t log((n(t,c)+1)/(class_tokens(c)+V)) ]`. Implemented without
+    * materializing the doc × class × vocab cube: matched token
+    * occurrences come from ONE broadcast hash join against the
+    * model; the unmatched remainder is closed-form
+    * (`−(T_d − m) · log(class_tokens + V)` folds into
+    * `Σ_matched log(n+1) − T_d · log(class_tokens + V)`). The only
+    * driver-side values are the vocab size and the #classes row set
+    * — model-scale metadata. Ties break to the lexicographically
+    * LAST class deterministically (struct max). */
+  def nbScore(docs: DataFrame, model: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabSize = model.select($"token").distinct().count().toDouble
+    val classes = model.groupBy($"class").agg(
+      first($"class_docs").as("class_docs"),
+      first($"class_tokens").as("class_tokens"))
+    val totalDocs = classes.agg(sum($"class_docs")).head().getLong(0).toDouble
+    val toks = docs
+      .select($"doc_id", explode(split(normText(col(textCol)), " ")).as("token"))
+      .filter(length($"token") > 0)
+    val docLen = toks.groupBy($"doc_id").agg(count(lit(1)).as("t_d"))
+    val matched = toks
+      .join(broadcast(model.select($"class", $"token", $"n")), Seq("token"))
+      .groupBy($"doc_id", $"class")
+      .agg(sum(log($"n" + lit(1.0))).as("sum_log_n1"))
+    val grid = docLen.crossJoin(broadcast(classes))
+    grid.join(matched, Seq("doc_id", "class"), "left")
+      .select($"doc_id", $"class",
+        (coalesce($"sum_log_n1", lit(0.0))
+          - $"t_d" * log($"class_tokens" + lit(vocabSize))
+          + log($"class_docs" / lit(totalDocs))).as("score"))
+      .groupBy($"doc_id")
+      .agg(max(struct($"score", $"class")).as("best"))
+      .select($"doc_id", $"best.class".as("predicted"),
+        $"best.score".as("score"))
+  }
+
   // ---------------------------------------------------------- chunking
   /** Context-window chunking — split each document's token sequence
     * into windows of [[ChunkLen]] tokens advancing by [[ChunkStride]]
@@ -1229,6 +1322,7 @@ object TextOps {
     "curation_pipeline" -> (curationPipeline _),
     "text_vocab" -> (textVocab _),
     "retrieval_topk" -> (retrievalTopk _),
+    "nb_train" -> (nbTrainDocs _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_chunk" -> (textChunk _),
     "text_tokens" -> (textTokens _),
@@ -1251,6 +1345,7 @@ object TextOps {
     "curation_pipeline" -> curationPipelineSql,
     "text_vocab" -> textVocabSql,
     "retrieval_topk" -> retrievalTopkSql,
+    "nb_train" -> nbTrainSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,

@@ -148,6 +148,60 @@ class DimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sub-range estimate $sub vs exact $subExact exceeds 2%")
   }
 
+  test("histogram quantile rollup: stored days merge exactly, bounded error, idempotent") {
+    val s = spark
+    import s.implicits._
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val days = events.select(to_date($"ts").as("day")).distinct()
+      .orderBy($"day").as[java.sql.Date].collect()
+    val cutoff = days(days.length / 2)
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_hist_wh_").toString, sfDir)
+    val tbl = graft.etl.TableName.parse("rollup.value_hist")
+    wh.writeTable(tbl, DimOps.valueHistogram(
+      events.filter(to_date($"ts") < cutoff)))
+    DimOps.appendValueHistogram(wh, tbl,
+      events.filter(to_date($"ts") >= cutoff), "d2")
+    def quantRows(df: org.apache.spark.sql.DataFrame) =
+      DimOps.histQuantiles(df).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq
+    // merged stored days must equal a one-shot histogram EXACTLY
+    // (integer vector addition, not an estimate)
+    val stored = quantRows(spark.table(tbl.quoted))
+    val oneShot = quantRows(DimOps.valueHistogram(events))
+    assert(stored == oneShot, s"stored $stored vs one-shot $oneShot")
+    // bounded error: the histogram rank rule matches percentile_disc
+    // (smallest value whose cumulative rank reaches ⌈T·q⌉), so each
+    // histogram percentile lies within ONE BIN WIDTH of the exact
+    // discrete percentile — a hard bound, not probabilistic
+    val exact = events.groupBy($"event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("e50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("e95"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("e99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val binW = 1.0 / DimOps.HistScale + 1e-9
+    stored.foreach { case (t, p50, p95, p99) =>
+      val (e50, e95, e99) = exact(t)
+      assert(math.abs(p50 - e50) <= binW, s"$t p50 $p50 vs $e50")
+      assert(math.abs(p95 - e95) <= binW, s"$t p95 $p95 vs $e95")
+      assert(math.abs(p99 - e99) <= binW, s"$t p99 $p99 vs $e99")
+    }
+    // replayed append: stored rollup unchanged
+    DimOps.appendValueHistogram(wh, tbl,
+      events.filter(to_date($"ts") >= cutoff), "d2")
+    assert(quantRows(spark.table(tbl.quoted)) == stored,
+      "replayed append changed the stored histogram")
+    // a sub-range query reads only its own day rows
+    val sub = quantRows(spark.table(tbl.quoted)
+      .filter($"day" < lit(cutoff)))
+    val subDirect = quantRows(DimOps.valueHistogram(
+      events.filter(to_date($"ts") < cutoff)))
+    assert(sub == subDirect)
+  }
+
   test("stored IVF index probe is bit-equal to the in-memory sq8 path") {
     val s = spark
     import s.implicits._

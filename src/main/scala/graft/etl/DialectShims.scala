@@ -352,6 +352,57 @@ object DialectShims {
       else s"concat(${pieces.mkString(", ")})")
   }
 
+  /** PARSE tokens safe to translate for TO_DATE/TO_TIMESTAMP: the
+    * numeric tokens whose Java pattern both formats AND parses the
+    * same digits. Name tokens (MON/Day/AM) parse case-sensitively in
+    * Java but case-insensitively in PG — translating them would
+    * accept different inputs, so they are left for the C5 dry-run. */
+  private val ParseTokens: Seq[(String, String)] = Seq(
+    ("HH24", "HH"), ("HH12", "hh"), ("YYYY", "yyyy"), ("YY", "yy"),
+    ("MM", "MM"), ("MI", "mm"), ("MS", "SSS"), ("SS", "ss"),
+    ("DD", "dd"), ("HH", "hh"))
+
+  /** Translate a PG/Redshift PARSE format (`TO_DATE`'s second
+    * argument) into a Java datetime parse pattern. Tokens match
+    * case-insensitively (PG parse formats are case-blind); any
+    * letter/digit outside a known token — including name tokens —
+    * aborts (None → the call is left untranslated). Punctuation
+    * separators pass through verbatim. */
+  private[etl] def toParsePattern(format: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < format.length) {
+      val rest = format.substring(i)
+      ParseTokens.find { case (t, _) =>
+        rest.regionMatches(true, 0, t, 0, t.length)
+      } match {
+        case Some((t, pat)) => sb.append(pat); i += t.length
+        case None =>
+          val c = format.charAt(i)
+          if (Character.isLetterOrDigit(c) || c == '\'') return None
+          sb.append(c); i += 1
+      }
+    }
+    Some(sb.toString)
+  }
+
+  /** `TO_DATE(e, 'fmt')` / `TO_TIMESTAMP(e, 'fmt')` → Spark's
+    * two-argument `to_date`/`to_timestamp` with the parse pattern
+    * translated token-for-token — the INVERSE of the TO_CHAR shim
+    * (Redshift SQL full of `TO_DATE(s, 'MM/DD/YYYY')` is the very
+    * next thing a migrating warehouse hits after TO_CHAR,
+    * relation.py:279-293 ships such transforms verbatim). Literal
+    * formats only; other arities and untranslatable formats are left
+    * for the C5 dry-run. */
+  private def rewriteParseFn(sql: String, saved: Array[String],
+                             name: String): String =
+    rewriteCalls(sql, name) {
+      case Seq(e, MaskedLiteral(idx)) =>
+        toParsePattern(saved(idx.toInt).replace("''", "'"))
+          .map(p => s"$name($e, '$p')")
+      case _ => None
+    }
+
   /** `TO_CHAR(ts, 'fmt')` → the per-token concat above. The format
     * must be a string LITERAL (a mask placeholder) — a column-ref
     * format can't be translated at rewrite time and is left for the
@@ -463,7 +514,9 @@ object DialectShims {
     val step5 = rewriteSysdate(step4)
     val step6 = rewriteConvertTimezone(step5)
     val step7 = rewriteSimilarTo(step6, arr)
-    val rewritten = rewriteToChar(step7, arr)
+    val step8 = rewriteToChar(step7, arr)
+    val step9 = rewriteParseFn(step8, arr, "to_date")
+    val rewritten = rewriteParseFn(step9, arr, "to_timestamp")
     unmask(rewritten, scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
   }
 }

@@ -847,8 +847,37 @@ object SqlSurface {
       |WHERE now() >= TIMESTAMP '2000-01-01 00:00:00'
       |ORDER BY o_orderkey LIMIT 200""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** The PARSE half of the datetime dialect under the oracle hash:
+    * `TO_DATE`/`TO_TIMESTAMP` with PG format patterns, exercised as
+    * ROUND-TRIPS through the TO_CHAR shim (format → reparse), so the
+    * format translation and the parse translation must agree with
+    * each other AND with DuckDB's strftime/strptime doing the same
+    * round-trip. Nested-call composition is load-bearing here: the
+    * TO_CHAR inside TO_DATE's first argument rewrites first, then
+    * the outer parse rewrites around it. */
+  def q26ParseDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("rs_orders")
+    val redshiftSql =
+      """SELECT o_orderkey,
+        |  CAST(TO_DATE(TO_CHAR(o_orderdate, 'MM/DD/YYYY'), 'MM/DD/YYYY') AS VARCHAR(32)) AS rt_date,
+        |  CAST(TO_TIMESTAMP(TO_CHAR(o_orderdate, 'YYYY-MM-DD HH24:MI:SS'), 'YYYY-MM-DD HH24:MI:SS') AS VARCHAR(32)) AS rt_ts
+        |FROM rs_orders
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q26ParseDialectSql: String =
+    """SELECT o_orderkey,
+      |  strftime(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y'), '%Y-%m-%d') AS rt_date,
+      |  strftime(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS rt_ts
+      |FROM orders
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_parse_dialect" -> (q26ParseDialect _),
     "q25_time_dialect" -> (q25TimeDialect _),
     "q24_analytic_dialect" -> (q24AnalyticDialect _),
     "q23_recursive_cte" -> (q23RecursiveCte _),
@@ -878,6 +907,7 @@ object SqlSurface {
     "q15_events_sessions" -> (q15EventsSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q26_parse_dialect" -> q26ParseDialectSql,
     "q25_time_dialect" -> q25TimeDialectSql,
     "q24_analytic_dialect" -> q24AnalyticDialectSql,
     "q23_recursive_cte" -> q23RecursiveCteSql,

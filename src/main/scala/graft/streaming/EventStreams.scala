@@ -269,6 +269,34 @@ object EventStreams {
     * skipped, keeping the fold exactly-once. The batch operator's
     * exact second pass remains the authority; this is the standing
     * candidate set a pipeline consults between full runs. */
+  /** Streaming maintenance of the [[graft.queries.DimOps]] histogram
+    * quantile rollup: each micro-batch's (day, type, bin) counts are
+    * appended with the batch-id-tagged idempotent append, so an
+    * at-least-once replay of a batch never double-counts a bin and
+    * the stored rollup converges to exactly the batch-pipeline's
+    * histogram (integer monoid — the spec pins stream-vs-batch
+    * equality on the final quantiles). State outside the table is
+    * zero: the histogram IS the aggregate, per-batch work is
+    * Θ(batch). */
+  def valueHistogramStream(wh: graft.etl.Warehouse,
+                           table: graft.etl.TableName,
+                           events: DataFrame,
+                           checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // first batch seeds the table; replay of THAT batch overwrites
+        // with identical rows (same monoid, still convergent)
+        if (!batch.sparkSession.catalog.tableExists(table.quoted))
+          wh.writeTable(table, graft.queries.DimOps.valueHistogram(batch))
+        else
+          graft.queries.DimOps.appendValueHistogram(
+            wh, table, batch, s"hist-batch-$id")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   def heavyHittersStream(wh: graft.etl.Warehouse,
                          state: graft.etl.TableName,
                          docs: DataFrame,

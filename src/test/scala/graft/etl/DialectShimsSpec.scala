@@ -239,6 +239,33 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nested.contains("upper("), s"expected a rewritten inner expression: $nested")
   }
 
+  test("TO_DATE / TO_TIMESTAMP parse patterns translate; unsupported stay put") {
+    // pattern map: numeric tokens, any case, separators verbatim
+    assert(DialectShims.toParsePattern("MM/DD/YYYY") == Some("MM/dd/yyyy"))
+    assert(DialectShims.toParsePattern("yyyy-mm-dd") == Some("yyyy-MM-dd"))
+    assert(DialectShims.toParsePattern("YYYY-MM-DD HH24:MI:SS") ==
+      Some("yyyy-MM-dd HH:mm:ss"))
+    // name tokens parse case-insensitively in PG but not in Java —
+    // refuse rather than mistranslate
+    assert(DialectShims.toParsePattern("DD MON YYYY").isEmpty)
+    def one(sql: String): String =
+      spark.sql(DialectShims.rewriteRedshiftSql(s"SELECT $sql AS v"))
+        .collect().head.get(0).toString
+    assert(one("TO_DATE('02/28/1996', 'MM/DD/YYYY')") == "1996-02-28")
+    assert(one("TO_TIMESTAMP('1996-02-28 13:05:09', 'YYYY-MM-DD HH24:MI:SS')")
+      .startsWith("1996-02-28 13:05:09"))
+    // round-trip through the TO_CHAR shim (nested-call composition)
+    assert(one("TO_DATE(TO_CHAR(TIMESTAMP '1996-07-04 10:00:00', 'MM/DD/YYYY'), 'MM/DD/YYYY')")
+      == "1996-07-04")
+    // unsupported format: the call survives untranslated (dry-run's job)
+    assert(DialectShims.rewriteRedshiftSql(
+      "SELECT TO_DATE(x, 'DD Mon YYYY') FROM t")
+      .contains("TO_DATE(x, 'DD Mon YYYY')"))
+    // a literal mentioning TO_DATE survives
+    assert(DialectShims.rewriteRedshiftSql("SELECT 'call TO_DATE(a, b)' AS s")
+      .contains("'call TO_DATE(a, b)'"))
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

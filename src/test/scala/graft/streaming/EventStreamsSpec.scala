@@ -226,6 +226,44 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st2.exists(_._1 == "alpha"), s"alpha must survive: $st2")
   }
 
+  test("valueHistogramStream: stored rollup converges to the batch histogram") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.DimOps
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_vh_wh_").toString,
+      "/root/testdata/sf0.001")
+    val table = graft.etl.TableName.parse("rollup.stream_hist")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = EventStreams.valueHistogramStream(wh, table,
+      input.toDF.toDF("ts", "event_type", "value"),
+      java.nio.file.Files.createTempDirectory("graft_vh_ck_").toString)
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 10:00:00")
+    val all = Seq(
+      (ts("2024-01-01"), "click", 1.23), (ts("2024-01-01"), "click", 4.56),
+      (ts("2024-01-01"), "view", 0.5), (ts("2024-01-02"), "click", 1.27),
+      (ts("2024-01-02"), "view", 99.9), (ts("2024-01-02"), "view", 0.55))
+    input.addData(all.take(3): _*)
+    q.processAllAvailable()
+    input.addData(all.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      DimOps.histQuantiles(df).collect().map(_.toSeq).toSeq
+    // the streamed store answers quantiles exactly like the batch
+    // histogram over the same events (integer monoid convergence)
+    val batchHist = DimOps.valueHistogram(
+      all.toDF("ts", "event_type", "value"))
+    assert(rows(spark.table(table.quoted)) == rows(batchHist))
+    // bins with equal values collapsed identically: 1.23 and 1.27
+    // share bin 12 across DIFFERENT batches
+    val bin12 = spark.table(table.quoted)
+      .filter($"event_type" === "click" && $"bin" === 12L)
+      .agg(org.apache.spark.sql.functions.sum($"n")).collect()(0).getLong(0)
+    assert(bin12 == 2L)
+  }
+
   test("decontaminateStream: batch-parity drop decisions, stateless plan, hits ride along") {
     val s = spark
     import s.implicits._

@@ -76,29 +76,37 @@ object FileSkipIndex {
   def refresh(wh: Warehouse, target: TableName, cols: Seq[String]): Int = {
     val spark = wh.spark
     val st = statsTable(target)
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(
-          target.table, Some(target.schema))).location)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = fs.listStatus(loc).filter(f => f.isFile && {
-      val n = f.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }).map(f => normFile(f.getPath.toString))
     val known = spark.table(st.quoted).select(col("file"))
       .collect().map(_.getString(0)).toSet
-    val fresh = live.filterNot(known)
+    val fresh = (liveFiles(spark, target) -- known).toSeq.sorted
     if (fresh.isEmpty) 0
     else {
-      wh.appendToTable(st, statsOf(spark.read.parquet(fresh.toSeq: _*), cols))
+      wh.appendToTable(st, statsOf(spark.read.parquet(fresh: _*), cols))
       fresh.length
     }
   }
 
   /** A pruned scan: `df` holds only rows with `lo <= c <= hi`, read
     * from only the files whose [min,max] interval intersects
-    * [lo, hi]. `filesRead`/`filesTotal` expose the pruning ratio. */
-  final case class Pruned(df: DataFrame, filesRead: Int, filesTotal: Int)
+    * [lo, hi]. `filesRead`/`filesTotal` expose the pruning ratio;
+    * `stale` reports that the index did not match the table's live
+    * file set and the scan fell back to the full table. */
+  final case class Pruned(df: DataFrame, filesRead: Int, filesTotal: Int,
+                          stale: Boolean = false)
+
+  /** Live data files of a plain table — one driver-side listing, the
+    * same O(#files) metadata cost scan planning already pays. */
+  private def liveFiles(spark: SparkSession, target: TableName): Set[String] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          target.table, Some(target.schema))).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc).filter(f => f.isFile && {
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).map(f => normFile(f.getPath.toString)).toSet
+  }
 
   /** Closed-interval pruned scan on an indexed column. Files whose
     * stats CANNOT contain a match are dropped from the read: a file
@@ -112,17 +120,27 @@ object FileSkipIndex {
   def prunedScan(spark: SparkSession, target: TableName, c: String,
                  lo: Column, hi: Column): Pruned = {
     val stats = spark.table(statsTable(target).quoted)
-    val total = stats.count().toInt
+    val indexed = stats.select(col("file")).collect().map(_.getString(0)).toSet
+    val pred = col(c) >= lo && col(c) <= hi
+    // STALENESS GUARD: compaction/rebuild re-points the table at a new
+    // build whose files the index has never seen — pruning against
+    // stale stats would read deleted files or silently miss rows. When
+    // the indexed file set is not exactly the live set, fall back to
+    // the full (still correct) scan; the caller rebuilds/refreshes the
+    // index on its own schedule. One extra listing, metadata-priced.
+    val live = liveFiles(spark, target)
+    if (indexed != live)
+      return Pruned(spark.table(target.quoted).filter(pred),
+        live.size, live.size, stale = true)
     val candidates = stats
       .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
       .select(col("file")).collect().map(_.getString(0))
-    val pred = col(c) >= lo && col(c) <= hi
     val df =
       if (candidates.isEmpty)
         spark.table(target.quoted).filter(lit(false))
       else
         spark.read.schema(spark.table(target.quoted).schema)
           .parquet(candidates.toIndexedSeq: _*).filter(pred)
-    Pruned(df, candidates.length, total)
+    Pruned(df, candidates.length, indexed.size)
   }
 }

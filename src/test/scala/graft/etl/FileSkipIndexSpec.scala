@@ -84,6 +84,31 @@ class FileSkipIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1000L, 1001L, 1002L))
   }
 
+  test("stale index after compaction: pruned scan falls back, stays correct") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("skip.stale")
+    wh.writeTable(t, spark.range(0, 200).select($"id".as("v"))
+      .repartitionByRange(4, $"v"))
+    FileSkipIndex.build(wh, t, Seq("v"))
+    (0 until 70).foreach { i =>
+      assert(wh.appendToTableIdempotent(t,
+        Seq(1000L + i).toDF("v").coalesce(1), s"b$i"))
+    }
+    assert(FileSkipIndex.refresh(wh, t, Seq("v")) == 70)
+    // compaction re-points the table at a brand-new build — the index
+    // no longer describes the live files
+    assert(wh.compactTable(t, maxDataFiles = 16).isDefined)
+    val p = FileSkipIndex.prunedScan(spark, t, "v", lit(0L), lit(50L))
+    assert(p.stale, "scan must report the stale index")
+    assert(p.df.count() == 51, "fallback scan must still be correct")
+    // rebuilding the index restores pruning
+    FileSkipIndex.build(wh, t, Seq("v"))
+    val p2 = FileSkipIndex.prunedScan(spark, t, "v", lit(1000L), lit(1069L))
+    assert(!p2.stale && p2.df.count() == 70)
+  }
+
   test("all-null files are pruned for range predicates; nulls never match") {
     val s = spark
     import s.implicits._

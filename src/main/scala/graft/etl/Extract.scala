@@ -252,6 +252,50 @@ object Extract {
     }
   }
 
+  /** Outcome of a MAXERROR COPY: rows landed and rows quarantined. */
+  final case class CopyOutcome(loaded: Long, quarantined: Long,
+                               errorTable: Option[TableName])
+
+  /** COPY with Redshift `MAXERROR` semantics: malformed text records
+    * are quarantined into `<table>__loaderrors` (raw record + source
+    * file — the engine's `stl_load_errors`) instead of failing the
+    * load, UNLESS they exceed `maxError`, which aborts BEFORE anything
+    * is written — the target keeps serving its previous build either
+    * way (all-or-nothing discipline, same as update rollback).
+    *
+    * Cost shape: the bad-side count and the good-side write are each
+    * one pass over the source — the same passes a strict COPY pays;
+    * nothing is collected driver-side but the abort message's one
+    * sample row. */
+  def copyWithMaxError(wh: Warehouse, sourceDir: String,
+                       design: TableDesign, maxError: Long): CopyOutcome = {
+    val spark = wh.spark
+    val dir = s"$sourceDir/${design.name.identifier}"
+    val format = manifestFormat(spark, dir).getOrElse("csv")
+    val qr = StaticSource.readWithQuarantine(spark, design, dir, format)
+    try {
+      val badCount = qr.bad.count()
+      if (badCount > maxError) {
+        val sample = qr.bad.select("raw_record").take(1)
+          .headOption.map(_.getString(0)).getOrElse("")
+        throw new IllegalStateException(
+          s"COPY ${design.name.identifier}: $badCount malformed record(s) " +
+            s"exceed MAXERROR $maxError; first: $sample")
+      }
+      val loaded = wh.writeTable(design.name,
+        applyTruncateColumns(spark, design, qr.good))
+      val errTable =
+        if (badCount == 0) None
+        else {
+          val t = TableName(design.name.schema,
+            design.name.table + "__loaderrors")
+          wh.writeTable(t, qr.bad)
+          Some(t)
+        }
+      CopyOutcome(loaded, badCount, errTable)
+    } finally qr.close()
+  }
+
   /** Sniff the COPY format from the manifest's entries (the manifest
     * is metadata-sized — one line per part file). None ⇒ no artifact. */
   private[etl] def manifestFormat(spark: SparkSession, dir: String): Option[String] = {

@@ -42,6 +42,49 @@ object StaticSource {
     path
   }
 
+  /** [[read]] with malformed-record QUARANTINE for the text formats —
+    * the Redshift `COPY ... MAXERROR` / `stl_load_errors` behavior
+    * (dialect/redshift.py:297-369 COPYs with the load failing on bad
+    * rows; Redshift itself lets `MAXERROR n` skip-and-log them):
+    * parse PERMISSIVE with the corrupt-record column, return
+    * (good rows, bad raw records + source file). The caller decides
+    * the budget and lands the bad side in a `__loaderrors` table.
+    * Text formats only — a malformed row in parquet/avro is real file
+    * corruption, never quarantinable. */
+  /** Handle on a quarantine read: `good`/`bad` both derive from ONE
+    * cached parse (Spark disallows querying the corrupt-record column
+    * straight off raw files — and the cache also means the source is
+    * parsed once, not once per consumer). Call `close()` when both
+    * sides are consumed. */
+  final case class QuarantineRead(good: DataFrame, bad: DataFrame,
+                                  close: () => Unit)
+
+  def readWithQuarantine(spark: SparkSession, design: TableDesign,
+                         prefix: String, format: String): QuarantineRead = {
+    import org.apache.spark.sql.functions.col
+    requireSuccess(prefix)
+    val schema = design.toStructType
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val base = spark.read.schema(schema)
+      .option("pathGlobFilter", "part-*")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    val parsed = (format match {
+      case "csv" => base.option("nullValue", "\\N")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(prefix)
+      case "json" => base.json(prefix)
+      case other => throw new IllegalArgumentException(
+        s"quarantine read supports csv/json, not '$other'")
+    }).withColumn("_source_file", col("_metadata.file_path"))
+      .persist()
+    val good = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record", "_source_file")
+    val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_record"),
+        col("_source_file").as("source_file"))
+    QuarantineRead(good, bad, () => { parsed.unpersist(); () })
+  }
+
   /** The read side: schema-enforced load of a static prefix in any of
     * the reference's formats (gzip CSV / JSON / Avro,
     * extract/__init__.py:4-5) plus parquet. */

@@ -417,6 +417,54 @@ object SqlSurface {
       |  MAX(duration_s) AS max_duration_s
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- q15b
+  /** Native `session_window` sessionization — Spark's own gap-window
+    * operator pinned against the from-first-principles oracle (q15 is
+    * the lag+flag-sum derivation; this is the one-aggregation form a
+    * Spark user should write, and the BATCH twin of the streaming
+    * state operator). Boundary semantics differ from q15 by design:
+    * `session_window` is half-open, so a gap of EXACTLY 30 min starts
+    * a new session (q15's strict `>` keeps it) — the oracle encodes
+    * `>=`. The window's end is last-event + gap, so duration is
+    * `end − start − gap`. One shuffle on (user, session assignment);
+    * no per-user global window anywhere. */
+  def q15bSessionsWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sess = Tables.load(spark, sfDir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"n_events",
+        ((unix_micros($"sw.end") - unix_micros($"sw.start")
+          - lit(1800L * 1000000L)) / lit(1000000L)).cast("long")
+          .as("duration_s"))
+    sess.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max($"n_events").as("max_events_per_session"),
+        max($"duration_s").as("max_duration_s"))
+      .orderBy($"user_id")
+  }
+
+  val q15bSessionsWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts, 1) OVER w IS NULL
+      |           OR (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) >= 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged
+      |), per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |    CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_s
+      |  FROM sessions GROUP BY user_id, sess_id
+      |)
+      |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_events_per_session,
+      |  MAX(duration_s) AS max_duration_s
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q16
   /** PIVOT: status columns from row values. Spark's
     * `groupBy().pivot(col, values)` with explicit values compiles to
@@ -904,7 +952,8 @@ object SqlSurface {
     "q12_case" -> (q12Case _),
     "q13_cte" -> (q13Cte _),
     "q14_events_hourly" -> (q14EventsHourly _),
-    "q15_events_sessions" -> (q15EventsSessions _))
+    "q15_events_sessions" -> (q15EventsSessions _),
+    "q15b_sessions_window" -> (q15bSessionsWindow _))
 
   val oracles: Map[String, String] = Map(
     "q26_parse_dialect" -> q26ParseDialectSql,
@@ -934,5 +983,6 @@ object SqlSurface {
     "q12_case" -> q12CaseSql,
     "q13_cte" -> q13CteSql,
     "q14_events_hourly" -> q14EventsHourlySql,
-    "q15_events_sessions" -> q15EventsSessionsSql)
+    "q15_events_sessions" -> q15EventsSessionsSql,
+    "q15b_sessions_window" -> q15bSessionsWindowSql)
 }

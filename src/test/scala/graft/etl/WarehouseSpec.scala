@@ -1355,6 +1355,47 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay over a legacy marker must stamp the new-scheme marker")
   }
 
+  test("copyWithMaxError quarantines malformed rows; exceeding the budget aborts cleanly") {
+    val wh = freshWarehouse()
+    val design = TableDesign.load(
+      """name: qsrc.items
+        |source_name: qsrc
+        |columns:
+        |  - name: id
+        |    type: long
+        |    not_null: true
+        |  - name: name
+        |    type: string
+        |""".stripMargin)
+    val srcRoot = Files.createTempDirectory("graft_copyq_")
+    val dir = srcRoot.resolve("qsrc.items")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("part-000.csv"),
+      "1,alpha\n2,beta\nnotanumber,gamma\n3,delta,extra,cols\n4,epsilon\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    StaticSource.writeManifest(dir.toString)
+    // within budget: good rows land, bad rows quarantined with their
+    // raw text and source file
+    val out = Extract.copyWithMaxError(wh, srcRoot.toString, design, maxError = 5)
+    assert(out.loaded == 3 && out.quarantined == 2, s"$out")
+    assert(spark.table("`qsrc`.`items`").count() == 3)
+    val errs = spark.table("`qsrc`.`items__loaderrors`").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(errs.length == 2)
+    assert(errs.exists(_._1.contains("notanumber")))
+    assert(errs.forall(_._2.contains("part-000.csv")))
+    // over budget: abort BEFORE writing — the previous build and its
+    // error table keep serving
+    java.nio.file.Files.write(dir.resolve("part-001.csv"),
+      "x,\ny,\nz,\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException](
+      Extract.copyWithMaxError(wh, srcRoot.toString, design, maxError = 3))
+    assert(ex.getMessage.contains("MAXERROR"))
+    assert(spark.table("`qsrc`.`items`").count() == 3,
+      "aborted COPY must leave the previous build serving")
+  }
+
   test("standalone check_constraints audits published tables without rebuilding") {
     val wh = freshWarehouse()
     wh.loadWithStagingAndPublish(Seq(srcNation,

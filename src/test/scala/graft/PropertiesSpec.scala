@@ -226,6 +226,31 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }, minSuccessful = 8)
   }
 
+  test("property: histogram quantile picks exactly the k-th order statistic's bin") {
+    val s = spark
+    import s.implicits._
+    import graft.queries.DimOps
+    // values with two decimals land on and around bin edges — the
+    // floor boundary is exercised constantly
+    val valsGen = Gen.nonEmptyListOf(Gen.choose(0, 50000).map(_ / 100.0))
+    checkProp(Prop.forAll(valsGen) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf(
+          if (i % 2 == 0) "2024-01-01 08:00:00" else "2024-01-02 09:00:00"),
+          "t", v)
+      }.toDF("ts", "event_type", "value")
+      val got = DimOps.histQuantiles(DimOps.valueHistogram(df))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .head
+      val sorted = vals.sorted
+      def expect(q: Int): Double = {
+        val k = (vals.size * q + 99) / 100   // ⌈n·q/100⌉ for positive n
+        math.floor(sorted(k - 1) * DimOps.HistScale) / DimOps.HistScale
+      }
+      got == ((expect(50), expect(95), expect(99)))
+    }, minSuccessful = 25)
+  }
+
   test("property: bucketed as-of equals brute force at RANDOM bucket widths") {
     val s = spark
     import s.implicits._

@@ -672,6 +672,85 @@ object TextOps {
         $"best.score".as("score"))
   }
 
+  // ----------------------------------------------------- bigram LM
+  /** Bigram language-model TRAINING as exact aggregation — the
+    * KenLM/CCNet pattern where a small LM trained on trusted text
+    * scores candidate documents by perplexity and the noisy tail is
+    * filtered. Training is nothing but counting, so (like
+    * [[nbTrain]]) the model is oracle-checked bit-for-bit; scoring
+    * ([[lmPerplexity]]) is float log-math pinned by spec.
+    *
+    * Output: (tok, nxt, n, n_tok) — bigram count plus the token's
+    * continuation total (the add-one denominator base). Scale shape:
+    * bigram formation is ROW-LOCAL (array zip of the token list — no
+    * explode-join, no shuffle); the pair aggregation is map-side
+    * combinable and bounded by observed-vocab², metadata-sized for a
+    * bounded tokenizer vocabulary. */
+  def lmTrain(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(split(normText(col(textCol)), " ").as("w"))
+      .filter(size($"w") >= 2 && length(element_at($"w", 1)) > 0)
+    val bigrams = toks
+      .select($"w", posexplode($"w").as(Seq("i", "tok")))
+      .filter($"i" < size($"w") - 1)
+      .select($"tok", element_at($"w", $"i" + 2).as("nxt"))
+    val pair = bigrams.groupBy($"tok", $"nxt").agg(count(lit(1)).as("n"))
+    val uni = pair.groupBy($"tok").agg(sum($"n").as("n_tok"))
+    pair.join(uni, Seq("tok"))
+      .select($"tok", $"nxt", $"n", $"n_tok")
+      .orderBy($"tok", $"nxt")
+  }
+
+  def lmTrainDocs(spark: SparkSession, sfDir: String): DataFrame =
+    lmTrain(Tables.load(spark, sfDir, "documents"), "text")
+
+  val lmTrainSql: String =
+    s"""WITH d AS (
+       |  SELECT string_split($normTextSql, ' ') AS w FROM documents
+       |  WHERE length($normTextSql) > 0
+       |), pr AS (
+       |  SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+       |  FROM d WHERE len(w) >= 2
+       |), pair AS (
+       |  SELECT p[1] AS tok, p[2] AS nxt, COUNT(*) AS n FROM pr GROUP BY 1, 2
+       |), uni AS (
+       |  SELECT tok, CAST(SUM(n) AS BIGINT) AS n_tok FROM pair GROUP BY 1
+       |)
+       |SELECT pair.tok, pair.nxt, pair.n, uni.n_tok
+       |FROM pair JOIN uni USING (tok)
+       |ORDER BY tok, nxt""".stripMargin
+
+  /** Per-document PERPLEXITY under the [[lmTrain]] model with add-one
+    * smoothing: `exp(−mean ln P(nxt | tok))`, where a seen bigram
+    * scores `(n+1)/(n_tok+V)`, an unseen continuation of a seen token
+    * `1/(n_tok+V)`, and an unseen token `1/V`. One broadcast join of
+    * the doc bigrams against the model (bounded by vocab²) — the
+    * corpus is scored in a single embarrassing-parallel pass. Vocab
+    * size is the only driver-side scalar. */
+  def lmPerplexity(docs: DataFrame, model: DataFrame, textCol: String)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val v = model.select($"nxt").distinct().count().toDouble
+    val uni = model.groupBy($"tok").agg(first($"n_tok").as("n_tok"))
+    val bigrams = docs
+      .select($"doc_id", split(normText(col(textCol)), " ").as("w"))
+      .filter(size($"w") >= 2 && length(element_at($"w", 1)) > 0)
+      .select($"doc_id", $"w", posexplode($"w").as(Seq("i", "tok")))
+      .filter($"i" < size($"w") - 1)
+      .select($"doc_id", $"tok", element_at($"w", $"i" + 2).as("nxt"))
+    bigrams
+      .join(broadcast(model.select($"tok", $"nxt", $"n")), Seq("tok", "nxt"), "left")
+      .join(broadcast(uni), Seq("tok"), "left")
+      .select($"doc_id",
+        log((coalesce($"n", lit(0L)) + lit(1.0)) /
+          (coalesce($"n_tok", lit(0L)) + lit(v))).as("logp"))
+      .groupBy($"doc_id")
+      .agg(exp(-avg($"logp")).as("perplexity"), count(lit(1)).as("n_bigrams"))
+  }
+
   // ---------------------------------------------------------- chunking
   /** Context-window chunking — split each document's token sequence
     * into windows of [[ChunkLen]] tokens advancing by [[ChunkStride]]
@@ -1323,6 +1402,7 @@ object TextOps {
     "text_vocab" -> (textVocab _),
     "retrieval_topk" -> (retrievalTopk _),
     "nb_train" -> (nbTrainDocs _),
+    "lm_train" -> (lmTrainDocs _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_chunk" -> (textChunk _),
     "text_tokens" -> (textTokens _),
@@ -1346,6 +1426,7 @@ object TextOps {
     "text_vocab" -> textVocabSql,
     "retrieval_topk" -> retrievalTopkSql,
     "nb_train" -> nbTrainSql,
+    "lm_train" -> lmTrainSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,

@@ -269,6 +269,29 @@ object EventStreams {
     * skipped, keeping the fold exactly-once. The batch operator's
     * exact second pass remains the authority; this is the standing
     * candidate set a pipeline consults between full runs. */
+  /** Streaming ingest that keeps the [[graft.etl.FileSkipIndex]]
+    * CURRENT: each micro-batch lands in the data table via the
+    * batch-id-tagged idempotent append, then the index refresh scans
+    * ONLY the files that append produced (Θ(batch)). Order matters —
+    * data first, index second — so a crash between the two leaves the
+    * index BEHIND the table, which the next refresh repairs (and
+    * which prunedScan's staleness guard treats as a full-scan
+    * fallback, never a wrong answer). */
+  def skipIndexStream(wh: graft.etl.Warehouse,
+                      table: graft.etl.TableName,
+                      cols: Seq[String],
+                      rows: DataFrame,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        wh.appendToTableIdempotent(table, batch, s"skipidx-batch-$id")
+        graft.etl.FileSkipIndex.refresh(wh, table, cols)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming maintenance of the [[graft.queries.DimOps]] histogram
     * quantile rollup: each micro-batch's (day, type, bin) counts are
     * appended with the batch-id-tagged idempotent append, so an

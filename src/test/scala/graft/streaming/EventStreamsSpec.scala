@@ -226,6 +226,37 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st2.exists(_._1 == "alpha"), s"alpha must survive: $st2")
   }
 
+  test("skipIndexStream: appended batches become prunable; index never lies") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.{FileSkipIndex, TableName, Warehouse}
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_sis_wh_").toString,
+      "/root/testdata/sf0.001")
+    val t = TableName.parse("skip.stream_vals")
+    wh.writeTable(t, spark.range(0, 100).select($"id".as("v")).coalesce(1))
+    FileSkipIndex.build(wh, t, Seq("v"))
+    val input = MemoryStream[Long]
+    val q = EventStreams.skipIndexStream(wh, t, Seq("v"),
+      input.toDF.toDF("v"),
+      java.nio.file.Files.createTempDirectory("graft_sis_ck_").toString)
+    input.addData(1000L, 1001L)
+    q.processAllAvailable()
+    input.addData(2000L)
+    q.processAllAvailable()
+    q.stop()
+    // the streamed batches are reachable through a PRUNED scan that
+    // skips the seed file entirely
+    val p = FileSkipIndex.prunedScan(spark, t, "v",
+      org.apache.spark.sql.functions.lit(1000L),
+      org.apache.spark.sql.functions.lit(2500L))
+    assert(!p.stale, "index must be current after the stream")
+    assert(p.filesRead < p.filesTotal, s"${p.filesRead}/${p.filesTotal}")
+    assert(p.df.orderBy($"v").collect().map(_.getLong(0)).toSeq ==
+      Seq(1000L, 1001L, 2000L))
+  }
+
   test("valueHistogramStream: stored rollup converges to the batch histogram") {
     val s = spark
     import s.implicits._

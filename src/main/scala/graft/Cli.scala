@@ -51,6 +51,8 @@ object Cli {
         |  list_tags      --designs DIR
         |  tail_logs      --events FILE [--start-time EPOCH_MS|ISO8601] [--warnings]
         |  show_lineage   --designs DIR [--select PATTERN]
+        |  build_skip_index   --data DIR --warehouse DIR --table SCHEMA.TABLE --columns C1[,C2...]
+        |  refresh_skip_index --data DIR --warehouse DIR --table SCHEMA.TABLE --columns C1[,C2...]
         |  create_snapshot  --designs DIR --data DIR --warehouse DIR --tag TAG [--select PATTERN]
         |  list_snapshots   --data DIR --warehouse DIR
         |  drop_snapshot    --data DIR --warehouse DIR --tag TAG
@@ -263,6 +265,28 @@ object Cli {
             vr.refused.mkString(", "))
           1
         } else 0
+      case "build_skip_index" | "refresh_skip_index" =>
+        // file-level min/max data-skipping index lifecycle (the
+        // explicit zone-map; scan pruning happens via
+        // FileSkipIndex.prunedScan in transform code)
+        val table = TableName.parse(opts.getOrElse("table", usage()))
+        val cols = opts.getOrElse("columns", usage()).split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        try {
+          if (command == "build_skip_index") {
+            val st = FileSkipIndex.build(warehouse, table, cols)
+            println(s"[skip_index] built ${st.identifier} over " +
+              s"${spark.table(st.quoted).count()} file(s)")
+          } else {
+            val n = FileSkipIndex.refresh(warehouse, table, cols)
+            println(s"[skip_index] indexed $n new file(s) for ${table.identifier}")
+          }
+          0
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            System.err.println(s"[error] ${e.getMessage}")
+            1
+        }
       case "create_snapshot" | "drop_snapshot" | "restore_snapshot" |
            "list_snapshots" | "diff_snapshots" =>
         // Snapshot pins (beyond-reference lifecycle: named, metadata-

@@ -120,6 +120,32 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(t.quoted).count() == 21)
   }
 
+  test("cli skip-index verbs: build, refresh after appends, unknown table errors") {
+    val s = spark
+    import s.implicits._
+    val whDir = Files.createTempDirectory("graft_cli_sidx_").toString
+    def run(cmd: String, extra: (String, String)*): (Int, String) =
+      captureOut { Cli.run(spark, cmd, Map(
+        "designs" -> designsDir, "data" -> dataDir, "warehouse" -> whDir) ++ extra) }
+    assert(run("load")._1 == 0)
+    val (c1, out1) = run("build_skip_index",
+      "table" -> "cli.summary", "columns" -> "n")
+    assert(c1 == 0 && out1.contains("built cli.summary__filestats"), out1)
+    val wh = new etl.Warehouse(spark, whDir, dataDir)
+    assert(wh.appendToTableIdempotent(etl.TableName.parse("cli.summary"),
+      Seq(7L).toDF("n").coalesce(1), "b1"))
+    val (c2, out2) = run("refresh_skip_index",
+      "table" -> "cli.summary", "columns" -> "n")
+    assert(c2 == 0 && out2.contains("indexed 1 new file(s)"), out2)
+    // an unregistered table is a user error, not a stack trace
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try assert(run("build_skip_index",
+      "table" -> "cli.nosuch", "columns" -> "n")._1 == 1)
+    finally System.setErr(prevErr)
+  }
+
   test("cli validate passes for a consistent design set") {
     // region must resolve for the dry-run: build it first (done above),
     // then validate sees matching deps/columns.

@@ -672,6 +672,48 @@ object TextOps {
         $"best.score".as("score"))
   }
 
+  // -------------------------------------------- per-group sampling
+  /** Deterministic fixed-size sample PER GROUP — "give me k docs from
+    * every language/source for spot-checking" — the per-group
+    * reservoir: rank by a salted md5 hash (uniform, reproducible, the
+    * mix-family coin) and keep each group's top [[SamplePerGroupK]]
+    * via the windowless [[BoundedTopK]] aggregate. A row_number
+    * window would funnel every group's full membership through one
+    * task per group; the aggregate's bounded k-array state combines
+    * map-side, so the shuffle carries ≤ #groups × #partitions × k
+    * tuples no matter how large the groups are. The 8-hex-digit hash
+    * (32 bits) is exact in the aggregate's double score, so the
+    * DuckDB row_number oracle reproduces the selection and order
+    * bit-for-bit. */
+  val SamplePerGroupK = 20
+
+  def samplePerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    BoundedTopK.register(spark)
+    Tables.load(spark, sfDir, "documents")
+      .select($"lang", $"doc_id",
+        conv(substring(md5(concat(lit("spg:"), $"doc_id".cast("string"))),
+          1, 8), 16, 10).cast("long").cast("double").as("score"))
+      .groupBy($"lang")
+      .agg(expr(s"bounded_topk(score, doc_id, $SamplePerGroupK)").as("top"))
+      .select($"lang", posexplode($"top"))
+      .select($"lang", ($"pos" + 1).cast("long").as("rank"),
+        $"col.neighbor_id".as("doc_id"))
+      .orderBy($"lang", $"rank")
+  }
+
+  val samplePerGroupSql: String =
+    s"""SELECT lang, rank, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT lang, doc_id,
+       |      CAST(('0x' || substring(md5('spg:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS score
+       |    FROM documents))
+       |WHERE rank <= $SamplePerGroupK
+       |ORDER BY lang, rank""".stripMargin
+
   // ----------------------------------------------------- bigram LM
   /** Bigram language-model TRAINING as exact aggregation — the
     * KenLM/CCNet pattern where a small LM trained on trusted text
@@ -1403,6 +1445,7 @@ object TextOps {
     "retrieval_topk" -> (retrievalTopk _),
     "nb_train" -> (nbTrainDocs _),
     "lm_train" -> (lmTrainDocs _),
+    "sample_per_group" -> (samplePerGroup _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_chunk" -> (textChunk _),
     "text_tokens" -> (textTokens _),
@@ -1427,6 +1470,7 @@ object TextOps {
     "retrieval_topk" -> retrievalTopkSql,
     "nb_train" -> nbTrainSql,
     "lm_train" -> lmTrainSql,
+    "sample_per_group" -> samplePerGroupSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,

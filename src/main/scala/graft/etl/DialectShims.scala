@@ -352,6 +352,106 @@ object DialectShims {
       else s"concat(${pieces.mkString(", ")})")
   }
 
+  /** Redshift/Snowflake `QUALIFY <pred>` — filter on a window
+    * expression without a subquery — which Spark's parser lacks.
+    * Rewrite (masked text): the predicate becomes a generated boolean
+    * column in a subquery and the outer query filters on it:
+    *
+    *   SELECT <sel> FROM ... QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+    *   ⇒ SELECT * EXCEPT (__qualify) FROM (
+    *        SELECT <sel>, (<pred>) AS __qualify FROM ...)
+    *     WHERE __qualify [ORDER BY ...] [LIMIT n]
+    *
+    * This keeps inline window expressions legal (they move into the
+    * subquery's SELECT list) and leaves ORDER BY/LIMIT at the outer
+    * level where QUALIFY semantics put them (applied AFTER the
+    * filter). Only TOP-LEVEL QUALIFYs rewrite (depth-0 scan over
+    * masked text, innermost-first for nested subqueries); a QUALIFY
+    * inside a string literal is masked and never matches. */
+  private[etl] def rewriteQualify(sql: String): String = {
+    val lower = sql.toLowerCase
+    // innermost-first: rewrite the LAST occurrence repeatedly
+    val at = {
+      var found = -1
+      var i = lower.indexOf("qualify")
+      while (i >= 0) {
+        val beforeOk = i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1)) &&
+          lower.charAt(i - 1) != '_'
+        val afterOk = i + 7 >= sql.length ||
+          (!Character.isLetterOrDigit(lower.charAt(i + 7)) && lower.charAt(i + 7) != '_')
+        if (beforeOk && afterOk) found = i
+        i = lower.indexOf("qualify", i + 7)
+      }
+      found
+    }
+    if (at < 0) return sql
+    // the SELECT this QUALIFY belongs to: nearest depth-matching
+    // SELECT to the left
+    var depth = 0
+    var selStart = -1
+    var j = at - 1
+    while (j >= 0 && selStart < 0) {
+      sql.charAt(j) match {
+        case ')' => depth += 1
+        case '(' =>
+          if (depth == 0) selStart = j + 1 else depth -= 1
+        case _ =>
+          if (depth == 0 && lower.regionMatches(j, "select", 0, 6) &&
+              (j == 0 || !Character.isLetterOrDigit(lower.charAt(j - 1))) &&
+              (j + 6 >= sql.length ||
+                (!Character.isLetterOrDigit(lower.charAt(j + 6)) &&
+                  lower.charAt(j + 6) != '_'))) {
+            selStart = j
+          }
+      }
+      j -= 1
+    }
+    if (selStart < 0 || !lower.regionMatches(selStart, "select", 0, 6)) return sql
+    // predicate runs to the first depth-0 ORDER BY / LIMIT / closing
+    // paren / end after QUALIFY
+    var k = at + 7
+    depth = 0
+    var predEnd = -1
+    while (k < sql.length && predEnd < 0) {
+      sql.charAt(k) match {
+        case '(' => depth += 1; k += 1
+        case ')' =>
+          if (depth == 0) predEnd = k else { depth -= 1; k += 1 }
+        case _ =>
+          if (depth == 0 && (lower.regionMatches(k, "order by", 0, 8) ||
+              lower.regionMatches(k, "limit", 0, 5)))
+            predEnd = k
+          else k += 1
+      }
+    }
+    if (predEnd < 0) predEnd = sql.length
+    val pred = sql.substring(at + 7, predEnd).trim
+    val inner = sql.substring(selStart + 6, at).trim   // sans SELECT keyword
+    val tail = sql.substring(predEnd)
+    // split the select list from FROM...: find depth-0 FROM
+    val innerLower = inner.toLowerCase
+    var f = 0; depth = 0; var fromAt = -1
+    while (f < inner.length && fromAt < 0) {
+      inner.charAt(f) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && innerLower.regionMatches(f, "from", 0, 4) &&
+              (f == 0 || !Character.isLetterOrDigit(innerLower.charAt(f - 1))) &&
+              (f + 4 >= inner.length || !Character.isLetterOrDigit(innerLower.charAt(f + 4))))
+            fromAt = f
+      }
+      f += 1
+    }
+    if (fromAt < 0) return sql
+    val selList = inner.substring(0, fromAt).trim
+    val fromRest = inner.substring(fromAt)
+    val rewritten = sql.substring(0, selStart) +
+      s"SELECT * EXCEPT (__qualify) FROM (SELECT $selList, ($pred) AS __qualify $fromRest) WHERE __qualify " +
+      tail
+    rewriteQualify(rewritten)   // handle remaining (outer) QUALIFYs
+  }
+
   /** PARSE tokens safe to translate for TO_DATE/TO_TIMESTAMP: the
     * numeric tokens whose Java pattern both formats AND parses the
     * same digits. Name tokens (MON/Day/AM) parse case-sensitively in
@@ -513,7 +613,7 @@ object DialectShims {
     val step4 = rewriteDateDiff(step3)
     val step5 = rewriteSysdate(step4)
     val step6 = rewriteConvertTimezone(step5)
-    val step7 = rewriteSimilarTo(step6, arr)
+    val step7 = rewriteQualify(rewriteSimilarTo(step6, arr))
     val step8 = rewriteToChar(step7, arr)
     val step9 = rewriteParseFn(step8, arr, "to_date")
     val rewritten = rewriteParseFn(step9, arr, "to_timestamp")

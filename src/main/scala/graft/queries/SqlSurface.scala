@@ -923,9 +923,62 @@ object SqlSurface {
       |FROM orders
       |ORDER BY o_orderkey LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** TIME-RANGE rolling window — `RANGE BETWEEN INTERVAL 90 DAYS
+    * PRECEDING` — the trailing-window analytic (rolling spend, rate
+    * limits, retention) that ROWS frames cannot express when event
+    * spacing is irregular. The frame is VALUE-based, so rows sharing
+    * a timestamp are peers and the result is deterministic without
+    * any tiebreak ordering; decimal accumulation keeps the double
+    * bit-stable. Per-customer partitions bound the window's state —
+    * no global sort anywhere. */
+  def q27RollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("w_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS rolling_90d
+        |FROM w_orders ORDER BY o_orderkey LIMIT 500""".stripMargin)
+  }
+
+  val q27RollingWindowSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS rolling_90d
+      |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Redshift/Snowflake `QUALIFY` through the shim — filter on a
+    * window expression without writing the subquery — checked
+    * against DuckDB's NATIVE QUALIFY, so the rewrite's semantics
+    * (predicate after windowing, ORDER BY/LIMIT after the filter)
+    * are hash-verified, not just unit-tested. Latest-order-per-
+    * customer, the canonical QUALIFY use. */
+  def q28Qualify(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("rs_orders")
+    val redshiftSql =
+      """SELECT o_custkey, o_orderkey
+        |FROM rs_orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey LIMIT 200""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q28QualifySql: String =
+    """SELECT o_custkey, o_orderkey
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      |ORDER BY o_custkey LIMIT 200""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_parse_dialect" -> (q26ParseDialect _),
+    "q27_rolling_window" -> (q27RollingWindow _),
+    "q28_qualify" -> (q28Qualify _),
     "q25_time_dialect" -> (q25TimeDialect _),
     "q24_analytic_dialect" -> (q24AnalyticDialect _),
     "q23_recursive_cte" -> (q23RecursiveCte _),
@@ -957,6 +1010,8 @@ object SqlSurface {
 
   val oracles: Map[String, String] = Map(
     "q26_parse_dialect" -> q26ParseDialectSql,
+    "q27_rolling_window" -> q27RollingWindowSql,
+    "q28_qualify" -> q28QualifySql,
     "q25_time_dialect" -> q25TimeDialectSql,
     "q24_analytic_dialect" -> q24AnalyticDialectSql,
     "q23_recursive_cte" -> q23RecursiveCteSql,

@@ -266,6 +266,38 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("'call TO_DATE(a, b)'"))
   }
 
+  test("QUALIFY rewrites to a filtered subquery; nested and literal-safe") {
+    val s = spark
+    import s.implicits._
+    spark.range(10).selectExpr("id", "id % 3 AS g")
+      .createOrReplaceTempView("qt")
+    // basic: keep each group's max id; ORDER BY applies after the filter
+    val basic = DialectShims.rewriteRedshiftSql(
+      """SELECT g, id FROM qt
+        |QUALIFY row_number() OVER (PARTITION BY g ORDER BY id DESC) = 1
+        |ORDER BY g""".stripMargin)
+    assert(spark.sql(basic).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((0L, 9L), (1L, 7L), (2L, 8L)))
+    // QUALIFY inside a subquery rewrites independently of the outer query
+    val nested = DialectShims.rewriteRedshiftSql(
+      """SELECT COUNT(*) AS n FROM (
+        |  SELECT g FROM qt QUALIFY row_number() OVER (PARTITION BY g ORDER BY id) <= 2
+        |)""".stripMargin)
+    assert(spark.sql(nested).collect().head.getLong(0) == 6L)
+    // a LIMIT after QUALIFY limits the FILTERED rows
+    val limited = DialectShims.rewriteRedshiftSql(
+      """SELECT g, id FROM qt
+        |QUALIFY row_number() OVER (PARTITION BY g ORDER BY id) = 1
+        |ORDER BY g LIMIT 2""".stripMargin)
+    assert(spark.sql(limited).count() == 2)
+    // the word inside a string literal survives untouched
+    assert(DialectShims.rewriteRedshiftSql("SELECT 'no QUALIFY here' AS s")
+      .contains("'no QUALIFY here'"))
+    // an identifier containing the word is not a keyword
+    assert(DialectShims.rewriteQualify("SELECT disqualify FROM t")
+      == "SELECT disqualify FROM t")
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

@@ -503,6 +503,47 @@ object DialectShims {
       case _ => None
     }
 
+  /** Redshift's JSON accessors → `get_json_object` paths:
+    * `JSON_EXTRACT_PATH_TEXT(j, 'k1', 'k2'[, null_if_invalid])` →
+    * `get_json_object(j, '$.k1.k2')` and
+    * `JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, i[, null_if_invalid])` →
+    * `get_json_object(j, '$[i]')`. Both already return NULL on
+    * malformed JSON in Spark, so the `null_if_invalid` flag is
+    * accepted and dropped (Redshift WITHOUT the flag errors on bad
+    * JSON — the shim is the lenient form, documented deviation).
+    * Literal keys of word characters only; anything fancier (dotted
+    * keys, column-ref keys, expression indexes) is left for the C5
+    * dry-run rather than risking a wrong path. */
+  private def rewriteJsonExtract(sql: String, saved: Array[String]): String = {
+    def dropFlag(args: Seq[String]): Seq[String] =
+      if (args.length > 1 && (args.last.equalsIgnoreCase("true") ||
+          args.last.equalsIgnoreCase("false"))) args.init else args
+    val step = rewriteCalls(sql, "json_extract_path_text") { raw =>
+      val args = dropFlag(raw)
+      if (args.length < 2) None
+      else {
+        val keys = args.tail.map {
+          case MaskedLiteral(idx) =>
+            val k = saved(idx.toInt).replace("''", "'")
+            if (k.nonEmpty && k.forall(c =>
+              Character.isLetterOrDigit(c) || c == '_')) Some(k) else None
+          case _ => None
+        }
+        if (keys.exists(_.isEmpty)) None
+        else Some(s"get_json_object(${args.head}, " +
+          s"'$$${keys.flatten.map("." + _).mkString}')")
+      }
+    }
+    rewriteCalls(step, "json_extract_array_element_text") { raw =>
+      val args = dropFlag(raw)
+      args match {
+        case Seq(j, idx) if idx.matches("\\d+") =>
+          Some(s"get_json_object($j, '$$[$idx]')")
+        case _ => None
+      }
+    }
+  }
+
   /** `TO_CHAR(ts, 'fmt')` → the per-token concat above. The format
     * must be a string LITERAL (a mask placeholder) — a column-ref
     * format can't be translated at rewrite time and is left for the
@@ -616,7 +657,8 @@ object DialectShims {
     val step7 = rewriteQualify(rewriteSimilarTo(step6, arr))
     val step8 = rewriteToChar(step7, arr)
     val step9 = rewriteParseFn(step8, arr, "to_date")
-    val rewritten = rewriteParseFn(step9, arr, "to_timestamp")
+    val step10 = rewriteParseFn(step9, arr, "to_timestamp")
+    val rewritten = rewriteJsonExtract(step10, arr)
     unmask(rewritten, scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
   }
 }

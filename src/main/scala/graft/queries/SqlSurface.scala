@@ -974,11 +974,38 @@ object SqlSurface {
       |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
       |ORDER BY o_custkey LIMIT 200""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** Redshift JSON accessors through the shim — the
+    * `JSON_EXTRACT_PATH_TEXT` family every event-props transform in a
+    * real warehouse uses — against DuckDB's native JSON functions.
+    * Sums an extracted numeric field per event type (cast through
+    * BIGINT so both engines parse the text identically). */
+  def q29JsonDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("rs_events")
+    val redshiftSql =
+      """SELECT event_type,
+        |  COUNT(JSON_EXTRACT_PATH_TEXT(props, 'k', true)) AS n_with_k,
+        |  SUM(CAST(JSON_EXTRACT_PATH_TEXT(props, 'k') AS BIGINT)) AS sum_k,
+        |  COUNT(JSON_EXTRACT_PATH_TEXT(props, 'missing', true)) AS n_missing
+        |FROM rs_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q29JsonDialectSql: String =
+    """SELECT event_type,
+      |  COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.missing')) AS n_missing
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_parse_dialect" -> (q26ParseDialect _),
     "q27_rolling_window" -> (q27RollingWindow _),
     "q28_qualify" -> (q28Qualify _),
+    "q29_json_dialect" -> (q29JsonDialect _),
     "q25_time_dialect" -> (q25TimeDialect _),
     "q24_analytic_dialect" -> (q24AnalyticDialect _),
     "q23_recursive_cte" -> (q23RecursiveCte _),
@@ -1012,6 +1039,7 @@ object SqlSurface {
     "q26_parse_dialect" -> q26ParseDialectSql,
     "q27_rolling_window" -> q27RollingWindowSql,
     "q28_qualify" -> q28QualifySql,
+    "q29_json_dialect" -> q29JsonDialectSql,
     "q25_time_dialect" -> q25TimeDialectSql,
     "q24_analytic_dialect" -> q24AnalyticDialectSql,
     "q23_recursive_cte" -> q23RecursiveCteSql,

@@ -298,6 +298,24 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "SELECT disqualify FROM t")
   }
 
+  test("JSON_EXTRACT_PATH_TEXT / ARRAY_ELEMENT_TEXT translate to get_json_object") {
+    def one(sql: String): Any =
+      spark.sql(DialectShims.rewriteRedshiftSql(s"SELECT $sql AS v"))
+        .collect().head.get(0)
+    assert(one("""JSON_EXTRACT_PATH_TEXT('{"a": {"b": 7}}', 'a', 'b')""") == "7")
+    assert(one("""JSON_EXTRACT_PATH_TEXT('{"a": 1}', 'missing')""") == null)
+    // the null_if_invalid flag is accepted and dropped
+    assert(one("""JSON_EXTRACT_PATH_TEXT('not json', 'a', true)""") == null)
+    assert(one("""JSON_EXTRACT_ARRAY_ELEMENT_TEXT('[10, 20, 30]', 1)""") == "20")
+    // non-literal key, dotted key, expression index: left for dry-run
+    assert(DialectShims.rewriteRedshiftSql("SELECT JSON_EXTRACT_PATH_TEXT(j, k) FROM t")
+      .contains("JSON_EXTRACT_PATH_TEXT(j, k)"))
+    assert(DialectShims.rewriteRedshiftSql("SELECT JSON_EXTRACT_PATH_TEXT(j, 'a.b') FROM t")
+      .contains("'a.b'"))
+    assert(DialectShims.rewriteRedshiftSql("SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, i+1) FROM t")
+      .contains("JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, i+1)"))
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

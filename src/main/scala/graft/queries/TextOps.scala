@@ -672,6 +672,98 @@ object TextOps {
         $"best.score".as("score"))
   }
 
+  // ------------------------------------------ stored retrieval index
+  /** [[retrievalTopk]] against a STORED inverted index — the
+    * production shape (the band-index / stored-IVF lifecycle applied
+    * to text search): three warehouse tables hold the postings
+    * (`<base>_tf`: doc_id, token, tf — token-sorted within files so
+    * row-group stats prune posting-list scans), the document
+    * frequencies as MONOID PARTIALS (`<base>_df`: token, df per
+    * ingest batch — summed at query time, so appends never rewrite
+    * existing rows), and the corpus size partials (`<base>_meta`).
+    * [[appendRetrievalBatch]] is Θ(batch) and idempotent per tag;
+    * [[retrievalTopkStored]] answers queries from the tables alone —
+    * the corpus is never re-read. The oracle entry builds the index
+    * from part of the corpus, APPENDS the rest, and must match the
+    * one-shot full-corpus SQL — incremental == batch, hash-checked. */
+  private def tfOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", explode(split(normText($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+  }
+
+  def buildRetrievalIndex(wh: graft.etl.Warehouse, docs: DataFrame,
+                          base: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = tfOf(docs)
+    wh.writeTable(graft.etl.TableName.parse(s"$base" + "_tf"),
+      tf.sortWithinPartitions($"token"))
+    wh.writeTable(graft.etl.TableName.parse(s"$base" + "_df"),
+      tf.groupBy($"token").agg(count(lit(1)).as("df")))
+    wh.writeTable(graft.etl.TableName.parse(s"$base" + "_meta"),
+      docs.select(count(lit(1)).as("n_docs")))
+  }
+
+  def appendRetrievalBatch(wh: graft.etl.Warehouse, docs: DataFrame,
+                           base: String, tag: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = tfOf(docs)
+    wh.appendToTableIdempotent(graft.etl.TableName.parse(s"$base" + "_tf"),
+      tf.sortWithinPartitions($"token"), s"$tag-tf")
+    wh.appendToTableIdempotent(graft.etl.TableName.parse(s"$base" + "_df"),
+      tf.groupBy($"token").agg(count(lit(1)).as("df")), s"$tag-df")
+    wh.appendToTableIdempotent(graft.etl.TableName.parse(s"$base" + "_meta"),
+      docs.select(count(lit(1)).as("n_docs")), s"$tag-meta")
+  }
+
+  def retrievalTopkStored(spark: SparkSession, base: String,
+                          queriesSpec: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    BoundedTopK.register(spark)
+    val tf = spark.table(s"`${base.split('.')(0)}`.`${base.split('.')(1)}_tf`")
+    val dfPartials = spark.table(s"`${base.split('.')(0)}`.`${base.split('.')(1)}_df`")
+    val meta = spark.table(s"`${base.split('.')(0)}`.`${base.split('.')(1)}_meta`")
+    val terms = queriesSpec
+      .flatMap { case (id, q) => q.split(" ").toSeq.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    val nDocs = meta.agg(sum($"n_docs").as("n_docs"))
+    // merge the df partials for JUST the query terms (pushed filter —
+    // the partial table is vocab × batches rows, metadata-sized)
+    val dfMerged = dfPartials.join(broadcast(terms), $"token" === $"term")
+      .groupBy($"query_id", $"token").agg(sum($"df").as("df"))
+    val termStats = dfMerged.crossJoin(broadcast(nDocs))
+      .select($"query_id", $"token",
+        expr("(1000000 * n_docs) div df").as("idf_scaled"))
+    val scored = tf.join(broadcast(termStats), Seq("token"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"tf" * $"idf_scaled").as("score"))
+    scored.groupBy($"query_id")
+      .agg(expr(s"bounded_topk(cast(score as double), doc_id, $RetrievalK)")
+        .as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.neighbor_id".as("doc_id"),
+        $"col.cosine".cast("long").as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle entry: initial build on doc_id < 300, batch-append the
+    * rest, then answer from the stored tables — must hash-match the
+    * one-shot full-corpus derivation. */
+  def retrievalTopkStoredEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val whDir = java.nio.file.Files.createTempDirectory("graft_ret_wh_").toString
+    val wh = new graft.etl.Warehouse(spark, whDir, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    buildRetrievalIndex(wh, docs.filter($"doc_id" < 300), "search.docs")
+    appendRetrievalBatch(wh, docs.filter($"doc_id" >= 300), "search.docs", "b1")
+    retrievalTopkStored(spark, "search.docs", RetrievalQueries)
+  }
+
   // -------------------------------------------- per-group sampling
   /** Deterministic fixed-size sample PER GROUP — "give me k docs from
     * every language/source for spot-checking" — the per-group
@@ -1446,6 +1538,7 @@ object TextOps {
     "nb_train" -> (nbTrainDocs _),
     "lm_train" -> (lmTrainDocs _),
     "sample_per_group" -> (samplePerGroup _),
+    "retrieval_topk_stored" -> (retrievalTopkStoredEntry _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_chunk" -> (textChunk _),
     "text_tokens" -> (textTokens _),
@@ -1471,6 +1564,7 @@ object TextOps {
     "nb_train" -> nbTrainSql,
     "lm_train" -> lmTrainSql,
     "sample_per_group" -> samplePerGroupSql,
+    "retrieval_topk_stored" -> retrievalTopkSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,

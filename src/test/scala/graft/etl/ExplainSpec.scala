@@ -28,7 +28,7 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     Set("ann_topk_cosine", "ann_hard_negatives", "ann_ivf_cells", "ann_ivf_topk",
       "ann_ivf_topk_sq8", "ann_ivf_topk_pq", "ann_ivf_topk_stored",
       "source_mix", "mix_balance", "mix_weighted", "mix_temperature",
-      "retrieval_topk")
+      "retrieval_topk", "retrieval_topk_stored")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

@@ -995,7 +995,101 @@ object DedupOps {
          |ORDER BY c.doc_id""".stripMargin)
   }
 
+  // ------------------------------------------- duplicated-substring spans
+  /** EXACT duplicated-substring spans — the ExactSubstr dedup of Lee
+    * et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"), whose single-node form is a suffix array over the
+    * concatenated corpus. The distributed re-expression: positional
+    * word [[SpanGramK]]-grams; a gram occurring ≥ 2 times anywhere in
+    * the corpus is DUPLICATED (the suffix-array "appears elsewhere"
+    * predicate at gram granularity); per doc, overlapping-or-adjacent
+    * duplicated gram windows merge into maximal token spans
+    * (start/end/length + supporting gram count) — the regions
+    * ExactSubstr would cut. Resolution is K tokens: any duplicated
+    * substring of ≥ K tokens is found in full; shorter repeats are
+    * invisible (the paper's k=50-token threshold plays the same
+    * role).
+    *
+    * Scale shape: gram counting is ONE map-side-combinable groupBy on
+    * a 60-bit hash (8-byte keys, never the gram text); duplicated
+    * positions come from ONE hinted shuffle semi-join (the duplicated
+    * gram set is corpus-sized — never broadcast); the island-merge
+    * window partitions by doc_id over ONLY duplicated positions, so
+    * its state is bounded by one document's length, not the corpus.
+    * No all-pairs stage anywhere. The oracle derives the identical
+    * spans from first principles on the gram STRINGS (same md5-prefix
+    * hash, so even a collision would agree by construction). */
+  val SpanGramK = 5
+
+  def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = SpanGramK
+    val grams = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", split(normText($"text"), " ").as("w"))
+      .filter(size($"w") >= K)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(w) - $K), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        shingleHash($"col").as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2).select($"g")
+    val dpos = grams.join(dup.hint("shuffle_hash"), Seq("g"), "left_semi")
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val isl = dpos
+      .withColumn("prev", lag($"pos", 1).over(byPos))
+      .withColumn("newf",
+        when($"prev".isNull || $"pos" - $"prev" > K, 1).otherwise(0))
+      .withColumn("island", sum($"newf").over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val out = isl.groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + lit(K - 1)).as("span_end"),
+        (max($"pos") - min($"pos") + lit(K)).as("span_tokens"),
+        count(lit(1)).as("n_dup_grams"))
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
+        $"n_dup_grams")
+      .orderBy($"doc_id", $"span_start")
+    grams.unpersist()
+    out
+  }
+
+  val dedupSubstringSpansSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normTextSql, ' ') AS w FROM documents
+       |), pg AS (
+       |  SELECT doc_id, unnest(range(1, len(w) - ${SpanGramK - 2})) AS i, w
+       |  FROM toks WHERE len(w) >= $SpanGramK
+       |), g2 AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST(('0x' || substring(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15)) AS BIGINT) AS g
+       |  FROM pg
+       |), dup AS (
+       |  SELECT g FROM g2 GROUP BY g HAVING COUNT(*) >= 2
+       |), dpos AS (
+       |  SELECT doc_id, pos FROM g2 WHERE g IN (SELECT g FROM dup)
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $SpanGramK
+       |    THEN 1 ELSE 0 END AS newf
+       |  FROM dpos
+       |), isl2 AS (
+       |  SELECT doc_id, pos,
+       |    SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl
+       |)
+       |SELECT doc_id, MIN(pos) AS span_start,
+       |  MAX(pos) + ${SpanGramK - 1} AS span_end,
+       |  MAX(pos) - MIN(pos) + $SpanGramK AS span_tokens,
+       |  COUNT(*) AS n_dup_grams
+       |FROM isl2 GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
     "split_leakage_safe" -> (dedupSplitAssign _),
     "dedup_exact" -> (dedupExact _),
@@ -1012,6 +1106,7 @@ object DedupOps {
     "dedup_containment" -> ((sp, dir) => dedupContainment(sp, dir)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" -> dedupSubstringSpansSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_passages" -> dedupPassagesSql(),
     "dedup_decontaminate" -> dedupDecontaminateSql,

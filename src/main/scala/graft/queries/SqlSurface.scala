@@ -1000,8 +1000,124 @@ object SqlSurface {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q20b
+  /** INTERPOLATED percentiles — `percentile_cont WITHIN GROUP` — the
+    * continuous complement of q20's discrete quantiles (Redshift ships
+    * both; load.py's query surface passes them through verbatim).
+    * Float-hash safety is arithmetic, not tolerance: l_quantity holds
+    * integer-valued doubles and the fractions are quarters, so the
+    * interpolation position `(n-1)·q` has a fraction in {0, ¼, ½, ¾}
+    * and every algebraically-equivalent evaluation of
+    * `a + (b-a)·f` / `(1-f)·a + f·b` yields the same exactly-
+    * representable rational `((4-4f)·a + 4f·b)/4` — both engines
+    * produce bit-identical doubles regardless of their formula. Scale
+    * note mirrors q20: exact percentiles buffer per-group values; the
+    * 100 TB path is approx_percentile / the histogram rollup
+    * ([[DimOps.valueHistogram]]). */
+  def q20bQuantilesCont(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("qc_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
+        |FROM qc_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q20bQuantilesContSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5)  AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** `IGNORE NULLS` window analytics — the FORWARD-FILL (LOCF) idiom
+    * every event-stream warehouse query uses (carry the last observed
+    * reading over gap rows), plus the rest of the null-aware window
+    * family: `lead ... IGNORE NULLS` (next non-null observation),
+    * `nth_value`, `percent_rank`, `cume_dist`. Spark spells the
+    * modifier after the call (`last_value(x) IGNORE NULLS`), DuckDB
+    * inside it (`last_value(x IGNORE NULLS)`) — the oracle pins the
+    * SEMANTICS across both spellings. Determinism: (ts, event_id) and
+    * (value, event_id) orderings are unique, frames are explicit ROWS,
+    * and percent_rank/cume_dist are single divisions of small exact
+    * integers (correctly-rounded identical doubles on both engines).
+    * Scale shape: per-user partitions bound every window — no global
+    * sort; the presentation TakeOrdered is the only total order. */
+  def q30WindowDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("wd_events")
+    spark.sql(
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END) IGNORE NULLS
+        |    OVER w AS locf_click,
+        |  lead(CASE WHEN event_type = 'click' THEN value END) IGNORE NULLS
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_click,
+        |  nth_value(value, 3) OVER w AS third_value,
+        |  percent_rank() OVER v AS pr,
+        |  cume_dist() OVER v AS cd
+        |FROM wd_events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       v AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id LIMIT 1000""".stripMargin)
+  }
+
+  val q30WindowDialectSql: String =
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |    OVER w AS locf_click,
+      |  lead(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_click,
+      |  nth_value(value, 3) OVER w AS third_value,
+      |  percent_rank() OVER v AS pr,
+      |  cume_dist() OVER v AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       v AS (PARTITION BY user_id ORDER BY value, event_id)
+      |ORDER BY event_id LIMIT 1000""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** `UNPIVOT` — q16's inverse (wide measure columns → long rows), the
+    * standard relational reshape before a measures table join or a
+    * generic quality-metric sink. Runs on a small aggregate (3 rows ×
+    * 3 measures) so the relational op itself is what's under test;
+    * decimal sums cast to double AFTER aggregation keep the hash
+    * order-independent. Both engines bind the measure NAME from the
+    * column identifier, so names and values must agree byte-for-byte. */
+  def q31Unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("up_lineitem")
+    spark.sql(
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS disc,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS tax
+        |  FROM up_lineitem GROUP BY 1
+        |)
+        |SELECT flag, measure, amount
+        |FROM g UNPIVOT (amount FOR measure IN (qty, disc, tax))
+        |ORDER BY flag, measure""".stripMargin)
+  }
+
+  val q31UnpivotSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS disc,
+      |    CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS tax
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT flag, measure, amount
+      |FROM g UNPIVOT (amount FOR measure IN (qty, disc, tax))
+      |ORDER BY flag, measure""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20b_quantiles_cont" -> (q20bQuantilesCont _),
+    "q30_window_dialect" -> (q30WindowDialect _),
+    "q31_unpivot" -> (q31Unpivot _),
     "q26_parse_dialect" -> (q26ParseDialect _),
     "q27_rolling_window" -> (q27RollingWindow _),
     "q28_qualify" -> (q28Qualify _),
@@ -1036,6 +1152,9 @@ object SqlSurface {
     "q15b_sessions_window" -> (q15bSessionsWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q20b_quantiles_cont" -> q20bQuantilesContSql,
+    "q30_window_dialect" -> q30WindowDialectSql,
+    "q31_unpivot" -> q31UnpivotSql,
     "q26_parse_dialect" -> q26ParseDialectSql,
     "q27_rolling_window" -> q27RollingWindowSql,
     "q28_qualify" -> q28QualifySql,

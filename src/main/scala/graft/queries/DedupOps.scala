@@ -1021,10 +1021,16 @@ object DedupOps {
     * hash, so even a collision would agree by construction). */
   val SpanGramK = 5
 
-  def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame =
+    substringSpansOf(Tables.load(spark, sfDir, "documents"))
+
+  /** The same span detection over ANY (doc_id, text) frame — the form
+    * the spec drives with planted fixtures. */
+  private[graft] def substringSpansOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val K = SpanGramK
-    val grams = Tables.load(spark, sfDir, "documents")
+    val grams = docs
       .select($"doc_id", split(normText($"text"), " ").as("w"))
       .filter(size($"w") >= K)
       .select($"doc_id", posexplode(expr(

@@ -17,10 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SqlSurface.queries ++ EtlOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++
-      RangeJoinOps.queries ++ DimOps.queries ++ graft.etl.DemoDag.queries
+      RangeJoinOps.queries ++ DimOps.queries ++ FuzzyJoin.queries ++
+      graft.etl.DemoDag.queries
 
   def oracleSql: Map[String, String] =
     SqlSurface.oracles ++ EtlOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ AnnOps.oracles ++ MultimodalOps.oracles ++
-      RangeJoinOps.oracles ++ DimOps.oracles ++ graft.etl.DemoDag.oracles
+      RangeJoinOps.oracles ++ DimOps.oracles ++ FuzzyJoin.oracles ++
+      graft.etl.DemoDag.oracles
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bounded edit-distance similarity join — the record-linkage /
+  * entity-resolution primitive (matching customer or vendor names
+  * across sources) the reference's SQL surface would hand to
+  * `editdist3`-style UDFs on a single node.
+  *
+  * The distributed design is the FastSS / SymSpell deletion
+  * neighborhood: for edit distance ≤ 1, every string expands to its
+  * L+1 delete-one variants, and any pair within distance 1 is
+  * GUARANTEED to share a variant (substitution → delete the differing
+  * position from both; insert/delete → the shorter string IS a variant
+  * of the longer; equality → the string itself). The variant equi-join
+  * therefore produces a complete candidate set — no all-pairs stage,
+  * no cartesian — and one exact `levenshtein` pass over candidates
+  * removes the false positives the neighborhood admits (sharing a
+  * variant only bounds the distance by 2).
+  *
+  * Scale shape: the variant index is (L+1)·n rows keyed by a 60-bit
+  * md5 prefix (8 bytes on the wire, never the variant string); the
+  * self-join fans out per variant bucket — bucket sizes are bounded by
+  * how many corpus strings collapse onto one deletion form, the same
+  * df-bounded shape as the shingle inverted index. The oracle computes
+  * the same answer the O(n²) way (DuckDB at sf0.01), so the blocking
+  * scheme's completeness is hash-verified, not assumed.
+  */
+object FuzzyJoin {
+
+  /** All delete-one variants of a string, the string itself included —
+    * hashed to 60-bit longs before any shuffle. */
+  private def variantHashes(name: Column): Column = {
+    val deletes = expr(
+      "transform(sequence(1, length(name)), " +
+        "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")
+    array_distinct(concat(array(name), deletes))
+  }
+
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Edit-distance ≤ 1 pairs over any (id, name) frame. */
+  private[graft] def pairsWithin1(names: DataFrame): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    val variants = names
+      .select($"id", $"name", explode(variantHashes($"name")).as("v"))
+      .select($"id", $"name", hash60($"v").as("vh"))
+    val l = variants.select($"vh", $"id".as("id1"), $"name".as("name1"))
+    val r = variants.select($"vh", $"id".as("id2"), $"name".as("name2"))
+    l.join(r.hint("shuffle_hash"), Seq("vh"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", $"name1", $"name2")
+      .distinct()
+      .filter(levenshtein($"name1", $"name2") <= 1)
+      .select($"id1", $"id2",
+        levenshtein($"name1", $"name2").cast("long").as("dist"))
+  }
+
+  /** Oracle entry: distance-≤1 customer-name pairs via the deletion
+    * neighborhood, checked against DuckDB's naive pairwise scan. */
+  def fuzzyJoinNames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("id"), $"c_name".as("name"))
+    pairsWithin1(names).orderBy($"id1", $"id2")
+  }
+
+  val fuzzyJoinNamesSql: String =
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id1, id2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join_names" -> (fuzzyJoinNames _))
+
+  val oracles: Map[String, String] = Map(
+    "fuzzy_join_names" -> fuzzyJoinNamesSql)
+}

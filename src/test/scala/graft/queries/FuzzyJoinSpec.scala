@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Completeness of the FastSS deletion-neighborhood blocking: on a
+  * random corpus over a tiny alphabet (dense distance-1 collisions),
+  * [[FuzzyJoin.pairsWithin1]] must equal the naive O(n²) sweep — the
+  * candidate join may only ever ADD candidates the exact filter
+  * removes, never lose a true pair. */
+class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("deletion-neighborhood join equals the naive pairwise sweep") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    // lengths 1..6 over {a,b,c}: equal strings excluded (distinct ids,
+    // distinct names), many true distance-1 pairs, many shared-variant
+    // false candidates (distance-2) the exact filter must drop
+    val names = (0 until 120).map(_ =>
+      (1 to (1 + rng.nextInt(6))).map(_ => ('a' + rng.nextInt(3)).toChar)
+        .mkString).distinct.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }
+    val expected = (for {
+      (i1, n1) <- names.map { case (i, n) => (i, n) }
+      (i2, n2) <- names if i1 < i2 && lev(n1, n2) <= 1
+    } yield (i1, i2, lev(n1, n2).toLong)).toSet
+    assert(expected.nonEmpty, "fixture must contain true pairs")
+    assert(expected.exists(_._3 == 1L))
+    val got = FuzzyJoin.pairsWithin1(names.toDF("id", "name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+}

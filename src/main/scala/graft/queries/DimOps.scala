@@ -329,6 +329,146 @@ object DimOps {
       |  MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN bin END) / 10.0 AS p99
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------- incremental JOIN maintenance
+  /** Materialized-JOIN maintenance — the other half of incremental
+    * view maintenance next to [[rollupIncremental]]'s aggregates. A
+    * stored denormalized join M = A ⋈ B under appends to BOTH sides
+    * follows the classic delta rule
+    *
+    *   M_new = M ∪ (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * so extending M costs three Θ(Δ·matches) key-partitioned joins —
+    * the stored old ⋈ old is NEVER recomputed and history is never
+    * rewritten (each term lands as one batch-tagged idempotent
+    * append; an at-least-once replay replaces its own files). The
+    * A_old ⋈ ΔB term is the expensive one at 100 TB (old facts × new
+    * dim rows) — it stays a key-partitioned equi-join on the fact
+    * side's join key, and when ΔB is append-only NEW keys (the usual
+    * dimension growth), only facts referencing those keys move.
+    *
+    * The serve projects a per-segment count, a decimal revenue sum,
+    * AND a content fingerprint (sum of a 48-bit md5 prefix over the
+    * row identity) so the oracle hash is sensitive to ROW CONTENT of
+    * the maintained join, not just its cardinality — a lost or
+    * doubled row anywhere in the four terms breaks the fingerprint. */
+  def joinIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast(DecimalType(18, 6)).as("price"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    val (oldO, newO) = (orders.filter(pmod($"o_orderkey", lit(4)) =!= 0),
+      orders.filter(pmod($"o_orderkey", lit(4)) === 0))
+    val (oldC, newC) = (cust.filter(pmod($"c_custkey", lit(5)) =!= 0),
+      cust.filter(pmod($"c_custkey", lit(5)) === 0))
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_deltajoin_q_").toString,
+      sfDir)
+    val table = graft.etl.TableName.parse("mart.orders_enriched")
+    deltaJoinMaintain(wh, table, oldO, newO, oldC, newC)
+    spark.table(table.quoted)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"price").cast("double").as("revenue"),
+        sum(conv(substring(md5(concat_ws("|",
+          $"o_orderkey", $"c_name")), 1, 12), 16, 10).cast("long"))
+          .as("content_fp"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** The enriched-join projection shared by every delta term. */
+  private def enrichJoin(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.hint("shuffle_hash"), a("o_custkey") === b("c_custkey"))
+      .select(a("o_orderkey"), a("o_custkey"), a("price"), b("c_name"),
+        b("c_mktsegment"))
+
+  /** Seed the stored join from old ⋈ old, then append the three delta
+    * terms batch-tagged — the spec replays a tag to prove the append
+    * is idempotent and diffs the stored rows against a direct join. */
+  private[graft] def deltaJoinMaintain(wh: graft.etl.Warehouse,
+                                       table: graft.etl.TableName,
+                                       oldO: DataFrame, newO: DataFrame,
+                                       oldC: DataFrame, newC: DataFrame): Unit = {
+    wh.writeTable(table, enrichJoin(oldO, oldC))
+    wh.appendToTableIdempotent(table, enrichJoin(newO, oldC), "delta-orders")
+    wh.appendToTableIdempotent(table, enrichJoin(oldO, newC), "delta-cust")
+    wh.appendToTableIdempotent(table, enrichJoin(newO, newC), "delta-both")
+    ()
+  }
+
+  val joinIncrementalSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(('0x' || substring(md5(o_orderkey || '|' || c_name), 1, 12)) AS BIGINT)) AS BIGINT) AS content_fp
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------ row-level CDC diff
+  /** Row-level CHANGE-DATA-CAPTURE between two dimension snapshots —
+    * the change feed (insert / update / delete + before/after images)
+    * a downstream consumer replays, computed from ONE key-partitioned
+    * full-outer join; unchanged keys are dropped by a null-safe
+    * struct compare. The snapshot derivation reuses
+    * [[scd2MergeDim]]'s deterministic "six months later" state so the
+    * oracle sees identical inputs. At scale this is the file-level
+    * [[graft.etl.Warehouse]] snapshot diff pushed down to rows: the
+    * join is the only shuffle, never broadcast (both snapshots are
+    * corpus-sized), and the change feed is Θ(|changed keys|). */
+  def cdcDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, sfDir, "customer")
+    val v1 = cust.select($"c_custkey".as("k"),
+      struct($"c_name", $"c_acctbal", $"c_mktsegment").as("a1"))
+    val v2 = cust
+      .filter(pmod($"c_custkey", lit(17)) =!= 4)
+      .select($"c_custkey".as("k"),
+        struct(
+          $"c_name",
+          when(pmod($"c_custkey", lit(7)) === 3, $"c_acctbal" + lit(100.0))
+            .otherwise($"c_acctbal").as("c_acctbal"),
+          when(pmod($"c_custkey", lit(11)) === 5, lit("MACHINERY"))
+            .otherwise($"c_mktsegment").as("c_mktsegment")).as("a2"))
+      .unionByName(cust
+        .filter(pmod($"c_custkey", lit(13)) === 0)
+        .select(($"c_custkey" + lit(1000000L)).as("k"),
+          struct($"c_name", lit(50.0).as("c_acctbal"),
+            lit("BUILDING").as("c_mktsegment")).as("a2")))
+    v1.join(v2.hint("shuffle_hash"), Seq("k"), "full_outer")
+      .withColumn("op",
+        when($"a1".isNull, "I")
+          .when($"a2".isNull, "D")
+          .when(!($"a1" <=> $"a2"), "U"))
+      .filter($"op".isNotNull)
+      .select($"k".as("customer_key"), $"op",
+        $"a1.c_acctbal".as("old_acctbal"), $"a2.c_acctbal".as("new_acctbal"),
+        $"a1.c_mktsegment".as("old_segment"),
+        $"a2.c_mktsegment".as("new_segment"))
+      .orderBy($"customer_key")
+  }
+
+  val cdcDiffSql: String =
+    """WITH v2 AS (
+      |  SELECT c_custkey AS k, c_name,
+      |    CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey % 11 = 5 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 17 <> 4
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, 50.0, 'BUILDING'
+      |  FROM customer WHERE c_custkey % 13 = 0
+      |)
+      |SELECT COALESCE(a.c_custkey, b.k) AS customer_key,
+      |  CASE WHEN a.c_custkey IS NULL THEN 'I'
+      |       WHEN b.k IS NULL THEN 'D'
+      |       ELSE 'U' END AS op,
+      |  a.c_acctbal AS old_acctbal, b.c_acctbal AS new_acctbal,
+      |  a.c_mktsegment AS old_segment, b.c_mktsegment AS new_segment
+      |FROM customer a FULL OUTER JOIN v2 b ON a.c_custkey = b.k
+      |WHERE a.c_custkey IS NULL OR b.k IS NULL
+      |   OR a.c_name <> b.c_name OR a.c_acctbal <> b.c_acctbal
+      |   OR a.c_mktsegment <> b.c_mktsegment
+      |ORDER BY customer_key""".stripMargin
+
   // ------------------------------------------------- shared SCD2 core
   /** Open every snapshot row as the dimension's first version — the
     * seed of an SCD2 table maintained by [[scd2Upsert]]. */
@@ -392,10 +532,14 @@ object DimOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge_dim" -> (scd2MergeDim _),
     "rollup_incremental" -> (rollupIncremental _),
-    "quantile_histogram" -> (quantileHistogram _))
+    "quantile_histogram" -> (quantileHistogram _),
+    "join_incremental" -> (joinIncremental _),
+    "cdc_diff" -> (cdcDiff _))
 
   val oracles: Map[String, String] = Map(
     "scd2_merge_dim" -> scd2MergeDimSql,
     "rollup_incremental" -> rollupIncrementalSql,
-    "quantile_histogram" -> quantileHistogramSql)
+    "quantile_histogram" -> quantileHistogramSql,
+    "join_incremental" -> joinIncrementalSql,
+    "cdc_diff" -> cdcDiffSql)
 }

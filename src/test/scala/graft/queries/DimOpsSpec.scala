@@ -264,4 +264,41 @@ class DimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"sum mismatch at ${m.getString(0)}/${m.getString(1)}")
     }
   }
+
+  test("delta-join maintenance equals the direct join; tag replay is idempotent") {
+    val s = spark
+    import s.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast(DecimalType(18, 6)).as("price"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    val (oldO, newO) = (orders.filter(pmod($"o_orderkey", lit(4)) =!= 0),
+      orders.filter(pmod($"o_orderkey", lit(4)) === 0))
+    val (oldC, newC) = (cust.filter(pmod($"c_custkey", lit(5)) =!= 0),
+      cust.filter(pmod($"c_custkey", lit(5)) === 0))
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_deltajoin_t_").toString,
+      sfDir)
+    val table = graft.etl.TableName.parse("mart.orders_enriched_t")
+    DimOps.deltaJoinMaintain(wh, table, oldO, newO, oldC, newC)
+    def storedKeys() = spark.table(table.quoted)
+      .select($"o_orderkey", $"o_custkey", $"c_name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val afterBuild = storedKeys()
+    // stored = direct inner join, row-for-row
+    val direct = orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+      .select($"o_orderkey", $"o_custkey", $"c_name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(afterBuild == direct, "delta-maintained join != direct join")
+    // at-least-once replay of one delta term changes NOTHING
+    val replay = newO.join(oldC.hint("shuffle_hash"),
+        newO("o_custkey") === oldC("c_custkey"))
+      .select(newO("o_orderkey"), newO("o_custkey"), newO("price"),
+        oldC("c_name"), oldC("c_mktsegment"))
+    assert(!wh.appendToTableIdempotent(table, replay, "delta-orders"),
+      "replayed tag must be skipped")
+    spark.catalog.refreshTable(table.quoted)
+    assert(storedKeys() == afterBuild, "replay mutated the stored join")
+  }
 }

@@ -53,6 +53,28 @@ object FileSkipIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Pad an aggregated stats frame with zero-row entries for files the
+    * row-level aggregate never saw: a writer CAN leave an empty
+    * parquet file behind (an empty task partition), and without a
+    * stats row for it the indexed set never equals the live listing —
+    * the staleness guard would then force a full-scan fallback
+    * forever. Empty files get `row_count = 0` and null stats, which
+    * every pruning predicate already treats as "cannot match". */
+  private def completeStats(stats: DataFrame, files: Set[String]): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val have = stats.select(col("file")).collect().map(_.getString(0)).toSet
+    val missing = (files -- have).toSeq.sorted
+    if (missing.isEmpty) stats
+    else {
+      val zero = stats.schema.fields.drop(2).foldLeft(
+        missing.toDF("file").withColumn("row_count", lit(0L))) {
+        (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      stats.unionByName(zero)
+    }
+  }
+
   /** Build (or rebuild) the stats table for `target`. One pass over
     * the table, column-pruned to the indexed columns (the parquet
     * scan reads only `cols`), map-side-combinable min/max per file —
@@ -60,7 +82,10 @@ object FileSkipIndex {
   def build(wh: Warehouse, target: TableName, cols: Seq[String]): TableName = {
     require(cols.nonEmpty, "index at least one column")
     val st = statsTable(target)
-    wh.writeTable(st, statsOf(wh.spark.table(target.quoted), cols))
+    val stats = statsOf(wh.spark.table(target.quoted), cols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wh.writeTable(st, completeStats(stats, liveFiles(wh.spark, target)))
+    stats.unpersist()
     st
   }
 
@@ -81,7 +106,10 @@ object FileSkipIndex {
     val fresh = (liveFiles(spark, target) -- known).toSeq.sorted
     if (fresh.isEmpty) 0
     else {
-      wh.appendToTable(st, statsOf(spark.read.parquet(fresh: _*), cols))
+      val stats = statsOf(spark.read.parquet(fresh: _*), cols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wh.appendToTable(st, completeStats(stats, fresh.toSet))
+      stats.unpersist()
       fresh.length
     }
   }
@@ -106,6 +134,113 @@ object FileSkipIndex {
       val n = f.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }).map(f => normFile(f.getPath.toString)).toSet
+  }
+
+  // ------------------------------------------------ bloom file skipping
+  /** Per-file BLOOM filters — the equality-predicate complement of the
+    * min/max zone map. A point lookup on a HIGH-CARDINALITY column
+    * whose values are scattered across files (the usual fact-table
+    * shape unless the table is sorted on exactly that column) gets
+    * nothing from min/max — every file's [min,max] spans the whole
+    * domain — but a per-file bloom answers "could this file hold
+    * value v" with a bounded false-positive rate, so the scan reads
+    * ~fpp·#files instead of all of them. This is Parquet's optional
+    * column bloom filter lifted to the FILE level and stored as a
+    * warehouse table, for the same reason as the min/max index: at
+    * 100 TB the win is pruning the file LIST driver-side before any
+    * footer is opened.
+    *
+    * Layout: one row per file — `file`, `row_count`, `bloom`
+    * (Spark's `BloomFilterAggregate` bytes over the LONG column).
+    * Sized by `expectedItems` per file (~0.9 bytes/item at the
+    * default 3% fpp); the index stays metadata-priced relative to
+    * data. Maintenance mirrors the min/max index: [[refreshBloom]]
+    * aggregates only unindexed files; the staleness guard falls back
+    * to the full scan whenever the indexed file set drifts from the
+    * live listing. */
+  def bloomTable(target: TableName): TableName =
+    TableName(target.schema, target.table + "__filebloom")
+
+  private def bloomStatsOf(df: DataFrame, c: String,
+                           expectedItems: Long): DataFrame = {
+    graft.queries.DotF.register(df.sparkSession) // bloom_agg
+    df.groupBy(normFile(col("_metadata.file_path")).as("file"))
+      .agg(count(lit(1)).as("row_count"),
+        call_function("bloom_agg", col(c).cast("long"), lit(expectedItems))
+          .as("bloom"))
+  }
+
+  /** Build (or rebuild) the bloom side-table for a LONG-typed column.
+    * One column-pruned pass; the bloom aggregate is map-side
+    * combinable (bit-OR merge), so the shuffle carries one filter per
+    * (file, partial). */
+  def buildBloom(wh: Warehouse, target: TableName, c: String,
+                 expectedItems: Long = 1000000L): TableName = {
+    val bt = bloomTable(target)
+    val stats = bloomStatsOf(wh.spark.table(target.quoted), c, expectedItems)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wh.writeTable(bt, completeStats(stats, liveFiles(wh.spark, target)))
+    stats.unpersist()
+    bt
+  }
+
+  /** Incremental bloom maintenance after appends — Θ(appended data),
+    * listing-diff driven, same contract as [[refresh]]. */
+  def refreshBloom(wh: Warehouse, target: TableName, c: String,
+                   expectedItems: Long = 1000000L): Int = {
+    val spark = wh.spark
+    val bt = bloomTable(target)
+    val known = spark.table(bt.quoted).select(col("file"))
+      .collect().map(_.getString(0)).toSet
+    val fresh = (liveFiles(spark, target) -- known).toSeq.sorted
+    if (fresh.isEmpty) 0
+    else {
+      val stats = bloomStatsOf(spark.read.parquet(fresh: _*), c, expectedItems)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wh.appendToTable(bt, completeStats(stats, fresh.toSet))
+      stats.unpersist()
+      fresh.length
+    }
+  }
+
+  /** Point/IN-list pruned scan on a bloom-indexed LONG column: a file
+    * is a candidate iff its bloom might contain ANY probed value (an
+    * all-null file carries a null bloom and is never a candidate — an
+    * equality predicate cannot match null). The membership test runs
+    * over the stats table (one row per FILE, metadata-priced — Spark's
+    * `BloomFilterMightContain` demands a literal filter side, so the
+    * per-row probe deserializes the sketch directly); the residual
+    * `IN` filter on top keeps pruning a superset optimization, with
+    * the same staleness guard as [[prunedScan]]. */
+  def prunedScanIn(spark: SparkSession, target: TableName, c: String,
+                   values: Seq[Long]): Pruned = {
+    require(values.nonEmpty, "probe at least one value")
+    val bt = bloomTable(target)
+    val stats = spark.table(bt.quoted)
+    val indexed = stats.select(col("file")).collect().map(_.getString(0)).toSet
+    val pred = col(c).isin(values: _*)
+    val live = liveFiles(spark, target)
+    if (indexed != live)
+      return Pruned(spark.table(target.quoted).filter(pred),
+        live.size, live.size, stale = true)
+    import spark.implicits._
+    val vs = values.toArray
+    val candidates = stats.select(col("file"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.collect { case (f, b) if b != null => (f, b) }
+        .filter { case (_, bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          vs.exists(bf.mightContainLong)
+        }.map(_._1))
+      .collect()
+    val df =
+      if (candidates.isEmpty)
+        spark.table(target.quoted).filter(lit(false))
+      else
+        spark.read.schema(spark.table(target.quoted).schema)
+          .parquet(candidates.toIndexedSeq: _*).filter(pred)
+    Pruned(df, candidates.length, indexed.size)
   }
 
   /** Closed-interval pruned scan on an indexed column. Files whose

@@ -382,6 +382,34 @@ object EtlOps {
        |  AND o_orderdate <= TIMESTAMP '1996-06-30 23:59:59'
        |GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** BLOOM file skipping under the oracle hash: the table is
+    * deliberately laid out AGAINST the probe column (hash-partitioned
+    * by event_type, so every file spans the whole event_id domain and
+    * the min/max zone map prunes nothing) — the per-file bloom is what
+    * cuts the point-lookup read set to ~|probe| files. The pruned
+    * read must still return exactly the plain `IN` filter's rows;
+    * FileSkipIndexSpec owns the pruning-ratio and staleness
+    * assertions. */
+  def skipIndexBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.etl.{FileSkipIndex, TableName, Warehouse}
+    val whDir = java.nio.file.Files.createTempDirectory("graft_bloom_wh_").toString
+    val wh = new Warehouse(spark, whDir, sfDir)
+    val t = TableName.parse("skip.events_by_type")
+    wh.writeTable(t, Tables.load(spark, sfDir, "events")
+      .repartition(8, $"event_type"))
+    FileSkipIndex.buildBloom(wh, t, "event_id", expectedItems = 65536L)
+    val probes = Seq(17L, 4242L, 7311L)
+    FileSkipIndex.prunedScanIn(spark, t, "event_id", probes).df
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  val skipIndexBloomSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_id IN (17, 4242, 7311)
+      |ORDER BY event_id""".stripMargin
+
   /** A one-relation designs dir in the reference layout, so the entry
     * exercises the REAL `Cli extract` command, not a shortcut. */
   private def writeDesignDir(design: graft.etl.TableDesign): String = {
@@ -567,7 +595,8 @@ object EtlOps {
     "s6_sampling_extract" -> (s6SamplingExtract _),
     "p2_cast_projection" -> (p2CastProjection _),
     "p4_limit" -> (p4Limit _),
-    "skip_index_scan" -> (skipIndexScan _))
+    "skip_index_scan" -> (skipIndexScan _),
+    "skip_index_bloom" -> (skipIndexBloom _))
 
   val oracles: Map[String, String] = Map(
     "profile_documents" -> profileDocumentsSql,
@@ -586,5 +615,6 @@ object EtlOps {
     "s6_sampling_extract" -> s6SamplingExtractSql,
     "p2_cast_projection" -> p2CastProjectionSql,
     "p4_limit" -> p4LimitSql,
-    "skip_index_scan" -> skipIndexScanSql)
+    "skip_index_scan" -> skipIndexScanSql,
+    "skip_index_bloom" -> skipIndexBloomSql)
 }

@@ -126,4 +126,68 @@ class FileSkipIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the all-null file must be pruned: ${p.filesRead}/${p.filesTotal}")
     assert(p.df.count() == 5, "only non-null in-range rows qualify")
   }
+
+  test("bloom skipping prunes point lookups on a scattered column") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("skip.bloom")
+    // 16 files HASH-partitioned on tag: every file's [min,max] over v
+    // spans nearly the whole domain, so the zone map cannot prune —
+    // the bloom is the only thing standing between a point lookup and
+    // a full scan
+    val df = spark.range(0, 4000).select($"id".as("v"), ($"id" % 16).as("tag"))
+    wh.writeTable(t, df.repartition(16, $"tag"))
+    FileSkipIndex.buildBloom(wh, t, "v", expectedItems = 4096L)
+    val probes = Seq(37L, 1999L, 3777L)
+    val p = FileSkipIndex.prunedScanIn(spark, t, "v", probes)
+    // the writer may leave zero-row files behind (empty hash
+    // partitions); the index carries zero-row stats entries for them
+    // or this scan would stale-fallback forever
+    assert(!p.stale, "freshly built index must match the live listing")
+    // 16 hash partitions collapse to ~11 non-empty files (tag-hash
+    // collisions); what matters is that there are many files, each
+    // spanning the domain
+    assert(p.filesTotal >= 10, s"expected ~11-16 files, got ${p.filesTotal}")
+    // 3 probed values live in ≤3 files; a 1%-class fpp adds at most a
+    // couple of false candidates — far from the full listing
+    assert(p.filesRead <= 6, s"read ${p.filesRead} of ${p.filesTotal}")
+    assert(p.df.orderBy($"v").collect().map(_.getLong(0)).toSeq == probes)
+    // min/max over the same layout proves the contrast: it reads all
+    val st = FileSkipIndex.build(wh, t, Seq("v"))
+    val zm = FileSkipIndex.prunedScan(spark, t, "v", lit(1999L), lit(1999L))
+    assert(zm.filesRead >= p.filesTotal - 1,
+      s"zone map should be useless here, read ${zm.filesRead}")
+    assert(spark.table(st.quoted).count() == p.filesTotal.toLong)
+  }
+
+  test("bloom refresh is incremental; all-null batch never a candidate; staleness falls back") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("skip.bloomacc")
+    wh.writeTable(t, spark.range(0, 500).select($"id".as("v"))
+      .repartition(4))
+    val bt = FileSkipIndex.buildBloom(wh, t, "v", expectedItems = 1024L)
+    val base = spark.table(bt.quoted).count()
+    assert(wh.appendToTableIdempotent(t,
+      Seq(9001L, 9002L).toDF("v").coalesce(1), "b0"))
+    assert(wh.appendToTableIdempotent(t,
+      Seq[Option[Long]](None, None).toDF("v").coalesce(1), "bnull"))
+    assert(FileSkipIndex.refreshBloom(wh, t, "v", 1024L) == 2)
+    assert(FileSkipIndex.refreshBloom(wh, t, "v", 1024L) == 0)
+    assert(spark.table(bt.quoted).count() == base + 2)
+    val p = FileSkipIndex.prunedScanIn(spark, t, "v", Seq(9001L))
+    assert(!p.stale && p.df.collect().map(_.getLong(0)).toSeq == Seq(9001L))
+    assert(p.filesRead <= 2, s"read ${p.filesRead} of ${p.filesTotal}")
+    // compaction invalidates the indexed file set → full-scan fallback
+    (0 until 40).foreach { i =>
+      assert(wh.appendToTableIdempotent(t,
+        Seq(20000L + i).toDF("v").coalesce(1), s"c$i"))
+    }
+    assert(wh.compactTable(t, maxDataFiles = 8).isDefined)
+    val stale = FileSkipIndex.prunedScanIn(spark, t, "v", Seq(20005L))
+    assert(stale.stale, "post-compaction scan must report staleness")
+    assert(stale.df.collect().map(_.getLong(0)).toSeq == Seq(20005L))
+  }
 }

@@ -292,6 +292,34 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming maintenance of the STORED retrieval index
+    * ([[graft.queries.TextOps.buildRetrievalIndex]]'s three tables):
+    * each micro-batch of (doc_id, text) rows lands as Θ(batch)
+    * batch-id-tagged idempotent appends — postings for the new docs,
+    * df MONOID PARTIALS (summed at query time, existing rows never
+    * rewritten), and a corpus-size partial. Ingest-to-searchable is
+    * one micro-batch; queries keep reading the same tables. A replay
+    * after an at-least-once restart re-applies under the same tag and
+    * is skipped (the first batch seeds the tables; replaying THAT
+    * batch rewrites identical rows — still convergent). */
+  def retrievalIndexStream(wh: graft.etl.Warehouse,
+                           base: String,
+                           docs: DataFrame,
+                           checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val tfTable = graft.etl.TableName.parse(s"$base" + "_tf")
+        if (!batch.sparkSession.catalog.tableExists(tfTable.quoted))
+          graft.queries.TextOps.buildRetrievalIndex(wh, batch, base)
+        else
+          graft.queries.TextOps.appendRetrievalBatch(
+            wh, batch, base, s"ret-batch-$id")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming maintenance of the [[graft.queries.DimOps]] histogram
     * quantile rollup: each micro-batch's (day, type, bin) counts are
     * appended with the batch-id-tagged idempotent append, so an

@@ -257,6 +257,47 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1000L, 1001L, 2000L))
   }
 
+  test("retrievalIndexStream: streamed docs become searchable; equals batch index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.Warehouse
+    import graft.queries.{Tables, TextOps}
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val queriesSpec = Seq(1L -> "data model layer", 2L -> "quick brown fox")
+    // batch ground truth: one-shot index over the full corpus
+    val whB = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_rets_whb_").toString, sfDir)
+    TextOps.buildRetrievalIndex(whB,
+      docs.toDF("doc_id", "text"), "search.batch_docs")
+    val expected = TextOps.retrievalTopkStored(spark, "search.batch_docs",
+      queriesSpec).collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+    // streaming: same corpus in three micro-batches
+    val whS = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_rets_whs_").toString, sfDir)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.retrievalIndexStream(whS, "search.stream_docs",
+      input.toDF.toDF("doc_id", "text"),
+      java.nio.file.Files.createTempDirectory("graft_rets_ck_").toString)
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = TextOps.retrievalTopkStored(spark, "search.stream_docs",
+      queriesSpec).collect().map(_.toSeq).toSeq
+    assert(got == expected, "streamed index must answer exactly like batch")
+    // a replayed batch tag is a no-op: re-append batch 2 under its tag
+    TextOps.appendRetrievalBatch(whS, b2.toDF("doc_id", "text"),
+      "search.stream_docs", "ret-batch-1")
+    val replayed = TextOps.retrievalTopkStored(spark, "search.stream_docs",
+      queriesSpec).collect().map(_.toSeq).toSeq
+    assert(replayed == expected, "replay must not change scores")
+  }
+
   test("valueHistogramStream: stored rollup converges to the batch histogram") {
     val s = spark
     import s.implicits._

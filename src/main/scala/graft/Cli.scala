@@ -53,6 +53,9 @@ object Cli {
         |  show_lineage   --designs DIR [--select PATTERN]
         |  build_skip_index   --data DIR --warehouse DIR --table SCHEMA.TABLE --columns C1[,C2...]
         |  refresh_skip_index --data DIR --warehouse DIR --table SCHEMA.TABLE --columns C1[,C2...]
+        |  build_bloom_index   --data DIR --warehouse DIR --table SCHEMA.TABLE --column C [--expected-items N]
+        |  refresh_bloom_index --data DIR --warehouse DIR --table SCHEMA.TABLE --column C [--expected-items N]
+        |  optimize       --data DIR --warehouse DIR --table SCHEMA.TABLE [--zorder C1[,C2...]] [--dry-run]
         |  create_snapshot  --designs DIR --data DIR --warehouse DIR --tag TAG [--select PATTERN]
         |  list_snapshots   --data DIR --warehouse DIR
         |  drop_snapshot    --data DIR --warehouse DIR --tag TAG
@@ -265,6 +268,29 @@ object Cli {
             vr.refused.mkString(", "))
           1
         } else 0
+      case "optimize" =>
+        // OPTIMIZE TABLE [--zorder c1,c2]: clustered rewrite of an
+        // append-grown table through the versioned-build pointer swap —
+        // Delta's OPTIMIZE ZORDER BY over plain parquet. Without
+        // --zorder it degenerates to an unconditional compaction.
+        val wh = warehouse
+        val name = TableName.parse(opts.getOrElse("table", usage()))
+        val zcols = opts.get("zorder").toSeq.flatMap(_.split(',').toSeq)
+          .map(_.trim).filter(_.nonEmpty)
+        val dry = opts.contains("dry-run")
+        wh.compactTable(name, maxDataFiles = 0, dryRun = dry,
+          clusterBy = zcols) match {
+          case Some((before, _)) if dry =>
+            println(s"[optimize] would rewrite ${name.quoted}: " +
+              s"$before files (dry run)"); 0
+          case Some((before, after)) =>
+            val how = if (zcols.isEmpty) "compacted"
+              else s"z-ordered on ${zcols.mkString(",")}"
+            println(s"[optimize] $how ${name.quoted}: $before -> $after files")
+            0
+          case None =>
+            println(s"[optimize] ${name.quoted} already within bounds"); 0
+        }
       case "build_skip_index" | "refresh_skip_index" =>
         // file-level min/max data-skipping index lifecycle (the
         // explicit zone-map; scan pruning happens via
@@ -280,6 +306,28 @@ object Cli {
           } else {
             val n = FileSkipIndex.refresh(warehouse, table, cols)
             println(s"[skip_index] indexed $n new file(s) for ${table.identifier}")
+          }
+          0
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            System.err.println(s"[error] ${e.getMessage}")
+            1
+        }
+      case "build_bloom_index" | "refresh_bloom_index" =>
+        // per-file bloom skipping lifecycle (the equality-predicate
+        // complement of the zone map; pruning via
+        // FileSkipIndex.prunedScanIn in transform code)
+        val table = TableName.parse(opts.getOrElse("table", usage()))
+        val col = opts.getOrElse("column", usage()).trim
+        val items = opts.get("expected-items").map(_.toLong).getOrElse(1000000L)
+        try {
+          if (command == "build_bloom_index") {
+            val bt = FileSkipIndex.buildBloom(warehouse, table, col, items)
+            println(s"[bloom_index] built ${bt.identifier} over " +
+              s"${spark.table(bt.quoted).count()} file(s)")
+          } else {
+            val n = FileSkipIndex.refreshBloom(warehouse, table, col, items)
+            println(s"[bloom_index] indexed $n new file(s) for ${table.identifier}")
           }
           0
         } catch {

@@ -567,7 +567,8 @@ final class Warehouse(
     * the table WOULD compact, touching nothing. */
   def compactTable(target: TableName,
                    maxDataFiles: Int = 64,
-                   dryRun: Boolean = false): Option[(Int, Int)] = {
+                   dryRun: Boolean = false,
+                   clusterBy: Seq[String] = Nil): Option[(Int, Int)] = {
     val loc = appendLocation(target)
     val hp = new org.apache.hadoop.fs.Path(loc)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -577,10 +578,16 @@ final class Warehouse(
         !n.startsWith("_") && !n.startsWith(".")
       })
     val before = dataFiles(hp).length
-    if (before <= maxDataFiles) return None
+    // a plain compaction below the file-count threshold is a no-op;
+    // a CLUSTERED rewrite (OPTIMIZE ... ZORDER) runs regardless —
+    // re-establishing locality after unsorted appends is its point
+    if (clusterBy.isEmpty && before <= maxDataFiles) return None
     if (dryRun) return Some((before, before))
     val newLoc = dataLocation(target, buildCounter.incrementAndGet())
-    spark.read.parquet(loc).write.mode("overwrite").parquet(newLoc)
+    val source = spark.read.parquet(loc)
+    val rewritten =
+      if (clusterBy.isEmpty) source else zorderClustered(source, clusterBy)
+    rewritten.write.mode("overwrite").parquet(newLoc)
     fs.listStatus(hp).filter(_.getPath.getName.startsWith("_applied_"))
       .foreach { m =>
         fs.create(new org.apache.hadoop.fs.Path(newLoc, m.getPath.getName)).close()

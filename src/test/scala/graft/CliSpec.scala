@@ -146,6 +146,41 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally System.setErr(prevErr)
   }
 
+  test("cli bloom-index and optimize verbs: build, refresh, clustered rewrite") {
+    val s = spark
+    import s.implicits._
+    val whDir = Files.createTempDirectory("graft_cli_bidx_").toString
+    def run(cmd: String, extra: (String, String)*): (Int, String) =
+      captureOut { Cli.run(spark, cmd, Map(
+        "designs" -> designsDir, "data" -> dataDir, "warehouse" -> whDir) ++ extra) }
+    assert(run("load")._1 == 0)
+    val (c1, out1) = run("build_bloom_index",
+      "table" -> "cli.summary", "column" -> "n", "expected-items" -> "1024")
+    assert(c1 == 0 && out1.contains("built cli.summary__filebloom"), out1)
+    val wh = new etl.Warehouse(spark, whDir, dataDir)
+    assert(wh.appendToTableIdempotent(etl.TableName.parse("cli.summary"),
+      Seq(7L).toDF("n").coalesce(1), "b1"))
+    val (c2, out2) = run("refresh_bloom_index",
+      "table" -> "cli.summary", "column" -> "n", "expected-items" -> "1024")
+    assert(c2 == 0 && out2.contains("indexed 1 new file(s)"), out2)
+    // optimize --dry-run previews without re-pointing
+    val before = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("summary", Some("cli")))
+      .location.getPath
+    val (cd, outd) = run("optimize",
+      "table" -> "cli.summary", "zorder" -> "n", "dry-run" -> "true")
+    assert(cd == 0 && outd.contains("would rewrite"), outd)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("summary", Some("cli")))
+      .location.getPath == before, "dry-run must not re-point")
+    val rows = spark.table("`cli`.`summary`").orderBy($"n").collect().toSeq
+    val (c3, out3) = run("optimize", "table" -> "cli.summary", "zorder" -> "n")
+    assert(c3 == 0 && out3.contains("z-ordered on n"), out3)
+    spark.catalog.refreshTable("`cli`.`summary`")
+    assert(spark.table("`cli`.`summary`").orderBy($"n").collect().toSeq == rows,
+      "optimize must not change table contents")
+  }
+
   test("cli validate passes for a consistent design set") {
     // region must resolve for the dry-run: build it first (done above),
     // then validate sees matching deps/columns.

@@ -1052,6 +1052,50 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(index.quoted).count() == rowsBefore + bandRows)
   }
 
+  test("clustered compaction (OPTIMIZE ZORDER) restores locality after appends") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val wh = freshWarehouse()
+    val t = TableName.parse("rep.zcompact")
+    // seed + appends arrive in SHUFFLED order: no file has locality
+    val grid = scala.util.Random.shuffle(
+      (0 until 64).flatMap(x => (0 until 64).map(y =>
+        (x.toLong * 64 + y, x.toLong, y.toLong))).toList)
+    wh.writeTable(t, grid.take(1000).toDF("id", "x", "y").repartition(3))
+    grid.drop(1000).grouped(1000).zipWithIndex.foreach { case (b, i) =>
+      assert(wh.appendToTableIdempotent(t,
+        b.toDF("id", "x", "y").repartition(2), s"zb$i"))
+    }
+    val rowsBefore = spark.table(t.quoted).count()
+    // clustered rewrite runs even under the file-count threshold
+    val Some((before, after)) =
+      wh.compactTable(t, maxDataFiles = 1000, clusterBy = Seq("x", "y"))
+    assert(before >= 5, s"fixture should have several files, got $before")
+    spark.catalog.refreshTable(t.quoted)
+    assert(spark.table(t.quoted).count() == rowsBefore)
+    // post-optimize: files cover narrow bands of BOTH dimensions
+    val spans = spark.table(t.quoted)
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).cast("double").as("sx"),
+        (max($"y") - min($"y")).cast("double").as("sy"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    assert(spans.size >= 3, s"want several files, got ${spans.size}")
+    val avgX = spans.map(_._1).sum / spans.size / 63.0
+    val avgY = spans.map(_._2).sum / spans.size / 63.0
+    assert(avgX <= 0.7 && avgY <= 0.7,
+      s"optimize did not cluster: avg x span $avgX, avg y span $avgY")
+    // markers carried: a replayed append tag is still a no-op
+    assert(!wh.appendToTableIdempotent(t,
+      Seq((9999L, 1L, 1L)).toDF("id", "x", "y"), "zb0"))
+    // a rebuilt skip index over the clustered layout prunes ranges
+    FileSkipIndex.build(wh, t, Seq("x"))
+    val p = FileSkipIndex.prunedScan(spark, t, "x", lit(0L), lit(7L))
+    assert(!p.stale && p.filesRead < p.filesTotal,
+      s"${p.filesRead}/${p.filesTotal}")
+    assert(p.df.count() == spark.table(t.quoted).filter($"x" <= 7).count())
+  }
+
   test("mergeInto: upsert and delete arms, pointer swap, column-mismatch guard") {
     val s = spark
     import s.implicits._

@@ -47,6 +47,76 @@ object TextOps {
       when(nChars >= 100.0 && nChars <= 2000.0, 0.2).otherwise(0.0)
   }
 
+  // ------------------------------------------------- quality buckets
+  /** CCNet-style quality BUCKETING: split each language's corpus into
+    * head / middle / tail by per-language score terciles (CCNet does
+    * this with perplexity; the combined [[qualityScore]] plays that
+    * role here), so downstream sampling can over-weight the head —
+    * the standard pretraining-data curriculum.
+    *
+    * Scale shape: the naive form is `ntile(3) OVER (PARTITION BY
+    * lang ...)` — which funnels an entire language (billions of docs)
+    * through one task. The scalable form computes the two tercile
+    * CUTOFFS per language as an AGGREGATE (percentile_disc — tiny
+    * result, one row per language), broadcasts them, and assigns
+    * buckets with a per-row comparison — exactly how CCNet ships it
+    * (cutoffs from a sample, assignment via compare). Ties share a
+    * bucket by construction (cutoff compare), so the result is
+    * deterministic without any tiebreak ordering. */
+  def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", qualityScore($"text").as("q"))
+      .createOrReplaceTempView("qb_scored")
+    spark.sql(
+      """WITH cuts AS (
+        |  SELECT lang,
+        |    percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY q) AS c_lo,
+        |    percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY q) AS c_hi
+        |  FROM qb_scored GROUP BY lang
+        |)
+        |SELECT s.doc_id, s.lang, s.q AS quality_score,
+        |  CASE WHEN s.q > c.c_hi THEN 'head'
+        |       WHEN s.q > c.c_lo THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM qb_scored s JOIN cuts c ON s.lang = c.lang
+        |ORDER BY s.doc_id""".stripMargin)
+  }
+
+  /** Oracle derives the discrete tercile cutoffs from first principles
+    * (smallest value with cume_dist ≥ p — the same derivation q20
+    * validated against Spark's percentile_disc). */
+  val qualityBucketsSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    (alpha_chars / n_chars) * 0.4 + (n_stop / n_toks) * 0.4 +
+       |      (CASE WHEN n_chars >= 100.0 AND n_chars <= 2000.0 THEN 0.2 ELSE 0.0 END) AS q
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+       |      CAST(length(text) AS DOUBLE) AS n_chars,
+       |      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ($stopList))) AS DOUBLE) AS n_stop,
+       |      CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_toks
+       |    FROM documents
+       |  )
+       |), ranked AS (
+       |  SELECT lang, q, cume_dist() OVER (PARTITION BY lang ORDER BY q) AS cd
+       |  FROM scored
+       |), cuts AS (
+       |  SELECT lang,
+       |    MIN(CASE WHEN cd >= 0.3333333333333333 THEN q END) AS c_lo,
+       |    MIN(CASE WHEN cd >= 0.6666666666666666 THEN q END) AS c_hi
+       |  FROM ranked GROUP BY lang
+       |)
+       |SELECT s.doc_id, s.lang, s.q AS quality_score,
+       |  CASE WHEN s.q > c.c_hi THEN 'head'
+       |       WHEN s.q > c.c_lo THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s JOIN cuts c ON s.lang = c.lang
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- tokens
   /** Token counting: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation, the shape of a
@@ -1543,6 +1613,7 @@ object TextOps {
     "text_chunk" -> (textChunk _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_quality_buckets" -> (qualityBuckets _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_bpe_tokens" -> (textBpe _),
@@ -1569,6 +1640,7 @@ object TextOps {
     "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
+    "text_quality_buckets" -> qualityBucketsSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_bpe_tokens" -> textBpeSql,

@@ -32,6 +32,21 @@ private[etl] object ArtifactIo {
     fsFor(p).listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** All FILE paths under a directory, relative to it ('/'-joined) —
+    * what a manifest over a partitioned (nested `col=value/`) export
+    * needs. */
+  def listFilesRecursive(dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val fs = fsFor(root)
+    def walk(p: Path, prefix: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val rel = if (prefix.isEmpty) name else s"$prefix/$name"
+        if (st.isDirectory) walk(st.getPath, rel) else Seq(rel)
+      }
+    walk(root, "")
+  }
+
   def writeText(path: String, text: String): Unit = {
     val p = new Path(path)
     val out = fsFor(p).create(p, true)

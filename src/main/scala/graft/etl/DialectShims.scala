@@ -109,6 +109,21 @@ object DialectShims {
         s"(CAST(${m.group(1).trim} AS DOUBLE) / " +
           s"SUM(${m.group(1).trim}) OVER (${m.group(2)}))"))
 
+  // ------------------------------------- APPROXIMATE COUNT (DISTINCT)
+  private val ApproxCountRe =
+    raw"(?i)\bAPPROXIMATE\s+COUNT\s*\(\s*DISTINCT\b".r
+
+  /** Redshift's `APPROXIMATE COUNT(DISTINCT x)` (HLL under the hood)
+    * → Spark's `approx_count_distinct(x` — the same sketch family,
+    * map-side-combinable bounded state, which is the entire point at
+    * 100 TB (an exact COUNT DISTINCT shuffles every distinct value).
+    * Only the prefix rewrites; the argument expression is untouched,
+    * so nesting is safe. Estimates are implementation-specific, so
+    * this shim is spec-gated (DialectShimsSpec pins a 2%-of-exact
+    * bound), not oracle-hashed. */
+  def rewriteApproxCount(sql: String): String =
+    ApproxCountRe.replaceAllIn(sql, _ => "approx_count_distinct(")
+
   private val DateAddRe = raw"(?i)\bDATEADD\s*\(\s*(\w+)\s*,".r
   private val DateDiffRe = raw"(?i)\bDATEDIFF\s*\(\s*(\w+)\s*,".r
 
@@ -648,7 +663,7 @@ object DialectShims {
   def rewriteRedshiftSql(sql: String): String = {
     val (masked, saved) = mask(sql)
     val arr = saved.toArray
-    val step1 = rewriteRatioToReport(masked)
+    val step1 = rewriteRatioToReport(rewriteApproxCount(masked))
     val step2 = rewriteListagg(step1)
     val step3 = rewriteDateAdd(step2)
     val step4 = rewriteDateDiff(step3)

@@ -15,13 +15,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Unload {
 
   /** Export a relation: gzip CSV, quoted fields, `\N` nulls, plus
-    * columns.yaml and a manifest listing the part files. */
-  def unload(df: DataFrame, design: TableDesign, destDir: String): Long = {
+    * columns.yaml and a manifest listing the part files.
+    *
+    * `partitionBy` is Redshift's `UNLOAD ... PARTITION BY (col, ...)`
+    * (redshift.py builds the UNLOAD statement; PARTITION BY is the
+    * engine-side option): part files land under nested `col=value/`
+    * prefixes and the partition columns are REMOVED from the file
+    * contents (Redshift's default, without INCLUDE) — Spark's
+    * `partitionBy` writer is byte-for-byte that layout. At scale this
+    * is what makes the export re-consumable with partition pruning
+    * instead of a flat million-file prefix. */
+  def unload(df: DataFrame, design: TableDesign, destDir: String,
+             partitionBy: Seq[String] = Nil): Long = {
     val cols = design.activeColumns.map(_.name)
+    require(partitionBy.forall(cols.contains),
+      s"partition columns ${partitionBy.mkString(",")} must be unloaded columns")
     val out = df.selectExpr(cols: _*)
     val capture = LoadMetricsCapture.install(df.sparkSession)
     capture.discard(destDir)
-    out.write.mode("overwrite")
+    val writer = out.write.mode("overwrite")
       .option("compression", "gzip")
       .option("quoteAll", "true")
       .option("nullValue", "\\N")
@@ -29,32 +41,37 @@ object Unload {
       // in Spark 4, which the CSV writer formats via timestampNTZFormat
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
       .csv(destDir)
-    writeColumnsYaml(design, destDir)
+    writeColumnsYaml(design, destDir, partitionBy)
     writeManifest(destDir)
     // rowcount from the write's own metrics — recounting would
     // re-execute the source query end to end
     capture.await(destDir).map(_.rowsWritten).getOrElse(out.count())
   }
 
-  private def writeColumnsYaml(design: TableDesign, destDir: String): Unit = {
+  private def writeColumnsYaml(design: TableDesign, destDir: String,
+                               partitionBy: Seq[String] = Nil): Unit = {
     val yaml = new StringBuilder("columns:\n")
     design.activeColumns.foreach { c =>
       yaml.append(s"  - name: ${c.name}\n    type: ${c.tpe}\n")
       if (c.sqlType.nonEmpty) yaml.append(s"    sql_type: ${c.sqlType}\n")
     }
+    if (partitionBy.nonEmpty)
+      yaml.append(s"partitioned_by: [${partitionBy.mkString(", ")}]\n")
     ArtifactIo.writeText(s"$destDir/columns.yaml", yaml.toString)
   }
 
   /** Redshift COPY manifest shape (extract/extractor.py:203-260):
     * `{"entries": [{"url": ..., "mandatory": true}]}` over part
     * files; requires the `_SUCCESS` marker Spark wrote. Hadoop-FS
-    * I/O — the unload destination may be on any scheme. */
+    * I/O — the unload destination may be on any scheme. Recursive:
+    * a partitioned unload nests part files under `col=value/`. */
   private def writeManifest(destDir: String): Unit = {
     require(ArtifactIo.exists(s"$destDir/_SUCCESS"),
       s"no _SUCCESS marker in $destDir")
-    val entries = ArtifactIo.listNames(destDir)
-      .filter(_.startsWith("part-"))
+    val entries = ArtifactIo.listFilesRecursive(destDir)
+      .filter(_.split('/').last.startsWith("part-"))
       .sorted
       .map(n => s"""{"url": "$destDir/$n", "mandatory": true}""")
     ArtifactIo.writeText(s"$destDir/manifest.json",
@@ -62,12 +79,18 @@ object Unload {
   }
 
   /** Reload-ability (S13): read the unloaded CSV back with the
-    * columns.yaml schema — the static-source extract path. */
+    * columns.yaml schema — the static-source extract path. A
+    * partitioned export's partition columns come back from the
+    * directory names (Spark partition discovery), cast to their
+    * columns.yaml types, and the projection restores the design's
+    * column order — the round-trip is layout-transparent. */
   def reload(spark: SparkSession, destDir: String): DataFrame = {
     val yamlText = ArtifactIo.readText(s"$destDir/columns.yaml")
     val design = columnsFromYaml(yamlText)
-    spark.read
-      .schema(org.apache.spark.sql.types.StructType(design.map(c =>
+    val partCols = partitionedByFromYaml(yamlText)
+    val dataCols = design.filterNot(c => partCols.contains(c.name))
+    val base = spark.read
+      .schema(org.apache.spark.sql.types.StructType(dataCols.map(c =>
         org.apache.spark.sql.types.StructField(c.name, c.dataType))))
       .option("compression", "gzip")
       .option("nullValue", "\\N")
@@ -75,6 +98,24 @@ object Unload {
       .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .option("pathGlobFilter", "part-*")   // skip columns.yaml/manifest.json
       .csv(destDir)
+    if (partCols.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.col
+      val byName = design.map(c => c.name -> c).toMap
+      base.select(design.map(c =>
+        if (partCols.contains(c.name))
+          col(c.name).cast(byName(c.name).dataType).as(c.name)
+        else col(c.name)): _*)
+    }
+  }
+
+  private[etl] def partitionedByFromYaml(text: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readTree(text)
+    import scala.jdk.CollectionConverters._
+    Option(root.get("partitioned_by"))
+      .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
   }
 
   private[etl] def columnsFromYaml(text: String): Seq[ColumnDef] = {

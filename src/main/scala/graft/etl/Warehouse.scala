@@ -383,6 +383,12 @@ final class Warehouse(
     * interplay — and are rebuilt via [[writeTable]] only when full
     * re-derivation is intended. */
   def appendToTable(target: TableName, df: DataFrame): Unit = {
+    // SCHEMA GUARD: parquet reads resolve columns by name against the
+    // catalog schema, so a drifted batch would not fail — an extra
+    // column is silently DROPPED on read and a missing one surfaces
+    // as nulls. Refuse the mixed append loudly; schema evolution is a
+    // rebuild (writeTable), not an append.
+    requireAppendShape(target, df)
     df.write.mode("append").parquet(appendLocation(target))
     spark.catalog.refreshTable(target.quoted)
   }
@@ -499,8 +505,21 @@ final class Warehouse(
     * (underscore-prefixed paths are invisible to table scans, so
     * readers never see half a batch) and moves in via per-file
     * renames. Returns true if this call applied the batch. */
+  private def requireAppendShape(target: TableName, df: DataFrame): Unit = {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name.toLowerCase, f.dataType)).sortBy(_._1).toSeq
+    val want = shape(spark.table(target.quoted).schema)
+    val got = shape(df.schema)
+    require(got == want,
+      s"append schema drift for ${target.identifier}: table has " +
+        s"${want.map(_._1).mkString(",")} but batch has " +
+        s"${got.map(_._1).mkString(",")} (or a column changed type) — " +
+        "evolve the table with a rebuild, not a silent mixed append")
+  }
+
   def appendToTableIdempotent(target: TableName, df: DataFrame,
                               batchTag: String): Boolean = {
+    requireAppendShape(target, df)
     val loc = appendLocation(target)
     // Sanitizing alone would COLLIDE distinct tags ('b.1' and 'b:1'
     // both become 'b_1', silently dropping the second batch); a raw-tag

@@ -316,6 +316,26 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, i+1)"))
   }
 
+  test("APPROXIMATE COUNT(DISTINCT x) rewrites to approx_count_distinct; within 2%") {
+    val in = "SELECT APPROXIMATE COUNT(DISTINCT o_custkey) AS u FROM rs_o"
+    val out = DialectShims.rewriteRedshiftSql(in)
+    assert(out.contains("approx_count_distinct(DISTINCT".replace("(DISTINCT", "(")),
+      out)
+    assert(!out.toUpperCase.contains("APPROXIMATE"), out)
+    // a string literal mentioning the keyword is untouched (masking)
+    val lit = DialectShims.rewriteRedshiftSql(
+      "SELECT 'APPROXIMATE COUNT(DISTINCT x)' AS s")
+    assert(lit.contains("'APPROXIMATE COUNT(DISTINCT x)'"), lit)
+    // and the rewrite RUNS, landing within 2% of the exact count
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("rs_o")
+    val approx = spark.sql(out).collect().head.getLong(0).toDouble
+    val exact = spark.sql(
+      "SELECT COUNT(DISTINCT o_custkey) FROM rs_o").collect().head.getLong(0)
+    assert(math.abs(approx - exact) / exact <= 0.02,
+      s"approx $approx vs exact $exact")
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

@@ -197,6 +197,41 @@ class FrameworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orig == rt)
   }
 
+  test("UNLOAD PARTITION BY: nested col=value layout, recursive manifest, typed round-trip") {
+    val s = spark
+    import s.implicits._
+    val dest = Files.createTempDirectory("graft_unloadp_").toString + "/out"
+    val design = TableDesign(TableName.parse("u.nation_p"), "src", Seq(
+      ColumnDef("n_nationkey", "long", notNull = true),
+      ColumnDef("n_name", "string"),
+      ColumnDef("n_regionkey", "long")))
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val n = Unload.unload(df, design, dest, partitionBy = Seq("n_regionkey"))
+    assert(n == 25)
+    // the Redshift PARTITION BY layout: one prefix per region value
+    val parts = new java.io.File(dest).listFiles
+      .filter(_.getName.startsWith("n_regionkey=")).map(_.getName).sorted
+    assert(parts.length == 5, s"got ${parts.toSeq}")
+    // the manifest reaches inside the partition dirs
+    val manifest = new String(Files.readAllBytes(Paths.get(dest, "manifest.json")),
+      StandardCharsets.UTF_8)
+    assert(manifest.contains("n_regionkey=0/"), manifest.take(300))
+    // round-trip: partition column comes back TYPED and in design order
+    val back = Unload.reload(spark, dest)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(back.schema("n_regionkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val orig = df.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    val rt = back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    assert(orig == rt)
+    // an unknown partition column is refused, not silently dropped
+    intercept[IllegalArgumentException] {
+      Unload.unload(df, design, dest, partitionBy = Seq("nope"))
+    }
+  }
+
   // -------------------------------------------------------------- ddl
   test("T8/Q3: DDL generator emits columns, NOT NULL, constraint properties") {
     val d = TableDesign.load(

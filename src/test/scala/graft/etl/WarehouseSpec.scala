@@ -1052,6 +1052,38 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(index.quoted).count() == rowsBefore + bandRows)
   }
 
+  test("append refuses schema drift: extra, missing, or retyped columns") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("rep.drift")
+    wh.writeTable(t, Seq((1L, "a")).toDF("id", "v"))
+    // extra column: would be silently dropped on read without the guard
+    val extra = intercept[IllegalArgumentException] {
+      wh.appendToTableIdempotent(t,
+        Seq((2L, "b", 1.0)).toDF("id", "v", "score"), "d1")
+    }
+    assert(extra.getMessage.contains("schema drift"), extra.getMessage)
+    // missing column: would surface as nulls
+    intercept[IllegalArgumentException] {
+      wh.appendToTable(t, Seq(3L).toDF("id"))
+    }
+    // retyped column
+    intercept[IllegalArgumentException] {
+      wh.appendToTableIdempotent(t, Seq((4, 5)).toDF("id", "v"), "d2")
+    }
+    // the rejected batches left neither rows nor applied-markers behind
+    assert(spark.table(t.quoted).count() == 1)
+    assert(wh.appendToTableIdempotent(t, Seq((2L, "b")).toDF("id", "v"), "d1"),
+      "a refused tag must remain claimable by a corrected batch")
+    // column ORDER is immaterial (parquet reads by name)
+    assert(wh.appendToTableIdempotent(t,
+      Seq(("c", 9L)).toDF("v", "id"), "d3"))
+    assert(spark.table(t.quoted).orderBy($"id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (9L, "c")))
+  }
+
   test("clustered compaction (OPTIMIZE ZORDER) restores locality after appends") {
     val s = spark
     import s.implicits._

@@ -1113,8 +1113,44 @@ object SqlSurface {
       |FROM g UNPIVOT (amount FOR measure IN (qty, disc, tax))
       |ORDER BY flag, measure""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Correlated LATERAL join — top-N-per-row as the SQL standard
+    * spells it (each outer row re-runs the subquery; the planner
+    * decorrelates it into a ranked window, so the declarative form
+    * costs what the window form costs). Deterministic by the
+    * (price DESC, orderkey) tiebreak inside the subquery and the
+    * outer presentation sort. Both engines support the same
+    * `CROSS JOIN LATERAL (...)` spelling — the oracle is literally
+    * the same query. */
+  def q32Lateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("lt_customer")
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("lt_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM lt_customer c
+        |CROSS JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM lt_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+  }
+
+  val q32LateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c
+      |CROSS JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+      |) t
+      |WHERE c.c_custkey <= 200
+      |ORDER BY c.c_custkey, o_orderkey""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_lateral" -> (q32Lateral _),
     "q20b_quantiles_cont" -> (q20bQuantilesCont _),
     "q30_window_dialect" -> (q30WindowDialect _),
     "q31_unpivot" -> (q31Unpivot _),
@@ -1152,6 +1188,7 @@ object SqlSurface {
     "q15b_sessions_window" -> (q15bSessionsWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q32_lateral" -> q32LateralSql,
     "q20b_quantiles_cont" -> q20bQuantilesContSql,
     "q30_window_dialect" -> q30WindowDialectSql,
     "q31_unpivot" -> q31UnpivotSql,

@@ -44,6 +44,19 @@ object DialectShims {
            |RETURNS BIGINT RETURN timestampdiff(${u.toUpperCase},
            |  date_trunc('${u.toUpperCase}', a), date_trunc('${u.toUpperCase}', b))""".stripMargin)
     }
+    // Redshift string/convenience scalars without a Spark name. All
+    // SQL-bodied (inline at plan time, codegen intact). CHARINDEX's
+    // argument order is (needle, haystack) — the REVERSE of Spark's
+    // instr — and both agree on 1-based positions with 0 for absent.
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION charindex(needle STRING, haystack STRING)
+        |RETURNS INT RETURN instr(haystack, needle)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION strtol(s STRING, base INT)
+        |RETURNS BIGINT RETURN CAST(conv(s, base, 10) AS BIGINT)""".stripMargin)
+    // LEN (Redshift's LENGTH alias) needs no shim: Spark 4 ships it
+    // as a built-in alias of length — registering over a built-in is
+    // refused (CANNOT_REPLACE_NON_SQL_UDF_WITH_SQL_UDF).
     Commands.registerUdfs(spark)
     // LISTAGG has no scalar-function shim (it is an aggregate):
     // rewrite `LISTAGG(x, ',') WITHIN GROUP (ORDER BY x)` to

@@ -1148,9 +1148,42 @@ object SqlSurface {
       |WHERE c.c_custkey <= 200
       |ORDER BY c.c_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** The string/scalar tail of the Redshift dialect: `CHARINDEX`
+    * (REVERSED argument order vs Spark's instr — the shim flips it),
+    * `LEN`, `STRTOL` (base-N string parse → conv), `SPLIT_PART`, and
+    * `DATE_PART` — against DuckDB's native strpos/length/hex-cast/
+    * date_part, so each translation's semantics (1-based positions,
+    * 0 for absent, character not byte length, leading-zero parses)
+    * are hash-checked. Pure per-row projection, one scan, TakeOrdered
+    * presentation. */
+  def q33StringDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("rs_customer")
+    val redshiftSql =
+      """SELECT c_custkey,
+        |  CAST(CHARINDEX('9', c_name) AS BIGINT) AS pos9,
+        |  CAST(CHARINDEX('zz', c_name) AS BIGINT) AS pos_absent,
+        |  CAST(LEN(c_name) AS BIGINT) AS name_len,
+        |  STRTOL(SPLIT_PART(c_name, '#', 2), 16) AS id_hex,
+        |  CAST(DATE_PART('year', TIMESTAMP '1995-07-16 12:30:00') AS BIGINT) AS yr
+        |FROM rs_customer ORDER BY c_custkey LIMIT 300""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q33StringDialectSql: String =
+    """SELECT c_custkey,
+      |  CAST(strpos(c_name, '9') AS BIGINT) AS pos9,
+      |  CAST(strpos(c_name, 'zz') AS BIGINT) AS pos_absent,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  CAST(('0x' || split_part(c_name, '#', 2)) AS BIGINT) AS id_hex,
+      |  CAST(date_part('year', TIMESTAMP '1995-07-16 12:30:00') AS BIGINT) AS yr
+      |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_lateral" -> (q32Lateral _),
+    "q33_string_dialect" -> (q33StringDialect _),
     "q20b_quantiles_cont" -> (q20bQuantilesCont _),
     "q30_window_dialect" -> (q30WindowDialect _),
     "q31_unpivot" -> (q31Unpivot _),
@@ -1189,6 +1222,7 @@ object SqlSurface {
 
   val oracles: Map[String, String] = Map(
     "q32_lateral" -> q32LateralSql,
+    "q33_string_dialect" -> q33StringDialectSql,
     "q20b_quantiles_cont" -> q20bQuantilesContSql,
     "q30_window_dialect" -> q30WindowDialectSql,
     "q31_unpivot" -> q31UnpivotSql,

@@ -336,6 +336,18 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"approx $approx vs exact $exact")
   }
 
+  test("CHARINDEX / LEN / STRTOL shims: argument order, absent needle, base parse") {
+    val r = spark.sql(
+      """SELECT charindex('dex', 'Charindex'), charindex('zz', 'abc'),
+        |  len('hello'), strtol('ff', 16), strtol('0644', 8)
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 7, "CHARINDEX is (needle, haystack), 1-based")
+    assert(r.getInt(1) == 0, "absent needle is 0, not null")
+    assert(r.getInt(2) == 5)
+    assert(r.getLong(3) == 255L)
+    assert(r.getLong(4) == 420L, "base-8 parse")
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

@@ -578,7 +578,80 @@ object EtlOps {
     }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
   }
 
+  // ------------------------------------------------- robust scaling
+  /** Winsorization + robust (median/MAD) scaling per group — the
+    * standard outlier-proof feature normalization before any model
+    * step (the same P01/P99 clamp the Z-order normalizer uses
+    * internally, surfaced as an operator). Cutoffs, median, and MAD
+    * are per-group AGGREGATES (percentile_disc — one row per
+    * event_type, broadcast back), so the corpus is touched by two
+    * scans and zero windows: no group ever funnels through one task.
+    * Every output is either an actual data value (disc percentiles,
+    * clamp) or a single subtract/divide of two exactly-agreed doubles
+    * — both engines produce identical bits. MAD uses the
+    * median-of-absolute-deviations with the same disc definition, and
+    * the scaled value divides by NULLIF(mad, 0) so a constant group
+    * degrades to NULL, not infinity. */
+  def winsorizeEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("wz_events")
+    spark.sql(
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    percentile_disc(0.01) WITHIN GROUP (ORDER BY value) AS lo,
+        |    percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS hi,
+        |    percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS med
+        |  FROM wz_events GROUP BY event_type
+        |), mads AS (
+        |  SELECT e.event_type,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(e.value - c.med)) AS mad
+        |  FROM wz_events e JOIN cuts c ON e.event_type = c.event_type
+        |  GROUP BY e.event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value < c.lo THEN c.lo
+        |       WHEN e.value > c.hi THEN c.hi
+        |       ELSE e.value END AS clipped,
+        |  (e.value - c.med) / NULLIF(m.mad, 0) AS robust_z
+        |FROM wz_events e
+        |JOIN cuts c ON e.event_type = c.event_type
+        |JOIN mads m ON e.event_type = m.event_type
+        |ORDER BY e.event_id LIMIT 2000""".stripMargin)
+  }
+
+  val winsorizeEventsSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      |  FROM events
+      |), cuts AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cd >= 0.01 THEN value END) AS lo,
+      |    MIN(CASE WHEN cd >= 0.99 THEN value END) AS hi,
+      |    MIN(CASE WHEN cd >= 0.5 THEN value END) AS med
+      |  FROM ranked GROUP BY event_type
+      |), dev AS (
+      |  SELECT e.event_type, abs(e.value - c.med) AS d
+      |  FROM events e JOIN cuts c ON e.event_type = c.event_type
+      |), devranked AS (
+      |  SELECT event_type, d,
+      |    cume_dist() OVER (PARTITION BY event_type ORDER BY d) AS cd
+      |  FROM dev
+      |), mads AS (
+      |  SELECT event_type, MIN(CASE WHEN cd >= 0.5 THEN d END) AS mad
+      |  FROM devranked GROUP BY event_type
+      |)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  CASE WHEN e.value < c.lo THEN c.lo
+      |       WHEN e.value > c.hi THEN c.hi
+      |       ELSE e.value END AS clipped,
+      |  (e.value - c.med) / NULLIF(m.mad, 0) AS robust_z
+      |FROM events e
+      |JOIN cuts c ON e.event_type = c.event_type
+      |JOIN mads m ON e.event_type = m.event_type
+      |ORDER BY e.event_id LIMIT 2000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winsorize_events" -> (winsorizeEvents _),
     "profile_documents" -> (profileDocuments _),
     "merge_into_upsert" -> (mergeIntoUpsert _),
     "skew_salted_agg" -> (skewSaltedAgg _),
@@ -599,6 +672,7 @@ object EtlOps {
     "skip_index_bloom" -> (skipIndexBloom _))
 
   val oracles: Map[String, String] = Map(
+    "winsorize_events" -> winsorizeEventsSql,
     "profile_documents" -> profileDocumentsSql,
     "merge_into_upsert" -> mergeIntoUpsertSql,
     "skew_salted_agg" -> skewSaltedAggSql,

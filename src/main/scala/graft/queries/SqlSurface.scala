@@ -1180,10 +1180,81 @@ object SqlSurface {
       |  CAST(date_part('year', TIMESTAMP '1995-07-16 12:30:00') AS BIGINT) AS yr
       |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** FUNNEL analysis — ordered-sequence conversion (view → click
+    * within 7 days of the first view → purchase within 7 days of that
+    * click), the canonical product-analytics query a warehouse serves
+    * daily. The scalable shape is three chained per-user MIN
+    * aggregates, each joined back on user_id (key-partitioned
+    * shuffles, no per-user window over raw events, no sequence UDF);
+    * each stage's earliest-qualifying timestamp is an actual data
+    * value, so the cross-engine hash is exact. The result also pins
+    * per-stage user counts AND the stage timestamps for a sample of
+    * users, so both the aggregate funnel and the row-level stage
+    * assignment are verified. */
+  def q34Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("fn_events")
+    spark.sql(
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM fn_events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM fn_events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 7 DAY
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM fn_events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 7 DAY
+        |  GROUP BY e.user_id
+        |)
+        |SELECT v.user_id,
+        |  CAST(v.t_view AS TIMESTAMP_NTZ) AS t_view,
+        |  CAST(c.t_click AS TIMESTAMP_NTZ) AS t_click,
+        |  CAST(p.t_purchase AS TIMESTAMP_NTZ) AS t_purchase,
+        |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS stage
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin)
+  }
+
+  val q34FunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |    AND e.ts <= v.t_view + INTERVAL 7 DAY
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |    AND e.ts <= c.t_click + INTERVAL 7 DAY
+      |  GROUP BY e.user_id
+      |)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |            WHEN c.user_id IS NOT NULL THEN 2
+      |            ELSE 1 END AS BIGINT) AS stage
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_lateral" -> (q32Lateral _),
     "q33_string_dialect" -> (q33StringDialect _),
+    "q34_funnel" -> (q34Funnel _),
     "q20b_quantiles_cont" -> (q20bQuantilesCont _),
     "q30_window_dialect" -> (q30WindowDialect _),
     "q31_unpivot" -> (q31Unpivot _),
@@ -1223,6 +1294,7 @@ object SqlSurface {
   val oracles: Map[String, String] = Map(
     "q32_lateral" -> q32LateralSql,
     "q33_string_dialect" -> q33StringDialectSql,
+    "q34_funnel" -> q34FunnelSql,
     "q20b_quantiles_cont" -> q20bQuantilesContSql,
     "q30_window_dialect" -> q30WindowDialectSql,
     "q31_unpivot" -> q31UnpivotSql,

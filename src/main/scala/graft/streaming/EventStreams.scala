@@ -298,10 +298,17 @@ object EventStreams {
     * batch-id-tagged idempotent appends — postings for the new docs,
     * df MONOID PARTIALS (summed at query time, existing rows never
     * rewritten), and a corpus-size partial. Ingest-to-searchable is
-    * one micro-batch; queries keep reading the same tables. A replay
-    * after an at-least-once restart re-applies under the same tag and
-    * is skipped (the first batch seeds the tables; replaying THAT
-    * batch rewrites identical rows — still convergent). */
+    * one micro-batch; queries keep reading the same tables.
+    *
+    * Seed discipline (shared by every foreachBatch maintainer here):
+    * the FIRST batch seeds EMPTY tables (schema only) and then flows
+    * through the same batch-tagged idempotent append as every other
+    * batch. Seeding with the batch's own rows via writeTable would
+    * leave batch 0 unmarked — a crash between the seed and the
+    * checkpoint commit would re-deliver batch 0 into the append path
+    * and double-apply it. With the empty seed, every data write is
+    * marker-guarded, so at-least-once replay converges in every
+    * crash interleaving. */
   def retrievalIndexStream(wh: graft.etl.Warehouse,
                            base: String,
                            docs: DataFrame,
@@ -311,10 +318,41 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val tfTable = graft.etl.TableName.parse(s"$base" + "_tf")
         if (!batch.sparkSession.catalog.tableExists(tfTable.quoted))
-          graft.queries.TextOps.buildRetrievalIndex(wh, batch, base)
-        else
-          graft.queries.TextOps.appendRetrievalBatch(
-            wh, batch, base, s"ret-batch-$id")
+          graft.queries.TextOps.buildRetrievalIndex(wh, batch.limit(0), base)
+        graft.queries.TextOps.appendRetrievalBatch(
+          wh, batch, base, s"ret-batch-$id")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** GENERAL streaming incremental-view maintenance: any transform
+    * that distributes over batches — a projection/filter, a join
+    * against static dimensions ([[graft.queries.DimOps]]'s delta-join
+    * fact side), a per-row feature extraction — maintained as a
+    * stored warehouse table by applying the transform to each
+    * micro-batch and appending the result under the batch-id tag
+    * (first batch seeds; replays replace their own files, so an
+    * at-least-once restart converges). This is the one shape behind
+    * the skip-index / retrieval / histogram streams, exposed so a
+    * pipeline can materialize ANY delta-distributive view without
+    * writing a new foreachBatch body. NOT for transforms that need
+    * cross-batch state (aggregates over the whole history belong to
+    * the monoid-partial patterns; joins between two streams to the
+    * watermarked stream-stream join). */
+  def incrementalViewStream(wh: graft.etl.Warehouse,
+                            table: graft.etl.TableName,
+                            transform: DataFrame => DataFrame,
+                            rows: DataFrame,
+                            checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // empty seed + marker-guarded append for EVERY batch — see
+        // retrievalIndexStream's seed-discipline note
+        if (!batch.sparkSession.catalog.tableExists(table.quoted))
+          wh.writeTable(table, transform(batch).limit(0))
+        wh.appendToTableIdempotent(table, transform(batch), s"mv-batch-$id")
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -336,13 +374,15 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // first batch seeds the table; replay of THAT batch overwrites
-        // with identical rows (same monoid, still convergent)
+        // empty seed + marker-guarded append for EVERY batch — see
+        // retrievalIndexStream's seed-discipline note (seeding with
+        // batch 0's rows would double-apply them if batch 0 replays
+        // after a crash before the checkpoint commit)
         if (!batch.sparkSession.catalog.tableExists(table.quoted))
-          wh.writeTable(table, graft.queries.DimOps.valueHistogram(batch))
-        else
-          graft.queries.DimOps.appendValueHistogram(
-            wh, table, batch, s"hist-batch-$id")
+          wh.writeTable(table,
+            graft.queries.DimOps.valueHistogram(batch.limit(0)))
+        graft.queries.DimOps.appendValueHistogram(
+          wh, table, batch, s"hist-batch-$id")
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -298,6 +298,39 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replayed == expected, "replay must not change scores")
   }
 
+  test("incrementalViewStream: streamed facts joined to a static dim equal the batch join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.{TableName, Warehouse}
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_mv_wh_").toString,
+      "/root/testdata/sf0.001")
+    val t = TableName.parse("mart.fact_enriched_s")
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("k", "tier")
+    val enrich: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      facts => facts.join(dim.hint("shuffle_hash"), facts("dk") === dim("k"))
+        .select(facts("fid"), facts("dk"), dim("tier"))
+    val input = MemoryStream[(Long, Long)]
+    val q = EventStreams.incrementalViewStream(wh, t, enrich,
+      input.toDF.toDF("fid", "dk"),
+      java.nio.file.Files.createTempDirectory("graft_mv_ck_").toString)
+    val facts = (0L until 30L).map(i => (i, i % 4 + 1)) // dk=4 has no dim row
+    facts.grouped(10).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table(t.quoted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val expected = facts.toDF("fid", "dk")
+      .join(dim, $"dk" === $"k").select($"fid", $"dk", $"tier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got == expected, "streamed view must equal the batch join")
+    // replaying a batch tag is a no-op
+    assert(!wh.appendToTableIdempotent(t,
+      enrich(facts.take(10).toDF("fid", "dk")), "mv-batch-0"))
+    assert(spark.table(t.quoted).count() == expected.length.toLong)
+  }
+
   test("valueHistogramStream: stored rollup converges to the batch histogram") {
     val s = spark
     import s.implicits._

@@ -88,9 +88,14 @@ object Unload {
     val yamlText = ArtifactIo.readText(s"$destDir/columns.yaml")
     val design = columnsFromYaml(yamlText)
     val partCols = partitionedByFromYaml(yamlText)
-    val dataCols = design.filterNot(c => partCols.contains(c.name))
+    // The user schema COVERS the partition columns: Spark then casts
+    // each directory value to the declared type instead of inferring
+    // one from its spelling — a string partition value like "01"
+    // survives as "01" (inference would read int 1 and lose the
+    // padding). Data files simply lack those columns; Spark fills
+    // them from the directory names.
     val base = spark.read
-      .schema(org.apache.spark.sql.types.StructType(dataCols.map(c =>
+      .schema(org.apache.spark.sql.types.StructType(design.map(c =>
         org.apache.spark.sql.types.StructField(c.name, c.dataType))))
       .option("compression", "gzip")
       .option("nullValue", "\\N")
@@ -100,12 +105,10 @@ object Unload {
       .csv(destDir)
     if (partCols.isEmpty) base
     else {
+      // partition columns surface after the data columns; restore the
+      // design's order
       import org.apache.spark.sql.functions.col
-      val byName = design.map(c => c.name -> c).toMap
-      base.select(design.map(c =>
-        if (partCols.contains(c.name))
-          col(c.name).cast(byName(c.name).dataType).as(c.name)
-        else col(c.name)): _*)
+      base.select(design.map(c => col(c.name)): _*)
     }
   }
 

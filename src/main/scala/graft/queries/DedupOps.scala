@@ -1049,7 +1049,12 @@ object DedupOps {
         when($"prev".isNull || $"pos" - $"prev" > K, 1).otherwise(0))
       .withColumn("island", sum($"newf").over(
         byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val out = isl.groupBy($"doc_id", $"island")
+    // grams stays persisted: it feeds BOTH the count and the
+    // positions side of the semi-join, and the returned plan is lazy —
+    // unpersisting here (before the caller's action) would throw the
+    // cache away exactly when it is needed. The session-level cache
+    // clear between oracle entries reclaims it.
+    isl.groupBy($"doc_id", $"island")
       .agg(min($"pos").as("span_start"),
         (max($"pos") + lit(K - 1)).as("span_end"),
         (max($"pos") - min($"pos") + lit(K)).as("span_tokens"),
@@ -1057,8 +1062,6 @@ object DedupOps {
       .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
         $"n_dup_grams")
       .orderBy($"doc_id", $"span_start")
-    grams.unpersist()
-    out
   }
 
   val dedupSubstringSpansSql: String =

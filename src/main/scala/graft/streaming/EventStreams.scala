@@ -351,7 +351,7 @@ object EventStreams {
         // empty seed + marker-guarded append for EVERY batch — see
         // retrievalIndexStream's seed-discipline note
         if (!batch.sparkSession.catalog.tableExists(table.quoted))
-          wh.writeTable(table, transform(batch).limit(0))
+          wh.writeTable(table, transform(batch.limit(0)))
         wh.appendToTableIdempotent(table, transform(batch), s"mv-batch-$id")
         ()
       }

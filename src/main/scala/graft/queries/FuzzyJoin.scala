@@ -79,9 +79,69 @@ object FuzzyJoin {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id1, id2""".stripMargin
 
+  // --------------------------------------------- entity resolution
+  /** END-TO-END entity resolution — the golden-record pipeline every
+    * MDM/identity system runs: fuzzy candidate edges (the deletion
+    * neighborhood, no all-pairs) → connected components (the dedup
+    * pack's co-partitioned label propagation + pointer jumping) →
+    * one canonical record per entity (the component-min member) with
+    * the member count. Rows in no fuzzy pair stay their own entity
+    * (left join + coalesce). The oracle recomputes the same fixpoint
+    * from first principles: naive O(n²) pairs, recursive-CTE
+    * reachability closure, min per node. */
+  private[graft] def goldenRecordsOf(names: DataFrame): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    val edges = pairsWithin1(names).select($"id1".as("d1"), $"id2".as("d2"))
+    val comps = DedupOps.connectedComponents(spark, edges)
+    val assigned = names
+      .join(comps.hint("shuffle_hash"), names("id") === comps("doc_id"), "left")
+      .select($"id", coalesce($"cluster", $"id").as("entity_id"))
+    val sizes = assigned.groupBy($"entity_id").agg(count(lit(1)).as("n_members"))
+    val canon = names.select($"id".as("cid"), $"name".as("canonical_name"))
+    assigned
+      .join(canon.hint("shuffle_hash"), $"entity_id" === $"cid")
+      .join(sizes.hint("shuffle_hash"), Seq("entity_id"))
+      .select($"id", $"entity_id", $"canonical_name", $"n_members")
+      .orderBy($"id")
+  }
+
+  def erGoldenRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    goldenRecordsOf(Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("id"), $"c_name".as("name")))
+  }
+
+  val erGoldenRecordsSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.c_custkey AS d1, b.c_custkey AS d2
+      |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |), edges AS (
+      |  SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs
+      |), reach(node, r) AS (
+      |  SELECT d1 AS node, d1 AS r FROM edges
+      |  UNION
+      |  SELECT e.d1 AS node, r.r AS r FROM edges e JOIN reach r ON e.d2 = r.node
+      |), comp AS (
+      |  SELECT c.c_custkey AS id, COALESCE(m.cluster, c.c_custkey) AS entity_id
+      |  FROM customer c LEFT JOIN (
+      |    SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
+      |  ) m ON c.c_custkey = m.node
+      |)
+      |SELECT comp.id, comp.entity_id, g.c_name AS canonical_name,
+      |  CAST(s.n AS BIGINT) AS n_members
+      |FROM comp
+      |JOIN customer g ON g.c_custkey = comp.entity_id
+      |JOIN (SELECT entity_id, COUNT(*) AS n FROM comp GROUP BY entity_id) s
+      |  ON s.entity_id = comp.entity_id
+      |ORDER BY comp.id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "fuzzy_join_names" -> (fuzzyJoinNames _))
+    "fuzzy_join_names" -> (fuzzyJoinNames _),
+    "er_golden_records" -> (erGoldenRecords _))
 
   val oracles: Map[String, String] = Map(
-    "fuzzy_join_names" -> fuzzyJoinNamesSql)
+    "fuzzy_join_names" -> fuzzyJoinNamesSql,
+    "er_golden_records" -> erGoldenRecordsSql)
 }

@@ -57,4 +57,25 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
+
+  test("golden records: chained variants collapse to one entity, singletons survive") {
+    val s = spark
+    import s.implicits._
+    // cluster A: chain acme -> acmee -> acmef (acme~acmee dist 1,
+    // acmee~acmef dist 1, acme~acmef dist 2 — only transitivity links
+    // them); cluster B: exact-ish pair; two singletons
+    val names = Seq(
+      (10L, "acme corp"), (11L, "acmee corp"), (12L, "acmef corp"),
+      (20L, "zenith ltd"), (21L, "zenith ltd2"),
+      (30L, "solo gmbh"), (31L, "unrelated plc"))
+    val out = FuzzyJoin.goldenRecordsOf(names.toDF("id", "name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      (10L, 10L, "acme corp", 3L), (11L, 10L, "acme corp", 3L),
+      (12L, 10L, "acme corp", 3L),
+      (20L, 20L, "zenith ltd", 2L), (21L, 20L, "zenith ltd", 2L),
+      (30L, 30L, "solo gmbh", 1L), (31L, 31L, "unrelated plc", 1L)),
+      s"got ${out.mkString(", ")}")
+  }
 }

@@ -50,5 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: the native as-of join's planner
     // strategy (AsofJoin.register covers conf-less sessions)
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
+    // automatic materialized-view query rewrite (MvRewrite.register
+    // covers conf-less sessions); no-op until a view is registered
+    ext.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))
   }
 }

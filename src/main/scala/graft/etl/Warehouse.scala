@@ -1028,6 +1028,22 @@ final class Warehouse(
       case _ => None
     }
 
+  /** Version stamp for freshness contracts (the MV-rewrite staleness
+    * probe): the live build location — every rebuild/append/compact
+    * moves it or its content-bearing marker set. Appends land new
+    * files in place, so fold the data-file listing (name+length) in:
+    * a stamp change ⇔ the table's served bytes changed. */
+  def tableVersion(name: TableName): String =
+    readPointer(name).orElse(locationOf(name)).map { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = pointerFs(p)
+      val files =
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).filter(_.isFile).toSeq
+          .map(s => s"${s.getPath.getName}:${s.getLen}").sorted
+      loc + "|" + files.mkString(",").hashCode.toHexString
+    }.getOrElse("absent")
+
   // ------------------------------------------------------ full load (D1-D7)
   /** Load a set of relations in execution order (load.py:1131-1214):
     * create schemas, build each relation; a failed relation marks its

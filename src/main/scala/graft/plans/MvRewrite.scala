@@ -1,0 +1,288 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+
+/** Automatic materialized-view query rewrite — the optimization
+  * Redshift performs for eligible queries over tables with
+  * materialized views ("automatic query rewriting",
+  * /root/reference/python/etl/design/bootstrap.py materializes CTAS
+  * relations but leaves rewrite to Redshift itself): an aggregate
+  * over a BASE table is transparently answered from a much smaller
+  * maintained ROLLUP table whenever the rollup covers the query.
+  *
+  * Spark-first shape: a `Rule[LogicalPlan]` in
+  * `spark.experimental.extraOptimizations` (and
+  * `injectOptimizerRule` via [[graft.etl.GraftExtensions]]). The MV
+  * stores the standard re-aggregable PARTIALS per group — `cnt`
+  * (row count) plus `sum_c`/`cnt_c`/`min_c`/`max_c` per covered
+  * column — so ANY sub-grouping of the MV's keys re-aggregates:
+  *
+  *   SUM(x)    → SUM(mv.sum_x)            COUNT(*) → SUM(mv.cnt)
+  *   COUNT(x)  → SUM(mv.cnt_x)            MIN(x)   → MIN(mv.min_x)
+  *   AVG(x)    → SUM(sum_x)/SUM(cnt_x)    MAX(x)   → MAX(mv.max_x)
+  *
+  * A WHERE clause referencing only MV group columns is rebased onto
+  * the MV scan. DISTINCT aggregates, FILTER clauses, non-column agg
+  * arguments, group expressions that are not plain columns, or any
+  * agg the partials cannot answer ⇒ the query is left untouched.
+  *
+  * Staleness discipline: a def registers with the base's version
+  * stamp and a live probe; the rule rewrites ONLY while the two
+  * agree, so a rebuilt/appended base silently turns rewriting off
+  * until the MV is refreshed (Redshift does the same: stale MVs
+  * disqualify themselves from rewrite until REFRESH).
+  *
+  * At 100 TB this is the difference between a full-corpus shuffle
+  * and a scan of a few thousand rollup rows; the rewritten plan
+  * re-aggregates the MV, so it stays correct for any GROUP BY subset
+  * of the MV keys.
+  */
+object MvRewrite {
+
+  /** One registered materialized view over one base table. */
+  final case class MvDef(
+      name: String,
+      groupCols: Seq[String],
+      aggCols: Seq[String],
+      mvRelation: LogicalRelation,
+      basePaths: Set[String],
+      baseCatalogId: Option[String],
+      version: String,
+      currentVersion: () => String) {
+
+    def matches(rel: LogicalRelation): Boolean = {
+      val byCatalog = for {
+        want <- baseCatalogId
+        have <- rel.catalogTable.map(_.identifier.unquotedString)
+      } yield want == have
+      byCatalog.getOrElse(pathsOf(rel).exists(_ == basePaths))
+    }
+
+    def fresh: Boolean = currentVersion() == version
+  }
+
+  private def pathsOf(rel: LogicalRelation): Option[Set[String]] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+
+  // Session-scoped registries; weak keys so a stopped session frees
+  // its defs. Guarded by `registries` for the rare mutation.
+  private val registries =
+    new java.util.WeakHashMap[SparkSession, mutable.Buffer[MvDef]]
+
+  private[plans] def defsFor(spark: SparkSession): Seq[MvDef] =
+    registries.synchronized {
+      Option(registries.get(spark)).map(_.toSeq).getOrElse(Nil)
+    }
+
+  /** Install the rule into this session (idempotent) — the conf-less
+    * twin of the `GraftExtensions` injection, like
+    * [[AsofJoin.register]]. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[MvRewriteRule]))
+      spark.experimental.extraOptimizations =
+        existing :+ new MvRewriteRule(spark)
+  }
+
+  def clear(spark: SparkSession): Unit =
+    registries.synchronized { registries.remove(spark); () }
+
+  /** Drop one view from the session registry. Queries whose
+    * QueryExecution already materialized its optimized plan keep
+    * their rewrite (the plan is memoized); new plans see the base. */
+  def unregister(spark: SparkSession, name: String): Unit =
+    registries.synchronized {
+      Option(registries.get(spark)).foreach { buf =>
+        buf.indexWhere(_.name == name) match {
+          case -1 => ()
+          case i  => buf.remove(i); ()
+        }
+      }
+    }
+
+  /** The partial-aggregate rollup for (groupCols, aggCols) — what the
+    * MV table stores. Decimal sums keep Spark's widened sum type so
+    * the re-aggregation stays exact. */
+  def partials(base: DataFrame, groupCols: Seq[String],
+               aggCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +: aggCols.flatMap(c => Seq(
+      sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"),
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Register `mv` (a readable scan of the stored partials table) as
+    * the materialized view of `base` for (groupCols, aggCols).
+    * `version`/`currentVersion` carry the freshness contract — pass
+    * the base table's version stamp (e.g.
+    * [[graft.etl.Warehouse.tableVersion]]) or a constant for
+    * immutable path inputs. Re-registering the same name replaces
+    * the old def (the refresh path). */
+  def registerMv(spark: SparkSession, name: String, base: DataFrame,
+                 mv: DataFrame, groupCols: Seq[String], aggCols: Seq[String],
+                 version: String = "static",
+                 currentVersion: () => String = () => "static"): Unit = {
+    register(spark)
+    val baseRel = base.queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation => l
+    }.getOrElse(throw new IllegalArgumentException(
+      s"mv '$name': base must be a plain file/catalog scan"))
+    val mvRel = mv.queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation => l
+    }.getOrElse(throw new IllegalArgumentException(
+      s"mv '$name': the MV side must be a plain file/catalog scan"))
+    val mvCols = mvRel.output.map(_.name).toSet
+    val needed = "cnt" +: (groupCols ++ aggCols.flatMap(c =>
+      Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c")))
+    val missing = needed.filterNot(mvCols)
+    require(missing.isEmpty,
+      s"mv '$name': stored table lacks partial columns ${missing.mkString(", ")}")
+    val d = MvDef(name, groupCols, aggCols, mvRel,
+      pathsOf(baseRel).getOrElse(Set.empty),
+      baseRel.catalogTable.map(_.identifier.unquotedString),
+      version, currentVersion)
+    registries.synchronized {
+      val buf = Option(registries.get(spark)).getOrElse {
+        val b = mutable.Buffer.empty[MvDef]
+        registries.put(spark, b)
+        b
+      }
+      buf.indexWhere(_.name == name) match {
+        case -1 => buf += d
+        case i  => buf(i) = d
+      }
+    }
+  }
+}
+
+/** The rewrite itself. Runs in the user-optimizer batch (fixpoint,
+  * but the rewrite is idempotent — an MV scan never matches a base
+  * def again). */
+final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MvRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val defs = MvRewrite.defsFor(spark)
+    if (defs.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(_, _, _, _) =>
+        tryRewrite(agg, defs).getOrElse(agg)
+    }
+  }
+
+  /** Peel pruning Projects and Filters down to the relation; collect
+    * filter conditions. Bails on computed projections. */
+  private def strip(plan: LogicalPlan,
+                    conds: Seq[Expression] = Nil)
+      : Option[(LogicalRelation, Seq[Expression])] = plan match {
+    case rel: LogicalRelation => Some((rel, conds))
+    case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      strip(child, conds)
+    case Filter(cond, child) => strip(child, conds :+ cond)
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate, defs: Seq[MvDef]): Option[LogicalPlan] =
+    for {
+      (rel, conds) <- strip(agg.child)
+      d <- defs.find(d => d.matches(rel) && d.fresh)
+      out <- rewrite(agg, rel, conds, d)
+    } yield out
+
+  private def rewrite(agg: Aggregate, rel: LogicalRelation,
+                      conds: Seq[Expression], d: MvDef): Option[LogicalPlan] = {
+    // Fresh MV attribute instance per rewrite site (a self-join of
+    // the base must not share exprIds between its two MV scans).
+    val mvRel = d.mvRelation.newInstance()
+    val mvAttr: Map[String, AttributeReference] =
+      mvRel.output.map(a => a.name -> a).toMap
+    val groupSet = d.groupCols.toSet
+
+    // Group expressions: plain base columns, all covered by the MV.
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference if groupSet(a.name) => a.name
+      case _ => return None
+    }
+    // Filters may reference MV group columns only.
+    if (!conds.forall(_.references.forall(r => groupSet(r.name)))) return None
+
+    def partial(prefix: String, c: String): Option[AttributeReference] =
+      mvAttr.get(s"${prefix}_$c")
+
+    def keepType(e: Expression, want: org.apache.spark.sql.types.DataType) =
+      if (e.dataType == want) e else Cast(e, want)
+
+    def aggExpr(fn: AggregateFunction): Expression =
+      AggregateExpression(fn, Complete, isDistinct = false, None, NamedExpression.newExprId)
+
+    val rewritten: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      // grouping column passed through (bare or aliased)
+      case a: AttributeReference if groupSet(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name) if groupSet(a.name) =>
+        Alias(mvAttr(a.name), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+        val rewrittenAgg: Expression = fn match {
+          case Count(Seq(Literal(_, _))) =>
+            // COUNT(*)/COUNT(1): never null — coalesce the sum
+            Coalesce(Seq(
+              keepType(aggExpr(Sum(mvAttr("cnt"))), al.dataType),
+              Literal(0L)))
+          case Count(Seq(a: AttributeReference)) =>
+            partial("cnt", a.name) match {
+              case Some(p) => Coalesce(Seq(
+                keepType(aggExpr(Sum(p)), al.dataType), Literal(0L)))
+              case None => return None
+            }
+          case Sum(a: AttributeReference, _) =>
+            partial("sum", a.name) match {
+              case Some(p) => keepType(aggExpr(Sum(p)), al.dataType)
+              case None => return None
+            }
+          case Min(a: AttributeReference) =>
+            partial("min", a.name) match {
+              case Some(p) => aggExpr(Min(p))
+              case None => return None
+            }
+          case Max(a: AttributeReference) =>
+            partial("max", a.name) match {
+              case Some(p) => aggExpr(Max(p))
+              case None => return None
+            }
+          case Average(a: AttributeReference, _)
+              if !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+            (partial("sum", a.name), partial("cnt", a.name)) match {
+              case (Some(s), Some(c)) =>
+                keepType(Divide(
+                  Cast(aggExpr(Sum(s)), org.apache.spark.sql.types.DoubleType),
+                  Cast(aggExpr(Sum(c)), org.apache.spark.sql.types.DoubleType)),
+                  al.dataType)
+              case _ => return None
+            }
+          case _ => return None
+        }
+        Alias(rewrittenAgg, name)(exprId = al.exprId)
+      case _ => return None
+    }
+
+    val rebased = conds.map(_.transform {
+      case a: AttributeReference => mvAttr(a.name)
+    })
+    val child: LogicalPlan =
+      rebased.foldLeft(mvRel: LogicalPlan)((p, c) => Filter(c, p))
+    logInfo(s"mv rewrite: aggregate over base answered by MV '${d.name}'")
+    Some(Aggregate(groupNames.map(mvAttr(_)), rewritten, child))
+  }
+}

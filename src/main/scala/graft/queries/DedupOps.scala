@@ -708,10 +708,17 @@ object DedupOps {
     // parallelism to the GRAPH (one task per ~100k edges, capped at
     // the session's shuffle parallelism): at toy scale one task per
     // round beats 32 near-empty sort-merge tasks; at 100 TB the same
-    // formula saturates the cluster. The count is a scalar on a
-    // persisted frame — it doubles as the materialization step.
+    // formula saturates the cluster. Persist the PAIR list before the
+    // sizing count: the candidate generation upstream (minhash band
+    // join, deletion-neighborhood levenshtein join) is the expensive
+    // leg, and without the cache it would execute twice — once for
+    // this count and again when the repartitioned edge table
+    // materializes (measured 2× the whole candidate stage on the
+    // fuzzy-ER graph). Graph-sized, freed before return.
     val tP = System.nanoTime()
-    val rawEdges = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+    val pairsCached = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val rawEdges = pairsCached.union(
+      pairsCached.select($"d2".as("d1"), $"d1".as("d2")))
     val parts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions,
       (rawEdges.count() / 100000L + 1).toInt))
@@ -791,7 +798,12 @@ object DedupOps {
       if (sys.env.contains("GRAFT_DEBUG"))
         println(f"[clusters] round $round ${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
     }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      // edges' own blocks are live by now (materialized in round 1);
+      // the upstream pair cache has served its double-read purpose
+      pairsCached.unpersist(blocking = false)
+    }
     require(converged,
       s"label propagation did not converge in $MaxClusterRounds rounds")
     labels.select($"node".as("doc_id"), $"label".as("cluster"))

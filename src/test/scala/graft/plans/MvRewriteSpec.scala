@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{TableName, Warehouse}
+import graft.queries.MvOps
+
+/** Automatic MV rewrite: the optimized plan must swap the base scan
+  * for the MV scan exactly when the view covers the query AND is
+  * fresh — and the rewritten results must be bit-equal to the
+  * unrewritten ones for every supported aggregate shape. */
+class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var baseDir: String = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // An immutable base parquet file of our own (not the shared
+    // testdata): group cols g1/g2, agg cols x (long) and v
+    // (integer-valued double, so double sums are order-exact).
+    val s = spark
+    import s.implicits._
+    baseDir = java.nio.file.Files.createTempDirectory("mv_base_").toString
+    (1 to 400).map { i =>
+      (s"g${i % 4}", s"h${i % 3}", i.toLong, (i % 97).toDouble)
+    }.toDF("g1", "g2", "x", "v")
+      .write.mode("overwrite").parquet(s"$baseDir/base.parquet")
+  }
+
+  override def afterAll(): Unit = if (spark != null) {
+    MvRewrite.clear(spark)
+    spark.stop()
+  }
+
+  private def base: DataFrame = spark.read.parquet(s"$baseDir/base.parquet")
+
+  private def usesMv(df: DataFrame): Boolean = {
+    val paths = MvOps.scanPaths(df)
+    paths.nonEmpty && paths.forall(!_.contains("base.parquet"))
+  }
+
+  private def registered[A](name: String, version: String = "static",
+                            current: () => String = () => "static")(
+      body: DataFrame => A): A = {
+    val mvDir = java.nio.file.Files.createTempDirectory("mv_store_").toString
+    MvRewrite.partials(base, Seq("g1", "g2"), Seq("x", "v"))
+      .write.mode("overwrite").parquet(s"$mvDir/mv.parquet")
+    MvRewrite.registerMv(spark, name, base,
+      spark.read.parquet(s"$mvDir/mv.parquet"),
+      Seq("g1", "g2"), Seq("x", "v"), version, current)
+    try body(base) finally MvRewrite.unregister(spark, name)
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("full-key aggregate rewrites to the MV and matches the base answer") {
+    registered("mv1") { b =>
+      val q = b.groupBy("g1", "g2").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"),
+        min("v").as("mn"), max("v").as("mx")).orderBy("g1", "g2")
+      assert(usesMv(q), q.queryExecution.optimizedPlan.toString)
+      val got = rows(q)
+      MvRewrite.unregister(spark, "mv1")
+      val want = rows(b.groupBy("g1", "g2").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"),
+        min("v").as("mn"), max("v").as("mx")).orderBy("g1", "g2"))
+      assert(got == want)
+    }
+  }
+
+  test("subset grouping + filter on a group column re-aggregate the MV") {
+    registered("mv2") { b =>
+      def q(d: DataFrame) = d.filter(col("g2") =!= "h0").groupBy("g1")
+        .agg(sum("x").as("sx"), count(col("v")).as("cv"),
+          avg("v").as("av")).orderBy("g1")
+      val rewritten = q(b)
+      assert(usesMv(rewritten), rewritten.queryExecution.optimizedPlan.toString)
+      val got = rows(rewritten)
+      MvRewrite.unregister(spark, "mv2")
+      assert(got == rows(q(b)))
+    }
+  }
+
+  test("global aggregate (no GROUP BY) rewrites") {
+    registered("mv3") { b =>
+      val q = b.agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      assert(usesMv(q), q.queryExecution.optimizedPlan.toString)
+      val got = rows(q)
+      MvRewrite.unregister(spark, "mv3")
+      assert(got == rows(base.agg(count(lit(1)).as("n"), sum("v").as("sv"))))
+    }
+  }
+
+  test("disqualifying shapes are left on the base scan") {
+    registered("mv4") { b =>
+      // filter on a non-group column
+      assert(!usesMv(b.filter(col("x") > 10).groupBy("g1").agg(sum("x"))))
+      // distinct aggregate
+      assert(!usesMv(b.groupBy("g1").agg(countDistinct("x"))))
+      // aggregate over an uncovered expression
+      assert(!usesMv(b.groupBy("g1").agg(sum(col("x") + 1))))
+      // group by an expression, not a column
+      assert(!usesMv(b.groupBy(upper(col("g1"))).agg(sum("x"))))
+      // grouping by a non-MV column
+      assert(!usesMv(b.groupBy("x").agg(count(lit(1)))))
+    }
+  }
+
+  test("a stale MV disqualifies itself until refreshed") {
+    var live = "v1"
+    registered("mv5", version = "v1", current = () => live) { b =>
+      val q = b.groupBy("g1").agg(sum("x").as("sx"))
+      assert(usesMv(q))
+      live = "v2"   // base changed underneath
+      assert(!usesMv(b.groupBy("g1").agg(sum("x").as("sx"))))
+      live = "v1"   // refresh restored agreement
+      assert(usesMv(b.groupBy("g1").agg(sum("x").as("sx"))))
+    }
+  }
+
+  test("warehouse tableVersion moves on append and rebuild") {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("mv_wh_").toString, sfDir)
+    val t = TableName.parse("mv.vstamp")
+    val s = spark
+    import s.implicits._
+    wh.writeTable(t, Seq((1L, "a")).toDF("k", "s"))
+    val v1 = wh.tableVersion(t)
+    assert(v1 != "absent")
+    wh.appendToTableIdempotent(t, Seq((2L, "b")).toDF("k", "s"), "b1")
+    val v2 = wh.tableVersion(t)
+    assert(v2 != v1, "append must move the version stamp")
+    wh.writeTable(t, Seq((3L, "c")).toDF("k", "s"))
+    assert(wh.tableVersion(t) != v2, "rebuild must move the version stamp")
+  }
+
+  test("decimal sums re-aggregate exactly with the narrowing cast") {
+    val s = spark
+    import s.implicits._
+    val decDir = java.nio.file.Files.createTempDirectory("mv_dec_").toString
+    (1 to 100).map(i => (s"g${i % 3}", BigDecimal(i) / 100))
+      .toDF("g", "d").withColumn("d", col("d").cast("decimal(12,2)"))
+      .write.mode("overwrite").parquet(s"$decDir/base.parquet")
+    val b = spark.read.parquet(s"$decDir/base.parquet")
+    MvRewrite.partials(b, Seq("g"), Seq("d"))
+      .write.mode("overwrite").parquet(s"$decDir/mv.parquet")
+    MvRewrite.registerMv(spark, "mvdec", b,
+      spark.read.parquet(s"$decDir/mv.parquet"), Seq("g"), Seq("d"))
+    try {
+      val q = b.groupBy("g").agg(sum("d").as("sd")).orderBy("g")
+      assert(usesMv(q), q.queryExecution.optimizedPlan.toString)
+      val got = rows(q)
+      assert(q.schema("sd").dataType.toString == "DecimalType(22,2)")
+      MvRewrite.unregister(spark, "mvdec")
+      assert(got == rows(b.groupBy("g").agg(sum("d").as("sd")).orderBy("g")))
+    } finally MvRewrite.unregister(spark, "mvdec")
+  }
+}

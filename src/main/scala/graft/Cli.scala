@@ -28,7 +28,7 @@ object Cli {
         |  validate       --designs DIR
         |  show_ddl       --designs DIR [--select PATTERN]
         |  ls             --designs DIR
-        |  run_query      --sql SQL [--limit N]
+        |  run_query      --sql SQL [--limit N] [--cache DIR]
         |  run_sql        --file SCRIPT.sql | --sql "stmt; stmt" | --template NAME [--config DIRS]   (alias: run_sql_template)
         |  selftest
         |  initialize     --designs DIR --data DIR --warehouse DIR
@@ -570,8 +570,23 @@ object Cli {
         println(s"[ping] ok (SELECT 1 = $one, spark ${spark.version})")
         0
       case "run_query" =>
-        println(Commands.runQueryText(spark, opts.getOrElse("sql", usage()),
-          opts.get("limit").map(_.toInt).orElse(Some(100))))
+        // --cache DIR: Redshift-style transparent result caching —
+        // identical query over unchanged inputs is served from the
+        // materialized prior answer (ResultCache invalidates
+        // structurally via input file listings)
+        opts.get("cache") match {
+          case Some(dir) =>
+            val df = Commands.runQuery(spark, opts.getOrElse("sql", usage()),
+              opts.get("limit").map(_.toInt).orElse(Some(100)))
+            val (served, hit) = new graft.etl.ResultCache(spark, dir).lookup(df)
+            System.err.println(
+              s"[run_query] result cache ${if (hit) "HIT" else "MISS"}")
+            served.collect().foreach(r => println(r.toSeq.map(v =>
+              Option(v).map(_.toString).getOrElse("NULL")).mkString(" | ")))
+          case None =>
+            println(Commands.runQueryText(spark, opts.getOrElse("sql", usage()),
+              opts.get("limit").map(_.toInt).orElse(Some(100))))
+        }
         0
       case "explain" =>
         designs.filter(r => r.isTransformation && selector.matches(r.name))

@@ -1,0 +1,121 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Transparent result caching — Redshift's
+  * `enable_result_cache_for_session` (on by default there; the
+  * reference's `run_query`/transform sessions benefit silently,
+  * commands.py:1680-1720 never has to opt in). A query's RESULT is
+  * served from a prior materialization when BOTH the plan and every
+  * scanned input are unchanged:
+  *
+  *   fingerprint = sha256( canonicalized optimized plan
+  *                         + every input's file listing (name, size,
+  *                           modification time) )
+  *
+  * The canonicalized plan normalizes expression ids, so two
+  * differently-built but equivalent DataFrames share an entry, while
+  * any literal/column/path difference separates them. The file
+  * listing makes staleness STRUCTURAL — an append, rebuild, compact
+  * or pointer swap under any scanned table moves the fingerprint, so
+  * there is no invalidation protocol to get wrong (same discipline
+  * Redshift applies: any write to a referenced table invalidates).
+  *
+  * Queries with non-deterministic expressions (rand, current_
+  * timestamp) BYPASS the cache, exactly as Redshift refuses to serve
+  * cached results for them.
+  *
+  * Scale shape: a hit costs one parquet read of the RESULT (typically
+  * KBs for analytic answers) instead of a 100 TB scan; a miss costs
+  * the query plus one result write. Entries are immutable files —
+  * safe under concurrent readers; [[evict]] is the retention knob.
+  */
+final class ResultCache(spark: SparkSession, cacheDir: String) {
+
+  private def fs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Input-version stamp: every scanned file's (name, len, mtime),
+    * ordered. Directory-listing only — no data read. */
+  private def inputStamp(df: DataFrame): String = {
+    val roots = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq(s"nonfs:${l.relation.getClass.getName}")
+      }
+    }.flatten.sorted
+    roots.map { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      val f = fs(p)
+      if (!f.exists(p)) s"$r|absent"
+      else {
+        val it = f.listFiles(p, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val s = it.next()
+          b += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+        }
+        r + "|" + b.result().sorted.mkString(",")
+      }
+    }.mkString(";")
+  }
+
+  private[etl] def deterministic(df: DataFrame): Boolean =
+    !df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists(!_.deterministic)))
+
+  /** The cache key. Exposed for the spec's equivalence assertions. */
+  private[etl] def fingerprint(df: DataFrame): String = {
+    val plan = df.queryExecution.optimizedPlan.canonicalized.toString
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(inputStamp(df).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().take(16).map("%02x".format(_)).mkString
+  }
+
+  private def entryPath(fp: String) =
+    new org.apache.hadoop.fs.Path(cacheDir, fp)
+
+  /** Serve `df`'s result, from cache when possible. Returns the
+    * result plus whether it was a hit. A miss materializes the result
+    * into the entry ATOMICALLY (temp dir + rename) so a crash
+    * mid-write never leaves a servable half-result. */
+  def lookup(df: DataFrame): (DataFrame, Boolean) = {
+    if (!deterministic(df)) return (df, false)
+    val fp = fingerprint(df)
+    val dest = entryPath(fp)
+    val f = fs(dest)
+    if (f.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS")))
+      (spark.read.parquet(dest.toString), true)
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(cacheDir, s".tmp_$fp")
+      if (f.exists(tmp)) f.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (!f.rename(tmp, dest)) {
+        // concurrent miss on the same key: the other writer won — use
+        // its entry if complete, else serve the computed frame as-is
+        f.delete(tmp, true)
+        if (f.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS")))
+          return (spark.read.parquet(dest.toString), true)
+        return (df, false)
+      }
+      (spark.read.parquet(dest.toString), false)
+    }
+  }
+
+  def run(df: DataFrame): DataFrame = lookup(df)._1
+
+  /** Drop entries beyond `keep` most-recent (by entry mtime). */
+  def evict(keep: Int): Int = {
+    val root = new org.apache.hadoop.fs.Path(cacheDir)
+    val f = fs(root)
+    if (!f.exists(root)) return 0
+    val entries = f.listStatus(root).filter(_.isDirectory)
+      .filterNot(_.getPath.getName.startsWith("."))
+      .sortBy(-_.getModificationTime)
+    val victims = entries.drop(math.max(0, keep))
+    victims.foreach(s => f.delete(s.getPath, true))
+    victims.length
+  }
+}

@@ -1597,7 +1597,95 @@ object TextOps {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- domain affinity (DSIR)
+  /** Data-selection importance scoring in the DSIR family (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): hashed word-bigram bucket counts estimate a target
+    * distribution (here: the English slice) and a background
+    * distribution (everything else); each document scores the sum of
+    * its grams' bucket-probability differences, so positive affinity
+    * marks text that looks like the target domain. DSIR's log-ratio
+    * weights are floats; this carries the per-bucket Laplace-smoothed
+    * probabilities in FIXED-POINT BIGINT (scale 1e12, integral div),
+    * so the score is one defined integer regardless of partitioning —
+    * the oracle replays it exactly.
+    *
+    * Scale shape: one corpus scan builds the [[AffinityBuckets]]-row
+    * weight table (map-side-combined groupBy), a second scan scores
+    * every document through a BROADCAST join on the bucket id — no
+    * corpus-sized shuffle at any point; the doc-id aggregate rides
+    * the scan's partitioning. Fixed-point headroom: (cnt+1)·1e12
+    * needs cnt < 9·10⁶ per bucket per corpus-shard of the estimate —
+    * at trillion-gram corpora, estimate the weight table from a
+    * sample (DSIR itself does) or drop Scale a decade. */
+  val AffinityBuckets = 4096L
+  val AffinityScale = 1000000000000L
+
+  def domainAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val grams = docs
+      .select($"doc_id", $"lang", split(normText($"text"), " ").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("g"))
+      .select($"doc_id", $"lang",
+        pmod(conv(substring(md5($"g"), 1, 15), 16, 10).cast("long"),
+          lit(AffinityBuckets)).as("bucket"))
+    val counts = grams.groupBy($"bucket").agg(
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tc"),
+      sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("sc"))
+    val totals = counts
+      .agg(sum($"tc").as("tt"), sum($"sc").as("st"))
+      .withColumn("k", lit(1))
+    val weights = counts.withColumn("k", lit(1))
+      .join(broadcast(totals), "k")
+      .select($"bucket", expr(
+        s"((tc + 1) * ${AffinityScale}L) div (tt + $AffinityBuckets) - " +
+          s"((sc + 1) * ${AffinityScale}L) div (st + $AffinityBuckets)")
+        .as("wt"))
+    val scores = grams.join(broadcast(weights), "bucket")
+      .groupBy($"doc_id").agg(sum($"wt").as("affinity"))
+    docs.select($"doc_id", $"lang")
+      .join(scores, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", coalesce($"affinity", lit(0L)).as("affinity"))
+      .orderBy($"doc_id")
+  }
+
+  val domainAffinitySql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % $AffinityBuckets AS bucket
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+       |    FROM (SELECT doc_id, lang, string_split($normTextSql, ' ') AS w
+       |          FROM documents)
+       |    WHERE len(w) >= 2)),
+       |counts AS (
+       |  SELECT bucket,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+       |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS sc
+       |  FROM grams GROUP BY bucket),
+       |totals AS (
+       |  SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(sc) AS BIGINT) AS st
+       |  FROM counts),
+       |weights AS (
+       |  SELECT bucket,
+       |    ((tc + 1) * $AffinityScale) // (tt + $AffinityBuckets)
+       |      - ((sc + 1) * $AffinityScale) // (st + $AffinityBuckets) AS wt
+       |  FROM counts, totals),
+       |scores AS (
+       |  SELECT g.doc_id, CAST(SUM(w.wt) AS BIGINT) AS affinity
+       |  FROM grams g JOIN weights w ON g.bucket = w.bucket
+       |  GROUP BY g.doc_id)
+       |SELECT d.doc_id, d.lang, COALESCE(s.affinity, 0) AS affinity
+       |FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "domain_affinity" -> (domainAffinity _),
     "pii_redact" -> (piiRedact _),
     "text_repetition" -> (textRepetition _),
     "source_mix" -> (sourceMix _),
@@ -1625,6 +1713,7 @@ object TextOps {
     "mix_temperature" -> (mixTemperature _))
 
   val oracles: Map[String, String] = Map(
+    "domain_affinity" -> domainAffinitySql,
     "pii_redact" -> piiRedactSql,
     "text_repetition" -> textRepetitionSql,
     "source_mix" -> sourceMixSql,

@@ -146,6 +146,41 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wh.tableVersion(t) != v2, "rebuild must move the version stamp")
   }
 
+  test("warehouse MV lifecycle: append goes stale, refresh re-arms") {
+    val s = spark
+    import s.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("mv_whlc_").toString, sfDir)
+    val baseT = TableName.parse("mv.base_sales")
+    val mvT = TableName.parse("mv.base_sales_rollup")
+    wh.writeTable(baseT, Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("g", "x"))
+    def refresh(): Unit = {
+      wh.writeTable(mvT,
+        MvRewrite.partials(spark.table(baseT.quoted), Seq("g"), Seq("x")))
+      MvRewrite.registerMv(spark, "whmv", spark.table(baseT.quoted),
+        spark.table(mvT.quoted), Seq("g"), Seq("x"),
+        version = wh.tableVersion(baseT),
+        currentVersion = () => wh.tableVersion(baseT))
+    }
+    def q = spark.table(baseT.quoted).groupBy("g").agg(sum("x").as("sx"))
+    def onMv(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val paths = MvOps.scanPaths(df)
+      paths.nonEmpty && paths.forall(_.contains("base_sales_rollup"))
+    }
+    refresh()
+    try {
+      assert(onMv(q), q.queryExecution.optimizedPlan.toString)
+      wh.appendToTableIdempotent(baseT, Seq(("c", 5L)).toDF("g", "x"), "b1")
+      assert(!onMv(q), "appended base must disqualify the stale MV")
+      refresh()
+      val q3 = q.orderBy("g")
+      assert(onMv(q3))
+      assert(q3.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 4L), ("b", 2L), ("c", 5L)),
+        "refreshed MV must serve the appended row")
+    } finally MvRewrite.unregister(spark, "whmv")
+  }
+
   test("decimal sums re-aggregate exactly with the narrowing cast") {
     val s = spark
     import s.implicits._

@@ -24,7 +24,7 @@ object Cli {
         |  check_constraints --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--with-staging]
         |  vacuum         --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--compact TABLE[,TABLE]] [--max-files N] [--dry-run]
         |  extract        --designs DIR --data DIR --out DIR [--select PATTERN] [--format csv|avro] [--use-sampling]
-        |  unload         --designs DIR --out DIR [--select PATTERN]
+        |  unload         --designs DIR --out DIR [--select PATTERN] [--format csv|parquet|json]
         |  validate       --designs DIR
         |  show_ddl       --designs DIR [--select PATTERN]
         |  ls             --designs DIR
@@ -127,6 +127,12 @@ object Cli {
     try runCommand(spark, command, opts) catch {
       case e: SettingsError =>
         System.err.println(s"[error] ${e.getMessage}")
+        1
+      case v: Qmr.Violation =>
+        // an aborted query is an orderly non-zero exit (the reference
+        // surfaces Redshift's statement_timeout the same way), not a
+        // stack trace
+        System.err.println(s"[error] ${v.getMessage}")
         1
     }
 
@@ -409,9 +415,11 @@ object Cli {
         // UNLOAD of warehouse relations (S12; commands.py:1279-1335):
         // reads the published table from the session catalog.
         val out = opts.getOrElse("out", usage())
+        val fmt = opts.getOrElse("format", "csv")
         designs.filter(r => selector.matches(r.name)).foreach { r =>
           val df = spark.table(r.name.quoted)
-          val n = Unload.unload(df, r.design, s"$out/${r.identifier}")
+          val n = Unload.unload(df, r.design, s"$out/${r.identifier}",
+            format = fmt)
           println(s"[unload] ${r.identifier}: $n rows -> $out/${r.identifier}")
         }
         0
@@ -570,23 +578,36 @@ object Cli {
         println(s"[ping] ok (SELECT 1 = $one, spark ${spark.version})")
         0
       case "run_query" =>
+        // resources.RedshiftCluster.statement_timeout (ms) from the
+        // settings plane, honored exactly like the reference threads
+        // it into every session (commands.py:454-464) — enforced here
+        // by the QMR watchdog rather than a server-side SET
+        val qmrRules: Seq[Qmr.Rule] =
+          if (opts.contains("config") &&
+              settings.isSet("resources.RedshiftCluster.statement_timeout"))
+            Seq(Qmr.statementTimeout(settings.intValue(
+              "resources.RedshiftCluster.statement_timeout").toLong))
+          else Seq.empty
+        def guardedCollect(df: org.apache.spark.sql.DataFrame) =
+          if (qmrRules.isEmpty) df.collect()
+          else Qmr.guarded(df, qmrRules)(_.collect())
         // --cache DIR: Redshift-style transparent result caching —
         // identical query over unchanged inputs is served from the
         // materialized prior answer (ResultCache invalidates
         // structurally via input file listings)
-        opts.get("cache") match {
+        val rqDf = Commands.runQuery(spark, opts.getOrElse("sql", usage()),
+          opts.get("limit").map(_.toInt).orElse(Some(100)))
+        val servedDf = opts.get("cache") match {
           case Some(dir) =>
-            val df = Commands.runQuery(spark, opts.getOrElse("sql", usage()),
-              opts.get("limit").map(_.toInt).orElse(Some(100)))
-            val (served, hit) = new graft.etl.ResultCache(spark, dir).lookup(df)
+            val (served, hit) = new graft.etl.ResultCache(spark, dir).lookup(rqDf)
             System.err.println(
               s"[run_query] result cache ${if (hit) "HIT" else "MISS"}")
-            served.collect().foreach(r => println(r.toSeq.map(v =>
-              Option(v).map(_.toString).getOrElse("NULL")).mkString(" | ")))
-          case None =>
-            println(Commands.runQueryText(spark, opts.getOrElse("sql", usage()),
-              opts.get("limit").map(_.toInt).orElse(Some(100))))
+            served
+          case None => rqDf
         }
+        println(servedDf.schema.fieldNames.mkString(" | "))
+        guardedCollect(servedDf).foreach(r => println(r.toSeq.map(v =>
+          Option(v).map(_.toString).getOrElse("NULL")).mkString(" | ")))
         0
       case "explain" =>
         designs.filter(r => r.isTransformation && selector.matches(r.name))

@@ -668,6 +668,64 @@ object DialectShims {
         s"${not}RLIKE '\u0000$patIdx\u0000'")
     })
 
+  // ------------------------------------------------------ SELECT TOP
+  private val TopRe =
+    java.util.regex.Pattern.compile(
+      "(?i)\\bSELECT(\\s+DISTINCT)?\\s+TOP\\s+(\\d+)\\b")
+
+  /** Redshift's `SELECT TOP n` (equivalent to LIMIT, allowed in any
+    * query block) → remove the TOP clause and append `LIMIT n` at the
+    * end of ITS query block, located by parenthesis depth on the
+    * masked text: depth-0 blocks limit at end-of-query, a nested
+    * block just before its closing `)`. Expects MASKED sql (literals
+    * cannot fake a TOP). A TOP in one branch of a set operation is
+    * rejected rather than silently mis-scoped. */
+  private[etl] def rewriteSelectTop(sql: String): String = {
+    val m = TopRe.matcher(sql)
+    if (!m.find()) return sql
+    val start = m.start
+    val n = m.group(2).toLong
+    val distinct = Option(m.group(1)).getOrElse("")
+    // depth of the SELECT, then the block end at that depth
+    def depthAt(pos: Int): Int =
+      sql.substring(0, pos).count(_ == '(') - sql.substring(0, pos).count(_ == ')')
+    val d = depthAt(start)
+    var i = m.end
+    var depth = d
+    var end = sql.length
+    var found = d == 0
+    while (!found && i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth < d) { end = i; found = true }
+        case _ => ()
+      }
+      i += 1
+    }
+    val block = sql.substring(m.end, end)
+    require(!"(?i)\\b(UNION|INTERSECT|EXCEPT|MINUS)\\b".r
+        .findFirstIn(stripBalancedParens(block)).isDefined,
+      s"SELECT TOP $n in a set-operation branch is ambiguous — use LIMIT")
+    val rewritten = sql.substring(0, start) + s"SELECT$distinct" +
+      sql.substring(m.end, end) + s" LIMIT $n" + sql.substring(end)
+    rewriteSelectTop(rewritten)   // next TOP, if any
+  }
+
+  /** Remove balanced parenthesized spans (so set-op keywords inside
+    * subqueries don't trip the TOP scope check). */
+  private def stripBalancedParens(s: String): String = {
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1
+      case ')' => if (depth > 0) depth -= 1
+      case c => if (depth == 0) sb.append(c)
+    }
+    sb.toString
+  }
+
   /** The full dialect pass for a transform query as loaded from its
     * `.sql` file (relation.py:279-293 loads query text; the rewrite
     * happens once here, never at run time). String literals,
@@ -676,7 +734,8 @@ object DialectShims {
   def rewriteRedshiftSql(sql: String): String = {
     val (masked, saved) = mask(sql)
     val arr = saved.toArray
-    val step1 = rewriteRatioToReport(rewriteApproxCount(masked))
+    val step0 = rewriteSelectTop(masked)
+    val step1 = rewriteRatioToReport(rewriteApproxCount(step0))
     val step2 = rewriteListagg(step1)
     val step3 = rewriteDateAdd(step2)
     val step4 = rewriteDateDiff(step3)

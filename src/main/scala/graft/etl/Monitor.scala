@@ -41,6 +41,13 @@ final class Monitor(logPath: Option[String] = None) {
 
   def events: Seq[MonitorEvent] = synchronized { buf.toSeq }
 
+  /** Emit a one-off event outside the monitored-block lifecycle —
+    * QMR violations, operator-level notices. */
+  def record(target: String, step: String, event: String,
+             elapsedSeconds: Double, rowcount: Option[Long] = None,
+             message: Option[String] = None): Unit =
+    emit(MonitorEvent(target, step, event, elapsedSeconds, rowcount, message))
+
   private def emit(e0: MonitorEvent): Unit = synchronized {
     val e = e0.copy(ts = Some(System.currentTimeMillis))
     buf += e

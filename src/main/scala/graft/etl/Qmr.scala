@@ -1,0 +1,125 @@
+package graft.etl
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+
+/** Query monitoring rules — Redshift WLM's QMR surface plus
+  * `statement_timeout` (resources.RedshiftCluster.statement_timeout,
+  * /root/reference/python/etl/commands.py:454-464 threads it into
+  * every session; dialect/redshift.py:536-545 SETs it). Redshift
+  * evaluates rules like `query_execution_time > N` or
+  * `scan_row_count > N` against running queries and aborts or logs;
+  * here a watchdog thread samples the same two metrics for a job
+  * group and `cancelJobGroup`s on an abort-rule breach:
+  *
+  *   - elapsed wall time — exact;
+  *   - scan rows — accumulated from per-task input metrics as tasks
+  *     END, so enforcement lags by one task (Redshift's own QMR is
+  *     sampled at one-second granularity; same best-effort contract).
+  *
+  * `log`-action rules are evaluated post-completion against final
+  * totals and append a monitor event instead of failing the query.
+  *
+  * Scale shape: listener work is O(1) per task end; the watchdog is
+  * one driver thread per guarded query. Cancellation propagates
+  * through the job group with interruptOnCancel, so a runaway
+  * 100 TB scan stops within a task boundary instead of holding the
+  * cluster. */
+object Qmr {
+
+  sealed trait Action
+  case object Abort extends Action
+  case object Log extends Action
+
+  /** One rule; thresholds that are None don't participate. */
+  final case class Rule(name: String,
+                        maxSeconds: Option[Double] = None,
+                        maxScanRows: Option[Long] = None,
+                        action: Action = Abort)
+
+  final case class Violation(rule: Rule, elapsedSec: Double, scanRows: Long)
+    extends RuntimeException(
+      s"query monitoring rule '${rule.name}' violated: " +
+        f"elapsed $elapsedSec%.2f s (max ${rule.maxSeconds.getOrElse(Double.NaN)}%.2f), " +
+        s"scan rows $scanRows (max ${rule.maxScanRows.getOrElse(-1L)})")
+
+  /** Convenience: the reference's statement_timeout as a QMR rule. */
+  def statementTimeout(millis: Long): Rule =
+    Rule("statement_timeout", maxSeconds = Some(millis / 1000.0))
+
+  private final class GroupMetrics(group: String) extends SparkListener {
+    val scanRows = new AtomicLong(0L)
+    private val stages =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+      if (group == jobStart.properties.getProperty("spark.jobGroup.id"))
+        jobStart.stageIds.foreach(id => { stages.add(id); () })
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
+      if (stages.contains(taskEnd.stageId) && taskEnd.taskMetrics != null) {
+        scanRows.addAndGet(taskEnd.taskMetrics.inputMetrics.recordsRead)
+        ()
+      }
+  }
+
+  /** Run `action` on `df` under `rules`. Abort rules breach ⇒ the
+    * job group is cancelled and [[Violation]] is thrown; log rules
+    * breach ⇒ `monitor` records a `qmr_violation` event and the
+    * result is returned. */
+  def guarded[T](df: DataFrame, rules: Seq[Rule],
+                 monitor: Monitor = new Monitor())(action: DataFrame => T): T = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val group = s"qmr-${java.util.UUID.randomUUID().toString.take(8)}"
+    val metrics = new GroupMetrics(group)
+    sc.addSparkListener(metrics)
+    val t0 = System.nanoTime()
+    @volatile var breach: Option[Violation] = None
+    val abortRules = rules.filter(_.action == Abort)
+    val watchdog = new Thread(() => {
+      try {
+        while (breach.isEmpty && !Thread.currentThread().isInterrupted) {
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          val rows = metrics.scanRows.get()
+          abortRules.find(r =>
+            r.maxSeconds.exists(elapsed > _) ||
+              r.maxScanRows.exists(rows > _)).foreach { r =>
+            breach = Some(Violation(r, elapsed, rows))
+            sc.cancelJobGroup(group)
+          }
+          Thread.sleep(25)
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"$group-watchdog")
+    watchdog.setDaemon(true)
+    sc.setJobGroup(group, s"qmr-guarded query", interruptOnCancel = true)
+    watchdog.start()
+    try {
+      val out =
+        try action(df)
+        catch {
+          case e: Throwable =>
+            breach match {
+              case Some(v) => throw v
+              case None => throw e
+            }
+        }
+      // post-completion sweep: log rules see final totals
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val rows = metrics.scanRows.get()
+      rules.filter(_.action == Log).foreach { r =>
+        if (r.maxSeconds.exists(elapsed > _) || r.maxScanRows.exists(rows > _))
+          monitor.record("query", "qmr", "qmr_violation", elapsed,
+            rowcount = Some(rows), message = Some(r.name))
+      }
+      // a breach can race a query that finishes in the same tick —
+      // completed work wins, the abort is moot
+      out
+    } finally {
+      watchdog.interrupt()
+      sc.clearJobGroup()
+      sc.removeSparkListener(metrics)
+    }
+  }
+}

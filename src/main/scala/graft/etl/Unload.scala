@@ -25,25 +25,44 @@ object Unload {
     * `partitionBy` writer is byte-for-byte that layout. At scale this
     * is what makes the export re-consumable with partition pruning
     * instead of a flat million-file prefix. */
+  /** Formats mirror Redshift's `UNLOAD ... FORMAT AS` surface
+    * (redshift.py:548-581 emits the delimiter form; PARQUET and JSON
+    * are the engine's other two): `csv` keeps the full Redshift
+    * option set (gzip, ADDQUOTES, `\N`), `parquet` is the columnar
+    * export (types survive without columns.yaml casting — the 100 TB
+    * re-consumption path), `json` is gzip JSON-lines. */
+  val Formats: Set[String] = Set("csv", "parquet", "json")
+
   def unload(df: DataFrame, design: TableDesign, destDir: String,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             format: String = "csv"): Long = {
+    require(Formats(format), s"unload format '$format' not one of $Formats")
     val cols = design.activeColumns.map(_.name)
     require(partitionBy.forall(cols.contains),
       s"partition columns ${partitionBy.mkString(",")} must be unloaded columns")
     val out = df.selectExpr(cols: _*)
     val capture = LoadMetricsCapture.install(df.sparkSession)
     capture.discard(destDir)
-    val writer = out.write.mode("overwrite")
-      .option("compression", "gzip")
-      .option("quoteAll", "true")
-      .option("nullValue", "\\N")
-      // both: parquet-sourced naive timestamps surface as TIMESTAMP_NTZ
-      // in Spark 4, which the CSV writer formats via timestampNTZFormat
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-    (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
-      .csv(destDir)
-    writeColumnsYaml(design, destDir, partitionBy)
+    val writer0 = out.write.mode("overwrite")
+    val writer = format match {
+      case "parquet" => writer0
+      case _ => writer0
+        .option("compression", "gzip")
+        .option("quoteAll", "true")
+        .option("nullValue", "\\N")
+        // both: parquet-sourced naive timestamps surface as TIMESTAMP_NTZ
+        // in Spark 4, which the CSV writer formats via timestampNTZFormat
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    }
+    val part =
+      if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*)
+    format match {
+      case "csv" => part.csv(destDir)
+      case "parquet" => part.parquet(destDir)
+      case "json" => part.json(destDir)
+    }
+    writeColumnsYaml(design, destDir, partitionBy, format)
     writeManifest(destDir)
     // rowcount from the write's own metrics — recounting would
     // re-execute the source query end to end
@@ -51,7 +70,8 @@ object Unload {
   }
 
   private def writeColumnsYaml(design: TableDesign, destDir: String,
-                               partitionBy: Seq[String] = Nil): Unit = {
+                               partitionBy: Seq[String] = Nil,
+                               format: String = "csv"): Unit = {
     val yaml = new StringBuilder("columns:\n")
     design.activeColumns.foreach { c =>
       yaml.append(s"  - name: ${c.name}\n    type: ${c.tpe}\n")
@@ -59,6 +79,7 @@ object Unload {
     }
     if (partitionBy.nonEmpty)
       yaml.append(s"partitioned_by: [${partitionBy.mkString(", ")}]\n")
+    if (format != "csv") yaml.append(s"format: $format\n")
     ArtifactIo.writeText(s"$destDir/columns.yaml", yaml.toString)
   }
 
@@ -88,21 +109,28 @@ object Unload {
     val yamlText = ArtifactIo.readText(s"$destDir/columns.yaml")
     val design = columnsFromYaml(yamlText)
     val partCols = partitionedByFromYaml(yamlText)
+    val format = formatFromYaml(yamlText)
     // The user schema COVERS the partition columns: Spark then casts
     // each directory value to the declared type instead of inferring
     // one from its spelling — a string partition value like "01"
     // survives as "01" (inference would read int 1 and lose the
     // padding). Data files simply lack those columns; Spark fills
-    // them from the directory names.
-    val base = spark.read
+    // them from the directory names. Parquet carries its own types;
+    // the declared schema still pins partition-column types.
+    val reader = spark.read
       .schema(org.apache.spark.sql.types.StructType(design.map(c =>
         org.apache.spark.sql.types.StructField(c.name, c.dataType))))
+      .option("pathGlobFilter", "part-*")   // skip columns.yaml/manifest.json
+    val textual = reader
       .option("compression", "gzip")
       .option("nullValue", "\\N")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-      .option("pathGlobFilter", "part-*")   // skip columns.yaml/manifest.json
-      .csv(destDir)
+    val base = format match {
+      case "csv" => textual.csv(destDir)
+      case "json" => textual.json(destDir)
+      case "parquet" => reader.parquet(destDir)
+    }
     if (partCols.isEmpty) base
     else {
       // partition columns surface after the data columns; restore the
@@ -110,6 +138,12 @@ object Unload {
       import org.apache.spark.sql.functions.col
       base.select(design.map(c => col(c.name)): _*)
     }
+  }
+
+  private[etl] def formatFromYaml(text: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    Option(mapper.readTree(text).get("format")).map(_.asText).getOrElse("csv")
   }
 
   private[etl] def partitionedByFromYaml(text: String): Seq[String] = {

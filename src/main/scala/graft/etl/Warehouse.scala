@@ -458,6 +458,64 @@ final class Warehouse(
     writeTable(target, merged, design)
   }
 
+  /** Partition-scoped rebuild — the BACKFILL form of T6's
+    * delete-then-reload (load.py:422-425 deletes then re-COPYs the
+    * whole relation; on a date-partitioned 100 TB fact only the
+    * affected dates should move). Dynamic partition overwrite
+    * replaces EXACTLY the hive-style partitions present in `df`;
+    * every other partition's files are untouched, and the catalog's
+    * partition entries follow the insert. In-place under the live
+    * location, like [[appendToTableIdempotent]] — the pointer does
+    * not move, so staging/publish semantics don't apply; the unit of
+    * atomicity is the partition directory.
+    *
+    * `expect`: the declared backfill scope as `col=value/...` specs —
+    * a batch carrying rows for any OTHER partition is refused before
+    * a byte is written (a mis-scoped backfill silently clobbering an
+    * unrelated day is the classic warehouse incident).
+    *
+    * Returns the rebuilt partition specs, sorted. */
+  def rebuildPartitions(target: TableName, df: DataFrame,
+                        expect: Option[Set[String]] = None): Seq[String] = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      target.table, Some(target.schema))
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val partCols = meta.partitionColumnNames
+    require(partCols.nonEmpty,
+      s"'${target.identifier}' is not partitioned — use writeTable/updateRelations")
+    require(meta.bucketSpec.isEmpty,
+      s"'${target.identifier}' is bucketed; partition backfill would drop bucketing")
+    val touched = df.select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.indices.map(i =>
+        s"${partCols(i)}=${String.valueOf(r.get(i))}").mkString("/"))
+      .toSeq.sorted
+    require(touched.nonEmpty, "backfill batch is empty")
+    expect.foreach { want =>
+      val bad = touched.filterNot(want)
+      require(bad.isEmpty,
+        s"backfill touches undeclared partitions: ${bad.mkString(", ")} " +
+          s"(declared: ${want.toSeq.sorted.mkString(", ")})")
+    }
+    // insertInto is positional: align to the catalog's column order
+    // (data columns first, partition columns last)
+    val ordered = df.select(meta.schema.fieldNames.map(col): _*)
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "dynamic")
+    // belt and braces: writer-level option too — a STATIC overwrite
+    // here would truncate every other partition
+    try ordered.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").insertInto(target.quoted)
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+    spark.catalog.refreshTable(target.quoted)
+    monitor.record(target.identifier, "backfill", "finish", 0.0,
+      message = Some(touched.mkString(", ")))
+    touched
+  }
+
   /** Live location for an in-place append, refusing bucketed and
     * partitioned tables: a bucketed table's files carry bucket-id
     * assignments, and a partitioned table's rows live in partition

@@ -592,6 +592,44 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errBuf.toString("UTF-8").contains("no value"))
   }
 
+  test("cli run_query: statement_timeout aborts, result cache hits") {
+    val cfg = Files.createTempDirectory("graft_cli_qmr_")
+    Files.write(cfg.resolve("settings.yaml"),
+      "resources:\n  RedshiftCluster:\n    statement_timeout: 700\n"
+        .getBytes(StandardCharsets.UTF_8))
+    // a fast query under the timeout answers normally
+    val (c1, v1) = captureOut { Cli.run(spark, "run_query", Map(
+      "sql" -> "SELECT 1 AS x", "config" -> cfg.toString)) }
+    assert(c1 == 0 && v1.contains("1"))
+    // a quadratic cross join blows the 700 ms budget → orderly exit 1
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    val c2 =
+      try Cli.run(spark, "run_query", Map(
+        "sql" -> ("SELECT sum(a.id * b.id) AS s FROM range(300000) a " +
+          "CROSS JOIN range(300000) b"),
+        "config" -> cfg.toString))
+      finally System.setErr(prevErr)
+    assert(c2 == 1, "timed-out query must exit non-zero")
+    assert(errBuf.toString("UTF-8").contains("statement_timeout"))
+    // --cache: second identical run is a HIT with identical output
+    val cacheDir = Files.createTempDirectory("graft_cli_rc_").toString
+    def cached() = {
+      val eb = new java.io.ByteArrayOutputStream()
+      val pe = System.err
+      System.setErr(new java.io.PrintStream(eb, true, "UTF-8"))
+      val r = try captureOut { Cli.run(spark, "run_query", Map(
+        "sql" -> "SELECT 21 * 2 AS answer", "cache" -> cacheDir)) }
+      finally System.setErr(pe)
+      (r._1, r._2, eb.toString("UTF-8"))
+    }
+    val (m1, o1, e1) = cached()
+    assert(m1 == 0 && o1.contains("42") && e1.contains("MISS"))
+    val (m2, o2, e2) = cached()
+    assert(m2 == 0 && o2 == o1 && e2.contains("HIT"))
+  }
+
   test("cli create_external_schemas registers tables readable by a transform") {
     val s = spark
     import s.implicits._

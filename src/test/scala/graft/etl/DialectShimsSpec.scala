@@ -348,6 +348,29 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(4) == 420L, "base-8 parse")
   }
 
+  test("SELECT TOP n becomes LIMIT n in the right query block") {
+    def rw(s: String) = DialectShims.rewriteRedshiftSql(s)
+    assert(rw("SELECT TOP 5 a FROM t ORDER BY a") ==
+      "SELECT a FROM t ORDER BY a LIMIT 5")
+    assert(rw("SELECT DISTINCT TOP 3 a FROM t") ==
+      "SELECT DISTINCT a FROM t LIMIT 3")
+    // nested block: the LIMIT lands inside the subquery's parens
+    assert(rw("SELECT x FROM (SELECT TOP 2 a AS x FROM t ORDER BY a) s") ==
+      "SELECT x FROM (SELECT a AS x FROM t ORDER BY a LIMIT 2) s")
+    // both levels at once
+    assert(rw("SELECT TOP 1 x FROM (SELECT TOP 2 a AS x FROM t) s") ==
+      "SELECT x FROM (SELECT a AS x FROM t LIMIT 2) s LIMIT 1")
+    // a literal mentioning TOP must not trip the rewrite
+    assert(rw("SELECT 'TOP 5' AS s FROM t") == "SELECT 'TOP 5' AS s FROM t")
+    // TOP in a set-operation branch is ambiguous — refused loudly
+    val e = intercept[IllegalArgumentException](
+      rw("SELECT TOP 5 a FROM t UNION SELECT a FROM u"))
+    assert(e.getMessage.contains("set-operation"))
+    // ...but a UNION inside a deeper subquery does not confuse scope
+    assert(rw("SELECT TOP 5 a FROM (SELECT a FROM t UNION SELECT a FROM u) s") ==
+      "SELECT a FROM (SELECT a FROM t UNION SELECT a FROM u) s LIMIT 5")
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

@@ -232,6 +232,35 @@ class FrameworkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("UNLOAD FORMAT AS PARQUET / JSON round-trip; bad format refused") {
+    val design = TableDesign(TableName.parse("u.nation_f"), "src", Seq(
+      ColumnDef("n_nationkey", "long", notNull = true),
+      ColumnDef("n_name", "string"),
+      ColumnDef("n_regionkey", "long")))
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val orig = df.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    for (fmt <- Seq("parquet", "json")) {
+      val dest = Files.createTempDirectory(s"graft_unload_$fmt").toString + "/out"
+      // parquet additionally exercises PARTITION BY composition
+      val parts = if (fmt == "parquet") Seq("n_regionkey") else Nil
+      val n = Unload.unload(df, design, dest, partitionBy = parts, format = fmt)
+      assert(n == 25)
+      val yaml = new String(Files.readAllBytes(Paths.get(dest, "columns.yaml")),
+        StandardCharsets.UTF_8)
+      assert(yaml.contains(s"format: $fmt"), yaml)
+      assert(Files.exists(Paths.get(dest, "manifest.json")))
+      val back = Unload.reload(spark, dest)
+      assert(back.schema.fieldNames.toSeq ==
+        Seq("n_nationkey", "n_name", "n_regionkey"))
+      assert(back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq == orig,
+        s"$fmt round-trip")
+    }
+    intercept[IllegalArgumentException] {
+      Unload.unload(df, design, "/tmp/never", format = "orc")
+    }
+  }
+
   // -------------------------------------------------------------- ddl
   test("T8/Q3: DDL generator emits columns, NOT NULL, constraint properties") {
     val d = TableDesign.load(

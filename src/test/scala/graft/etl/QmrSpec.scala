@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Query monitoring rules: abort rules cancel the job group mid-run
+  * (timeout exact, scan-rows best-effort per task end), log rules
+  * record a monitor event post-completion, clean queries pass
+  * through untouched. */
+class QmrSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dataDir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val s = spark
+    import s.implicits._
+    dataDir = java.nio.file.Files.createTempDirectory("qmr_").toString
+    // 64 files × 5 rows: tasks end steadily, so per-task input metrics
+    // accumulate while the query still has most of its work ahead
+    (1L to 320L).toDF("k").repartition(64)
+      .write.mode("overwrite").parquet(s"$dataDir/t.parquet")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def slow(ms: Int) = udf { (k: Long) => Thread.sleep(ms); k }
+
+  test("statement_timeout aborts a long query and reports elapsed") {
+    // filter, not select: a pruned-away deterministic UDF would let
+    // count() skip the sleeps entirely
+    val df = spark.read.parquet(s"$dataDir/t.parquet")
+      .filter(slow(200)(col("k")) >= 0L)
+    val t0 = System.nanoTime()
+    val v = intercept[Qmr.Violation] {
+      Qmr.guarded(df, Seq(Qmr.statementTimeout(800)))(_.count())
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(v.rule.name == "statement_timeout")
+    assert(elapsed < 20.0,
+      f"cancellation must interrupt well before the ~32 s full run ($elapsed%.1f s)")
+  }
+
+  test("scan-row abort rule cancels once task metrics cross the limit") {
+    val df = spark.read.parquet(s"$dataDir/t.parquet")
+      .filter(slow(100)(col("k")) >= 0L)
+    val v = intercept[Qmr.Violation] {
+      Qmr.guarded(df,
+        Seq(Qmr.Rule("scan_cap", maxScanRows = Some(20L))))(_.count())
+    }
+    assert(v.rule.name == "scan_cap")
+    assert(v.scanRows > 20L)
+  }
+
+  test("log rule records a monitor event and the query still answers") {
+    val mon = new Monitor()
+    val df = spark.read.parquet(s"$dataDir/t.parquet")
+    val n = Qmr.guarded(df,
+      Seq(Qmr.Rule("wide_scan", maxScanRows = Some(1L),
+        action = Qmr.Log)), mon)(_.count())
+    assert(n == 320L)
+    val ev = mon.events.filter(_.event == "qmr_violation")
+    assert(ev.nonEmpty && ev.head.message.contains("wide_scan"))
+    assert(ev.head.rowcount.exists(_ >= 320L))
+  }
+
+  test("a clean query passes with no events") {
+    val mon = new Monitor()
+    val df = spark.read.parquet(s"$dataDir/t.parquet")
+    val n = Qmr.guarded(df,
+      Seq(Qmr.statementTimeout(60000),
+        Qmr.Rule("cap", maxScanRows = Some(1000000L), action = Qmr.Log)),
+      mon)(_.count())
+    assert(n == 320L && mon.events.isEmpty)
+  }
+}

@@ -396,6 +396,31 @@ object SqlSurface {
       .orderBy($"user_id")
   }
 
+  /** The NATIVE session-window form of q15 — `session_window` runs in
+    * batch too, turning the two-window lag/cumsum composition into
+    * one gap-merge aggregation (no per-user ordering pass; the
+    * aggregate merges windows). Session merge is INCLUSIVE of the
+    * window end (an event at exactly `prev + gap` continues the
+    * session), which is precisely q15's strict-greater split — the
+    * boundary spec pins it. Window end is `last event + gap`, hence
+    * duration = end − start − gap. Same oracle as q15. */
+  def q15cSessionsNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    val sess = Tables.load(spark, sfDir, "events")
+      .groupBy($"user_id",
+        session_window($"ts", s"$gapUs microseconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"n_events",
+        expr(s"(unix_micros(w.end) - unix_micros(w.start) - ${gapUs}L) div 1000000")
+          .as("duration_s"))
+    sess.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max($"n_events").as("max_events_per_session"),
+        max($"duration_s").as("max_duration_s"))
+      .orderBy($"user_id")
+  }
+
   val q15EventsSessionsSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,
@@ -1289,7 +1314,8 @@ object SqlSurface {
     "q13_cte" -> (q13Cte _),
     "q14_events_hourly" -> (q14EventsHourly _),
     "q15_events_sessions" -> (q15EventsSessions _),
-    "q15b_sessions_window" -> (q15bSessionsWindow _))
+    "q15b_sessions_window" -> (q15bSessionsWindow _),
+    "q15c_sessions_native" -> (q15cSessionsNative _))
 
   val oracles: Map[String, String] = Map(
     "q32_lateral" -> q32LateralSql,
@@ -1329,5 +1355,6 @@ object SqlSurface {
     "q13_cte" -> q13CteSql,
     "q14_events_hourly" -> q14EventsHourlySql,
     "q15_events_sessions" -> q15EventsSessionsSql,
-    "q15b_sessions_window" -> q15bSessionsWindowSql)
+    "q15b_sessions_window" -> q15bSessionsWindowSql,
+    "q15c_sessions_native" -> q15EventsSessionsSql)
 }

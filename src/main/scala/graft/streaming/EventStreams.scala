@@ -86,6 +86,28 @@ object EventStreams {
       }
   }
 
+  /** The NATIVE twin of [[sessionize]]: Spark's built-in
+    * `session_window` gap-merge aggregation — preference order (a),
+    * compose existing operators before custom state. The state store
+    * carries one merged window per open session (engine-managed,
+    * including out-of-order window merges the hand-rolled version
+    * never re-opens); sessions emit in append mode once the watermark
+    * passes their gap. A closed session's window end is
+    * `last event + gap`, so duration = end − start − gap. Same
+    * output contract as [[sessionize]] — the spec pins them equal. */
+  def sessionizeNative(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window, unix_timestamp}
+    val gapSec = SessionGapMicros / 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        (unix_timestamp(col("session_window.end"))
+          - unix_timestamp(col("session_window.start")) - gapSec)
+          .as("duration_s"))
+  }
+
   final case class ClickOrPurchase(
       user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
   final case class LastClick(clickId: Long, clickMillis: Long)

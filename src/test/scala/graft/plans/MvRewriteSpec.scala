@@ -181,6 +181,42 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally MvRewrite.unregister(spark, "whmv")
   }
 
+  test("incremental MV append: batch partials extend the view, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("mv_inc_").toString, sfDir)
+    val baseT = TableName.parse("mv.inc_base")
+    val mvT = TableName.parse("mv.inc_rollup")
+    val sliceA = Seq(("a", 1L), ("b", 2L)).toDF("g", "x")
+    val sliceB = Seq(("a", 10L), ("c", 5L)).toDF("g", "x")
+    wh.writeTable(baseT, sliceA)
+    wh.writeTable(mvT, MvRewrite.partials(sliceA, Seq("g"), Seq("x")))
+    // base grows by one batch; the MV follows with PARTIAL rows only —
+    // no rescan of the base — and re-registers at the new version
+    wh.appendToTableIdempotent(baseT, sliceB, "b1")
+    assert(MvOps.appendBatch(wh, mvT, sliceB, Seq("g"), Seq("x"), "b1"))
+    assert(!MvOps.appendBatch(wh, mvT, sliceB, Seq("g"), Seq("x"), "b1"),
+      "replayed batch must be a no-op")
+    MvRewrite.registerMv(spark, "incmv", spark.table(baseT.quoted),
+      spark.table(mvT.quoted), Seq("g"), Seq("x"),
+      version = wh.tableVersion(baseT),
+      currentVersion = () => wh.tableVersion(baseT))
+    try {
+      // the MV now holds TWO partial rows for group 'a'; the rewrite's
+      // re-aggregation folds them
+      val q = spark.table(baseT.quoted).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"),
+          min("x").as("mn"), max("x").as("mx")).orderBy("g")
+      val paths = MvOps.scanPaths(q)
+      assert(paths.nonEmpty && paths.forall(_.contains("inc_rollup")),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.collect().map(_.toSeq).toSeq == Seq(
+        Seq("a", 11L, 2L, 1L, 10L), Seq("b", 2L, 1L, 2L, 2L),
+        Seq("c", 5L, 1L, 5L, 5L)))
+    } finally MvRewrite.unregister(spark, "incmv")
+  }
+
   test("decimal sums re-aggregate exactly with the narrowing cast") {
     val s = spark
     import s.implicits._

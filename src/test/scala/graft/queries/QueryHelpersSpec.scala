@@ -26,6 +26,28 @@ class QueryHelpersSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("q15c session_window boundary: exactly-30-min gap continues, 30-min+1µs splits") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sess_gap_").toString
+    def t(str: String) = java.sql.Timestamp.valueOf(str)
+    // user 1: gap of EXACTLY 30:00.000000 (must merge, matching q15's
+    // strict-greater split), then a 30:00.000001 gap (must split)
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-01 10:30:00"), 1L, "view", 1.0, "{}"),
+      (3L, t("2024-01-01 11:00:00.000001"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val native = shape(SqlSurface.q15cSessionsNative(spark, dir))
+    val composed = shape(SqlSurface.q15EventsSessions(spark, dir))
+    assert(native == composed, s"native=$native composed=$composed")
+    assert(native == Seq((1L, 2L, 2L, 1800L)),
+      "two sessions: (e1,e2) merged across the exact gap, e3 split off")
+  }
+
   test("DotF is bit-equal to the aggregate(zip_with) fold it replaced") {
     val s = spark
     import s.implicits._

@@ -622,6 +622,31 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(EventStreams.SessionOut(1L, 1L, 0L)))
   }
 
+  test("sessionizeNative (session_window) matches the custom-state sessionizer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionizeNative(input.toDS.toDF).writeStream
+      .format("memory").queryName("sessions_native_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      EventStreams.Ev(1L, 1L, ts("2024-01-01 10:00:00")),
+      EventStreams.Ev(1L, 2L, ts("2024-01-01 10:10:00")),
+      EventStreams.Ev(1L, 3L, ts("2024-01-01 10:50:00")))
+    q.processAllAvailable()
+    input.addData(EventStreams.Ev(2L, 9L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_native_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    // identical sessions to the custom sessionize fixture: 2-event
+    // 600 s session closed by the gap, 1-event session closed by the
+    // watermark passing its window
+    assert(rows.contains((1L, 2L, 600L)), rows.toString)
+    assert(rows.contains((1L, 1L, 0L)), rows.toString)
+  }
+
   test("asofEnrich: purchases carry the latest prior click; state spans batches") {
     val s = spark
     import s.implicits._

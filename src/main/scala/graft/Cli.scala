@@ -578,15 +578,12 @@ object Cli {
         println(s"[ping] ok (SELECT 1 = $one, spark ${spark.version})")
         0
       case "run_query" =>
-        // resources.RedshiftCluster.statement_timeout (ms) from the
-        // settings plane, honored exactly like the reference threads
-        // it into every session (commands.py:454-464) — enforced here
-        // by the QMR watchdog rather than a server-side SET
+        // statement_timeout + wlm.rules.* from the settings plane,
+        // honored exactly like the reference threads them into every
+        // session (commands.py:454-464) — enforced here by the QMR
+        // watchdog rather than a server-side SET
         val qmrRules: Seq[Qmr.Rule] =
-          if (opts.contains("config") &&
-              settings.isSet("resources.RedshiftCluster.statement_timeout"))
-            Seq(Qmr.statementTimeout(settings.intValue(
-              "resources.RedshiftCluster.statement_timeout").toLong))
+          if (opts.contains("config")) Qmr.rulesFromSettings(settings)
           else Seq.empty
         def guardedCollect(df: org.apache.spark.sql.DataFrame) =
           if (qmrRules.isEmpty) df.collect()

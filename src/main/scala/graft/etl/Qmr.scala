@@ -49,6 +49,48 @@ object Qmr {
   def statementTimeout(millis: Long): Rule =
     Rule("statement_timeout", maxSeconds = Some(millis / 1000.0))
 
+  /** Rules from the settings plane — Redshift declares QMR inside the
+    * WLM configuration JSON; the same shape here as layered YAML:
+    *
+    *   wlm:
+    *     rules:
+    *       long_scan:  { max_seconds: 30, action: abort }
+    *       wide_scan:  { max_scan_rows: 1000000, action: log }
+    *
+    * plus `resources.RedshiftCluster.statement_timeout` (ms), folded
+    * in as an abort rule exactly as the reference threads it into
+    * every session. Unknown action names are a config error. */
+  def rulesFromSettings(settings: Settings): Seq[Rule] = {
+    val prefix = "wlm.rules."
+    val names = settings.configMap.keys
+      .filter(_.startsWith(prefix))
+      .map(_.drop(prefix.length).takeWhile(_ != '.')).toSeq.distinct.sorted
+    val declared = names.map { n =>
+      def opt(field: String): Option[String] = {
+        val k = s"$prefix$n.$field"
+        if (settings.isSet(k)) Some(settings.value(k)) else None
+      }
+      val action = opt("action").getOrElse("abort") match {
+        case "abort" => Abort
+        case "log" => Log
+        case other => throw new SettingsError(
+          s"wlm.rules.$n.action: unknown action '$other' (abort|log)")
+      }
+      val r = Rule(n, opt("max_seconds").map(_.toDouble),
+        opt("max_scan_rows").map(_.toLong), action)
+      if (r.maxSeconds.isEmpty && r.maxScanRows.isEmpty)
+        throw new SettingsError(
+          s"wlm.rules.$n: needs max_seconds and/or max_scan_rows")
+      r
+    }
+    val timeout =
+      if (settings.isSet("resources.RedshiftCluster.statement_timeout"))
+        Seq(statementTimeout(settings.intValue(
+          "resources.RedshiftCluster.statement_timeout").toLong))
+      else Seq.empty
+    timeout ++ declared
+  }
+
   private final class GroupMetrics(group: String) extends SparkListener {
     val scanRows = new AtomicLong(0L)
     private val stages =

@@ -516,6 +516,64 @@ final class Warehouse(
     touched
   }
 
+  /** Per-partition compaction — [[compactTable]] for partitioned
+    * tables, where the whole-table rewrite it performs would move
+    * 100 TB to fold one append-fragmented day. A partition compaction
+    * IS an identity backfill: re-write the partition's own rows
+    * through [[rebuildPartitions]] (dynamic overwrite, scope-guarded
+    * to exactly the requested specs), which lands them as one
+    * task-sized file set. Other partitions' files never move.
+    * Returns per-spec (filesBefore, filesAfter); a spec already at or
+    * under `maxDataFiles` is skipped (absent from the result). */
+  def compactPartitions(target: TableName, specs: Seq[String],
+                        maxDataFiles: Int = 16,
+                        dryRun: Boolean = false): Map[String, (Int, Int)] = {
+    require(specs.nonEmpty, "compactPartitions needs at least one spec")
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      target.table, Some(target.schema))
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    require(meta.partitionColumnNames.nonEmpty,
+      s"'${target.identifier}' is not partitioned — use compactTable")
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileCount(spec: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(root, spec)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(f => f.isFile && {
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    }
+    val crowded = specs.map(s => s -> fileCount(s))
+      .filter { case (_, n) => n > maxDataFiles }
+    if (dryRun || crowded.isEmpty)
+      return crowded.map { case (s, n) => s -> (n, n) }.toMap
+    crowded.map { case (spec, before) =>
+      // hop through a temp copy: the overwrite must not read the very
+      // files it deletes at commit (a recomputed task after commit
+      // would find them gone). Compaction cost stays 2× the PARTITION,
+      // never the table. Partition columns are not stored in the data
+      // files — restore them typed from the spec.
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$warehouseDir/tmp/compact_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        val restored = spec.split('/').foldLeft(
+          spark.read.parquet(s"$root/$spec")) { (df, kv) =>
+          val Array(k, v) = kv.split("=", 2)
+          df.withColumn(k, lit(v).cast(meta.schema(k).dataType))
+        }
+        restored.write.parquet(tmp.toString)
+        rebuildPartitions(target, spark.read.parquet(tmp.toString),
+          expect = Some(Set(spec)))
+      } finally {
+        tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(tmp, true)
+        ()
+      }
+      spec -> (before, fileCount(spec))
+    }.toMap
+  }
+
   /** Live location for an in-place append, refusing bucketed and
     * partitioned tables: a bucketed table's files carry bucket-id
     * assignments, and a partitioned table's rows live in partition

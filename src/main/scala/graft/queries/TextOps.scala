@@ -1636,15 +1636,17 @@ object TextOps {
     val counts = grams.groupBy($"bucket").agg(
       sum(when($"lang" === "en", 1L).otherwise(0L)).as("tc"),
       sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("sc"))
-    val totals = counts
-      .agg(sum($"tc").as("tt"), sum($"sc").as("st"))
-      .withColumn("k", lit(1))
-    val weights = counts.withColumn("k", lit(1))
-      .join(broadcast(totals), "k")
-      .select($"bucket", expr(
-        s"((tc + 1) * ${AffinityScale}L) div (tt + $AffinityBuckets) - " +
-          s"((sc + 1) * ${AffinityScale}L) div (st + $AffinityBuckets)")
-        .as("wt"))
+      .persist()
+    // totals are ONE row over the bucket-sized aggregate — a scalar
+    // collect, not a corpus action (a lit-keyed join here would
+    // constant-fold into a BroadcastNestedLoopJoin, which the plan
+    // gate rightly bans)
+    val t = counts.agg(sum($"tc"), sum($"sc")).head()
+    val (tt, st) = (t.getLong(0), t.getLong(1))
+    val weights = counts.select($"bucket", expr(
+      s"((tc + 1) * ${AffinityScale}L) div (${tt}L + $AffinityBuckets) - " +
+        s"((sc + 1) * ${AffinityScale}L) div (${st}L + $AffinityBuckets)")
+      .as("wt"))
     val scores = grams.join(broadcast(weights), "bucket")
       .groupBy($"doc_id").agg(sum($"wt").as("affinity"))
     docs.select($"doc_id", $"lang")

@@ -80,6 +80,44 @@ class BackfillSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(t.quoted).count() == before, "nothing may be written")
   }
 
+  test("compactPartitions folds a fragmented partition, leaves others' files") {
+    val s = spark
+    import s.implicits._
+    val t = TableName.parse("bf.cfact")
+    val cdesign = design.copy(name = t)
+    wh.writeTable(t, Seq(
+      (1L, "a", "d1"), (3L, "c", "d2")).toDF("k", "v", "day"), Some(cdesign))
+    // fragment day=d2 with many tiny backfills (each adds files)
+    (0 until 6).foreach { i =>
+      wh.rebuildPartitions(t,
+        (0 to i).map(j => (100L + j, s"x$j", "d2")).toDF("k", "v", "day")
+          .repartition(4), expect = Some(Set("day=d2")))
+    }
+    def files(suffix: String): Map[String, Long] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cfact", Some("bf")))
+        .location.getPath
+      Option(new java.io.File(s"$loc/$suffix").listFiles).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val d1Before = files("day=d1")
+    val rows = spark.table(t.quoted).orderBy("k").collect().map(_.toSeq).toSeq
+    val before = files("day=d2").size
+    assert(before > 2, s"fragmentation setup produced only $before files")
+    val report = wh.compactPartitions(t, Seq("day=d1", "day=d2"),
+      maxDataFiles = 2)
+    // d1 is small → skipped entirely; d2 folded
+    assert(!report.contains("day=d1"))
+    val (b, a) = report("day=d2")
+    assert(b == before && a <= 2, s"compaction $b -> $a")
+    assert(files("day=d1") == d1Before, "day=d1 files must not move")
+    assert(spark.table(t.quoted).orderBy("k").collect().map(_.toSeq).toSeq
+      == rows, "compaction must not change data")
+    assert(wh.compactPartitions(t, Seq("day=d2"), maxDataFiles = 2,
+      dryRun = true).isEmpty, "post-compaction dry run reports nothing crowded")
+  }
+
   test("non-partitioned and empty-batch targets are refused") {
     val s = spark
     import s.implicits._

@@ -73,6 +73,33 @@ class QmrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ev.head.rowcount.exists(_ >= 320L))
   }
 
+  test("rules parse from the settings plane; bad configs are user errors") {
+    val dir = java.nio.file.Files.createTempDirectory("qmr_cfg_")
+    java.nio.file.Files.write(dir.resolve("wlm.yaml"),
+      ("resources:\n  RedshiftCluster:\n    statement_timeout: 30000\n" +
+        "wlm:\n  rules:\n    long_scan:\n      max_seconds: 30\n" +
+        "    wide_scan:\n      max_scan_rows: 1000000\n      action: log\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rules = Qmr.rulesFromSettings(Settings.load(Seq(dir.toString)))
+    assert(rules.map(_.name) ==
+      Seq("statement_timeout", "long_scan", "wide_scan"))
+    assert(rules.head.maxSeconds.contains(30.0))
+    assert(rules(1).action == Qmr.Abort && rules(1).maxSeconds.contains(30.0))
+    assert(rules(2).action == Qmr.Log &&
+      rules(2).maxScanRows.contains(1000000L))
+    // unknown action and threshold-less rules are refused
+    java.nio.file.Files.write(dir.resolve("wlm.yaml"),
+      "wlm:\n  rules:\n    bad:\n      max_seconds: 1\n      action: hop\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[SettingsError](
+      Qmr.rulesFromSettings(Settings.load(Seq(dir.toString))))
+    java.nio.file.Files.write(dir.resolve("wlm.yaml"),
+      "wlm:\n  rules:\n    empty:\n      action: abort\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[SettingsError](
+      Qmr.rulesFromSettings(Settings.load(Seq(dir.toString))))
+  }
+
   test("a clean query passes with no events") {
     val mon = new Monitor()
     val df = spark.read.parquet(s"$dataDir/t.parquet")

@@ -773,6 +773,14 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.functions._
+    // suites share one JVM-wide session (getOrCreate — first builder
+    // wins), so the partition count this suite ASKED for isn't
+    // guaranteed. The clustering-quality thresholds below are
+    // calibrated for 4 range files over the 64×64 grid; pin it for
+    // this test's writes and restore after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
     val wh = freshWarehouse()
     // a 64x64 grid, pre-shuffled so arrival order carries no locality
     val grid = scala.util.Random.shuffle(
@@ -886,6 +894,7 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
         |    type: string
         |""".stripMargin) }
     assert(eType.getMessage.contains("numeric/date/timestamp"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   test("partitioned tables: directory layout, partition pruning, re-point, guards") {

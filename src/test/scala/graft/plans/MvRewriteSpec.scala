@@ -217,6 +217,55 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally MvRewrite.unregister(spark, "incmv")
   }
 
+  test("streaming MV maintenance: per-batch partials feed the rewrite") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("mv_strm_").toString, sfDir)
+    val baseT = TableName.parse("mv.strm_base")
+    val mvT = TableName.parse("mv.strm_rollup")
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    // one maintainer keeps BOTH tables: raw rows into the base,
+    // monoid partials into the MV — each through the batch-tagged
+    // idempotent append, so replays double-apply neither
+    val q = input.toDF.toDF("g", "x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.sparkSession.catalog.tableExists(baseT.quoted)) {
+          wh.writeTable(baseT, batch.limit(0))
+          wh.writeTable(mvT,
+            MvRewrite.partials(batch.limit(0), Seq("g"), Seq("x")))
+        }
+        wh.appendToTableIdempotent(baseT, batch, s"base-$id")
+        graft.queries.MvOps.appendBatch(wh, mvT, batch,
+          Seq("g"), Seq("x"), s"mv-$id")
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mv_strm_ck_").toString)
+      .start()
+    input.addData(("a", 1L), ("b", 2L))
+    q.processAllAvailable()
+    input.addData(("a", 10L), ("c", 5L))
+    q.processAllAvailable()
+    q.stop()
+    MvRewrite.registerMv(spark, "strmmv", spark.table(baseT.quoted),
+      spark.table(mvT.quoted), Seq("g"), Seq("x"),
+      version = wh.tableVersion(baseT),
+      currentVersion = () => wh.tableVersion(baseT))
+    try {
+      val agg = spark.table(baseT.quoted).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n")).orderBy("g")
+      val paths = MvOps.scanPaths(agg)
+      assert(paths.nonEmpty && paths.forall(_.contains("strm_rollup")),
+        agg.queryExecution.optimizedPlan.toString)
+      assert(agg.collect().map(_.toSeq).toSeq == Seq(
+        Seq("a", 11L, 2L), Seq("b", 2L, 1L), Seq("c", 5L, 1L)),
+        "rewritten answer must equal the streamed base's aggregate")
+    } finally MvRewrite.unregister(spark, "strmmv")
+  }
+
   test("decimal sums re-aggregate exactly with the narrowing cast") {
     val s = spark
     import s.implicits._

@@ -28,7 +28,9 @@ object Cli {
         |  validate       --designs DIR
         |  show_ddl       --designs DIR [--select PATTERN]
         |  ls             --designs DIR
-        |  run_query      --sql SQL [--limit N] [--cache DIR]
+        |  run_query      --sql SQL [--limit N] [--cache DIR] [--data DIR --warehouse DIR]  (arms stored MVs)
+        |  create_mv      --data DIR --warehouse DIR --name N --base SCHEMA.TABLE [--mv SCHEMA.TABLE] --group-cols C1[,C2...] --agg-cols A1[,A2...]
+        |  refresh_mv     --data DIR --warehouse DIR --name N
         |  run_sql        --file SCRIPT.sql | --sql "stmt; stmt" | --template NAME [--config DIRS]   (alias: run_sql_template)
         |  selftest
         |  initialize     --designs DIR --data DIR --warehouse DIR
@@ -55,7 +57,7 @@ object Cli {
         |  refresh_skip_index --data DIR --warehouse DIR --table SCHEMA.TABLE --columns C1[,C2...]
         |  build_bloom_index   --data DIR --warehouse DIR --table SCHEMA.TABLE --column C [--expected-items N]
         |  refresh_bloom_index --data DIR --warehouse DIR --table SCHEMA.TABLE --column C [--expected-items N]
-        |  optimize       --data DIR --warehouse DIR --table SCHEMA.TABLE [--zorder C1[,C2...]] [--dry-run]
+        |  optimize       --data DIR --warehouse DIR --table SCHEMA.TABLE [--zorder C1[,C2...]] [--partitions SPEC1[,SPEC2...] [--max-files N]] [--dry-run]
         |  create_snapshot  --designs DIR --data DIR --warehouse DIR --tag TAG [--select PATTERN]
         |  list_snapshots   --data DIR --warehouse DIR
         |  drop_snapshot    --data DIR --warehouse DIR --tag TAG
@@ -284,18 +286,36 @@ object Cli {
         val zcols = opts.get("zorder").toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim).filter(_.nonEmpty)
         val dry = opts.contains("dry-run")
-        wh.compactTable(name, maxDataFiles = 0, dryRun = dry,
-          clusterBy = zcols) match {
-          case Some((before, _)) if dry =>
-            println(s"[optimize] would rewrite ${name.quoted}: " +
-              s"$before files (dry run)"); 0
-          case Some((before, after)) =>
-            val how = if (zcols.isEmpty) "compacted"
-              else s"z-ordered on ${zcols.mkString(",")}"
-            println(s"[optimize] $how ${name.quoted}: $before -> $after files")
+        // --partitions day=d1,day=d2: per-partition compaction of a
+        // partitioned table (identity backfill) — the whole-table
+        // rewrite below refuses partitioned layouts by design
+        opts.get("partitions") match {
+          case Some(specs) =>
+            val report = wh.compactPartitions(name,
+              specs.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+              maxDataFiles = opts.get("max-files").map(_.toInt).getOrElse(16),
+              dryRun = dry)
+            if (report.isEmpty) println(s"[optimize] ${name.quoted}: " +
+              "no listed partition over the file threshold")
+            report.toSeq.sortBy(_._1).foreach { case (spec, (b, a)) =>
+              println(if (dry) s"[optimize] would compact ${name.quoted} $spec: $b files (dry run)"
+                else s"[optimize] compacted ${name.quoted} $spec: $b -> $a files")
+            }
             0
           case None =>
-            println(s"[optimize] ${name.quoted} already within bounds"); 0
+            wh.compactTable(name, maxDataFiles = 0, dryRun = dry,
+              clusterBy = zcols) match {
+              case Some((before, _)) if dry =>
+                println(s"[optimize] would rewrite ${name.quoted}: " +
+                  s"$before files (dry run)"); 0
+              case Some((before, after)) =>
+                val how = if (zcols.isEmpty) "compacted"
+                  else s"z-ordered on ${zcols.mkString(",")}"
+                println(s"[optimize] $how ${name.quoted}: $before -> $after files")
+                0
+              case None =>
+                println(s"[optimize] ${name.quoted} already within bounds"); 0
+            }
         }
       case "build_skip_index" | "refresh_skip_index" =>
         // file-level min/max data-skipping index lifecycle (the
@@ -577,7 +597,38 @@ object Cli {
         val one = spark.sql("SELECT 1 AS ok").collect().head.getInt(0)
         println(s"[ping] ok (SELECT 1 = $one, spark ${spark.version})")
         0
+      case "create_mv" | "refresh_mv" =>
+        // CREATE / REFRESH MATERIALIZED VIEW: build the partials
+        // table, persist the def under <warehouse>/_mvs, stamp the
+        // base's current version (the rewrite's freshness contract).
+        // refresh_mv can omit the column lists — they come from the
+        // stored def.
+        val wh = warehouse
+        val name = opts.getOrElse("name", usage())
+        val stored = MvCatalog.list(wh).find(_.name == name)
+        def cols(opt: String, fallback: Option[Seq[String]]): Seq[String] =
+          opts.get(opt).map(_.split(',').toSeq.map(_.trim))
+            .orElse(fallback).getOrElse(usage())
+        val base = opts.get("base").map(TableName.parse)
+          .orElse(stored.map(d => TableName.parse(d.base))).getOrElse(usage())
+        val mv = opts.get("mv").map(TableName.parse)
+          .orElse(stored.map(d => TableName.parse(d.mv)))
+          .getOrElse(TableName(base.schema, base.table + "_mv"))
+        val d = MvCatalog.createOrRefresh(spark, wh, name, base, mv,
+          cols("group-cols", stored.map(_.groupCols)),
+          cols("agg-cols", stored.map(_.aggCols)))
+        println(s"[mv] '${d.name}': ${d.mv} covers ${d.base} " +
+          s"group(${d.groupCols.mkString(",")}) agg(${d.aggCols.mkString(",")}) " +
+          s"@ ${d.version.takeRight(8)}")
+        0
       case "run_query" =>
+        // materialized views stored in the warehouse re-arm the
+        // rewrite for this session (fresh ones only — the rule checks)
+        if (opts.contains("warehouse") && opts.contains("data")) {
+          val armed = MvCatalog.armAll(spark, warehouse)
+          if (armed > 0)
+            System.err.println(s"[run_query] $armed materialized view(s) armed")
+        }
         // statement_timeout + wlm.rules.* from the settings plane,
         // honored exactly like the reference threads them into every
         // session (commands.py:454-464) — enforced here by the QMR

@@ -650,7 +650,80 @@ object EtlOps {
       |JOIN mads m ON e.event_type = m.event_type
       |ORDER BY e.event_id LIMIT 2000""".stripMargin
 
+  /** Partition-scoped backfill end-to-end under the oracle hash: a
+    * partitioned build lands with one partition's rows CORRUPTED (the
+    * purchase slice loaded with user_id nulled — a bad upstream
+    * extract), then [[graft.etl.Warehouse.rebuildPartitions]] repairs
+    * exactly that partition from the good rows. The served aggregate
+    * must equal DuckDB's recompute over the pristine raw events —
+    * green only if the backfill fixed the bad partition AND left
+    * every other partition alone. */
+  def t6bBackfillPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.etl.{TableName, TableDesign, Warehouse}
+    val design = TableDesign.load(
+      """name: bfsrc.events
+        |source_name: bfsrc
+        |attributes:
+        |  partition_by: [event_type]
+        |columns:
+        |  - name: event_id
+        |    type: long
+        |    not_null: true
+        |  - name: user_id
+        |    type: long
+        |  - name: event_type
+        |    type: string
+        |""".stripMargin)
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_bf_wh_").toString, sfDir)
+    val t = TableName.parse("bfsrc.events")
+    val raw = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"event_type")
+    val corrupted = raw.withColumn("user_id",
+      when($"event_type" === "purchase", lit(null).cast("long"))
+        .otherwise($"user_id"))
+    wh.writeTable(t, corrupted, Some(design))
+    wh.rebuildPartitions(t, raw.filter($"event_type" === "purchase"),
+      expect = Some(Set("event_type=purchase")))
+    spark.table(t.quoted)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_user"))
+      .orderBy($"event_type")
+  }
+
+  val t6bBackfillPartitionSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_user
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Result cache under the oracle hash: the same aggregate looked up
+    * twice through [[graft.etl.ResultCache]]; the second lookup MUST
+    * hit (required in the entry) and the frame the driver hashes is
+    * the cache-SERVED one — green certifies the cached bytes equal
+    * DuckDB's recompute. */
+  def rcResultCache(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rc = new graft.etl.ResultCache(spark,
+      java.nio.file.Files.createTempDirectory("graft_rc_q_").toString)
+    def q = Tables.load(spark, sfDir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"o_custkey").as("sum_cust"))
+      .orderBy($"o_orderstatus")
+    val (_, hit1) = rc.lookup(q)
+    val (served, hit2) = rc.lookup(q)
+    require(!hit1 && hit2, s"expected miss-then-hit, got $hit1/$hit2")
+    served.orderBy($"o_orderstatus")
+  }
+
+  val rcResultCacheSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t6b_backfill_partition" -> (t6bBackfillPartition _),
+    "rc_result_cache" -> (rcResultCache _),
     "winsorize_events" -> (winsorizeEvents _),
     "profile_documents" -> (profileDocuments _),
     "merge_into_upsert" -> (mergeIntoUpsert _),
@@ -672,6 +745,8 @@ object EtlOps {
     "skip_index_bloom" -> (skipIndexBloom _))
 
   val oracles: Map[String, String] = Map(
+    "t6b_backfill_partition" -> t6bBackfillPartitionSql,
+    "rc_result_cache" -> rcResultCacheSql,
     "winsorize_events" -> winsorizeEventsSql,
     "profile_documents" -> profileDocumentsSql,
     "merge_into_upsert" -> mergeIntoUpsertSql,

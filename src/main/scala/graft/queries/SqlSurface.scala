@@ -723,6 +723,27 @@ object SqlSurface {
     spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
   }
 
+  /** `SELECT TOP n` (Redshift's LIMIT spelling) through the dialect
+    * shim, in BOTH positions the scope logic distinguishes: a nested
+    * block's TOP lands inside its own parens (top-3 customers per
+    * scan of the subquery), the outer TOP limits the final result.
+    * Oracle spells the same query with LIMIT. */
+  def q35TopDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("top_customer")
+    val redshiftSql =
+      """SELECT TOP 2 c_custkey, c_acctbal FROM (
+        |  SELECT TOP 5 c_custkey, c_acctbal
+        |  FROM top_customer ORDER BY c_acctbal DESC, c_custkey
+        |) t ORDER BY c_custkey""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q35TopDialectSql: String =
+    """SELECT c_custkey, c_acctbal FROM (
+      |  SELECT c_custkey, c_acctbal
+      |  FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+      |) t ORDER BY c_custkey LIMIT 2""".stripMargin
+
   val q21RedshiftDialectSql: String =
     """SELECT r_name,
       |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -1315,7 +1336,8 @@ object SqlSurface {
     "q14_events_hourly" -> (q14EventsHourly _),
     "q15_events_sessions" -> (q15EventsSessions _),
     "q15b_sessions_window" -> (q15bSessionsWindow _),
-    "q15c_sessions_native" -> (q15cSessionsNative _))
+    "q15c_sessions_native" -> (q15cSessionsNative _),
+    "q35_top_dialect" -> (q35TopDialect _))
 
   val oracles: Map[String, String] = Map(
     "q32_lateral" -> q32LateralSql,
@@ -1356,5 +1378,6 @@ object SqlSurface {
     "q14_events_hourly" -> q14EventsHourlySql,
     "q15_events_sessions" -> q15EventsSessionsSql,
     "q15b_sessions_window" -> q15bSessionsWindowSql,
-    "q15c_sessions_native" -> q15EventsSessionsSql)
+    "q15c_sessions_native" -> q15EventsSessionsSql,
+    "q35_top_dialect" -> q35TopDialectSql)
 }

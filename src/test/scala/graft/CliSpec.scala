@@ -630,6 +630,48 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2 == 0 && o2 == o1 && e2.contains("HIT"))
   }
 
+  test("cli create_mv / refresh_mv: stored defs arm the rewrite across sessions") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val whDir = Files.createTempDirectory("graft_cli_mv_").toString
+    val wh = new etl.Warehouse(spark, whDir, dataDir)
+    val baseT = etl.TableName.parse("mvs.sales")
+    wh.writeTable(baseT, Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("g", "x"))
+    assert(Cli.run(spark, "create_mv", Map(
+      "data" -> dataDir, "warehouse" -> whDir, "name" -> "sales_mv",
+      "base" -> "mvs.sales", "group-cols" -> "g", "agg-cols" -> "x")) == 0)
+    def agg = spark.table("`mvs`.`sales`").groupBy("g")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n")).orderBy("g")
+    def onMv: Boolean = {
+      val p = graft.queries.MvOps.scanPaths(agg)
+      p.nonEmpty && p.forall(_.contains("sales_mv"))
+    }
+    try {
+      // a FRESH arm (as any later CLI command would do) rewrites
+      assert(etl.MvCatalog.armAll(spark, wh) == 1)
+      assert(onMv)
+      assert(agg.collect().map(_.toSeq).toSeq ==
+        Seq(Seq("a", 4L, 2L), Seq("b", 2L, 1L)))
+      // base moves → stored def is stale → disarmed until refresh
+      wh.appendToTableIdempotent(baseT, Seq(("c", 7L)).toDF("g", "x"), "b1")
+      etl.MvCatalog.armAll(spark, wh)
+      assert(!onMv, "stale def must not rewrite")
+      // refresh_mv needs only the name — cols come from the stored def
+      assert(Cli.run(spark, "refresh_mv", Map(
+        "data" -> dataDir, "warehouse" -> whDir, "name" -> "sales_mv")) == 0)
+      assert(etl.MvCatalog.armAll(spark, wh) == 1)
+      assert(onMv, "refreshed def must rewrite again")
+      assert(agg.collect().map(_.toSeq).toSeq ==
+        Seq(Seq("a", 4L, 2L), Seq("b", 2L, 1L), Seq("c", 7L, 1L)))
+      // run_query arms stored MVs itself and answers correctly
+      val (c, out) = captureOut { Cli.run(spark, "run_query", Map(
+        "sql" -> "SELECT g, sum(x) AS sx FROM mvs.sales GROUP BY g ORDER BY g",
+        "data" -> dataDir, "warehouse" -> whDir)) }
+      assert(c == 0 && out.contains("a | 4") && out.contains("c | 7"), out)
+    } finally graft.plans.MvRewrite.unregister(spark, "sales_mv")
+  }
+
   test("cli create_external_schemas registers tables readable by a transform") {
     val s = spark
     import s.implicits._

@@ -116,6 +116,11 @@ class BackfillSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows, "compaction must not change data")
     assert(wh.compactPartitions(t, Seq("day=d2"), maxDataFiles = 2,
       dryRun = true).isEmpty, "post-compaction dry run reports nothing crowded")
+    // the CLI arm routes --partitions to the same compaction
+    assert(graft.Cli.run(spark, "optimize", Map(
+      "data" -> "/root/testdata/sf0.001", "warehouse" -> wh.warehouseDir,
+      "table" -> "bf.cfact", "partitions" -> "day=d2", "max-files" -> "2",
+      "dry-run" -> "true")) == 0)
   }
 
   test("non-partitioned and empty-batch targets are refused") {

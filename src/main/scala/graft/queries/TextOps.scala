@@ -1686,7 +1686,47 @@ object TextOps {
        |FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------- global shuffle + shards
+  /** Seed-stable global shuffle + sharding — the step between a
+    * curated corpus and training: every document gets a deterministic
+    * pseudo-random position (salted md5 of its id) and a shard
+    * assignment, so the "random" order is reproducible across runs,
+    * engines, and partitionings (a `rand()` shuffle is none of
+    * those). Shard = hash mod N keeps shards size-balanced without
+    * knowing the corpus size; position-within-shard is a per-shard
+    * sort — at 100 TB that is exactly one repartition-by-shard +
+    * in-shard sort, the minimal cost of any global shuffle, and each
+    * shard streams out as one ordered file sequence. Changing the
+    * seed string reshuffles everything; changing N only reassigns
+    * shards, never per-shard order (the hash stays). */
+  val ShuffleShards = 8L
+  val ShuffleSeed = "shuf:42:"
+
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = conv(substring(md5(concat(lit(ShuffleSeed),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val assigned = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", h.as("h"), pmod(h, lit(ShuffleShards)).as("shard"))
+    assigned
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"h", $"doc_id")).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"doc_id")
+  }
+
+  val shuffleShardsSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT doc_id, h % $ShuffleShards AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShuffleShards ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shuffle_shards" -> (shuffleShards _),
     "domain_affinity" -> (domainAffinity _),
     "pii_redact" -> (piiRedact _),
     "text_repetition" -> (textRepetition _),
@@ -1715,6 +1755,7 @@ object TextOps {
     "mix_temperature" -> (mixTemperature _))
 
   val oracles: Map[String, String] = Map(
+    "shuffle_shards" -> shuffleShardsSql,
     "domain_affinity" -> domainAffinitySql,
     "pii_redact" -> piiRedactSql,
     "text_repetition" -> textRepetitionSql,

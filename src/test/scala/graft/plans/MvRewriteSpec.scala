@@ -54,6 +54,7 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
                             current: () => String = () => "static")(
       body: DataFrame => A): A = {
     val mvDir = java.nio.file.Files.createTempDirectory("mv_store_").toString
+    lastMvDir = mvDir
     MvRewrite.partials(base, Seq("g1", "g2"), Seq("x", "v"))
       .write.mode("overwrite").parquet(s"$mvDir/mv.parquet")
     MvRewrite.registerMv(spark, name, base,
@@ -216,6 +217,39 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("c", 5L, 1L, 5L, 5L)))
     } finally MvRewrite.unregister(spark, "incmv")
   }
+
+  test("exhaustive shapes: every grouping × aggregate combo rewrites equal") {
+    registered("mvx") { b =>
+      val groupings: Seq[Seq[String]] =
+        Seq(Seq("g1"), Seq("g2"), Seq("g1", "g2"), Seq.empty)
+      val aggs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "n" -> count(lit(1)), "sx" -> sum("x"), "sv" -> sum("v"),
+        "cx" -> count(col("x")), "mnx" -> min("x"), "mxv" -> max("v"),
+        "av" -> avg("v"))
+      for (g <- groupings; (n1, a1) <- aggs; (n2, a2) <- aggs if n1 < n2) {
+        def q(d: DataFrame) = {
+          val grouped = if (g.isEmpty) d.groupBy() else d.groupBy(g.map(col): _*)
+          val out = grouped.agg(a1.as(n1), a2.as(n2))
+          if (g.isEmpty) out else out.orderBy(g.map(col): _*)
+        }
+        val rewritten = q(b)
+        assert(usesMv(rewritten),
+          s"group=$g aggs=($n1,$n2): ${rewritten.queryExecution.optimizedPlan}")
+        val got = rows(rewritten)
+        MvRewrite.unregister(spark, "mvx")
+        val want = rows(q(b))
+        assert(got == want, s"group=$g aggs=($n1,$n2)")
+        registeredReArm("mvx")   // re-arm for the next combination
+      }
+    }
+  }
+
+  /** Re-register mvx against the SAME stored partials (helper for the
+    * exhaustive loop's unregister/compare/re-arm cycle). */
+  private var lastMvDir: String = _
+  private def registeredReArm(name: String): Unit =
+    MvRewrite.registerMv(spark, name, base,
+      spark.read.parquet(s"$lastMvDir/mv.parquet"), Seq("g1", "g2"), Seq("x", "v"))
 
   test("streaming MV maintenance: per-batch partials feed the rewrite") {
     val s = spark

@@ -37,7 +37,8 @@ object Cli {
         |  create_schemas --designs DIR --data DIR --warehouse DIR [--select PATTERN]
         |  promote_schemas --designs DIR --data DIR --warehouse DIR [--select PATTERN]
         |  ping
-        |  explain        --designs DIR [--select PATTERN]
+        |  explain        --designs DIR [--select PATTERN] | --sql SQL
+        |  analyze        --data DIR --warehouse DIR (--table SCHEMA.TABLE | --designs DIR [--select PATTERN])
         |  create_index   --designs DIR
         |  show_dependents --designs DIR --select PATTERN [--continue-from POINT]
         |  show_upstream_dependencies --designs DIR --select PATTERN
@@ -658,11 +659,41 @@ object Cli {
           Option(v).map(_.toString).getOrElse("NULL")).mkString(" | ")))
         0
       case "explain" =>
-        designs.filter(r => r.isTransformation && selector.matches(r.name))
-          .foreach { r =>
-            println(s"-- ${r.identifier}")
-            println(Explain.report(spark.sql(r.design.query)))
-          }
+        // --sql: explain an ad-hoc query (through the dialect shim,
+        // like run_query would execute it); otherwise the selected
+        // transformations' design queries
+        opts.get("sql") match {
+          case Some(sql) =>
+            println(Explain.report(
+              spark.sql(DialectShims.rewriteRedshiftSql(sql))))
+          case None =>
+            designs.filter(r => r.isTransformation && selector.matches(r.name))
+              .foreach { r =>
+                println(s"-- ${r.identifier}")
+                println(Explain.report(spark.sql(r.design.query)))
+              }
+        }
+        0
+      case "analyze" =>
+        // standalone ANALYZE (the reference folds it into load
+        // --analyze / vacuum; Redshift ships it as its own statement):
+        // compute catalog stats so the CBO sizes joins from real row
+        // counts. --table for one, --select over designs otherwise.
+        val wh = warehouse
+        val targets: Seq[TableName] = opts.get("table") match {
+          case Some(t) => Seq(TableName.parse(t))
+          case None => designs.filter(r => selector.matches(r.name))
+            .map(_.name)
+        }
+        targets.foreach { t =>
+          wh.analyze(t)
+          val stats = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(
+              t.table, Some(t.schema))).stats
+          println(s"[analyze] ${t.identifier}: " +
+            stats.map(s => s"rows=${s.rowCount.getOrElse("?")} " +
+              s"bytes=${s.sizeInBytes}").getOrElse("no stats"))
+        }
         0
       case "show_lineage" =>
         // Column-level lineage for the selected transformations —

@@ -744,6 +744,135 @@ object SqlSurface {
       |  FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5
       |) t ORDER BY c_custkey LIMIT 2""".stripMargin
 
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (min / difference of per-key counts), which the
+    * DISTINCT forms in q5 collapse. Aggregated per key so the result
+    * is compact and order-free. */
+  def q36SetopsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val a = li.filter($"l_returnflag" === "A").select($"l_suppkey")
+    val r = li.filter($"l_returnflag" === "R").select($"l_suppkey")
+    val common = a.intersectAll(r).groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n")).select(lit("common").as("tag"), $"l_suppkey", $"n")
+    val onlyA = a.exceptAll(r).groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n")).select(lit("only_A").as("tag"), $"l_suppkey", $"n")
+    common.unionAll(onlyA).orderBy($"tag", $"l_suppkey")
+  }
+
+  val q36SetopsAllSql: String =
+    """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+      |r AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      |common AS (
+      |  SELECT 'common' AS tag, l_suppkey, COUNT(*) AS n
+      |  FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM r)
+      |  GROUP BY l_suppkey),
+      |only_a AS (
+      |  SELECT 'only_A' AS tag, l_suppkey, COUNT(*) AS n
+      |  FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM r)
+      |  GROUP BY l_suppkey)
+      |SELECT * FROM common UNION ALL SELECT * FROM only_a
+      |ORDER BY tag, l_suppkey""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS — the subquery form q11's scalar
+    * subquery doesn't cover. Catalyst decorrelates both into
+    * semi/anti joins (the plan gate proves no nested-loop shape
+    * survives). */
+  def q37Exists(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("ex_customer")
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("ex_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM ex_customer c
+        |WHERE EXISTS (SELECT 1 FROM ex_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM ex_orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q37ExistsSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Time-series gap fill with LINEAR INTERPOLATION — the timeseries
+    * operator q23's calendar rollup stops short of: per event type,
+    * every day between first and last observation gets a value,
+    * missing days interpolated between the surrounding knots
+    * (`locf + lead` IGNORE NULLS windows partitioned by type — never
+    * global). Daily sums are decimal-accumulated (order-free), and
+    * the interpolation arithmetic is the SAME IEEE expression tree on
+    * both engines, so the hash compare stays bit-exact. */
+  def q38Interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(Num.dsum($"value").as("v"))
+    val cal = daily.groupBy($"event_type")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"event_type",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day")
+    val joined = cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("pv", last($"v", ignoreNulls = true)
+        .over(byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("pd", last(when($"v".isNotNull, $"day"), ignoreNulls = true)
+        .over(byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nv", first($"v", ignoreNulls = true)
+        .over(byType.rowsBetween(0, Window.unboundedFollowing)))
+      .withColumn("nd", first(when($"v".isNotNull, $"day"), ignoreNulls = true)
+        .over(byType.rowsBetween(0, Window.unboundedFollowing)))
+    joined.select($"event_type", $"day",
+      when($"v".isNotNull, $"v")
+        .when($"pv".isNull || $"nv".isNull, lit(null).cast("double"))
+        .otherwise($"pv" + ($"nv" - $"pv") *
+          (datediff($"day", $"pd").cast("double") /
+            datediff($"nd", $"pd").cast("double")))
+        .as("v_filled"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q38InterpolateSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    ${Num.dsumSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |cal AS (
+       |  SELECT event_type,
+       |    CAST(unnest(generate_series(CAST(MIN(day) AS TIMESTAMP),
+       |      CAST(MAX(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM daily GROUP BY event_type),
+       |j AS (
+       |  SELECT c.event_type, c.day, d.v,
+       |    last_value(d.v IGNORE NULLS) OVER wp AS pv,
+       |    last_value(CASE WHEN d.v IS NOT NULL THEN c.day END IGNORE NULLS)
+       |      OVER wp AS pd,
+       |    first_value(d.v IGNORE NULLS) OVER wn AS nv,
+       |    first_value(CASE WHEN d.v IS NOT NULL THEN c.day END IGNORE NULLS)
+       |      OVER wn AS nd
+       |  FROM cal c LEFT JOIN daily d
+       |    ON c.event_type = d.event_type AND c.day = d.day
+       |  WINDOW
+       |    wp AS (PARTITION BY c.event_type ORDER BY c.day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wn AS (PARTITION BY c.event_type ORDER BY c.day
+       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT event_type, day,
+       |  CASE WHEN v IS NOT NULL THEN v
+       |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+       |       ELSE pv + (nv - pv) *
+       |         (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+       |  END AS v_filled
+       |FROM j ORDER BY event_type, day""".stripMargin
+
   val q21RedshiftDialectSql: String =
     """SELECT r_name,
       |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -1337,7 +1466,10 @@ object SqlSurface {
     "q15_events_sessions" -> (q15EventsSessions _),
     "q15b_sessions_window" -> (q15bSessionsWindow _),
     "q15c_sessions_native" -> (q15cSessionsNative _),
-    "q35_top_dialect" -> (q35TopDialect _))
+    "q35_top_dialect" -> (q35TopDialect _),
+    "q36_setops_all" -> (q36SetopsAll _),
+    "q37_exists" -> (q37Exists _),
+    "q38_interpolate" -> (q38Interpolate _))
 
   val oracles: Map[String, String] = Map(
     "q32_lateral" -> q32LateralSql,
@@ -1379,5 +1511,8 @@ object SqlSurface {
     "q15_events_sessions" -> q15EventsSessionsSql,
     "q15b_sessions_window" -> q15bSessionsWindowSql,
     "q15c_sessions_native" -> q15EventsSessionsSql,
-    "q35_top_dialect" -> q35TopDialectSql)
+    "q35_top_dialect" -> q35TopDialectSql,
+    "q36_setops_all" -> q36SetopsAllSql,
+    "q37_exists" -> q37ExistsSql,
+    "q38_interpolate" -> q38InterpolateSql)
 }

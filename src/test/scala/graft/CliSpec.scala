@@ -630,6 +630,25 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2 == 0 && o2 == o1 && e2.contains("HIT"))
   }
 
+  test("cli explain --sql and standalone analyze verb") {
+    val (c1, plan) = captureOut { Cli.run(spark, "explain", Map(
+      "sql" -> "SELECT TOP 3 id FROM range(10) ORDER BY id")) }
+    assert(c1 == 0 && plan.nonEmpty, plan.take(200))
+    // the dialect shim ran before planning: TOP 3 plans as a limit
+    // (TakeOrderedAndProject under an ORDER BY)
+    assert(plan.toLowerCase.contains("takeorderedandproject") ||
+      plan.toLowerCase.contains("limit"), plan.take(400))
+    val whDir = Files.createTempDirectory("graft_cli_an_").toString
+    val wh = new etl.Warehouse(spark, whDir, dataDir)
+    val s = spark
+    import s.implicits._
+    wh.writeTable(etl.TableName.parse("an.t"),
+      Seq(1L, 2L, 3L).toDF("k"))
+    val (c2, out) = captureOut { Cli.run(spark, "analyze", Map(
+      "data" -> dataDir, "warehouse" -> whDir, "table" -> "an.t")) }
+    assert(c2 == 0 && out.contains("rows=3"), out)
+  }
+
   test("cli create_mv / refresh_mv: stored defs arm the rewrite across sessions") {
     val s = spark
     import s.implicits._

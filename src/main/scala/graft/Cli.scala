@@ -637,26 +637,38 @@ object Cli {
         val qmrRules: Seq[Qmr.Rule] =
           if (opts.contains("config")) Qmr.rulesFromSettings(settings)
           else Seq.empty
-        def guardedCollect(df: org.apache.spark.sql.DataFrame) =
-          if (qmrRules.isEmpty) df.collect()
-          else Qmr.guarded(df, qmrRules)(_.collect())
+        val qmrMonitor = new Monitor()
+        def guarded[T](df: org.apache.spark.sql.DataFrame)(
+            action: org.apache.spark.sql.DataFrame => T): T =
+          if (qmrRules.isEmpty) action(df)
+          else Qmr.guarded(df, qmrRules, qmrMonitor)(action)
         // --cache DIR: Redshift-style transparent result caching —
         // identical query over unchanged inputs is served from the
         // materialized prior answer (ResultCache invalidates
-        // structurally via input file listings)
+        // structurally via input file listings). A cache MISS
+        // materializes the full query, so it runs under the SAME QMR
+        // guard as a direct execution — caching must not bypass
+        // statement_timeout.
         val rqDf = Commands.runQuery(spark, opts.getOrElse("sql", usage()),
           opts.get("limit").map(_.toInt).orElse(Some(100)))
         val servedDf = opts.get("cache") match {
           case Some(dir) =>
-            val (served, hit) = new graft.etl.ResultCache(spark, dir).lookup(rqDf)
+            val (served, hit) = guarded(rqDf)(
+              new graft.etl.ResultCache(spark, dir).lookup(_))
             System.err.println(
               s"[run_query] result cache ${if (hit) "HIT" else "MISS"}")
             served
           case None => rqDf
         }
         println(servedDf.schema.fieldNames.mkString(" | "))
-        guardedCollect(servedDf).foreach(r => println(r.toSeq.map(v =>
+        guarded(servedDf)(_.collect()).foreach(r => println(r.toSeq.map(v =>
           Option(v).map(_.toString).getOrElse("NULL")).mkString(" | ")))
+        // log-action rule breaches must reach the operator, not a
+        // discarded Monitor instance
+        qmrMonitor.events.filter(_.event == "qmr_violation").foreach(e =>
+          System.err.println(
+            f"[run_query] qmr_violation rule=${e.message.getOrElse("?")} " +
+              f"elapsed=${e.elapsedSeconds}%.2fs scan_rows=${e.rowcount.getOrElse(0L)}"))
         0
       case "explain" =>
         // --sql: explain an ad-hoc query (through the dialect shim,

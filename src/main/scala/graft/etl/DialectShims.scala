@@ -704,7 +704,23 @@ object DialectShims {
       }
       i += 1
     }
-    val block = sql.substring(m.end, end)
+    // the whole block at this depth — text BEFORE the TOP included,
+    // or `SELECT a FROM t UNION SELECT TOP 5 ...` (set-op keyword
+    // ahead of the match) would slip past the guard and mis-scope the
+    // LIMIT over the entire set operation
+    var j = start - 1
+    var backDepth = 0
+    var blockStart = 0
+    while (j >= 0 && blockStart == 0) {
+      sql.charAt(j) match {
+        case ')' => backDepth += 1
+        case '(' =>
+          if (backDepth == 0) blockStart = j + 1 else backDepth -= 1
+        case _ => ()
+      }
+      j -= 1
+    }
+    val block = sql.substring(blockStart, start) + sql.substring(m.end, end)
     require(!"(?i)\\b(UNION|INTERSECT|EXCEPT|MINUS)\\b".r
         .findFirstIn(stripBalancedParens(block)).isDefined,
       s"SELECT TOP $n in a set-operation branch is ambiguous — use LIMIT")

@@ -81,26 +81,41 @@ final class ResultCache(spark: SparkSession, cacheDir: String) {
     * result plus whether it was a hit. A miss materializes the result
     * into the entry ATOMICALLY (temp dir + rename) so a crash
     * mid-write never leaves a servable half-result. */
+  // Result row ORDER must survive the parquet round-trip (an ORDER BY
+  // answer served in a different order is a different answer —
+  // Redshift's cache returns identical results): the write stamps
+  // each row's position, reads sort by it and drop it. The id is
+  // partition-prefixed and rows of an ordered frame are range-
+  // partitioned, so the sort restores the exact original order.
+  private val PosCol = "__rc_pos"
+
+  private def readEntry(dest: org.apache.hadoop.fs.Path): DataFrame = {
+    val raw = spark.read.parquet(dest.toString)
+    raw.orderBy(org.apache.spark.sql.functions.col(PosCol)).drop(PosCol)
+  }
+
   def lookup(df: DataFrame): (DataFrame, Boolean) = {
     if (!deterministic(df)) return (df, false)
     val fp = fingerprint(df)
     val dest = entryPath(fp)
     val f = fs(dest)
     if (f.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS")))
-      (spark.read.parquet(dest.toString), true)
+      (readEntry(dest), true)
     else {
       val tmp = new org.apache.hadoop.fs.Path(cacheDir, s".tmp_$fp")
       if (f.exists(tmp)) f.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
+      df.withColumn(PosCol,
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+        .write.mode("overwrite").parquet(tmp.toString)
       if (!f.rename(tmp, dest)) {
         // concurrent miss on the same key: the other writer won — use
         // its entry if complete, else serve the computed frame as-is
         f.delete(tmp, true)
         if (f.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS")))
-          return (spark.read.parquet(dest.toString), true)
+          return (readEntry(dest), true)
         return (df, false)
       }
-      (spark.read.parquet(dest.toString), false)
+      (readEntry(dest), false)
     }
   }
 

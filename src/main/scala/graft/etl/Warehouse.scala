@@ -248,6 +248,7 @@ final class Warehouse(
     * co-located join must agree, so it is one warehouse-wide constant
     * (Redshift's analog is the slice count). */
   val BucketCount = 8
+  import Warehouse.HiveDefaultPartition
 
   /** Write as an external parquet table at a fresh versioned location
     * and (re-)register it — DROP+CREATE like the reference's
@@ -485,9 +486,15 @@ final class Warehouse(
       s"'${target.identifier}' is not partitioned — use writeTable/updateRelations")
     require(meta.bucketSpec.isEmpty,
       s"'${target.identifier}' is bucketed; partition backfill would drop bucketing")
+    // null partition values land in Hive's default-partition directory
+    // — name them the way the filesystem will, so expect-scopes and
+    // reports match the layout on disk
     val touched = df.select(partCols.map(col): _*).distinct().collect()
-      .map(r => partCols.indices.map(i =>
-        s"${partCols(i)}=${String.valueOf(r.get(i))}").mkString("/"))
+      .map(r => partCols.indices.map { i =>
+        val v = Option(r.get(i)).map(String.valueOf(_))
+          .getOrElse(HiveDefaultPartition)
+        s"${partCols(i)}=$v"
+      }.mkString("/"))
       .toSeq.sorted
     require(touched.nonEmpty, "backfill batch is empty")
     expect.foreach { want =>
@@ -560,7 +567,12 @@ final class Warehouse(
         val restored = spec.split('/').foldLeft(
           spark.read.parquet(s"$root/$spec")) { (df, kv) =>
           val Array(k, v) = kv.split("=", 2)
-          df.withColumn(k, lit(v).cast(meta.schema(k).dataType))
+          // the default-partition directory holds NULL values — restore
+          // them as nulls, not as the sentinel string
+          val value =
+            if (v == HiveDefaultPartition) lit(null).cast(meta.schema(k).dataType)
+            else lit(v).cast(meta.schema(k).dataType)
+          df.withColumn(k, value)
         }
         restored.write.parquet(tmp.toString)
         rebuildPartitions(target, spark.read.parquet(tmp.toString),
@@ -1145,19 +1157,30 @@ final class Warehouse(
     }
 
   /** Version stamp for freshness contracts (the MV-rewrite staleness
-    * probe): the live build location — every rebuild/append/compact
-    * moves it or its content-bearing marker set. Appends land new
-    * files in place, so fold the data-file listing (name+length) in:
-    * a stamp change ⇔ the table's served bytes changed. */
+    * probe): the live build location plus an md5 over the RECURSIVE
+    * data-file listing (path, length, mtime) — every mutation moves
+    * it: rebuilds/compactions move the location, appends add files,
+    * and partition-scoped backfills rewrite files in nested
+    * `col=value/` directories (which a top-level listing would miss —
+    * a stale MV would keep rewriting over a backfilled base). The
+    * mtime term catches a same-name same-size rewrite; md5 keeps
+    * collisions out of a correctness gate. */
   def tableVersion(name: TableName): String =
     readPointer(name).orElse(locationOf(name)).map { loc =>
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = pointerFs(p)
-      val files =
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).filter(_.isFile).toSeq
-          .map(s => s"${s.getPath.getName}:${s.getLen}").sorted
-      loc + "|" + files.mkString(",").hashCode.toHexString
+      val b = Seq.newBuilder[String]
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val s = it.next()
+          b += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+        }
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(b.result().sorted.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      loc + "|" + md.digest().map("%02x".format(_)).mkString
     }.getOrElse("absent")
 
   // ------------------------------------------------------ full load (D1-D7)
@@ -1652,4 +1675,9 @@ final class Warehouse(
     }
     VacuumResult(deleted.toSeq, refused.toSeq)
   }
+}
+
+object Warehouse {
+  /** Hive's directory name for a NULL partition value. */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 }

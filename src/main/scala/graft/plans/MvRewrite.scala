@@ -176,9 +176,19 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val defs = MvRewrite.defsFor(spark)
     if (defs.isEmpty) plan
-    else plan.transformUp {
-      case agg @ Aggregate(_, _, _, _) =>
-        tryRewrite(agg, defs).getOrElse(agg)
+    else {
+      // the freshness probe is a filesystem LISTING — memoize it per
+      // rule application so a plan with many aggregates (and the
+      // optimizer's fixpoint re-runs) doesn't put repeated remote
+      // LIST calls on the planning path; && order keeps the probe
+      // behind the structural match
+      val freshMemo = scala.collection.mutable.Map.empty[String, Boolean]
+      def freshOf(d: MvDef): Boolean =
+        freshMemo.getOrElseUpdate(d.name, d.fresh)
+      plan.transformUp {
+        case agg @ Aggregate(_, _, _, _) =>
+          tryRewrite(agg, defs, freshOf).getOrElse(agg)
+      }
     }
   }
 
@@ -194,10 +204,11 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate, defs: Seq[MvDef]): Option[LogicalPlan] =
+  private def tryRewrite(agg: Aggregate, defs: Seq[MvDef],
+                         freshOf: MvDef => Boolean): Option[LogicalPlan] =
     for {
       (rel, conds) <- strip(agg.child)
-      d <- defs.find(d => d.matches(rel) && d.fresh)
+      d <- defs.find(d => d.matches(rel) && freshOf(d))
       out <- rewrite(agg, rel, conds, d)
     } yield out
 

@@ -1643,10 +1643,16 @@ object TextOps {
     // gate rightly bans)
     val t = counts.agg(sum($"tc"), sum($"sc")).head()
     val (tt, st) = (t.getLong(0), t.getLong(1))
-    val weights = counts.select($"bucket", expr(
+    // the weight table is ≤ AffinityBuckets rows: collect it while the
+    // counts cache is warm, release the cache, and broadcast a local
+    // relation — the scoring plan then never re-runs the counting
+    // aggregation, and no cached frame leaks past the call
+    val weightRows = counts.select($"bucket", expr(
       s"((tc + 1) * ${AffinityScale}L) div (${tt}L + $AffinityBuckets) - " +
         s"((sc + 1) * ${AffinityScale}L) div (${st}L + $AffinityBuckets)")
-      .as("wt"))
+      .as("wt")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    counts.unpersist(blocking = false)
+    val weights = weightRows.toDF("bucket", "wt")
     val scores = grams.join(broadcast(weights), "bucket")
       .groupBy($"doc_id").agg(sum($"wt").as("affinity"))
     docs.select($"doc_id", $"lang")

@@ -123,6 +123,34 @@ class BackfillSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dry-run" -> "true")) == 0)
   }
 
+  test("null partition values: hive default-partition spec, compaction keeps nulls") {
+    val s = spark
+    import s.implicits._
+    val t = TableName.parse("bf.nfact")
+    wh.writeTable(t, Seq(
+      (1L, "a", "d1"), (2L, "b", null.asInstanceOf[String]))
+      .toDF("k", "v", "day"), Some(design.copy(name = t)))
+    // backfill of the NULL partition is addressed by hive's name
+    val spec = s"day=${Warehouse.HiveDefaultPartition}"
+    val rebuilt = wh.rebuildPartitions(t,
+      (20L to 27L).map(i => (i, s"b$i", null.asInstanceOf[String]))
+        .toDF("k", "v", "day").repartition(4),
+      expect = Some(Set(spec)))
+    assert(rebuilt == Seq(spec), rebuilt.toString)
+    def rowsNow = spark.table(t.quoted).orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    val wantRows = (1L, Option("d1")) +:
+      (20L to 27L).map(i => (i, Option.empty[String]))
+    assert(rowsNow == wantRows, rowsNow.toString)
+    // per-partition compaction restores NULL, never the sentinel string
+    val report = wh.compactPartitions(t, Seq(spec), maxDataFiles = 1)
+    // folded down to the session's write parallelism (2 tasks here)
+    assert(report.contains(spec) && report(spec)._2 < report(spec)._1,
+      report.toString)
+    assert(rowsNow == wantRows,
+      "compaction must keep null partition values NULL")
+  }
+
   test("non-partitioned and empty-batch targets are refused") {
     val s = spark
     import s.implicits._

@@ -362,10 +362,18 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT x FROM (SELECT a AS x FROM t LIMIT 2) s LIMIT 1")
     // a literal mentioning TOP must not trip the rewrite
     assert(rw("SELECT 'TOP 5' AS s FROM t") == "SELECT 'TOP 5' AS s FROM t")
-    // TOP in a set-operation branch is ambiguous — refused loudly
+    // TOP in a set-operation branch is ambiguous — refused loudly,
+    // whether the set-op keyword FOLLOWS the TOP or PRECEDES it
     val e = intercept[IllegalArgumentException](
       rw("SELECT TOP 5 a FROM t UNION SELECT a FROM u"))
     assert(e.getMessage.contains("set-operation"))
+    val e2 = intercept[IllegalArgumentException](
+      rw("SELECT a FROM t UNION SELECT TOP 5 a FROM u"))
+    assert(e2.getMessage.contains("set-operation"))
+    // ...including inside a subquery block
+    val e3 = intercept[IllegalArgumentException](
+      rw("SELECT x FROM (SELECT a AS x FROM t EXCEPT SELECT TOP 2 a FROM u) s"))
+    assert(e3.getMessage.contains("set-operation"))
     // ...but a UNION inside a deeper subquery does not confuse scope
     assert(rw("SELECT TOP 5 a FROM (SELECT a FROM t UNION SELECT a FROM u) s") ==
       "SELECT a FROM (SELECT a FROM t UNION SELECT a FROM u) s LIMIT 5")

@@ -75,6 +75,27 @@ class ResultCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       "new data files under the scan must invalidate")
   }
 
+  test("a multi-partition ORDER BY result keeps its row order on a hit") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rc_ord_").toString
+    (1 to 500).map(i => ((i * 37) % 501).toLong)
+      .toDF("k").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    def q = spark.read.parquet(s"$dir/t.parquet")
+      .repartition(8).orderBy(col("k").desc)
+    val c = new ResultCache(spark,
+      java.nio.file.Files.createTempDirectory("rc_ordc_").toString)
+    val (r1, hit1) = c.lookup(q)
+    val want = r1.collect().map(_.getLong(0)).toSeq
+    assert(!hit1 && want == want.sorted.reverse, "miss must serve sorted")
+    val (r2, hit2) = c.lookup(q)
+    assert(hit2)
+    assert(r2.collect().map(_.getLong(0)).toSeq == want,
+      "hit must serve the same rows in the same order")
+    assert(r2.schema.fieldNames.toSeq == Seq("k"),
+      "the order-stamp column must not leak into the served schema")
+  }
+
   test("non-deterministic queries bypass the cache") {
     val q = base.select(col("k"), rand(7).as("r"))
     assert(!cache.deterministic(q))

@@ -147,6 +147,25 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wh.tableVersion(t) != v2, "rebuild must move the version stamp")
   }
 
+  test("tableVersion sees partition-scoped backfills (nested-file mutations)") {
+    val s = spark
+    import s.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("mv_vp_").toString, sfDir)
+    val t = TableName.parse("mv.vpart")
+    val design = graft.etl.TableDesign(t, "CTAS", Seq(
+      graft.etl.ColumnDef("k", "long"), graft.etl.ColumnDef("day", "string")),
+      partitionBy = Seq("day"))
+    wh.writeTable(t, Seq((1L, "d1"), (2L, "d2")).toDF("k", "day"), Some(design))
+    val v1 = wh.tableVersion(t)
+    // a backfill rewrites files INSIDE day=d2/ — the location pointer
+    // does not move, so only a recursive listing can catch it
+    wh.rebuildPartitions(t, Seq((20L, "d2")).toDF("k", "day"),
+      expect = Some(Set("day=d2")))
+    assert(wh.tableVersion(t) != v1,
+      "partition backfill must move the version stamp (stale MV gate)")
+  }
+
   test("warehouse MV lifecycle: append goes stale, refresh re-arms") {
     val s = spark
     import s.implicits._

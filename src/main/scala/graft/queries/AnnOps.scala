@@ -161,6 +161,43 @@ object AnnOps {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------- range search
+  /** RADIUS search — the other similarity-query shape: every neighbor
+    * with cosine ≥ τ, unbounded per query (top-k bounds count, range
+    * bounds similarity; retrieval dedup and near-dup audits want the
+    * latter). Same broadcast-scored scan as [[annTopkCosine]], but a
+    * plain FILTER replaces the bounded-top-k aggregate — no per-query
+    * state at all, so the output streams straight off the scoring
+    * stage at any corpus size. Bit-identical cosine trees on both
+    * engines make the τ boundary safe. */
+  val RangeTau = 0.2
+
+  def annRangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    DotF.register(spark)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding",
+        sqrt(dot($"embedding", $"embedding")).as("nrm"))
+    val queries = vecs.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"))
+    vecs.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cosine"))
+      .filter($"cosine" >= RangeTau)
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
+  val annRangeSearchSql: String =
+    s"""WITH queries AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries
+       |)
+       |SELECT q.query_id, v.vec_id AS neighbor_id,
+       |  ${cosineSql("q.q_emb", "v.embedding")} AS cosine
+       |FROM embeddings v JOIN queries q ON v.vec_id <> q.query_id
+       |WHERE ${cosineSql("q.q_emb", "v.embedding")} >= $RangeTau
+       |ORDER BY q.query_id, neighbor_id""".stripMargin
+
   // ------------------------------------------------- hard negatives
   /** Hard-negative mining — per query vector, the top-k most-similar
     * embeddings carrying a DIFFERENT label: the contrastive-training
@@ -1068,6 +1105,7 @@ object AnnOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> (annTopkCosine _),
+    "ann_range_search" -> (annRangeSearch _),
     "ann_hard_negatives" -> (annHardNegatives _),
     "ann_lsh_buckets" -> ((s, dir) => annLshBuckets(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => annLshTopk(s, dir)),
@@ -1082,6 +1120,7 @@ object AnnOps {
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
+    "ann_range_search" -> annRangeSearchSql,
     "ann_hard_negatives" -> annHardNegativesSql,
     "ann_lsh_buckets" -> annLshBucketsSql(),
     "ann_lsh_topk" -> annLshTopkSql(),

@@ -25,7 +25,8 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     * retrieval_topk is the same one-row-total shape (query-term df
     * rows × the corpus count). Everything else must stay equi-join. */
   private val bnljAllowed =
-    Set("ann_topk_cosine", "ann_hard_negatives", "ann_ivf_cells", "ann_ivf_topk",
+    Set("ann_topk_cosine", "ann_range_search",
+      "ann_hard_negatives", "ann_ivf_cells", "ann_ivf_topk",
       "ann_ivf_topk_sq8", "ann_ivf_topk_pq", "ann_ivf_topk_stored",
       "source_mix", "mix_balance", "mix_weighted", "mix_temperature",
       "retrieval_topk", "retrieval_topk_stored")

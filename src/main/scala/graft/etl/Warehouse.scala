@@ -1673,6 +1673,17 @@ final class Warehouse(
         }
       }
     }
+    // scratch sweep: compactPartitions hops through <warehouse>/tmp —
+    // a crash between its write and its finally can orphan a scratch
+    // dir there. Nothing live is ever under tmp/, so vacuum reclaims
+    // it wholesale.
+    val tmpDir = new Path(s"$warehouseDir/tmp")
+    val tmpFs = tmpDir.getFileSystem(hadoopConf)
+    if (tmpFs.exists(tmpDir))
+      tmpFs.listStatus(tmpDir).foreach { st =>
+        if (!dryRun) { tmpFs.delete(st.getPath, true); () }
+        deleted += st.getPath.toString
+      }
     VacuumResult(deleted.toSeq, refused.toSeq)
   }
 }

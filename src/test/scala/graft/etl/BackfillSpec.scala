@@ -151,6 +151,16 @@ class BackfillSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compaction must keep null partition values NULL")
   }
 
+  test("vacuum sweeps orphaned compaction scratch dirs") {
+    val tmp = new java.io.File(s"${wh.warehouseDir}/tmp/compact_orphan")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.write(tmp.toPath.resolve("part-leftover"),
+      "x".getBytes)
+    val res = wh.vacuum(Seq.empty)
+    assert(res.deleted.exists(_.contains("compact_orphan")), res.toString)
+    assert(!tmp.exists(), "orphan scratch dir must be reclaimed")
+  }
+
   test("non-partitioned and empty-batch targets are refused") {
     val s = spark
     import s.implicits._

@@ -105,14 +105,52 @@ object Qmr {
       }
   }
 
+  /** Listener events deliver asynchronously on the bus — final
+    * task-end events may still be in flight when the action returns.
+    * Poll until the counter is stable across one interval (or the
+    * bounded wait elapses) so post-completion rules see final totals.
+    * (`sc.listenerBus.waitUntilEmpty` is private[spark].) */
+  private def awaitQuiesce(counter: AtomicLong, maxWaitMs: Long = 2000L): Unit = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var prev = -1L
+    var cur = counter.get()
+    while (prev != cur && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      prev = cur
+      cur = counter.get()
+    }
+  }
+
+  /** Predicted scan rows from CBO statistics: the sum of every leaf
+    * relation's estimated row count, defined only when EVERY leaf has
+    * one (ANALYZEd tables under `spark.sql.cbo.enabled`). Redshift's
+    * WLM likewise rejects on predicted cost before a query runs. */
+  private[etl] def estimatedScanRows(df: DataFrame): Option[Long] = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val counts = leaves.map(_.stats.rowCount)
+    if (counts.nonEmpty && counts.forall(_.isDefined))
+      Some(counts.flatten.map(_.min(BigInt(Long.MaxValue)).toLong).sum)
+    else None
+  }
+
   /** Run `action` on `df` under `rules`. Abort rules breach ⇒ the
     * job group is cancelled and [[Violation]] is thrown; log rules
     * breach ⇒ `monitor` records a `qmr_violation` event and the
-    * result is returned. */
+    * result is returned. When CBO statistics predict the scan alone
+    * already exceeds an abort rule's `maxScanRows`, the query is
+    * refused BEFORE any job launches (zero tasks run). */
   def guarded[T](df: DataFrame, rules: Seq[Rule],
                  monitor: Monitor = new Monitor())(action: DataFrame => T): T = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
+    val abortScanRules = rules.filter(r => r.action == Abort && r.maxScanRows.isDefined)
+    if (abortScanRules.nonEmpty) {
+      estimatedScanRows(df).foreach { est =>
+        abortScanRules.find(_.maxScanRows.exists(est > _)).foreach { r =>
+          throw Violation(r, 0.0, est)
+        }
+      }
+    }
     val group = s"qmr-${java.util.UUID.randomUUID().toString.take(8)}"
     val metrics = new GroupMetrics(group)
     sc.addSparkListener(metrics)
@@ -147,10 +185,15 @@ object Qmr {
               case None => throw e
             }
         }
-      // post-completion sweep: log rules see final totals
+      // post-completion sweep: log rules see final totals — wait for
+      // in-flight task-end events to drain first, or the last tasks'
+      // rows are missed
+      val logRules = rules.filter(_.action == Log)
+      if (logRules.exists(_.maxScanRows.isDefined))
+        awaitQuiesce(metrics.scanRows)
       val elapsed = (System.nanoTime() - t0) / 1e9
       val rows = metrics.scanRows.get()
-      rules.filter(_.action == Log).foreach { r =>
+      logRules.foreach { r =>
         if (r.maxSeconds.exists(elapsed > _) || r.maxScanRows.exists(rows > _))
           monitor.record("query", "qmr", "qmr_violation", elapsed,
             rowcount = Some(rows), message = Some(r.name))

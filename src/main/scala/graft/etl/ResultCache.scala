@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Transparent result caching — Redshift's
@@ -65,12 +66,34 @@ final class ResultCache(spark: SparkSession, cacheDir: String) {
     !df.queryExecution.optimizedPlan.exists(
       _.expressions.exists(_.exists(!_.deterministic)))
 
+  /** LocalRelation omits its rows from plan strings (stringArgs is
+    * output-only), so two inline VALUES/createDataFrame inputs with
+    * the same schema canonicalize identically. Fold the actual row
+    * data into the key — LocalRelation data is driver-resident by
+    * construction, so the dump is bounded. */
+  private def localDataStamp(df: DataFrame,
+      md: java.security.MessageDigest): Unit = {
+    df.queryExecution.optimizedPlan.foreach {
+      case l: LocalRelation if l.data.nonEmpty =>
+        val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(l.output.map(_.dataType).toArray)
+        l.data.foreach { row =>
+          val u = proj(row)
+          md.update(u.getBytes)
+          md.update(0x1e.toByte)
+        }
+        md.update(0x1d.toByte)
+      case _ => ()
+    }
+  }
+
   /** The cache key. Exposed for the spec's equivalence assertions. */
   private[etl] def fingerprint(df: DataFrame): String = {
     val plan = df.queryExecution.optimizedPlan.canonicalized.toString
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.update(inputStamp(df).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    localDataStamp(df, md)
     md.digest().take(16).map("%02x".format(_)).mkString
   }
 
@@ -121,16 +144,24 @@ final class ResultCache(spark: SparkSession, cacheDir: String) {
 
   def run(df: DataFrame): DataFrame = lookup(df)._1
 
-  /** Drop entries beyond `keep` most-recent (by entry mtime). */
-  def evict(keep: Int): Int = {
+  /** Drop entries beyond `keep` most-recent (by entry mtime), plus any
+    * orphaned `.tmp_*` writer scratch older than `tmpGraceMs` — a
+    * crashed or lost-race writer leaves one behind and nothing else
+    * reclaims it. The grace period keeps an IN-FLIGHT writer's scratch
+    * safe (its rename happens well within the window). */
+  def evict(keep: Int, tmpGraceMs: Long = 60 * 60 * 1000L): Int = {
     val root = new org.apache.hadoop.fs.Path(cacheDir)
     val f = fs(root)
     if (!f.exists(root)) return 0
-    val entries = f.listStatus(root).filter(_.isDirectory)
-      .filterNot(_.getPath.getName.startsWith("."))
+    val all = f.listStatus(root).filter(_.isDirectory)
+    val entries = all.filterNot(_.getPath.getName.startsWith("."))
       .sortBy(-_.getModificationTime)
     val victims = entries.drop(math.max(0, keep))
     victims.foreach(s => f.delete(s.getPath, true))
-    victims.length
+    val cutoff = System.currentTimeMillis() - tmpGraceMs
+    val orphans = all.filter(s => s.getPath.getName.startsWith(".tmp_") &&
+      s.getModificationTime < cutoff)
+    orphans.foreach(s => f.delete(s.getPath, true))
+    victims.length + orphans.length
   }
 }

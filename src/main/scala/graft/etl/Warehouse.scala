@@ -486,14 +486,16 @@ final class Warehouse(
       s"'${target.identifier}' is not partitioned — use writeTable/updateRelations")
     require(meta.bucketSpec.isEmpty,
       s"'${target.identifier}' is bucketed; partition backfill would drop bucketing")
-    // null partition values land in Hive's default-partition directory
-    // — name them the way the filesystem will, so expect-scopes and
-    // reports match the layout on disk
+    // name specs the way the FILESYSTEM will, so expect-scopes and
+    // reports match the on-disk layout: nulls (and empty strings) land
+    // in Hive's default-partition directory, and values with chars
+    // Hive escapes in dir names (':', ' ', '/', '%'…) get the same
+    // %-escaping the dynamic-partition writer applies
     val touched = df.select(partCols.map(col): _*).distinct().collect()
       .map(r => partCols.indices.map { i =>
-        val v = Option(r.get(i)).map(String.valueOf(_))
-          .getOrElse(HiveDefaultPartition)
-        s"${partCols(i)}=$v"
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCols(i),
+            Option(r.get(i)).map(String.valueOf(_)).orNull)
       }.mkString("/"))
       .toSeq.sorted
     require(touched.nonEmpty, "backfill batch is empty")
@@ -566,12 +568,18 @@ final class Warehouse(
       try {
         val restored = spec.split('/').foldLeft(
           spark.read.parquet(s"$root/$spec")) { (df, kv) =>
-          val Array(k, v) = kv.split("=", 2)
-          // the default-partition directory holds NULL values — restore
-          // them as nulls, not as the sentinel string
+          val Array(k0, v) = kv.split("=", 2)
+          // specs carry Hive path-escaped names/values — undo the
+          // escaping before restoring the typed column. The default-
+          // partition directory holds NULL values — restore them as
+          // nulls, not as the sentinel string.
+          val k = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(k0)
           val value =
             if (v == HiveDefaultPartition) lit(null).cast(meta.schema(k).dataType)
-            else lit(v).cast(meta.schema(k).dataType)
+            else lit(org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(v))
+              .cast(meta.schema(k).dataType)
           df.withColumn(k, value)
         }
         restored.write.parquet(tmp.toString)
@@ -1183,6 +1191,44 @@ final class Warehouse(
       loc + "|" + md.digest().map("%02x".format(_)).mkString
     }.getOrElse("absent")
 
+  /** Per-partition version stamps for a hive-partitioned live
+    * location: one hash per top-level `col=value` directory (its
+    * recursive file listing), plus a `""` entry for any files sitting
+    * at the root. The MV rewrite uses these to stay armed for queries
+    * provably confined to partitions a backfill did not touch —
+    * whole-table [[tableVersion]] moves on ANY mutation, which would
+    * needlessly disarm day-B queries after a day-A backfill. For
+    * multi-column partitioning the granularity is the FIRST partition
+    * column (a change anywhere below `day=x/` moves `day=x`'s stamp —
+    * coarser, never wrong). */
+  def partitionVersions(name: TableName): Map[String, String] =
+    readPointer(name).orElse(locationOf(name)).map { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = pointerFs(p)
+      if (!fs.exists(p)) Map.empty[String, String]
+      else {
+        def hashOf(entries: Seq[String]): String = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(entries.sorted.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.digest().map("%02x".format(_)).mkString
+        }
+        val top = fs.listStatus(p)
+        val (dirs, files) = top.partition(_.isDirectory)
+        val perDir = dirs.filter(_.getPath.getName.contains("=")).map { d =>
+          val b = Seq.newBuilder[String]
+          val it = fs.listFiles(d.getPath, true)
+          while (it.hasNext) {
+            val s = it.next()
+            b += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+          }
+          d.getPath.getName -> hashOf(b.result())
+        }.toMap
+        perDir + ("" -> hashOf(files.toSeq.map(s =>
+          s"${s.getPath}:${s.getLen}:${s.getModificationTime}")))
+      }
+    }.getOrElse(Map.empty)
+
   // ------------------------------------------------------ full load (D1-D7)
   /** Load a set of relations in execution order (load.py:1131-1214):
     * create schemas, build each relation; a failed relation marks its
@@ -1604,7 +1650,8 @@ final class Warehouse(
     * liveness resolution, same refusals) without touching the
     * filesystem — the safety preview an operator runs before the
     * first vacuum of an unfamiliar warehouse. */
-  def vacuum(relations: Seq[Relation], dryRun: Boolean = false): VacuumResult = {
+  def vacuum(relations: Seq[Relation], dryRun: Boolean = false,
+             scratchGraceMs: Long = 60 * 60 * 1000L): VacuumResult = {
     import org.apache.hadoop.fs.Path
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     def qualified(p: Path): String = {
@@ -1675,14 +1722,19 @@ final class Warehouse(
     }
     // scratch sweep: compactPartitions hops through <warehouse>/tmp —
     // a crash between its write and its finally can orphan a scratch
-    // dir there. Nothing live is ever under tmp/, so vacuum reclaims
-    // it wholesale.
+    // dir there. Nothing live is ever under tmp/ — but a compaction
+    // IN FLIGHT in another process has its scratch there right now,
+    // so only reclaim entries older than the grace window (an active
+    // compaction finishes well within it; an orphan only ages).
     val tmpDir = new Path(s"$warehouseDir/tmp")
     val tmpFs = tmpDir.getFileSystem(hadoopConf)
+    val scratchCutoff = System.currentTimeMillis() - scratchGraceMs
     if (tmpFs.exists(tmpDir))
       tmpFs.listStatus(tmpDir).foreach { st =>
-        if (!dryRun) { tmpFs.delete(st.getPath, true); () }
-        deleted += st.getPath.toString
+        if (st.getModificationTime < scratchCutoff) {
+          if (!dryRun) { tmpFs.delete(st.getPath, true); () }
+          deleted += st.getPath.toString
+        }
       }
     VacuumResult(deleted.toSeq, refused.toSeq)
   }

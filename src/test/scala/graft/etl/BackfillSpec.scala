@@ -151,14 +151,56 @@ class BackfillSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compaction must keep null partition values NULL")
   }
 
-  test("vacuum sweeps orphaned compaction scratch dirs") {
+  test("specs use Hive path escaping for special-char partition values") {
+    val s = spark
+    import s.implicits._
+    val t = TableName.parse("bf.esc")
+    val esc = TableDesign(t, "CTAS", Seq(
+      ColumnDef("k", "long"), ColumnDef("v", "string"), ColumnDef("ts", "string")),
+      partitionBy = Seq("ts"))
+    // ':' and ' ' are characters Hive escapes in directory names —
+    // timestamp-shaped partition values hit both
+    wh.writeTable(t, Seq(
+      (1L, "a", "2024-01-01 10:00:00"),
+      (2L, "b", "2024-01-02 11:30:00")).toDF("k", "v", "ts"), Some(esc))
+    val spec = "ts=2024-01-01 10%3A00%3A00"
+    val rebuilt = wh.rebuildPartitions(t,
+      Seq((10L, "aa", "2024-01-01 10:00:00")).toDF("k", "v", "ts"),
+      expect = Some(Set(spec)))
+    assert(rebuilt == Seq(spec),
+      s"spec must match the on-disk escaped layout, got $rebuilt")
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("esc", Some("bf")))
+      .location.getPath
+    assert(new java.io.File(s"$loc/$spec").isDirectory,
+      "escaped spec must name the real partition directory")
+    // compactPartitions' read/restore path works through the same spec
+    for (_ <- 1 to 3)
+      wh.rebuildPartitions(t,
+        Seq((10L, "aa", "2024-01-01 10:00:00")).toDF("k", "v", "ts"),
+        expect = Some(Set(spec)))
+    val report = wh.compactPartitions(t, Seq(spec), maxDataFiles = 0)
+    assert(report.contains(spec), report.toString)
+    val got = spark.table(t.quoted).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((2L, "2024-01-02 11:30:00"),
+      (10L, "2024-01-01 10:00:00")), got.toString)
+  }
+
+  test("vacuum sweeps AGED orphan scratch dirs, spares in-flight ones") {
     val tmp = new java.io.File(s"${wh.warehouseDir}/tmp/compact_orphan")
     assert(tmp.mkdirs())
     java.nio.file.Files.write(tmp.toPath.resolve("part-leftover"),
       "x".getBytes)
+    tmp.setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000L)
+    val live = new java.io.File(s"${wh.warehouseDir}/tmp/compact_active")
+    assert(live.mkdirs())   // fresh mtime = a compaction in flight NOW
     val res = wh.vacuum(Seq.empty)
     assert(res.deleted.exists(_.contains("compact_orphan")), res.toString)
-    assert(!tmp.exists(), "orphan scratch dir must be reclaimed")
+    assert(!tmp.exists(), "aged orphan scratch dir must be reclaimed")
+    assert(live.exists(),
+      "a concurrent compaction's scratch must survive the sweep")
+    live.delete()
   }
 
   test("non-partitioned and empty-batch targets are refused") {

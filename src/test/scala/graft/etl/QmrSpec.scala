@@ -100,6 +100,51 @@ class QmrSpec extends AnyFunSuite with BeforeAndAfterAll {
       Qmr.rulesFromSettings(Settings.load(Seq(dir.toString))))
   }
 
+  test("CBO-predicted oversized scan is refused before any job runs") {
+    val s = spark
+    import s.implicits._
+    // temp-located database: the default spark-warehouse dir outlives
+    // the in-memory metastore, and a leftover table directory fails
+    // the next run's CTAS with LOCATION_ALREADY_EXISTS
+    val dbDir = java.nio.file.Files.createTempDirectory("qmr_db_").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS qmr LOCATION '$dbDir'")
+    (1L to 5000L).toDF("k").write.mode("overwrite")
+      .saveAsTable("qmr.big")
+    spark.sql("ANALYZE TABLE qmr.big COMPUTE STATISTICS")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.table("qmr.big").groupBy("k").count()
+      assert(Qmr.estimatedScanRows(df).contains(5000L))
+      // count jobs: the refusal must happen with ZERO jobs launched
+      val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(counter)
+      try {
+        val v = intercept[Qmr.Violation] {
+          Qmr.guarded(df,
+            Seq(Qmr.Rule("pre_cap", maxScanRows = Some(100L))))(_.count())
+        }
+        assert(v.rule.name == "pre_cap" && v.scanRows == 5000L)
+        // drain the bus so a late job-start event can't hide
+        Thread.sleep(200)
+        assert(jobs.get() == 0L, s"expected zero jobs, saw ${jobs.get()}")
+      } finally spark.sparkContext.removeSparkListener(counter)
+      // under the cap, the same ANALYZEd query runs fine
+      val n = Qmr.guarded(df,
+        Seq(Qmr.Rule("pre_cap", maxScanRows = Some(100000L))))(_.count())
+      assert(n == 5000L)
+      // tables WITHOUT stats don't participate — no false refusal
+      val noStats = spark.read.parquet(s"$dataDir/t.parquet")
+      assert(Qmr.estimatedScanRows(noStats.groupBy("k").count()).isEmpty)
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+  }
+
   test("a clean query passes with no events") {
     val mon = new Monitor()
     val df = spark.read.parquet(s"$dataDir/t.parquet")

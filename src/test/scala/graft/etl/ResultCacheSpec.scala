@@ -104,6 +104,40 @@ class ResultCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hit1 && !hit2)
   }
 
+  test("inline VALUES with different data split the fingerprint") {
+    val s = spark
+    import s.implicits._
+    // LocalRelation omits row data from plan strings — the stamp must
+    // still distinguish these (same schema, different values).
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v").groupBy("v").count()
+    val b = Seq((1L, "a"), (3L, "c")).toDF("k", "v").groupBy("v").count()
+    assert(cache.fingerprint(a) != cache.fingerprint(b),
+      "different inline data must not share a cache entry")
+    val a2 = Seq((1L, "a"), (2L, "b")).toDF("k", "v").groupBy("v").count()
+    assert(cache.fingerprint(a) == cache.fingerprint(a2),
+      "identical inline data must still share the entry")
+    // end-to-end: the second dataset must NOT be served the first's rows
+    val c = new ResultCache(spark,
+      java.nio.file.Files.createTempDirectory("rc_lr_").toString)
+    val (_, h1) = c.lookup(a)
+    val (r2, h2) = c.lookup(b)
+    assert(!h1 && !h2)
+    assert(r2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == Map("a" -> 1L, "c" -> 1L))
+  }
+
+  test("evict reclaims aged orphan .tmp dirs but spares fresh ones") {
+    val dir = java.nio.file.Files.createTempDirectory("rc_tmp_").toString
+    val c = new ResultCache(spark, dir)
+    val old = new java.io.File(dir, ".tmp_deadbeef")
+    val fresh = new java.io.File(dir, ".tmp_cafebabe")
+    old.mkdirs(); fresh.mkdirs()
+    old.setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000L)
+    assert(c.evict(keep = 10) == 1)
+    assert(!old.exists(), "aged orphan must be reclaimed")
+    assert(fresh.exists(), "in-flight writer scratch must survive")
+  }
+
   test("evict keeps the most recent entries") {
     val dir = java.nio.file.Files.createTempDirectory("rc_ev_").toString
     val c = new ResultCache(spark, dir)

@@ -17,7 +17,7 @@ class BenchSpec extends AnyFunSuite {
     // must stay well inside the window and be strict JSON.
     val medians = (0 until 120).map(i =>
       (f"dedup_embedding_semantic_clusters_$i%03d", i * 0.01))
-    val line = Bench.compactLine(medians, 71.4, 190.2, 3,
+    val line = Bench.compactLine(medians, 71.4, 190.2, 65.2, 3,
       Seq("q_failed_one"), Seq("q_contended_one"), 2.523, 3.125, 32,
       "/root/testdata/sf0.1", "BENCH_LOCAL.json")
     assert(line.length < 1600, s"compact line too long: ${line.length}")
@@ -33,7 +33,7 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("contended").get(0).asText == "q_contended_one")
     // failed queries (median -1) never crowd out real timings
     val withFailed = Bench.compactLine(
-      medians.take(10) ++ Seq(("boom", -1.0)), 1.0, 2.0, 3,
+      medians.take(10) ++ Seq(("boom", -1.0)), 1.0, 2.0, 0.9, 3,
       Seq("boom"), Nil, 0.1, 0.1, 32, "sf", "out.json")
     val n2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(withFailed)
     assert(!n2.get("queries").has("boom") && n2.get("queries_shown").asInt == 10)
@@ -61,25 +61,29 @@ class BenchSpec extends AnyFunSuite {
     var reruns = 0
     def rerun(v: Double): () => Double = () => { reruns += 1; v }
     // no baseline → untouched, no re-run
-    assert(Bench.adjudicate(5.0, 0.1, None, rerun(1.0)) == ((5.0, false)))
+    assert(Bench.adjudicate(5.0, 4.9, 0.1, None, rerun(1.0)) == ((5.0, false)))
     assert(reruns == 0)
     // under threshold → untouched
-    assert(Bench.adjudicate(1.8, 0.1, Some(1.0), rerun(1.0)) == ((1.8, false)))
+    assert(Bench.adjudicate(1.8, 1.7, 0.1, Some(1.0), rerun(1.0)) == ((1.8, false)))
     assert(reruns == 0)
-    // inflated but HIGH spread → ordinary noise, median stands
-    assert(Bench.adjudicate(4.0, 3.0, Some(1.0), rerun(1.0)) == ((4.0, false)))
+    // BURSTY contention: 2-of-3 warm runs inflated (median 12.8, min
+    // clean) — the quiet run proves the plan; clean value, flagged,
+    // NO re-run needed. This is the exact dag_final_table shape that
+    // shipped as a phantom regression in rounds 10-12.
+    assert(Bench.adjudicate(12.8, 3.7, 14.6, Some(3.7), rerun(1.0)) == ((3.7, true)))
     assert(reruns == 0)
-    // inflated, low spread, re-run clears → flagged, re-run value used
-    assert(Bench.adjudicate(4.0, 0.2, Some(1.0), rerun(1.1)) == ((1.1, true)))
+    // every warm run inflated (consistent contention), re-run clears →
+    // flagged, re-run value used
+    assert(Bench.adjudicate(4.0, 3.9, 0.2, Some(1.0), rerun(1.1)) == ((1.1, true)))
     assert(reruns == 1)
-    // inflated, low spread, re-run still slow → real regression:
+    // every run AND the re-run slow → real regression:
     // best observed time, NOT flagged
-    assert(Bench.adjudicate(4.0, 0.2, Some(1.0), rerun(3.5)) == ((3.5, false)))
+    assert(Bench.adjudicate(4.0, 3.9, 0.2, Some(1.0), rerun(3.5)) == ((3.5, false)))
     assert(reruns == 2)
-    assert(Bench.adjudicate(4.0, 0.2, Some(1.0), rerun(4.5)) == ((4.0, false)))
+    assert(Bench.adjudicate(4.0, 3.9, 0.2, Some(1.0), rerun(4.5)) == ((3.9, false)))
     assert(reruns == 3)
     // a -1 (failed) baseline never triggers
-    assert(Bench.adjudicate(4.0, 0.2, Some(-1.0), rerun(1.0)) == ((4.0, false)))
+    assert(Bench.adjudicate(4.0, 3.9, 0.2, Some(-1.0), rerun(1.0)) == ((4.0, false)))
     assert(reruns == 3)
   }
 
@@ -108,12 +112,12 @@ class BenchSpec extends AnyFunSuite {
       t.start()
       t
     }
-    val (median, spread) =
+    val (median, minWarm, spread) =
       try {
         val loaded = (1 to 5).map(_ => work()).sorted
         // middle-3 spread: full-range spread under saturation can be
         // dominated by one straggler run
-        (loaded(2), loaded(3) - loaded(1))
+        (loaded(2), loaded.head, loaded(3) - loaded(1))
       } finally {
         stop.set(true)
         spinners.foreach(_.join(2000))
@@ -122,13 +126,13 @@ class BenchSpec extends AnyFunSuite {
     // where 4×ncpu spinners somehow fail to inflate a CPU loop)
     assume(median > 1.5 * baseline,
       f"spinners did not inflate: $median%.3f vs $baseline%.3f")
-    assume(spread < 0.5 * median,
-      f"loaded runs too noisy: spread $spread%.3f vs median $median%.3f")
+    assume(minWarm > 1.5 * baseline,
+      f"quietest loaded run not inflated: $minWarm%.3f vs $baseline%.3f")
     // the re-run (now unloaded) clears → the query is flagged
     // contended and the clean time replaces the inflated median
     var rerun = 0
-    val (value, flagged) = Bench.adjudicate(median, spread, Some(baseline),
-      () => { rerun += 1; work() }, factor = 1.5)
+    val (value, flagged) = Bench.adjudicate(median, minWarm, spread,
+      Some(baseline), () => { rerun += 1; work() }, factor = 1.5)
     assert(rerun == 1, "re-run path must engage exactly once")
     assert(flagged, f"cleared re-run must flag contended " +
       f"(baseline $baseline%.3f, loaded $median%.3f)")

@@ -63,6 +63,70 @@ object FuzzyJoin {
       .select($"id1", $"id2", $"dist")
   }
 
+  /** Distance-≤2 deletion neighborhood: the string itself, every
+    * 1-deletion, and every 2-deletion (positions i<j) — the real
+    * record-linkage operating point (FastSS generalizes: ed(u,v) ≤ k
+    * ⇒ some common variant within k deletions of each). Fan-out is
+    * 1 + L + L(L−1)/2 variants per string, so a LENGTH CAP guards the
+    * quadratic term; `sequence(a, b)` DESCENDS when b < a, hence the
+    * explicit length-≥2 gate on the two-deletion arm. */
+  private def variantHashes2(name: Column): Column = {
+    val d1 = expr(
+      "transform(sequence(1, length(name)), " +
+        "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")
+    val d2 = expr(
+      """CASE WHEN length(name) >= 2 THEN
+        |  flatten(transform(sequence(1, length(name) - 1), i ->
+        |    transform(sequence(i + 1, length(name)), j ->
+        |      concat(substring(name, 1, i - 1),
+        |             substring(name, i + 1, j - i - 1),
+        |             substring(name, j + 1, length(name))))))
+        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    array_distinct(concat(array(name), d1, d2))
+  }
+
+  /** Edit-distance ≤ 2 pairs over any (id, name) frame. Strings
+    * longer than `maxLen` are excluded from pairing BY CONTRACT (the
+    * L²/2 variant fan-out must stay bounded; linkage keys — names,
+    * titles, addresses — are short by nature). The exact bounded
+    * `levenshtein(a, b, 2)` rescore keeps the candidate set's false
+    * positives out, same as the distance-1 form. */
+  private[graft] def pairsWithin2(names: DataFrame,
+                                  maxLen: Int = 128): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    val bounded = names.filter(length($"name") <= maxLen)
+    val variants = bounded
+      .select($"id", $"name", explode(variantHashes2($"name")).as("v"))
+      .select($"id", $"name", hash60($"v").as("vh"))
+    val l = variants.select($"vh", $"id".as("id1"), $"name".as("name1"))
+    val r = variants.select($"vh", $"id".as("id2"), $"name".as("name2"))
+    l.join(r.hint("shuffle_hash"), Seq("vh"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", $"name1", $"name2")
+      .distinct()
+      .withColumn("dist", levenshtein($"name1", $"name2", 2).cast("long"))
+      .filter($"dist" >= 0)
+      .select($"id1", $"id2", $"dist")
+  }
+
+  /** Oracle entry: distance-≤2 customer-name pairs, checked against
+    * DuckDB's naive O(n²) pairwise scan — blocking completeness at
+    * the two-deletion tier is hash-verified, not assumed. */
+  def fuzzyJoinNames2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("id"), $"c_name".as("name"))
+    pairsWithin2(names).orderBy($"id1", $"id2")
+  }
+
+  val fuzzyJoinNames2Sql: String =
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY id1, id2""".stripMargin
+
   /** Oracle entry: distance-≤1 customer-name pairs via the deletion
     * neighborhood, checked against DuckDB's naive pairwise scan. */
   def fuzzyJoinNames(spark: SparkSession, sfDir: String): DataFrame = {
@@ -87,8 +151,9 @@ object FuzzyJoin {
     * one canonical record per entity (the component-min member) with
     * the member count. Rows in no fuzzy pair stay their own entity
     * (left join + coalesce). The oracle recomputes the same fixpoint
-    * from first principles: naive O(n²) pairs, recursive-CTE
-    * reachability closure, min per node. */
+    * from first principles: naive O(n²) pairs, then bounded-round
+    * min-label propagation with pointer jumping (see
+    * [[erGoldenRecordsSql]]) — sf0.1-capable, convergence-checked. */
   private[graft] def goldenRecordsOf(names: DataFrame): DataFrame = {
     val spark = names.sparkSession
     import spark.implicits._
@@ -112,36 +177,67 @@ object FuzzyJoin {
       .select($"c_custkey".as("id"), $"c_name".as("name")))
   }
 
-  val erGoldenRecordsSql: String =
-    """WITH RECURSIVE pairs AS (
-      |  SELECT a.c_custkey AS d1, b.c_custkey AS d2
-      |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-      |  WHERE levenshtein(a.c_name, b.c_name) <= 1
-      |), edges AS (
-      |  SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs
-      |), reach(node, r) AS (
-      |  SELECT d1 AS node, d1 AS r FROM edges
-      |  UNION
-      |  SELECT e.d1 AS node, r.r AS r FROM edges e JOIN reach r ON e.d2 = r.node
-      |), comp AS (
-      |  SELECT c.c_custkey AS id, COALESCE(m.cluster, c.c_custkey) AS entity_id
-      |  FROM customer c LEFT JOIN (
-      |    SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
-      |  ) m ON c.c_custkey = m.node
-      |)
-      |SELECT comp.id, comp.entity_id, g.c_name AS canonical_name,
-      |  CAST(s.n AS BIGINT) AS n_members
-      |FROM comp
-      |JOIN customer g ON g.c_custkey = comp.entity_id
-      |JOIN (SELECT entity_id, COUNT(*) AS n FROM comp GROUP BY entity_id) s
-      |  ON s.entity_id = comp.entity_id
-      |ORDER BY comp.id""".stripMargin
+  /** The closure is bounded-round iterative min-label propagation
+    * WITH pointer jumping (`lab ← min(lab, neighbors' lab, lab[lab])`)
+    * — the same doubling trick the Spark side uses — unrolled as
+    * chained CTEs like the pagerank oracle. A recursive reach-closure
+    * CTE materializes O(component²) (node, reachable) rows, which is
+    * what kept this oracle from running at sf0.1; each unrolled round
+    * here is O(E). Reach doubles per round, so `Rounds` rounds cover
+    * any component of diameter < 2^Rounds. Convergence is CHECKED,
+    * not assumed: any label still moving in the final round emits a
+    * NOT_CONVERGED row, which fails the row-count/hash gate loudly. */
+  private val ErRounds = 8
+
+  val erGoldenRecordsSql: String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT l.node,
+         |    LEAST(l.lab, COALESCE(nb.m, l.lab), pj.lab) AS lab
+         |  FROM $prev l
+         |  LEFT JOIN (
+         |    SELECT e.d1 AS node, MIN(p.lab) AS m
+         |    FROM edges e JOIN $prev p ON e.d2 = p.node GROUP BY e.d1
+         |  ) nb ON nb.node = l.node
+         |  JOIN $prev pj ON pj.node = l.lab)""".stripMargin
+    val steps = (1 to ErRounds)
+      .map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
+    val last = s"l$ErRounds"
+    val prevLast = s"l${ErRounds - 1}"
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.c_custkey AS d1, b.c_custkey AS d2
+       |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+       |), edges AS MATERIALIZED (
+       |  SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs
+       |), l0 AS MATERIALIZED (
+       |  SELECT d1 AS node, MIN(LEAST(d1, d2)) AS lab FROM edges GROUP BY d1
+       |),
+       |$steps,
+       |comp AS MATERIALIZED (
+       |  SELECT c.c_custkey AS id, COALESCE(m.lab, c.c_custkey) AS entity_id
+       |  FROM customer c LEFT JOIN $last m ON c.c_custkey = m.node
+       |)
+       |SELECT comp.id, comp.entity_id, g.c_name AS canonical_name,
+       |  CAST(s.n AS BIGINT) AS n_members
+       |FROM comp
+       |JOIN customer g ON g.c_custkey = comp.entity_id
+       |JOIN (SELECT entity_id, COUNT(*) AS n FROM comp GROUP BY entity_id) s
+       |  ON s.entity_id = comp.entity_id
+       |UNION ALL
+       |SELECT a.node AS id, -1 AS entity_id,
+       |  'NOT_CONVERGED' AS canonical_name, CAST(-1 AS BIGINT) AS n_members
+       |FROM $last a JOIN $prevLast b ON a.node = b.node AND a.lab <> b.lab
+       |ORDER BY id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_join_names" -> (fuzzyJoinNames _),
+    "fuzzy_join_names2" -> (fuzzyJoinNames2 _),
     "er_golden_records" -> (erGoldenRecords _))
 
   val oracles: Map[String, String] = Map(
     "fuzzy_join_names" -> fuzzyJoinNamesSql,
+    "fuzzy_join_names2" -> fuzzyJoinNames2Sql,
     "er_golden_records" -> erGoldenRecordsSql)
 }

@@ -58,6 +58,35 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("distance-2 neighborhood equals the naive sweep; long strings capped") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    // lengths 2..7 over {a,b}: dense distance-2 space — insertions,
+    // deletions, double substitutions, and transposition-shaped pairs
+    val names = (0 until 100).map(_ =>
+      (1 to (2 + rng.nextInt(6))).map(_ => ('a' + rng.nextInt(2)).toChar)
+        .mkString).distinct.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }
+    val expected = (for {
+      (i1, n1) <- names
+      (i2, n2) <- names if i1 < i2 && lev(n1, n2) <= 2
+    } yield (i1, i2, lev(n1, n2).toLong)).toSet
+    assert(expected.exists(_._3 == 2L), "fixture must contain distance-2 pairs")
+    val got = FuzzyJoin.pairsWithin2(names.toDF("id", "name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the length cap excludes oversized strings from pairing entirely
+    val long = ("x" * 200)
+    val withLong = names ++ Seq(
+      (900L, long), (901L, long.dropRight(1)))
+    val capped = FuzzyJoin.pairsWithin2(withLong.toDF("id", "name"), maxLen = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 >= 900L || p._2 >= 900L),
+      "strings over the cap must not pair (bounded fan-out contract)")
+  }
+
   test("golden records: chained variants collapse to one entity, singletons survive") {
     val s = spark
     import s.implicits._

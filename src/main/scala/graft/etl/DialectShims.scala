@@ -572,6 +572,168 @@ object DialectShims {
     }
   }
 
+  // --------------------------------- REGEXP position/occurrence family
+  /** Redshift's regex functions carry POSITION (start the search at a
+    * 1-based offset), OCCURRENCE (match the n-th occurrence, not the
+    * first) and PARAMETERS ('c' case-sensitive — the default — or
+    * 'i') arguments that Spark's regexp builtins lack
+    * (dialect/redshift.py:218-229 ships transform SQL full of them):
+    *
+    *   REGEXP_SUBSTR(s, p [, pos [, occ [, params]]])
+    *     → coalesce(get(regexp_extract_all(substring(s,pos), p, 0),
+    *                    occ-1), '')    — Redshift returns '' on no
+    *                                     match, NULL on NULL input
+    *   REGEXP_COUNT(s, p [, pos [, params]])
+    *     → regexp_count(substring(s, pos), p)
+    *   REGEXP_INSTR(s, p [, pos [, occ [, opt [, params]]]])
+    *     → n-th match start (opt 0) or end+1 (opt 1), computed from
+    *       split parts + match lengths (both builtin collection
+    *       expressions, codegen'd); 0 on no match
+    *   REGEXP_REPLACE(s, p [, rep [, pos [, params]]])
+    *     → Spark regexp_replace (its 4-arg form HAS position); the
+    *       2-arg Redshift form deletes matches (rep = '')
+    *
+    * The 'i' parameter folds into a literal pattern as a `(?i)`
+    * prefix (both engines accept inline flags); a non-literal pattern
+    * with parameters, or the 'e'/'p' PCRE modes, are left for the C5
+    * dry-run. Zero-width patterns are out of contract for the
+    * occurrence arithmetic (split- and match-lists disagree there). */
+  private def applyRegexFlags(pattern: String, params: Option[String],
+                              saved: Array[String]): Option[String] =
+    params match {
+      case None => Some(pattern)
+      case Some(MaskedLiteral(idx)) =>
+        saved(idx.toInt).replace("''", "'") match {
+          case "" | "c" => Some(pattern)
+          case "i" => pattern match {
+            case MaskedLiteral(p) =>
+              if (!saved(p.toInt).startsWith("(?i)"))
+                saved(p.toInt) = "(?i)" + saved(p.toInt)
+              Some(pattern)
+            case _ => None
+          }
+          case _ => None   // 'e' (subexpression) / 'p' (PCRE): C5 surfaces
+        }
+      case _ => None
+    }
+
+  private def fromPos(s: String, pos: String): String =
+    if (pos.trim == "1") s else s"substring($s, $pos)"
+
+  private def rewriteRegexpFns(sql: String, saved: Array[String]): String = {
+    val s1 = rewriteCalls(sql, "regexp_substr") { args =>
+      val (core, params) =
+        if (args.length == 5) (args.init, Some(args.last)) else (args, None)
+      val shape = core match {
+        case Seq(a, b) => Some((a, b, "1", "1"))
+        case Seq(a, b, c) => Some((a, b, c, "1"))
+        case Seq(a, b, c, d) => Some((a, b, c, d))
+        case _ => None
+      }
+      shape.flatMap { case (s, p, pos, occ) =>
+        applyRegexFlags(p, params, saved).map { pp =>
+          s"CASE WHEN $s IS NULL OR $pp IS NULL THEN NULL ELSE " +
+            s"coalesce(get(regexp_extract_all(${fromPos(s, pos)}, $pp, 0), " +
+            s"($occ) - 1), '') END"
+        }
+      }
+    }
+    val s2 = rewriteCalls(s1, "regexp_count") { args =>
+      val (core, params) =
+        if (args.length == 4) (args.init, Some(args.last)) else (args, None)
+      core match {
+        case Seq(s, p) => applyRegexFlags(p, params, saved)
+          .map(pp => s"regexp_count($s, $pp)")
+        case Seq(s, p, pos) => applyRegexFlags(p, params, saved)
+          .map(pp => s"regexp_count(${fromPos(s, pos)}, $pp)")
+        case _ => None
+      }
+    }
+    val s3 = rewriteCalls(s2, "regexp_instr") { args =>
+      val (core, params) =
+        if (args.length == 6) (args.init, Some(args.last)) else (args, None)
+      val shape = core match {
+        case Seq(a, b) => Some((a, b, "1", "1", "0"))
+        case Seq(a, b, c) => Some((a, b, c, "1", "0"))
+        case Seq(a, b, c, d) => Some((a, b, c, d, "0"))
+        case Seq(a, b, c, d, e) => Some((a, b, c, d, e))
+        case _ => None
+      }
+      shape.filter { case (_, _, _, _, opt) =>
+        opt.trim == "0" || opt.trim == "1"
+      }.flatMap { case (s, p, pos, occ, opt) =>
+        applyRegexFlags(p, params, saved).map { pp =>
+          val base = fromPos(s, pos)
+          val posAdj = if (pos.trim == "1") "" else s" + ($pos) - 1"
+          if (occ.trim == "1" && opt.trim == "0")
+            s"CASE WHEN regexp_instr($base, $pp) = 0 THEN 0 " +
+              s"ELSE regexp_instr($base, $pp)$posAdj END"
+          else {
+            val ms = s"regexp_extract_all($base, $pp, 0)"
+            val parts = s"split($base, $pp, -1)"
+            val start =
+              s"aggregate(slice($parts, 1, $occ), 0, (a, x) -> a + length(x))" +
+                s" + aggregate(slice($ms, 1, ($occ) - 1), 0, (a, x) -> a + length(x)) + 1"
+            val endAdj =
+              if (opt.trim == "1") s" + length(get($ms, ($occ) - 1))" else ""
+            s"CASE WHEN $s IS NULL OR $pp IS NULL THEN NULL " +
+              s"WHEN size($ms) < ($occ) THEN 0 " +
+              s"ELSE $start$endAdj$posAdj END"
+          }
+        }
+      }
+    }
+    rewriteCalls(s3, "regexp_replace") { args =>
+      val (core, params) =
+        if (args.length == 5) (args.init, Some(args.last)) else (args, None)
+      val shape = core match {
+        case Seq(a, b) => Some((a, b, "''", "1"))
+        case Seq(a, b, c) => Some((a, b, c, "1"))
+        case Seq(a, b, c, d) => Some((a, b, c, d))
+        case _ => None
+      }
+      shape.flatMap { case (s, p, rep, pos) =>
+        applyRegexFlags(p, params, saved).map { pp =>
+          if (pos.trim == "1") s"regexp_replace($s, $pp, $rep)"
+          else s"regexp_replace($s, $pp, $rep, $pos)"
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------- datepart TRUNC
+  /** Oracle-style datepart spellings accepted by `TRUNC(ts, 'fmt')`.
+    * Distinct from [[UnitAliases]] on purpose: in TRUNC formats 'MM'
+    * is MONTH and 'MI' is MINUTE (DATEADD's 'm' means minute). */
+  private[etl] val TruncUnits: Map[String, String] = Map(
+    "year" -> "year", "yyyy" -> "year", "yy" -> "year",
+    "quarter" -> "quarter", "q" -> "quarter",
+    "month" -> "month", "mon" -> "month", "mm" -> "month",
+    "week" -> "week", "w" -> "week",
+    "day" -> "day", "dd" -> "day", "d" -> "day",
+    "hour" -> "hour", "hh" -> "hour", "hh24" -> "hour",
+    "minute" -> "minute", "mi" -> "minute",
+    "second" -> "second", "ss" -> "second")
+
+  /** `TRUNC(e, 'month')` (Oracle/Redshift datepart truncation) →
+    * `CAST(date_trunc('MONTH', e) AS DATE)` for day-or-coarser units
+    * (TRUNC returns a DATE there), `date_trunc` alone for sub-day
+    * units (the time component survives). Spark's own `trunc(date,
+    * fmt)` covers only year..week and returns DATE — this shim widens
+    * the unit set and keeps one deterministic output type per unit.
+    * Numeric TRUNC (second argument not a string literal) is left
+    * untouched. */
+  private def rewriteTruncDatepart(sql: String, saved: Array[String]): String =
+    rewriteCalls(sql, "trunc") {
+      case Seq(e, MaskedLiteral(idx)) =>
+        TruncUnits.get(saved(idx.toInt).replace("''", "'").toLowerCase).map {
+          case u @ ("year" | "quarter" | "month" | "week" | "day") =>
+            s"CAST(date_trunc('${u.toUpperCase}', $e) AS DATE)"
+          case u => s"date_trunc('${u.toUpperCase}', $e)"
+        }
+      case _ => None
+    }
+
   /** `TO_CHAR(ts, 'fmt')` → the per-token concat above. The format
     * must be a string LITERAL (a mask placeholder) — a column-ref
     * format can't be translated at rewrite time and is left for the
@@ -761,7 +923,9 @@ object DialectShims {
     val step8 = rewriteToChar(step7, arr)
     val step9 = rewriteParseFn(step8, arr, "to_date")
     val step10 = rewriteParseFn(step9, arr, "to_timestamp")
-    val rewritten = rewriteJsonExtract(step10, arr)
+    val step11 = rewriteRegexpFns(step10, arr)
+    val step12 = rewriteTruncDatepart(step11, arr)
+    val rewritten = rewriteJsonExtract(step12, arr)
     unmask(rewritten, scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
   }
 }

@@ -1355,6 +1355,60 @@ object SqlSurface {
       |  CAST(date_part('year', TIMESTAMP '1995-07-16 12:30:00') AS BIGINT) AS yr
       |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** The REGEX/NUMBER tail of the Redshift dialect (the next thing a
+    * migrating warehouse hits after TO_CHAR): `REGEXP_SUBSTR` with
+    * position/occurrence/'i' arguments, `REGEXP_COUNT` with position,
+    * `REGEXP_INSTR` with occurrence and the end-position option,
+    * `REGEXP_REPLACE`'s 2-arg delete form and position argument,
+    * `TO_NUMBER`, and datepart `TRUNC(date, 'month')` — all through
+    * [[graft.etl.DialectShims.rewriteRedshiftSql]], hash-checked
+    * against DuckDB's native regexp/list functions (which share none
+    * of the translation machinery). Pure per-row projection — every
+    * emitted expression is a codegen'd builtin (regexp_extract_all /
+    * split / aggregate collection forms), one scan, TakeOrdered
+    * presentation. */
+  def q39RegexDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("rs_documents")
+    val redshiftSql =
+      """SELECT doc_id,
+        |  REGEXP_SUBSTR(text, '[a-z]+', 3, 2) AS w2,
+        |  REGEXP_SUBSTR(text, 'TABLE', 1, 2, 'i') AS tab_i,
+        |  CAST(REGEXP_COUNT(text, '[aeiou][a-z]', 5) AS BIGINT) AS vow,
+        |  CAST(REGEXP_INSTR(text, '[st][a-z]+', 1, 3) AS BIGINT) AS pos3,
+        |  CAST(REGEXP_INSTR(text, '[a-z]+', 4, 5, 1) AS BIGINT) AS end5,
+        |  REGEXP_REPLACE(text, '[^a-z]') AS letters,
+        |  REGEXP_REPLACE(text, '[aeiou]', '*', 12) AS starred,
+        |  CAST(TO_NUMBER(CAST(n_chars AS VARCHAR(10)), '9999999') AS BIGINT) AS nc,
+        |  CAST(TRUNC(DATEADD(day, CAST(doc_id % 900 AS INT),
+        |    TIMESTAMP '1994-01-01 00:00:00'), 'month') AS VARCHAR(16)) AS dmonth
+        |FROM rs_documents ORDER BY doc_id LIMIT 500""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q39RegexDialectSql: String =
+    """SELECT doc_id,
+      |  coalesce(regexp_extract_all(substring(text, 3), '[a-z]+')[2], '') AS w2,
+      |  coalesce(regexp_extract_all(text, '(?i)TABLE')[2], '') AS tab_i,
+      |  CAST(len(regexp_extract_all(substring(text, 5), '[aeiou][a-z]')) AS BIGINT) AS vow,
+      |  CAST(CASE WHEN len(regexp_extract_all(text, '[st][a-z]+')) < 3 THEN 0
+      |    ELSE list_sum(list_transform(str_split_regex(text, '[st][a-z]+')[1:3], x -> length(x)))
+      |       + list_sum(list_transform(regexp_extract_all(text, '[st][a-z]+')[1:2], x -> length(x)))
+      |       + 1 END AS BIGINT) AS pos3,
+      |  CAST(CASE WHEN len(regexp_extract_all(substring(text, 4), '[a-z]+')) < 5 THEN 0
+      |    ELSE list_sum(list_transform(str_split_regex(substring(text, 4), '[a-z]+')[1:5], x -> length(x)))
+      |       + list_sum(list_transform(regexp_extract_all(substring(text, 4), '[a-z]+')[1:4], x -> length(x)))
+      |       + 1 + length(regexp_extract_all(substring(text, 4), '[a-z]+')[5])
+      |       + 4 - 1 END AS BIGINT) AS end5,
+      |  regexp_replace(text, '[^a-z]', '', 'g') AS letters,
+      |  substring(text, 1, 11) ||
+      |    regexp_replace(substring(text, 12), '[aeiou]', '*', 'g') AS starred,
+      |  CAST(n_chars AS BIGINT) AS nc,
+      |  CAST(CAST(date_trunc('month', TIMESTAMP '1994-01-01 00:00:00'
+      |    + INTERVAL (doc_id % 900) DAY) AS DATE) AS VARCHAR) AS dmonth
+      |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin
+
   // ---------------------------------------------------------------- q34
   /** FUNNEL analysis — ordered-sequence conversion (view → click
     * within 7 days of the first view → purchase within 7 days of that
@@ -1429,6 +1483,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_lateral" -> (q32Lateral _),
     "q33_string_dialect" -> (q33StringDialect _),
+    "q39_regex_dialect" -> (q39RegexDialect _),
     "q34_funnel" -> (q34Funnel _),
     "q20b_quantiles_cont" -> (q20bQuantilesCont _),
     "q30_window_dialect" -> (q30WindowDialect _),
@@ -1474,6 +1529,7 @@ object SqlSurface {
   val oracles: Map[String, String] = Map(
     "q32_lateral" -> q32LateralSql,
     "q33_string_dialect" -> q33StringDialectSql,
+    "q39_regex_dialect" -> q39RegexDialectSql,
     "q34_funnel" -> q34FunnelSql,
     "q20b_quantiles_cont" -> q20bQuantilesContSql,
     "q30_window_dialect" -> q30WindowDialectSql,

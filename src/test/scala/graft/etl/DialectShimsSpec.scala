@@ -379,6 +379,63 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT a FROM (SELECT a FROM t UNION SELECT a FROM u) s LIMIT 5")
   }
 
+  test("REGEXP family: position, occurrence, flags, arg order — live eval") {
+    def evalStr(redshift: String): String = {
+      val out = DialectShims.rewriteRedshiftSql(s"SELECT $redshift AS v")
+      spark.sql(out).collect().head.get(0).toString
+    }
+    // REGEXP_SUBSTR: default / position / occurrence / 'i' flag
+    assert(evalStr("REGEXP_SUBSTR('ab12cd34ef', '[0-9]+')") == "12")
+    // search starts AT position 4 (the '2'), so the match is '2'
+    assert(evalStr("REGEXP_SUBSTR('ab12cd34ef', '[0-9]+', 4)") == "2")
+    assert(evalStr("REGEXP_SUBSTR('ab12cd34ef', '[0-9]+', 1, 2)") == "34")
+    assert(evalStr("REGEXP_SUBSTR('ab12cd34ef', 'CD', 1, 1, 'i')") == "cd")
+    // no match → empty string, Redshift semantics (not NULL)
+    assert(evalStr("REGEXP_SUBSTR('abc', '[0-9]+')") == "")
+    // NULL input → NULL
+    assert(spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT REGEXP_SUBSTR(CAST(NULL AS STRING), '[0-9]+') AS v"))
+      .collect().head.isNullAt(0))
+    // REGEXP_COUNT with position: matches before `position` don't count
+    assert(evalStr("REGEXP_COUNT('ab12cd34ef56', '[0-9]{2}')") == "3")
+    assert(evalStr("REGEXP_COUNT('ab12cd34ef56', '[0-9]{2}', 5)") == "2")
+    assert(evalStr("REGEXP_COUNT('ABAB', 'ab', 1, 'i')") == "2")
+    // REGEXP_INSTR: occurrence, end-option, position offset
+    assert(evalStr("REGEXP_INSTR('ab12cd34ef', '[0-9]+')") == "3")
+    assert(evalStr("REGEXP_INSTR('ab12cd34ef', '[0-9]+', 1, 2)") == "7")
+    assert(evalStr("REGEXP_INSTR('ab12cd34ef', '[0-9]+', 1, 2, 1)") == "9")
+    assert(evalStr("REGEXP_INSTR('ab12cd34ef', '[0-9]+', 4)") == "4")
+    assert(evalStr("REGEXP_INSTR('abc', '[0-9]')") == "0")
+    // REGEXP_REPLACE: 2-arg delete form, position arg keeps the prefix
+    assert(evalStr("REGEXP_REPLACE('a1b2c3', '[0-9]')") == "abc")
+    assert(evalStr("REGEXP_REPLACE('a1b2c3', '[0-9]', 'x')") == "axbxcx")
+    assert(evalStr("REGEXP_REPLACE('a1b2c3', '[0-9]', 'x', 3)") == "a1bxcx")
+    // unsupported PCRE param mode survives untranslated (C5 surfaces it)
+    val kept = DialectShims.rewriteRedshiftSql(
+      "SELECT REGEXP_SUBSTR(s, 'x', 1, 1, 'p') FROM t")
+    assert(kept.toUpperCase.contains("REGEXP_SUBSTR"))
+  }
+
+  test("TO_NUMBER passes through; datepart TRUNC truncates and types") {
+    def evalStr(redshift: String): String = {
+      val out = DialectShims.rewriteRedshiftSql(s"SELECT $redshift AS v")
+      spark.sql(out).collect().head.get(0).toString
+    }
+    assert(evalStr("TO_NUMBER('1234', '999999')") == "1234")
+    assert(evalStr("TO_NUMBER('$1,234.56', '$9,999.99')") == "1234.56")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-16 12:30:00', 'month') AS STRING)")
+      == "1995-07-01")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-16 12:30:00', 'MM') AS STRING)")
+      == "1995-07-01", "'MM' means MONTH in TRUNC formats, not minute")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-16 12:30:00', 'year') AS STRING)")
+      == "1995-01-01")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-16 12:45:10', 'hour') AS STRING)")
+      == "1995-07-16 12:00:00", "sub-day units keep the time component")
+    // numeric TRUNC (non-literal second arg) is not touched
+    val kept = DialectShims.rewriteRedshiftSql("SELECT TRUNC(x, 2) FROM t")
+    assert(kept.contains("TRUNC(x, 2)"))
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

@@ -47,7 +47,15 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   */
 object MvRewrite {
 
-  /** One registered materialized view over one base table. */
+  /** One registered materialized view over one base table.
+    *
+    * Freshness is granular when the base is hive-partitioned:
+    * `partCol`/`partVersions` carry a per-partition-directory stamp
+    * captured at (re)build. A base mutation moves the WHOLE-table
+    * `version` (disarming unconditionally-scoped rewrites), but a
+    * query whose filter pins `partCol` to values whose partition
+    * stamps are unchanged still rewrites — a partition-scoped
+    * backfill of day A must not disarm the MV for day-B queries. */
   final case class MvDef(
       name: String,
       groupCols: Seq[String],
@@ -56,7 +64,10 @@ object MvRewrite {
       basePaths: Set[String],
       baseCatalogId: Option[String],
       version: String,
-      currentVersion: () => String) {
+      currentVersion: () => String,
+      partCol: Option[String] = None,
+      partVersions: Map[String, String] = Map.empty,
+      currentPartVersions: () => Map[String, String] = () => Map.empty) {
 
     def matches(rel: LogicalRelation): Boolean = {
       val byCatalog = for {
@@ -67,6 +78,20 @@ object MvRewrite {
     }
 
     def fresh: Boolean = currentVersion() == version
+
+    /** Partition-scoped freshness: every pinned value's partition
+      * stamp unchanged, and no stray root-level files appeared (the
+      * "" entry). Absent/new partitions for a pinned value count as
+      * changed — the MV's rollup rows for them are wrong either way. */
+    def freshForValues(values: Seq[String],
+                       current: Map[String, String]): Boolean =
+      partCol.nonEmpty && partVersions.nonEmpty &&
+        current.get("") == partVersions.get("") &&
+        values.forall { v =>
+          val spec = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.getPartitionPathString(partCol.get, v)
+          partVersions.get(spec).exists(current.get(spec).contains)
+        }
   }
 
   private def pathsOf(rel: LogicalRelation): Option[Set[String]] =
@@ -133,7 +158,11 @@ object MvRewrite {
   def registerMv(spark: SparkSession, name: String, base: DataFrame,
                  mv: DataFrame, groupCols: Seq[String], aggCols: Seq[String],
                  version: String = "static",
-                 currentVersion: () => String = () => "static"): Unit = {
+                 currentVersion: () => String = () => "static",
+                 partCol: Option[String] = None,
+                 partVersions: Map[String, String] = Map.empty,
+                 currentPartVersions: () => Map[String, String] =
+                   () => Map.empty): Unit = {
     register(spark)
     val baseRel = base.queryExecution.analyzed.collectFirst {
       case l: LogicalRelation => l
@@ -152,7 +181,7 @@ object MvRewrite {
     val d = MvDef(name, groupCols, aggCols, mvRel,
       pathsOf(baseRel).getOrElse(Set.empty),
       baseRel.catalogTable.map(_.identifier.unquotedString),
-      version, currentVersion)
+      version, currentVersion, partCol, partVersions, currentPartVersions)
     registries.synchronized {
       val buf = Option(registries.get(spark)).getOrElse {
         val b = mutable.Buffer.empty[MvDef]
@@ -177,17 +206,21 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val defs = MvRewrite.defsFor(spark)
     if (defs.isEmpty) plan
     else {
-      // the freshness probe is a filesystem LISTING — memoize it per
-      // rule application so a plan with many aggregates (and the
+      // the freshness probes are filesystem LISTINGs — memoize them
+      // per rule application so a plan with many aggregates (and the
       // optimizer's fixpoint re-runs) doesn't put repeated remote
       // LIST calls on the planning path; && order keeps the probe
       // behind the structural match
       val freshMemo = scala.collection.mutable.Map.empty[String, Boolean]
       def freshOf(d: MvDef): Boolean =
         freshMemo.getOrElseUpdate(d.name, d.fresh)
+      val partsMemo =
+        scala.collection.mutable.Map.empty[String, Map[String, String]]
+      def partsOf(d: MvDef): Map[String, String] =
+        partsMemo.getOrElseUpdate(d.name, d.currentPartVersions())
       plan.transformUp {
         case agg @ Aggregate(_, _, _, _) =>
-          tryRewrite(agg, defs, freshOf).getOrElse(agg)
+          tryRewrite(agg, defs, freshOf, partsOf).getOrElse(agg)
       }
     }
   }
@@ -204,13 +237,59 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Values the conjuncts pin `col` to (via `=` or IN over
+    * literals) — the query provably touches only those partitions.
+    * None when no conjunct pins the column. Only string/integral/
+    * boolean literals participate: their `String.valueOf` equals the
+    * hive directory spelling; date/timestamp literals carry INTERNAL
+    * reps (epoch days/µs) that do not, so they conservatively
+    * disqualify the partition-scoped path. */
+  private def litStr(l: Literal): Option[String] = l match {
+    case Literal(null, _) => None
+    case Literal(v, t) => t match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.BooleanType => Some(String.valueOf(v))
+      case _ => None
+    }
+  }
+
+  private def pinnedValues(conds: Seq[Expression],
+                           col: String): Option[Seq[String]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conds.flatMap(conjuncts).collectFirst {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if a.name == col && litStr(l).isDefined => Seq(litStr(l).get)
+      case EqualTo(l: Literal, a: AttributeReference)
+          if a.name == col && litStr(l).isDefined => Seq(litStr(l).get)
+      case In(a: AttributeReference, list) if a.name == col &&
+          list.nonEmpty && list.forall {
+            case l: Literal => litStr(l).isDefined
+            case _ => false
+          } =>
+        list.map { case l: Literal => litStr(l).get }
+    }
+  }
+
   private def tryRewrite(agg: Aggregate, defs: Seq[MvDef],
-                         freshOf: MvDef => Boolean): Option[LogicalPlan] =
+                         freshOf: MvDef => Boolean,
+                         partsOf: MvDef => Map[String, String])
+      : Option[LogicalPlan] = {
+    def freshEnough(d: MvDef, conds: Seq[Expression]): Boolean =
+      freshOf(d) || d.partCol.exists(pc =>
+        pinnedValues(conds, pc).exists(vs => d.freshForValues(vs, partsOf(d))))
     for {
       (rel, conds) <- strip(agg.child)
-      d <- defs.find(d => d.matches(rel) && freshOf(d))
+      d <- defs.find(d => d.matches(rel) && freshEnough(d, conds))
       out <- rewrite(agg, rel, conds, d)
     } yield out
+  }
 
   private def rewrite(agg: Aggregate, rel: LogicalRelation,
                       conds: Seq[Expression], d: MvDef): Option[LogicalPlan] = {

@@ -237,6 +237,78 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally MvRewrite.unregister(spark, "incmv")
   }
 
+  test("partition-granular freshness: day-A backfill keeps day-B armed") {
+    val s = spark
+    import s.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("mv_part_").toString, sfDir)
+    val baseT = TableName.parse("mv.part_sales")
+    val mvT = TableName.parse("mv.part_sales_rollup")
+    val design = graft.etl.TableDesign(baseT, "CTAS", Seq(
+      graft.etl.ColumnDef("x", "long"), graft.etl.ColumnDef("day", "string")),
+      partitionBy = Seq("day"))
+    wh.writeTable(baseT,
+      Seq((1L, "d1"), (2L, "d1"), (5L, "d2"), (7L, "d3"))
+        .toDF("x", "day"), Some(design))
+    wh.writeTable(mvT,
+      MvRewrite.partials(spark.table(baseT.quoted), Seq("day"), Seq("x")))
+    MvRewrite.registerMv(spark, "pmv", spark.table(baseT.quoted),
+      spark.table(mvT.quoted), Seq("day"), Seq("x"),
+      version = wh.tableVersion(baseT),
+      currentVersion = () => wh.tableVersion(baseT),
+      partCol = Some("day"),
+      partVersions = wh.partitionVersions(baseT),
+      currentPartVersions = () => wh.partitionVersions(baseT))
+    def onMv(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val paths = MvOps.scanPaths(df)
+      paths.nonEmpty && paths.forall(_.contains("part_sales_rollup"))
+    }
+    def qFor(day: String) = spark.table(baseT.quoted)
+      .filter(col("day") === day).groupBy("day").agg(sum("x").as("sx"))
+    def qAll = spark.table(baseT.quoted).groupBy("day").agg(sum("x").as("sx"))
+    try {
+      assert(onMv(qAll) && onMv(qFor("d2")), "fresh MV serves everything")
+      // backfill ONLY day=d1 — whole-table stamp moves, d2/d3 don't
+      wh.rebuildPartitions(baseT, Seq((9L, "d1")).toDF("x", "day"),
+        expect = Some(Set("day=d1")))
+      assert(!onMv(qAll),
+        "unscoped query must fall back to the base after ANY mutation")
+      assert(!onMv(qFor("d1")),
+        "query pinned to the CHANGED partition must not use the MV")
+      assert(onMv(qFor("d2")),
+        "query pinned to an unchanged partition stays on the MV:\n" +
+          qFor("d2").queryExecution.optimizedPlan.toString)
+      assert(qFor("d2").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq == Seq(("d2", 5L)))
+      assert(qFor("d1").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq == Seq(("d1", 9L)),
+        "changed-partition answer comes from the rebuilt base")
+      // IN-pinned filter over unchanged partitions also rewrites
+      val qIn = spark.table(baseT.quoted)
+        .filter(col("day").isin("d2", "d3"))
+        .groupBy("day").agg(sum("x").as("sx"))
+      assert(onMv(qIn))
+      // a RANGE filter cannot prove its partition set — no rewrite
+      val qRange = spark.table(baseT.quoted)
+        .filter(col("day") >= "d2").groupBy("day").agg(sum("x").as("sx"))
+      assert(!onMv(qRange))
+    } finally MvRewrite.unregister(spark, "pmv")
+    // the durable catalog captures partition stamps for partitioned bases
+    val d = graft.etl.MvCatalog.createOrRefresh(spark, wh, "pmv2",
+      baseT, TableName.parse("mv.part_sales_rollup2"), Seq("day"), Seq("x"))
+    try {
+      assert(d.partCol.contains("day"))
+      assert(d.partVersions.keySet.exists(_.startsWith("day=")))
+      wh.rebuildPartitions(baseT, Seq((11L, "d3")).toDF("x", "day"),
+        expect = Some(Set("day=d3")))
+      val q2 = spark.table(baseT.quoted).filter(col("day") === "d2")
+        .groupBy("day").agg(sum("x").as("sx"))
+      val paths = MvOps.scanPaths(q2)
+      assert(paths.nonEmpty && paths.forall(_.contains("rollup2")),
+        "catalog-armed MV keeps unchanged-partition rewrites after backfill")
+    } finally MvRewrite.unregister(spark, "pmv2")
+  }
+
   test("exhaustive shapes: every grouping × aggregate combo rewrites equal") {
     registered("mvx") { b =>
       val groupings: Seq[Seq[String]] =

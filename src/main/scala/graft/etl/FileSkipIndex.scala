@@ -243,6 +243,37 @@ object FileSkipIndex {
     Pruned(df, candidates.length, indexed.size)
   }
 
+  /** IN-list pruned scan on a min/max-indexed column: a file is a
+    * candidate iff ANY probed value lies inside its [min_c, max_c]
+    * interval (null stats = all-null file, never a candidate for an
+    * equality probe). Built for bounded probe sets — a query batch's
+    * terms against token-clustered postings — where the predicate is
+    * a small OR over the metadata-sized stats table. The residual
+    * `IN` filter stays on top and the staleness guard falls back to
+    * the full scan, exactly as [[prunedScan]]. */
+  def prunedScanInRange(spark: SparkSession, target: TableName, c: String,
+                        values: Seq[Any]): Pruned = {
+    require(values.nonEmpty, "probe at least one value")
+    val stats = spark.table(statsTable(target).quoted)
+    val indexed = stats.select(col("file")).collect().map(_.getString(0)).toSet
+    val pred = col(c).isin(values: _*)
+    val live = liveFiles(spark, target)
+    if (indexed != live)
+      return Pruned(spark.table(target.quoted).filter(pred),
+        live.size, live.size, stale = true)
+    val hit = values.map(v =>
+      col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)).reduce(_ || _)
+    val candidates = stats.filter(hit)
+      .select(col("file")).collect().map(_.getString(0))
+    val df =
+      if (candidates.isEmpty)
+        spark.table(target.quoted).filter(lit(false))
+      else
+        spark.read.schema(spark.table(target.quoted).schema)
+          .parquet(candidates.toIndexedSeq: _*).filter(pred)
+    Pruned(df, candidates.length, indexed.size)
+  }
+
   /** Closed-interval pruned scan on an indexed column. Files whose
     * stats CANNOT contain a match are dropped from the read: a file
     * with `max_c < lo` or `min_c > hi` has no qualifying row, and a

@@ -764,17 +764,31 @@ object TextOps {
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
   }
 
+  // Postings are RANGE-partitioned by token before the token sort:
+  // each file then covers a narrow token interval, which is what
+  // makes the min/max file-skip index selective — hash-partitioned
+  // files would each span the whole vocabulary and nothing could
+  // prune. A query batch's scan reads only the files whose token
+  // range intersects its terms (FileSkipIndex.prunedScanInRange)
+  // instead of every posting in the corpus.
   def buildRetrievalIndex(wh: graft.etl.Warehouse, docs: DataFrame,
                           base: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = tfOf(docs)
-    wh.writeTable(graft.etl.TableName.parse(s"$base" + "_tf"),
-      tf.sortWithinPartitions($"token"))
+    val tfTable = graft.etl.TableName.parse(s"$base" + "_tf")
+    // explicit partition count: an argless repartitionByRange lets
+    // AQE coalesce the small shuffle into ONE file, whose token range
+    // then spans the whole vocabulary and nothing can prune
+    val nRanges = spark.sessionState.conf.numShufflePartitions
+    wh.writeTable(tfTable,
+      tf.repartitionByRange(nRanges, $"token").sortWithinPartitions($"token"))
     wh.writeTable(graft.etl.TableName.parse(s"$base" + "_df"),
       tf.groupBy($"token").agg(count(lit(1)).as("df")))
     wh.writeTable(graft.etl.TableName.parse(s"$base" + "_meta"),
       docs.select(count(lit(1)).as("n_docs")))
+    graft.etl.FileSkipIndex.build(wh, tfTable, Seq("token"))
+    ()
   }
 
   def appendRetrievalBatch(wh: graft.etl.Warehouse, docs: DataFrame,
@@ -782,19 +796,39 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = tfOf(docs)
-    wh.appendToTableIdempotent(graft.etl.TableName.parse(s"$base" + "_tf"),
-      tf.sortWithinPartitions($"token"), s"$tag-tf")
+    val tfTable = graft.etl.TableName.parse(s"$base" + "_tf")
+    val nRanges = spark.sessionState.conf.numShufflePartitions
+    wh.appendToTableIdempotent(tfTable,
+      tf.repartitionByRange(nRanges, $"token").sortWithinPartitions($"token"),
+      s"$tag-tf")
     wh.appendToTableIdempotent(graft.etl.TableName.parse(s"$base" + "_df"),
       tf.groupBy($"token").agg(count(lit(1)).as("df")), s"$tag-df")
     wh.appendToTableIdempotent(graft.etl.TableName.parse(s"$base" + "_meta"),
       docs.select(count(lit(1)).as("n_docs")), s"$tag-meta")
+    // Θ(appended): only the new batch's files get stats rows
+    graft.etl.FileSkipIndex.refresh(wh, tfTable, Seq("token"))
+    ()
   }
 
   def retrievalTopkStored(spark: SparkSession, base: String,
                           queriesSpec: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     BoundedTopK.register(spark)
-    val tf = spark.table(s"`${base.split('.')(0)}`.`${base.split('.')(1)}_tf`")
+    val tfTable = graft.etl.TableName(base.split('.')(0),
+      base.split('.')(1) + "_tf")
+    // postings scan pruned to files whose token range intersects the
+    // query batch's terms — the skip index turns a corpus-wide
+    // postings read into a per-batch one; stale/missing index falls
+    // back to the full (still correct) scan
+    val termList = queriesSpec.flatMap(_._2.split(" "))
+      .filter(_.nonEmpty).distinct
+    val tf =
+      try graft.etl.FileSkipIndex
+        .prunedScanInRange(spark, tfTable, "token", termList).df
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.table(tfTable.quoted)   // index table absent (pre-index store)
+      }
     val dfPartials = spark.table(s"`${base.split('.')(0)}`.`${base.split('.')(1)}_df`")
     val meta = spark.table(s"`${base.split('.')(0)}`.`${base.split('.')(1)}_meta`")
     val terms = queriesSpec

@@ -46,4 +46,63 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy($"token").count().filter($"count" > 1).count()
     assert(dfRows > 0, "expected per-batch df partials for shared tokens")
   }
+
+  test("token skip index prunes the postings scan; answers unchanged") {
+    val s = spark
+    import s.implicits._
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_ret_prune_").toString,
+      sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    TextOps.buildRetrievalIndex(wh, docs.filter($"doc_id" < 250), "srch.p")
+    TextOps.appendRetrievalBatch(wh, docs.filter($"doc_id" >= 250), "srch.p", "b1")
+    val tfTable = graft.etl.TableName.parse("srch.p_tf")
+    // the pruned scan plans FEWER files than the table holds (postings
+    // are token-range-clustered, a narrow term set hits few ranges)...
+    val terms = Seq("join")
+    val pruned = graft.etl.FileSkipIndex
+      .prunedScanInRange(spark, tfTable, "token", terms)
+    assert(!pruned.stale, "index must be fresh right after build+append")
+    assert(pruned.filesRead < pruned.filesTotal,
+      s"expected pruning, read ${pruned.filesRead}/${pruned.filesTotal}")
+    assert(pruned.filesRead > 0)
+    // ...and reads fewer bytes end-to-end (metrics listener evidence)
+    def bytesOf(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) {
+            acc.addAndGet(t.taskMetrics.inputMetrics.bytesRead); ()
+          }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener events deliver async — poll until the byte count
+        // is stable (same defense Qmr.awaitQuiesce applies)
+        var prev = -1L
+        var cur = acc.get()
+        val deadline = System.currentTimeMillis() + 5000
+        while (prev != cur && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50); prev = cur; cur = acc.get()
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    val prunedBytes = bytesOf { pruned.df.count(); () }
+    val fullBytes = bytesOf {
+      spark.table(tfTable.quoted).filter($"token".isin(terms: _*)).count(); ()
+    }
+    assert(prunedBytes < fullBytes,
+      s"pruned scan must read fewer bytes: $prunedBytes vs $fullBytes")
+    // the pruned and full scans agree on the rows
+    assert(pruned.df.count() ==
+      spark.table(tfTable.quoted).filter($"token".isin(terms: _*)).count())
+    // and the stored-retrieval answers stay identical to the one-shot
+    val stored = TextOps.retrievalTopkStored(spark, "srch.p",
+      TextOps.RetrievalQueries).collect().map(_.toSeq).toSeq
+    val direct = TextOps.retrievalTopk(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(stored == direct)
+  }
 }

@@ -743,9 +743,18 @@ object DedupOps {
     // persist). Superseded rounds' blocks are freed by the
     // ContextCleaner once unreferenced — bounded by round count, and
     // the label table is graph-sized, not corpus-sized.
-    def truncate(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // clearOriginStats: without it the checkpointed labels carry the
+    // round plan's Statistics and the size estimate's bit length
+    // doubles per round — an adversarial graph near MaxClusterRounds
+    // would hang the driver in BigInteger arithmetic (the bug
+    // surfaced in convergence-mode PageRank; same loop shape here).
+    // Partitioning is preserved, so the rounds stay exchange-free.
+    def truncate(df: DataFrame): DataFrame = {
+      val ck =
+        if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+        else df.localCheckpoint(true)
+      org.apache.spark.sql.GraftLineage.clearOriginStats(ck)
+    }
     var labels = truncate(edges.select($"d1".as("node")).distinct()
       .repartition(parts, $"node")
       .select($"node", $"node".as("label"), lit(false).as("improved")))

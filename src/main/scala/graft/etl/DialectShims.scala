@@ -331,13 +331,16 @@ object DialectShims {
     * semantics — Oracle's sticky FM differs). Returns None for
     * number-mode characters (9/0/$ — TO_CHAR's numeric formatting,
     * out of scope). */
-  private[etl] def toCharExpr(ts: String, format: String): Option[String] = {
+  private[etl] def toCharExpr(ts: String, format: String,
+      saved: scala.collection.mutable.ArrayBuffer[String]): Option[String] = {
     if (format.exists(c => "90$".indexOf(c.toInt) >= 0)) return None
     val pieces = scala.collection.mutable.ArrayBuffer[String]()
     val lit = new StringBuilder
     def flushLit(): Unit = if (lit.nonEmpty) {
-      val esc = lit.toString.replace("\\", "\\\\").replace("'", "\\'")
-      pieces += s"'$esc'"
+      // literal runs can contain commas/parens — placeholder them so
+      // later passes' call parsing never sees them raw
+      pieces += maskLit(saved,
+        lit.toString.replace("\\", "\\\\").replace("'", "\\'"))
       lit.clear()
     }
     var fm = false
@@ -522,12 +525,12 @@ object DialectShims {
     * relation.py:279-293 ships such transforms verbatim). Literal
     * formats only; other arities and untranslatable formats are left
     * for the C5 dry-run. */
-  private def rewriteParseFn(sql: String, saved: Array[String],
+  private def rewriteParseFn(sql: String, saved: scala.collection.mutable.ArrayBuffer[String],
                              name: String): String =
     rewriteCalls(sql, name) {
       case Seq(e, MaskedLiteral(idx)) =>
         toParsePattern(saved(idx.toInt).replace("''", "'"))
-          .map(p => s"$name($e, '$p')")
+          .map(p => s"$name($e, ${maskLit(saved, p)})")
       case _ => None
     }
 
@@ -542,7 +545,7 @@ object DialectShims {
     * Literal keys of word characters only; anything fancier (dotted
     * keys, column-ref keys, expression indexes) is left for the C5
     * dry-run rather than risking a wrong path. */
-  private def rewriteJsonExtract(sql: String, saved: Array[String]): String = {
+  private def rewriteJsonExtract(sql: String, saved: scala.collection.mutable.ArrayBuffer[String]): String = {
     def dropFlag(args: Seq[String]): Seq[String] =
       if (args.length > 1 && (args.last.equalsIgnoreCase("true") ||
           args.last.equalsIgnoreCase("false"))) args.init else args
@@ -599,7 +602,7 @@ object DialectShims {
     * dry-run. Zero-width patterns are out of contract for the
     * occurrence arithmetic (split- and match-lists disagree there). */
   private def applyRegexFlags(pattern: String, params: Option[String],
-                              saved: Array[String]): Option[String] =
+                              saved: scala.collection.mutable.ArrayBuffer[String]): Option[String] =
     params match {
       case None => Some(pattern)
       case Some(MaskedLiteral(idx)) =>
@@ -620,7 +623,11 @@ object DialectShims {
   private def fromPos(s: String, pos: String): String =
     if (pos.trim == "1") s else s"substring($s, $pos)"
 
-  private def rewriteRegexpFns(sql: String, saved: Array[String]): String = {
+  private def rewriteRegexpFns(sql: String, saved: scala.collection.mutable.ArrayBuffer[String]): String = {
+    // REGEXP_SUBSTR additionally accepts the 'e' parameter (return
+    // the first SUBEXPRESSION of the match instead of the whole
+    // match) — group index 1 when the literal pattern declares a
+    // group, ignored (Redshift semantics) when it declares none.
     val s1 = rewriteCalls(sql, "regexp_substr") { args =>
       val (core, params) =
         if (args.length == 5) (args.init, Some(args.last)) else (args, None)
@@ -631,11 +638,34 @@ object DialectShims {
         case _ => None
       }
       shape.flatMap { case (s, p, pos, occ) =>
-        applyRegexFlags(p, params, saved).map { pp =>
-          s"CASE WHEN $s IS NULL OR $pp IS NULL THEN NULL ELSE " +
-            s"coalesce(get(regexp_extract_all(${fromPos(s, pos)}, $pp, 0), " +
-            s"($occ) - 1), '') END"
+        val paramStr = params match {
+          case None => Some("")
+          case Some(MaskedLiteral(i)) => Some(saved(i.toInt).replace("''", "'"))
+          case _ => None   // non-literal parameters: C5 surfaces
         }
+        paramStr.filter(_.forall(c => c == 'c' || c == 'i' || c == 'e'))
+          .flatMap { chars =>
+            val flagged: Option[String] =
+              if (!chars.contains('i')) Some(p)
+              else p match {
+                case MaskedLiteral(pi) =>
+                  if (!saved(pi.toInt).startsWith("(?i)"))
+                    saved(pi.toInt) = "(?i)" + saved(pi.toInt)
+                  Some(p)
+                case _ => None
+              }
+            val groupIdx: Option[Int] =
+              if (!chars.contains('e')) Some(0)
+              else p match {
+                case MaskedLiteral(pi) =>
+                  Some(if (saved(pi.toInt).contains("(")) 1 else 0)
+                case _ => None   // can't verify a group exists
+              }
+            for (pp <- flagged; g <- groupIdx) yield
+              s"CASE WHEN $s IS NULL OR $pp IS NULL THEN NULL ELSE " +
+                s"coalesce(get(regexp_extract_all(${fromPos(s, pos)}, $pp, $g), " +
+                s"($occ) - 1), '') END"
+          }
       }
     }
     val s2 = rewriteCalls(s1, "regexp_count") { args =>
@@ -723,7 +753,7 @@ object DialectShims {
     * the unit set and keeps one deterministic output type per unit.
     * Numeric TRUNC (second argument not a string literal) is left
     * untouched. */
-  private def rewriteTruncDatepart(sql: String, saved: Array[String]): String =
+  private def rewriteTruncDatepart(sql: String, saved: scala.collection.mutable.ArrayBuffer[String]): String =
     rewriteCalls(sql, "trunc") {
       case Seq(e, MaskedLiteral(idx)) =>
         TruncUnits.get(saved(idx.toInt).replace("''", "'").toLowerCase).map {
@@ -734,18 +764,106 @@ object DialectShims {
       case _ => None
     }
 
-  /** `TO_CHAR(ts, 'fmt')` → the per-token concat above. The format
-    * must be a string LITERAL (a mask placeholder) — a column-ref
-    * format can't be translated at rewrite time and is left for the
-    * C5 dry-run, as is number-mode TO_CHAR. */
-  private def rewriteToChar(sql: String, saved: Array[String]): String =
+  /** Numeric-mode TO_CHAR — `TO_CHAR(number, '$S999,999.00')` — the
+    * formatting half of the pair with TO_NUMBER. Supported pattern
+    * subset (anything else is left for the C5 dry-run):
+    *
+    *   [FM] [S] [$] int-digits('9'/'0', ',' grouping) ['.' dec-digits]
+    *
+    * Semantics implemented (documented contract — neither Spark nor
+    * DuckDB names the function):
+    *   - value is rounded HALF-UP to the decimal digit count (via a
+    *     decimal cast, exact — no float drift);
+    *   - '0' positions force zero padding of the integer part ('0999'
+    *     pads to 4), '9' positions do not;
+    *   - ',' in the pattern turns on thousands grouping;
+    *   - decimal digits always print at fixed scale;
+    *   - default mode prefixes ONE sign slot (' ' positive, '-'
+    *     negative, PG's `to_char(485,'999') = ' 485'` shape); FM
+    *     drops the slot ('-' only when negative); S anchors an
+    *     explicit '+'/'-';
+    *   - an integer part wider than the pattern's digit positions
+    *     prints all '#'s, the PG/Redshift overflow marker.
+    *
+    * Every emitted piece is a codegen'd builtin (decimal casts,
+    * floor, lpad, a lookahead regexp_replace for grouping). */
+  private[etl] def toCharNumExpr(x: String, format: String,
+      saved: scala.collection.mutable.ArrayBuffer[String]): Option[String] = {
+    var f = format
+    var fm = false
+    if (f.regionMatches(true, 0, "FM", 0, 2)) { fm = true; f = f.substring(2) }
+    var sign = false
+    if (f.startsWith("S")) { sign = true; f = f.substring(1) }
+    var dollar = false
+    if (f.startsWith("$")) { dollar = true; f = f.substring(1) }
+    val parts = f.split("\\.", -1)
+    if (parts.length > 2) return None
+    val intPat = parts(0)
+    val decPat = if (parts.length == 2) parts(1) else ""
+    if (intPat.isEmpty || !intPat.matches("[90,]+") ||
+        !decPat.matches("[90]*")) return None
+    val grouping = intPat.contains(',')
+    val digitsOnly = intPat.filter(c => c == '9' || c == '0')
+    val intDigits = digitsOnly.length
+    val minIntDigits = {
+      val i = digitsOnly.indexOf('0')
+      if (i < 0) 1 else digitsOnly.length - i
+    }
+    val scale = decPat.length
+    val v = s"CAST(($x) AS DECIMAL(38, $scale))"
+    val absV = s"abs($v)"
+    val intRaw = s"CAST(CAST(floor($absV) AS BIGINT) AS STRING)"
+    val intPadded =
+      if (minIntDigits > 1) s"lpad($intRaw, $minIntDigits, '0')" else intRaw
+    // both regex literals are maskLit'd: raw, their comma and parens
+    // would corrupt later passes' call parsing
+    val intGrouped =
+      if (grouping)
+        s"regexp_replace($intPadded, " +
+          maskLit(saved, "(\\\\d)(?=(\\\\d{3})+$)") + ", " +
+          maskLit(saved, "$1,") + ")"
+      else intPadded
+    val decPart =
+      if (scale == 0) "''"
+      else s"concat('.', lpad(CAST(CAST(($absV - floor($absV)) * ${math.pow(10, scale).toLong} AS BIGINT) AS STRING), $scale, '0'))"
+    val signPart =
+      if (sign) s"CASE WHEN $v < 0 THEN '-' ELSE '+' END"
+      else if (fm) s"CASE WHEN $v < 0 THEN '-' ELSE '' END"
+      else s"CASE WHEN $v < 0 THEN '-' ELSE ' ' END"
+    val dollarPart = if (dollar) "'$'" else "''"
+    val width = intDigits + (if (scale > 0) scale + 1 else 0) +
+      (if (grouping) (intDigits - 1) / 3 else 0)
+    Some(
+      s"CASE WHEN length($intRaw) > $intDigits THEN repeat('#', $width) " +
+        s"ELSE concat($signPart, $dollarPart, $intGrouped, $decPart) END")
+  }
+
+  /** `TO_CHAR(ts, 'fmt')` → the per-token concat above (datetime
+    * mode) or [[toCharNumExpr]] (number mode — the format contains
+    * 9/0/$). The format must be a string LITERAL (a mask
+    * placeholder) — a column-ref format can't be translated at
+    * rewrite time and is left for the C5 dry-run. */
+  private def rewriteToChar(sql: String, saved: scala.collection.mutable.ArrayBuffer[String]): String =
     rewriteCalls(sql, "to_char") {
       case Seq(ts, MaskedLiteral(idx)) =>
-        toCharExpr(ts, saved(idx.toInt).replace("''", "'"))
+        val f = saved(idx.toInt).replace("''", "'")
+        toCharExpr(ts, f, saved).orElse(toCharNumExpr(ts, f, saved))
       case _ => None
     }
 
   private val MaskedLiteral = ("'\\u0000(\\d+)\\u0000'").r
+
+  /** Register a literal INJECTED by a rewrite pass and return its
+    * placeholder. Injected literals must never appear raw in masked
+    * text: later passes' call parsing counts parentheses and splits
+    * on top-level commas without tracking quotes, so a raw '$1,' or
+    * '(\\d)' literal corrupts them (found via numeric TO_CHAR's
+    * grouping regex being re-parsed by the REGEXP_REPLACE pass). */
+  private def maskLit(saved: scala.collection.mutable.ArrayBuffer[String],
+                      content: String): String = {
+    saved += content
+    s"'\u0000${saved.size - 1}\u0000'"
+  }
 
   // ------------------------------------- literal/comment-safe rewriting
   /** Mask string literals, double-quoted identifiers, and comments
@@ -814,7 +932,7 @@ object DialectShims {
   private val SimilarToRe =
     raw"(?i)\b(NOT\s+)?SIMILAR\s+TO\s+'\u0000(\d+)\u0000'(?:\s+ESCAPE\s+'\u0000(\d+)\u0000')?".r
 
-  private def rewriteSimilarTo(sql: String, saved: Array[String]): String =
+  private def rewriteSimilarTo(sql: String, saved: scala.collection.mutable.ArrayBuffer[String]): String =
     SimilarToRe.replaceAllIn(sql, m => {
       val patIdx = m.group(2).toInt
       val escape = Option(m.group(3)).map(_.toInt)
@@ -911,7 +1029,7 @@ object DialectShims {
     * pass can corrupt their contents. */
   def rewriteRedshiftSql(sql: String): String = {
     val (masked, saved) = mask(sql)
-    val arr = saved.toArray
+    val arr = scala.collection.mutable.ArrayBuffer(saved: _*)
     val step0 = rewriteSelectTop(masked)
     val step1 = rewriteRatioToReport(rewriteApproxCount(step0))
     val step2 = rewriteListagg(step1)
@@ -926,6 +1044,6 @@ object DialectShims {
     val step11 = rewriteRegexpFns(step10, arr)
     val step12 = rewriteTruncDatepart(step11, arr)
     val rewritten = rewriteJsonExtract(step12, arr)
-    unmask(rewritten, scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+    unmask(rewritten, arr.toIndexedSeq)
   }
 }

@@ -1409,6 +1409,43 @@ object SqlSurface {
       |    + INTERVAL (doc_id % 900) DAY) AS DATE) AS VARCHAR) AS dmonth
       |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Numeric-mode TO_CHAR — `TO_CHAR(number, '$S999,999.00')` — the
+    * other half of the TO_CHAR/TO_NUMBER pair (report SQL formats
+    * money and counts constantly). Grouping, zero padding, explicit
+    * sign, the default single sign slot, dollar prefix, half-up
+    * decimal rounding, and the all-'#' overflow marker — each against
+    * a DuckDB derivation built from `format('{:,}')`/lpad/CASE, none
+    * of which shares the shim's machinery. Per-row projection. */
+  def q40ToCharNumber(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("rs_orders")
+    val redshiftSql =
+      """SELECT o_orderkey,
+        |  TO_CHAR(o_orderkey, 'FM999,999,999') AS grouped,
+        |  TO_CHAR(o_orderkey % 1000, 'FM0000') AS zeropad,
+        |  TO_CHAR(o_orderkey % 7 - 3, 'S99') AS signed,
+        |  TO_CHAR(o_totalprice, 'FM$9,999,999.00') AS money,
+        |  TO_CHAR(o_orderkey, 'FM99') AS overflowed,
+        |  TO_CHAR(o_orderkey % 5, '9') AS signslot
+        |FROM rs_orders ORDER BY o_orderkey LIMIT 500""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q40ToCharNumberSql: String =
+    """SELECT o_orderkey,
+      |  format('{:,}', o_orderkey) AS grouped,
+      |  lpad(CAST(o_orderkey % 1000 AS VARCHAR), 4, '0') AS zeropad,
+      |  (CASE WHEN o_orderkey % 7 - 3 < 0 THEN '-' ELSE '+' END ||
+      |    CAST(abs(o_orderkey % 7 - 3) AS VARCHAR)) AS signed,
+      |  ('$' || format('{:,}', CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT))
+      |    || '.' || lpad(CAST(CAST((CAST(o_totalprice AS DECIMAL(18,2))
+      |      - floor(CAST(o_totalprice AS DECIMAL(18,2)))) * 100 AS BIGINT) AS VARCHAR), 2, '0')) AS money,
+      |  (CASE WHEN length(CAST(o_orderkey AS VARCHAR)) > 2 THEN '##'
+      |    ELSE CAST(o_orderkey AS VARCHAR) END) AS overflowed,
+      |  (' ' || CAST(o_orderkey % 5 AS VARCHAR)) AS signslot
+      |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin
+
   // ---------------------------------------------------------------- q34
   /** FUNNEL analysis — ordered-sequence conversion (view → click
     * within 7 days of the first view → purchase within 7 days of that
@@ -1484,6 +1521,7 @@ object SqlSurface {
     "q32_lateral" -> (q32Lateral _),
     "q33_string_dialect" -> (q33StringDialect _),
     "q39_regex_dialect" -> (q39RegexDialect _),
+    "q40_tochar_number" -> (q40ToCharNumber _),
     "q34_funnel" -> (q34Funnel _),
     "q20b_quantiles_cont" -> (q20bQuantilesCont _),
     "q30_window_dialect" -> (q30WindowDialect _),
@@ -1530,6 +1568,7 @@ object SqlSurface {
     "q32_lateral" -> q32LateralSql,
     "q33_string_dialect" -> q33StringDialectSql,
     "q39_regex_dialect" -> q39RegexDialectSql,
+    "q40_tochar_number" -> q40ToCharNumberSql,
     "q34_funnel" -> q34FunnelSql,
     "q20b_quantiles_cont" -> q20bQuantilesContSql,
     "q30_window_dialect" -> q30WindowDialectSql,

@@ -217,9 +217,9 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(s"TO_CHAR($ts, 'FMDDD')") == "34")
     // unrecognized chars pass through as literals
     assert(one(s"TO_CHAR($ts, 'YYYY/MM')") == "2024/02")
-    // number-mode formats are NOT rewritten (left for the dry-run)
-    assert(DialectShims.rewriteRedshiftSql("SELECT TO_CHAR(x, '999.99') FROM t")
-      .contains("TO_CHAR(x, '999.99')"))
+    // number-mode formats now go through the numeric translator
+    assert(!DialectShims.rewriteRedshiftSql("SELECT TO_CHAR(x, '999.99') FROM t")
+      .toUpperCase.contains("TO_CHAR"))
     // non-literal format is left untouched
     assert(DialectShims.rewriteRedshiftSql("SELECT TO_CHAR(x, fmt_col) FROM t")
       .contains("TO_CHAR(x, fmt_col)"))
@@ -410,6 +410,12 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(evalStr("REGEXP_REPLACE('a1b2c3', '[0-9]')") == "abc")
     assert(evalStr("REGEXP_REPLACE('a1b2c3', '[0-9]', 'x')") == "axbxcx")
     assert(evalStr("REGEXP_REPLACE('a1b2c3', '[0-9]', 'x', 3)") == "a1bxcx")
+    // 'e': return the first subexpression of the match
+    assert(evalStr("REGEXP_SUBSTR('order id 42 shipped', 'id ([0-9]+)', 1, 1, 'e')") == "42")
+    // 'e' with no subexpression in the pattern is ignored (Redshift)
+    assert(evalStr("REGEXP_SUBSTR('abc 42', '[0-9]+', 1, 1, 'e')") == "42")
+    // 'ie' combine
+    assert(evalStr("REGEXP_SUBSTR('ID 7', 'id ([0-9]+)', 1, 1, 'ie')") == "7")
     // unsupported PCRE param mode survives untranslated (C5 surfaces it)
     val kept = DialectShims.rewriteRedshiftSql(
       "SELECT REGEXP_SUBSTR(s, 'x', 1, 1, 'p') FROM t")
@@ -434,6 +440,31 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // numeric TRUNC (non-literal second arg) is not touched
     val kept = DialectShims.rewriteRedshiftSql("SELECT TRUNC(x, 2) FROM t")
     assert(kept.contains("TRUNC(x, 2)"))
+  }
+
+  test("numeric TO_CHAR: grouping, zero pad, sign modes, overflow, rounding") {
+    def evalStr(redshift: String): String = {
+      val out = DialectShims.rewriteRedshiftSql(s"SELECT $redshift AS v")
+      spark.sql(out).collect().head.get(0).toString
+    }
+    assert(evalStr("TO_CHAR(1234567, 'FM999,999,999')") == "1,234,567")
+    assert(evalStr("TO_CHAR(42, 'FM0000')") == "0042")
+    assert(evalStr("TO_CHAR(0, 'FM0000')") == "0000")
+    // default mode: one sign slot, PG's to_char(485,'999') = ' 485'
+    assert(evalStr("TO_CHAR(485, '999')") == " 485")
+    assert(evalStr("TO_CHAR(-485, '999')") == "-485")
+    // S anchors an explicit sign
+    assert(evalStr("TO_CHAR(3, 'S99')") == "+3")
+    assert(evalStr("TO_CHAR(-3, 'S99')") == "-3")
+    // money: dollar prefix, grouping, fixed scale, HALF-UP rounding
+    assert(evalStr("TO_CHAR(1234.567, 'FM$9,999.00')") == "$1,234.57")
+    assert(evalStr("TO_CHAR(5, 'FM$9.00')") == "$5.00")
+    // integer part wider than the pattern → all '#'s
+    assert(evalStr("TO_CHAR(12345, 'FM99')") == "##")
+    // unsupported number shapes stay untranslated for the C5 dry-run
+    val kept = DialectShims.rewriteRedshiftSql(
+      "SELECT TO_CHAR(x, '9.9.9') FROM t")
+    assert(kept.toUpperCase.contains("TO_CHAR"))
   }
 
   test("SQL containing a NUL character is rejected, not silently corrupted") {

@@ -52,6 +52,9 @@ object FuzzyJoin {
     val r = variants.select($"vh", $"id".as("id2"), $"name".as("name2"))
     l.join(r.hint("shuffle_hash"), Seq("vh"))
       .filter($"id1" < $"id2")
+      // length gap > 1 cannot be within distance 1 — drop the
+      // candidate before it pays the distinct's shuffle
+      .filter(abs(length($"name1") - length($"name2")) <= 1)
       .select($"id1", $"id2", $"name1", $"name2")
       .distinct()
       // bounded form: abandons a row the moment the running distance
@@ -103,6 +106,7 @@ object FuzzyJoin {
     val r = variants.select($"vh", $"id".as("id2"), $"name".as("name2"))
     l.join(r.hint("shuffle_hash"), Seq("vh"))
       .filter($"id1" < $"id2")
+      .filter(abs(length($"name1") - length($"name2")) <= 2)
       .select($"id1", $"id2", $"name1", $"name2")
       .distinct()
       .withColumn("dist", levenshtein($"name1", $"name2", 2).cast("long"))
@@ -229,6 +233,130 @@ object FuzzyJoin {
        |  'NOT_CONVERGED' AS canonical_name, CAST(-1 AS BIGINT) AS n_members
        |FROM $last a JOIN $prevLast b ON a.node = b.node AND a.lab <> b.lab
        |ORDER BY id""".stripMargin
+  }
+
+  // ------------------------------ incremental entity resolution
+  /** Entity resolution as a MAINTAINED warehouse artifact — the
+    * production MDM shape (a master-data system folds each day's new
+    * records into existing entities; it never re-resolves the whole
+    * corpus). Two tables per index:
+    *
+    *   `<base>_variants` — (vh, id, name) deletion-neighborhood
+    *     index; [[erIndexAppend]] extends it Θ(batch), idempotent per
+    *     tag (the band-index lifecycle applied to ER);
+    *   `<base>_entities` — (id, entity_id, name) current assignments
+    *     (entity_id = component-min member).
+    *
+    * A batch folds in at Θ(batch + touched components): candidate
+    * edges come from the batch's variants against the STORED index
+    * (never corpus × corpus); only components those edges touch are
+    * re-resolved — their members are pulled by entity_id and
+    * reconnected through (id, entity_id) edges, so the component
+    * union's min is recomputed exactly; every untouched entity keeps
+    * its row. The entity table updates through ONE keyed
+    * [[graft.etl.Warehouse.mergeInto]]. Replayed batches converge:
+    * the variant append is marker-guarded and the re-run merge
+    * recomputes identical assignments. Incremental == batch is
+    * verified by FuzzyJoinSpec: build on part of the corpus, append
+    * the rest (one batch replayed), and the served golden records
+    * must equal the one-shot full-corpus [[goldenRecordsOf]]. */
+  private def variantsOf(names: DataFrame): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    names.select($"id", $"name", explode(variantHashes($"name")).as("v"))
+      .select(hash60($"v").as("vh"), $"id", $"name")
+  }
+
+  def erIndexBuild(wh: graft.etl.Warehouse, names: DataFrame,
+                   base: String): Unit = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    wh.writeTable(graft.etl.TableName.parse(base + "_variants"),
+      variantsOf(names))
+    val edges = pairsWithin1(names).select($"id1".as("d1"), $"id2".as("d2"))
+    val comps = DedupOps.connectedComponents(spark, edges)
+    val assign = names
+      .join(comps.hint("shuffle_hash"), names("id") === comps("doc_id"), "left")
+      .select(names("id"), coalesce($"cluster", names("id")).as("entity_id"),
+        $"name")
+    wh.writeTable(graft.etl.TableName.parse(base + "_entities"), assign)
+    ()
+  }
+
+  def erIndexAppend(wh: graft.etl.Warehouse, batch: DataFrame,
+                    base: String, tag: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val vT = graft.etl.TableName.parse(base + "_variants")
+    val eT = graft.etl.TableName.parse(base + "_entities")
+    // foreachBatch runs in a CLONED session with its own relation
+    // cache — without the refresh, the stored-variant and entity
+    // reads below can serve the PRE-batch file listing and the merge
+    // would resolve against stale components (EventStreamsSpec caught
+    // exactly this: mid-stream batches fragmented into per-digit
+    // entities)
+    spark.catalog.refreshTable(vT.quoted)
+    spark.catalog.refreshTable(eT.quoted)
+    wh.appendToTableIdempotent(vT, variantsOf(batch), s"$tag-v")
+    // candidate edges: batch variants vs the STORED index (which now
+    // contains the batch — batch-internal pairs come for free)
+    val bv = variantsOf(batch)
+    val stored = spark.table(vT.quoted)
+    val cand = bv.select($"vh", $"id".as("id1"), $"name".as("name1"))
+      .join(stored.select($"vh", $"id".as("id2"), $"name".as("name2"))
+        .hint("shuffle_hash"), Seq("vh"))
+      .filter($"id1" =!= $"id2")
+      .filter(abs(length($"name1") - length($"name2")) <= 1)
+      .select(
+        when($"id1" < $"id2",
+          struct($"id1".as("a"), $"id2".as("b"),
+            $"name1".as("na"), $"name2".as("nb")))
+          .otherwise(struct($"id2".as("a"), $"id1".as("b"),
+            $"name2".as("na"), $"name1".as("nb"))).as("p"))
+      .select($"p.a", $"p.b", $"p.na", $"p.nb")
+      .distinct()
+      .filter(levenshtein($"na", $"nb", 1) >= 0)
+    val newEdges = cand.select($"a".as("d1"), $"b".as("d2"))
+    // only components the new edges touch are re-resolved
+    val ents = spark.table(eT.quoted)
+    val nodes = newEdges.select($"d1".as("nid"))
+      .union(newEdges.select($"d2".as("nid"))).distinct()
+    val touched = ents.join(nodes.hint("shuffle_hash"), $"id" === $"nid")
+      .select($"entity_id").distinct()
+    val members = ents.join(touched.hint("shuffle_hash"), Seq("entity_id"))
+      .select($"id", $"entity_id", $"name")
+    val memberEdges = members.filter($"id" =!= $"entity_id")
+      .select($"id".as("d1"), $"entity_id".as("d2"))
+    val comps = DedupOps.connectedComponents(spark,
+      newEdges.union(memberEdges))
+    val affected = batch.select($"id", $"name")
+      .unionByName(members.select($"id", $"name"))
+      .dropDuplicates("id")
+    val assign = affected.alias("af")
+      .join(comps.hint("shuffle_hash"), $"af.id" === comps("doc_id"), "left")
+      .select($"af.id", coalesce($"cluster", $"af.id").as("entity_id"),
+        $"af.name")
+    wh.mergeInto(eT, assign, Seq("id"))
+    ()
+  }
+
+  /** Serve golden records from a maintained `<base>_entities` table
+    * — the read side of the incremental index. (Verified by
+    * FuzzyJoinSpec against the one-shot [[goldenRecordsOf]]; this is
+    * a LIFECYCLE operator like the streaming maintainers, so it is
+    * spec-verified rather than an oracle entry — a per-bench-run
+    * rebuild of a four-phase warehouse lifecycle would measure fixed
+    * build latency, not a query plan.) */
+  def erServeGoldenRecords(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    val ents = spark.table(graft.etl.TableName.parse(base + "_entities").quoted)
+    val sizes = ents.groupBy($"entity_id").agg(count(lit(1)).as("n_members"))
+    val canon = ents.select($"id".as("cid"), $"name".as("canonical_name"))
+    ents.select($"id", $"entity_id")
+      .join(canon.hint("shuffle_hash"), $"entity_id" === $"cid")
+      .join(sizes.hint("shuffle_hash"), Seq("entity_id"))
+      .select($"id", $"entity_id", $"canonical_name", $"n_members")
+      .orderBy($"id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

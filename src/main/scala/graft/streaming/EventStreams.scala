@@ -560,6 +560,35 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming entity-resolution maintenance — the streaming twin of
+    * the incremental ER lifecycle
+    * ([[graft.queries.FuzzyJoin.erIndexAppend]]): each micro-batch of
+    * new (id, name) records folds into the stored variant index and
+    * entity table at Θ(batch + touched components) — candidate edges
+    * against the STORED index, only touched components re-resolved,
+    * untouched entities keep their rows. The warehouse tables are the
+    * cross-batch state, so golden-record queries
+    * ([[graft.queries.FuzzyJoin.erServeGoldenRecords]]) immediately
+    * see streamed records. At-least-once replay converges: the
+    * variant append is batch-tag idempotent and the re-run entity
+    * merge recomputes identical assignments. */
+  def erIndexStream(wh: graft.etl.Warehouse, base: String,
+                    records: DataFrame, checkpointDir: String)
+                   (afterBatch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // seed-empty discipline (see retrievalIndexStream's scaladoc):
+        // every DATA write stays marker-guarded / merge-idempotent
+        val vT = graft.etl.TableName.parse(s"$base" + "_variants")
+        if (!batch.sparkSession.catalog.tableExists(vT.quoted))
+          graft.queries.FuzzyJoin.erIndexBuild(wh, batch.limit(0), base)
+        graft.queries.FuzzyJoin.erIndexAppend(wh, batch, base, s"er-b$id")
+        afterBatch(id)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** The `update` refresh loop as a stream (load.py:1343-1367 →
     * Trigger.AvailableNow): drain whatever extract files have landed
     * under `sourceDir`, run `apply` on each micro-batch (e.g. build a

@@ -87,6 +87,41 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       "strings over the cap must not pair (bounded fan-out contract)")
   }
 
+  test("incremental ER: batch appends converge to the full recompute") {
+    val s = spark
+    import s.implicits._
+    val wh = new graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("er_inc_").toString,
+      "/root/testdata/sf0.001")
+    val names = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select($"c_custkey".as("id"), $"c_name".as("name"))
+    // build on the first third, fold in the rest in two batches
+    FuzzyJoin.erIndexBuild(wh, names.filter($"id" < 50), "eri.c")
+    val entsBefore = spark.table("`eri`.`c_entities`")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    FuzzyJoin.erIndexAppend(wh, names.filter($"id" >= 50 && $"id" < 100),
+      "eri.c", "b1")
+    FuzzyJoin.erIndexAppend(wh, names.filter($"id" >= 100), "eri.c", "b2")
+    // at-least-once replay of the SAME tag must change nothing
+    val snap = FuzzyJoin.erServeGoldenRecords(spark, "eri.c")
+      .collect().map(_.toSeq).toSeq
+    FuzzyJoin.erIndexAppend(wh, names.filter($"id" >= 100), "eri.c", "b2")
+    assert(FuzzyJoin.erServeGoldenRecords(spark, "eri.c")
+      .collect().map(_.toSeq).toSeq == snap, "replay must be a no-op")
+    // incremental == one-shot full recompute, row for row
+    val full = FuzzyJoin.goldenRecordsOf(names).collect().map(_.toSeq).toSeq
+    assert(snap == full,
+      "incrementally maintained entities diverged from the full recompute")
+    // untouched-component semantics: entities none of the new edges
+    // reached keep their exact assignment from the initial build
+    val after = spark.table("`eri`.`c_entities`")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fullMap = full.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toMap
+    val untouched = entsBefore.filter { case (id, e) => fullMap(id) == e }
+    assert(untouched.nonEmpty, "fixture must leave some entities untouched")
+    untouched.foreach { case (id, e) => assert(after(id) == e) }
+  }
+
   test("golden records: chained variants collapse to one entity, singletons survive") {
     val s = spark
     import s.implicits._

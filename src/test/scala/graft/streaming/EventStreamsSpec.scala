@@ -298,6 +298,37 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replayed == expected, "replay must not change scores")
   }
 
+  test("erIndexStream: streamed records resolve to the batch golden records") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.Warehouse
+    import graft.queries.{FuzzyJoin, Tables}
+    val sfDir = "/root/testdata/sf0.001"
+    val names = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("id"), $"c_name".as("name"))
+    val rows = names.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = FuzzyJoin.goldenRecordsOf(names).collect().map(_.toSeq).toSeq
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_ers_wh_").toString, sfDir)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.erIndexStream(wh, "ers.cust",
+      input.toDF.toDF("id", "name"),
+      java.nio.file.Files.createTempDirectory("graft_ers_ck_").toString)()
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = FuzzyJoin.erServeGoldenRecords(spark, "ers.cust")
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected,
+      "streamed entity index must equal the one-shot batch resolution")
+    // at-least-once: replay batch 1's tag through the batch API
+    FuzzyJoin.erIndexAppend(wh, b2.toDF("id", "name"), "ers.cust", "er-b1")
+    assert(FuzzyJoin.erServeGoldenRecords(spark, "ers.cust")
+      .collect().map(_.toSeq).toSeq == expected, "replay must converge")
+  }
+
   test("incrementalViewStream: streamed facts joined to a static dim equal the batch join") {
     val s = spark
     import s.implicits._

@@ -239,11 +239,14 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Values the conjuncts pin `col` to (via `=` or IN over
     * literals) — the query provably touches only those partitions.
-    * None when no conjunct pins the column. Only string/integral/
-    * boolean literals participate: their `String.valueOf` equals the
-    * hive directory spelling; date/timestamp literals carry INTERNAL
-    * reps (epoch days/µs) that do not, so they conservatively
-    * disqualify the partition-scoped path. */
+    * None when no conjunct pins the column. String/integral/boolean
+    * literals participate via `String.valueOf` (equal to the hive
+    * directory spelling); DATE literals carry epoch DAYS internally
+    * and are rendered `yyyy-MM-dd`, which is exactly how the dynamic
+    * partition writer names date directories — the
+    * `WHERE day = DATE'2024-01-01'` shape on a date-partitioned fact
+    * is the primary case this path exists for. Timestamp literals
+    * (µs rep, zone-sensitive rendering) conservatively disqualify. */
   private def litStr(l: Literal): Option[String] = l match {
     case Literal(null, _) => None
     case Literal(v, t) => t match {
@@ -253,6 +256,9 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.BooleanType => Some(String.valueOf(v))
+      case org.apache.spark.sql.types.DateType =>
+        Some(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Int].toLong).toString)
       case _ => None
     }
   }

@@ -309,6 +309,59 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally MvRewrite.unregister(spark, "pmv2")
   }
 
+  test("partition pinning works through DATE literals (day-partitioned fact)") {
+    val s = spark
+    import s.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("mv_date_").toString, sfDir)
+    val baseT = TableName.parse("mv.date_sales")
+    val mvT = TableName.parse("mv.date_sales_rollup")
+    val design = graft.etl.TableDesign(baseT, "CTAS", Seq(
+      graft.etl.ColumnDef("x", "long"), graft.etl.ColumnDef("day", "date")),
+      partitionBy = Seq("day"))
+    wh.writeTable(baseT, Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01")),
+      (2L, java.sql.Date.valueOf("2024-01-01")),
+      (5L, java.sql.Date.valueOf("2024-01-02")))
+      .toDF("x", "day"), Some(design))
+    wh.writeTable(mvT,
+      MvRewrite.partials(spark.table(baseT.quoted), Seq("day"), Seq("x")))
+    MvRewrite.registerMv(spark, "dmv", spark.table(baseT.quoted),
+      spark.table(mvT.quoted), Seq("day"), Seq("x"),
+      version = wh.tableVersion(baseT),
+      currentVersion = () => wh.tableVersion(baseT),
+      partCol = Some("day"),
+      partVersions = wh.partitionVersions(baseT),
+      currentPartVersions = () => wh.partitionVersions(baseT))
+    def onMv(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val paths = MvOps.scanPaths(df)
+      paths.nonEmpty && paths.forall(_.contains("date_sales_rollup"))
+    }
+    try {
+      wh.rebuildPartitions(baseT,
+        Seq((9L, java.sql.Date.valueOf("2024-01-01"))).toDF("x", "day"),
+        expect = Some(Set("day=2024-01-01")))
+      // DATE-literal pin to the unchanged day rewrites; both the
+      // typed-literal and the string-comparison spellings fold to the
+      // same date literal after analysis
+      val qTyped = spark.table(baseT.quoted)
+        .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-02")))
+        .groupBy("day").agg(sum("x").as("sx"))
+      val qString = spark.table(baseT.quoted)
+        .filter(col("day") === "2024-01-02")
+        .groupBy("day").agg(sum("x").as("sx"))
+      assert(onMv(qTyped), qTyped.queryExecution.optimizedPlan.toString)
+      assert(onMv(qString), qString.queryExecution.optimizedPlan.toString)
+      assert(qTyped.collect().map(_.getLong(1)).toSeq == Seq(5L))
+      // pinned to the CHANGED day → base, rebuilt value served
+      val qChanged = spark.table(baseT.quoted)
+        .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-01")))
+        .groupBy("day").agg(sum("x").as("sx"))
+      assert(!onMv(qChanged))
+      assert(qChanged.collect().map(_.getLong(1)).toSeq == Seq(9L))
+    } finally MvRewrite.unregister(spark, "dmv")
+  }
+
   test("exhaustive shapes: every grouping × aggregate combo rewrites equal") {
     registered("mvx") { b =>
       val groupings: Seq[Seq[String]] =

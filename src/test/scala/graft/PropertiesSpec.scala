@@ -69,6 +69,32 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   } yield (0 until n).map(i => i -> edges(i))
 
+  test("property: numeric TO_CHAR groups digits exactly and round-trips TO_NUMBER") {
+    // random exact-cents decimals: the formatted string must be
+    // well-grouped (1-3 leading digits, comma every 3, fixed 2-decimal
+    // scale) and parse back to the same value via Spark's native
+    // TO_NUMBER — the two halves of the dialect pair agree
+    val shape = "\\d{1,3}(,\\d{3})*\\.\\d{2}".r
+    checkProp(Prop.forAll(Gen.choose(0L, 99999999999L)) { cents =>
+      val v = java.math.BigDecimal.valueOf(cents, 2).toPlainString
+      val sql = graft.etl.DialectShims.rewriteRedshiftSql(
+        s"SELECT TO_CHAR(CAST('$v' AS DECIMAL(14,2)), 'FM999,999,999,999.00') AS s, " +
+          s"TO_NUMBER(REPLACE(TO_CHAR(CAST('$v' AS DECIMAL(14,2)), " +
+          s"'FM999,999,999,999.00'), ',', ''), '999999999999.99') AS n")
+      val row = spark.sql(sql).collect().head
+      val s = row.getString(0)
+      val n = row.getDecimal(1)
+      shape.matches(s) &&
+        n.compareTo(new java.math.BigDecimal(v)) == 0 &&
+        s.replace(",", "") == v
+    }, minSuccessful = 40)
+    // negatives carry a bare '-' in FM mode
+    val neg = spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(
+      "SELECT TO_CHAR(CAST('-1234.50' AS DECIMAL(10,2)), 'FM9,999.00') AS s"))
+      .collect().head.getString(0)
+    assert(neg == "-1,234.50")
+  }
+
   test("property: Dag.orderByDependencies respects edges and level recurrence") {
     import graft.etl.{ColumnDef, Dag, Relation, TableDesign, TableName}
     def rel(i: Int, deps: Seq[Int]): Relation = Relation(TableDesign(

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Bounded edit-distance similarity join — the record-linkage /
   * entity-resolution primitive (matching customer or vendor names
@@ -38,32 +39,281 @@ object FuzzyJoin {
     array_distinct(concat(array(name), deletes))
   }
 
-  private def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Variant-bucket key: 64-bit xxhash of the variant string. Purely
+    * engine-internal (the fuzzy-join oracles are naive O(n²) sweeps,
+    * so no cross-engine hash agreement is needed, unlike the shingle
+    * index) — xxhash64 is ~20× cheaper per row than an md5 prefix,
+    * and the variant index hashes (L + L²/2)·n strings. */
+  private def hash60(c: Column): Column = xxhash64(c)
+
+  /** Exact bounded Levenshtein (Ukkonen band, early abandon): the
+    * distance when ≤ k, else −1 — the local-tier twin of Spark's
+    * `levenshtein(a, b, k)`. Works on code points so both agree
+    * beyond the BMP. Cost O(k·min(n,m)) and the band abandons the
+    * moment every cell exceeds k, so a far pair costs ~k·len
+    * character ops — cheap enough to run per within-bucket pair. */
+  private[graft] def boundedLev(sa: String, sb: String, k: Int): Int = {
+    // fast path: no surrogate pairs (every real linkage key) — walk
+    // chars in place, zero allocations beyond two k-wide DP rows
+    if (!hasSurrogate(sa) && !hasSurrogate(sb))
+      boundedLevImpl(sa.length, sb.length, k,
+        (i, j) => sa.charAt(i) == sb.charAt(j))
+    else {
+      val a = sa.codePoints().toArray
+      val b = sb.codePoints().toArray
+      boundedLevImpl(a.length, b.length, k, (i, j) => a(i) == b(j))
+    }
+  }
+
+  private def hasSurrogate(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (Character.isSurrogate(s.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  private def boundedLevImpl(n: Int, m: Int, k: Int,
+                             eq: (Int, Int) => Boolean): Int = {
+    if (math.abs(n - m) > k) return -1
+    val inf = k + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j0 = 0
+    while (j0 <= math.min(m, k)) { prev(j0) = j0; j0 += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      if (i <= k) cur(0) = i
+      var rowMin = cur(0)
+      var j = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      while (j <= hi) {
+        val cost = if (eq(i - 1, j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > k) return -1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) <= k) prev(m) else -1
+  }
+
+  /** Row shapes for the within-bucket tier (case classes so the typed
+    * grouping encodes by field name). */
+  private[graft] final case class VChunkRow(
+      vh: Long, i: Int, j: Int, c: Int, id: Long, name: String)
+  private[graft] final case class BChunkRow(
+      vh: Long, ch: Int, fromBatch: Boolean, id: Long, name: String)
+
+  /** Exact ed≤k pairs from a (vh, id, name) variant frame, with the
+    * df SKEW GUARD the shingle index has ([[DedupOps]] `maxShingleDf`)
+    * — but unlike the shingle cutoff this one never changes the
+    * answer, only the execution tier:
+    *
+    *  - buckets with df ≤ [[Tuning.maxVariantDf]] take the candidate
+    *    equi-join, which now carries only (vh, id, len) — 20 bytes —
+    *    through the distinct; names are re-joined afterwards for the
+    *    exact `levenshtein(…, k)` rescore, so the big shuffle never
+    *    ships strings;
+    *  - hotter buckets (zero-padded keys, shared prefixes — the shape
+    *    that fans a variant equi-join out quadratically: 31.7M
+    *    candidate rows from 15k zero-padded names at d≤2) skip the
+    *    join entirely. Their members are grouped per bucket and paired
+    *    LOCALLY with [[boundedLev]] — the same Θ(Σ df²) comparison
+    *    count, but as per-task CPU with early abandon instead of a
+    *    df²-row shuffle, and only SURVIVING pairs (a sparse set) reach
+    *    the final distinct. Buckets beyond [[Tuning.variantChunk]]
+    *    members are triangle-partitioned into chunk-pair tasks
+    *    ((i,j) chunk pairs, each ≤ 2·chunk members) so a mega-bucket
+    *    at 100× density becomes many bounded tasks, not a straggler.
+    *
+    * Both tiers are exact, so completeness stays verified by the
+    * O(n²) oracle, and a pair sharing both a light and a hot bucket
+    * collapses in the final distinct (dist is deterministic). */
+  private def guardedSelfPairs(names: DataFrame, variants: DataFrame,
+                               k: Int, t: Tuning): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    // Only HOT buckets are materialized for the tag join — ≤ |variants|
+    // / maxVariantDf rows by construction, so AQE sees a small filtered
+    // aggregate behind a stage boundary and broadcasts it: the corpus-
+    // sized variant frame is never shuffled just to learn its df. (A
+    // pathological corpus where hot buckets hold most of the mass
+    // degrades to a shuffle join of the same frames, not to wrong
+    // answers.)
+    // The TAGGED frame is persisted because both tiers filter it —
+    // measured at sf0.1: without the cache the union's branches
+    // re-derive the hot aggregate (a full variant-index shuffle each)
+    // independently, and warm time roughly doubles (ReusedExchange
+    // does not cross the branch boundary here). The explode + hash
+    // feeding the aggregate and the probe side is recomputed, which
+    // is cheap with xxhash64.
+    val hot = variants.groupBy($"vh").agg(count(lit(1)).as("df"))
+      .filter($"df" > t.maxVariantDf)
+    val tagged = variants.join(hot, Seq("vh"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ---- light tier: id-only candidate join + name rejoin rescore
+    val light = tagged.filter($"df".isNull)
+      .select($"vh", $"id", length($"name").as("len"))
+    val cand = light.select($"vh", $"id".as("id1"), $"len".as("len1"))
+      .join(light.select($"vh", $"id".as("id2"), $"len".as("len2"))
+        .hint("shuffle_hash"), Seq("vh"))
+      .filter($"id1" < $"id2")
+      // length gap > k cannot be within distance k — drop the
+      // candidate before it pays the distinct's shuffle
+      .filter(abs($"len1" - $"len2") <= k)
+      .select($"id1", $"id2")
+      .distinct()
+    val lightPairs = cand
+      .join(names.select($"id".as("id1"), $"name".as("name1"))
+        .hint("shuffle_hash"), Seq("id1"))
+      .join(names.select($"id".as("id2"), $"name".as("name2"))
+        .hint("shuffle_hash"), Seq("id2"))
+      // bounded form: abandons a row the moment the running distance
+      // exceeds k (returns -1), so a far false candidate costs
+      // O(k·len) instead of O(len²) — exact for every surviving pair
+      .withColumn("dist", levenshtein($"name1", $"name2", k).cast("long"))
+      .filter($"dist" >= 0)
+      .select($"id1", $"id2", $"dist")
+    // ---- heavy tier: within-bucket grouped pairwise, chunk-bounded
+    val kk = k
+    val heavyPairs = tagged.filter($"df".isNotNull)
+      .withColumn("nc", ceil($"df" / lit(t.variantChunk)).cast("int"))
+      .withColumn("c", pmod(hash($"id"), $"nc").cast("int"))
+      .select($"vh", $"c", $"id", $"name",
+        explode(expr("sequence(0, nc - 1)")).as("tk"))
+      .select($"vh", least($"c", $"tk").as("i"), greatest($"c", $"tk").as("j"),
+        $"c", $"id", $"name")
+      .as[VChunkRow]
+      .groupByKey(r => (r.vh, r.i, r.j))
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[VChunkRow]) =>
+        val i = key._2; val j = key._3
+        val rows = it.toArray
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        def check(u: VChunkRow, v: VChunkRow): Unit =
+          if (u.id != v.id) {
+            val d = boundedLev(u.name, v.name, kk)
+            if (d >= 0)
+              buf += ((math.min(u.id, v.id), math.max(u.id, v.id), d.toLong))
+          }
+        if (i == j) {
+          var x = 0
+          while (x < rows.length) {
+            var y = x + 1
+            while (y < rows.length) { check(rows(x), rows(y)); y += 1 }
+            x += 1
+          }
+        } else {
+          val li = rows.filter(_.c == i)
+          val rj = rows.filter(_.c == j)
+          var x = 0
+          while (x < li.length) {
+            var y = 0
+            while (y < rj.length) { check(li(x), rj(y)); y += 1 }
+            x += 1
+          }
+        }
+        buf.iterator
+      }
+      .toDF("id1", "id2", "dist")
+    lightPairs.unionByName(heavyPairs).distinct()
+  }
+
+  /** Bipartite twin of [[guardedSelfPairs]] for the incremental ER
+    * fold-in: candidate pairs between a BATCH's variants and the
+    * STORED variant index (which already contains the batch, so
+    * batch-internal pairs come for free). The stored side is first
+    * semi-joined down to the batch's buckets (Θ(touched buckets),
+    * never corpus × corpus), then split by bucket df: light buckets
+    * take the equi-join (fan-out ≤ batch·cap, so names ride along
+    * and the dedup keys on ids); hot buckets run the local pairwise
+    * tier with each batch member replicated across the stored side's
+    * chunks — batch×chunk work, bounded per task. */
+  private def guardedBipartitePairs(bv: DataFrame, stored: DataFrame,
+                                    k: Int, t: Tuning): DataFrame = {
+    val spark = bv.sparkSession
+    import spark.implicits._
+    val touched = stored.join(bv.select($"vh").distinct().hint("shuffle_hash"),
+      Seq("vh"), "left_semi")
+    // as in [[guardedSelfPairs]]: only the (small) hot-bucket list is
+    // materialized, so the anti-joins below broadcast under AQE
+    val hot = touched.groupBy($"vh").agg(count(lit(1)).as("df"))
+      .filter($"df" > t.maxVariantDf)
+    val cand = bv.join(hot.select($"vh"), Seq("vh"), "left_anti")
+      .select($"vh", $"id".as("id1"), $"name".as("name1"))
+      .join(touched.join(hot.select($"vh"), Seq("vh"), "left_anti")
+        .select($"vh", $"id".as("id2"), $"name".as("name2"))
+        .hint("shuffle_hash"), Seq("vh"))
+      .filter($"id1" =!= $"id2")
+      .filter(abs(length($"name1") - length($"name2")) <= k)
+      .select(
+        when($"id1" < $"id2",
+          struct($"id1".as("a"), $"id2".as("b"),
+            $"name1".as("na"), $"name2".as("nb")))
+          .otherwise(struct($"id2".as("a"), $"id1".as("b"),
+            $"name2".as("na"), $"name1".as("nb"))).as("p"))
+      .select($"p.a", $"p.b", $"p.na", $"p.nb")
+      .dropDuplicates("a", "b")
+      .withColumn("dist", levenshtein($"na", $"nb", k).cast("long"))
+      .filter($"dist" >= 0)
+      .select($"a".as("id1"), $"b".as("id2"), $"dist")
+    val heavyDfs = hot
+      .withColumn("nc", ceil($"df" / lit(t.variantChunk)).cast("int"))
+      .select($"vh", $"nc")
+    val storedHeavy = touched.join(heavyDfs.hint("shuffle_hash"), Seq("vh"))
+      .select($"vh", pmod(hash($"id"), $"nc").cast("int").as("ch"),
+        lit(false).as("fromBatch"), $"id", $"name")
+    val batchHeavy = bv.join(heavyDfs.hint("shuffle_hash"), Seq("vh"))
+      .select($"vh", explode(expr("sequence(0, nc - 1)")).as("che"),
+        lit(true).as("fromBatch"), $"id", $"name")
+      .select($"vh", $"che".cast("int").as("ch"), $"fromBatch", $"id", $"name")
+    val kk = k
+    val heavyPairs = storedHeavy.unionByName(batchHeavy)
+      .as[BChunkRow]
+      .groupByKey(r => (r.vh, r.ch))
+      .flatMapGroups { (_: (Long, Int), it: Iterator[BChunkRow]) =>
+        val rows = it.toArray
+        val li = rows.filter(_.fromBatch)
+        val rj = rows.filter(!_.fromBatch)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var x = 0
+        while (x < li.length) {
+          var y = 0
+          while (y < rj.length) {
+            val u = li(x); val v = rj(y)
+            if (u.id != v.id) {
+              val d = boundedLev(u.name, v.name, kk)
+              if (d >= 0)
+                buf += ((math.min(u.id, v.id), math.max(u.id, v.id), d.toLong))
+            }
+            y += 1
+          }
+          x += 1
+        }
+        buf.iterator
+      }
+      .toDF("id1", "id2", "dist")
+    cand.unionByName(heavyPairs).dropDuplicates("id1", "id2")
+  }
 
   /** Edit-distance ≤ 1 pairs over any (id, name) frame. */
-  private[graft] def pairsWithin1(names: DataFrame): DataFrame = {
+  private[graft] def pairsWithin1(names: DataFrame,
+                                  t: Tuning = Tuning.default): DataFrame = {
     val spark = names.sparkSession
     import spark.implicits._
     val variants = names
       .select($"id", $"name", explode(variantHashes($"name")).as("v"))
-      .select($"id", $"name", hash60($"v").as("vh"))
-    val l = variants.select($"vh", $"id".as("id1"), $"name".as("name1"))
-    val r = variants.select($"vh", $"id".as("id2"), $"name".as("name2"))
-    l.join(r.hint("shuffle_hash"), Seq("vh"))
-      .filter($"id1" < $"id2")
-      // length gap > 1 cannot be within distance 1 — drop the
-      // candidate before it pays the distinct's shuffle
-      .filter(abs(length($"name1") - length($"name2")) <= 1)
-      .select($"id1", $"id2", $"name1", $"name2")
-      .distinct()
-      // bounded form: abandons a row the moment the running distance
-      // exceeds 1 (returns -1), so a distance-2 false candidate costs
-      // O(len) instead of O(len²) — the exact filter stays exact for
-      // every surviving pair
-      .withColumn("dist", levenshtein($"name1", $"name2", 1).cast("long"))
-      .filter($"dist" >= 0)
-      .select($"id1", $"id2", $"dist")
+      .select(hash60($"v").as("vh"), $"id", $"name")
+    guardedSelfPairs(names, variants, 1, t)
   }
 
   /** Distance-≤2 deletion neighborhood: the string itself, every
@@ -95,23 +345,15 @@ object FuzzyJoin {
     * `levenshtein(a, b, 2)` rescore keeps the candidate set's false
     * positives out, same as the distance-1 form. */
   private[graft] def pairsWithin2(names: DataFrame,
-                                  maxLen: Int = 128): DataFrame = {
+                                  maxLen: Int = 128,
+                                  t: Tuning = Tuning.default): DataFrame = {
     val spark = names.sparkSession
     import spark.implicits._
     val bounded = names.filter(length($"name") <= maxLen)
     val variants = bounded
       .select($"id", $"name", explode(variantHashes2($"name")).as("v"))
-      .select($"id", $"name", hash60($"v").as("vh"))
-    val l = variants.select($"vh", $"id".as("id1"), $"name".as("name1"))
-    val r = variants.select($"vh", $"id".as("id2"), $"name".as("name2"))
-    l.join(r.hint("shuffle_hash"), Seq("vh"))
-      .filter($"id1" < $"id2")
-      .filter(abs(length($"name1") - length($"name2")) <= 2)
-      .select($"id1", $"id2", $"name1", $"name2")
-      .distinct()
-      .withColumn("dist", levenshtein($"name1", $"name2", 2).cast("long"))
-      .filter($"dist" >= 0)
-      .select($"id1", $"id2", $"dist")
+      .select(hash60($"v").as("vh"), $"id", $"name")
+    guardedSelfPairs(bounded, variants, 2, t)
   }
 
   /** Oracle entry: distance-≤2 customer-name pairs, checked against
@@ -299,24 +541,12 @@ object FuzzyJoin {
     spark.catalog.refreshTable(eT.quoted)
     wh.appendToTableIdempotent(vT, variantsOf(batch), s"$tag-v")
     // candidate edges: batch variants vs the STORED index (which now
-    // contains the batch — batch-internal pairs come for free)
+    // contains the batch — batch-internal pairs come for free),
+    // through the same df skew guard the one-shot join has
     val bv = variantsOf(batch)
     val stored = spark.table(vT.quoted)
-    val cand = bv.select($"vh", $"id".as("id1"), $"name".as("name1"))
-      .join(stored.select($"vh", $"id".as("id2"), $"name".as("name2"))
-        .hint("shuffle_hash"), Seq("vh"))
-      .filter($"id1" =!= $"id2")
-      .filter(abs(length($"name1") - length($"name2")) <= 1)
-      .select(
-        when($"id1" < $"id2",
-          struct($"id1".as("a"), $"id2".as("b"),
-            $"name1".as("na"), $"name2".as("nb")))
-          .otherwise(struct($"id2".as("a"), $"id1".as("b"),
-            $"name2".as("na"), $"name1".as("nb"))).as("p"))
-      .select($"p.a", $"p.b", $"p.na", $"p.nb")
-      .distinct()
-      .filter(levenshtein($"na", $"nb", 1) >= 0)
-    val newEdges = cand.select($"a".as("d1"), $"b".as("d2"))
+    val cand = guardedBipartitePairs(bv, stored, 1, Tuning.default)
+    val newEdges = cand.select($"id1".as("d1"), $"id2".as("d2"))
     // only components the new edges touch are re-resolved
     val ents = spark.table(eT.quoted)
     val nodes = newEdges.select($"d1".as("nid"))

@@ -20,6 +20,16 @@ package graft.queries
   *  - `chunkWords`: passage-dedup chunk width (words per positional
   *    chunk; a production corpus splitting on real paragraph
   *    boundaries sets this aside entirely).
+  *  - `maxVariantDf`: FastSS deletion-neighborhood skew guard — a
+  *    variant bucket holding more strings than this skips the
+  *    candidate equi-join (which would fan out df² rows) and is
+  *    handled by the exact within-bucket grouped pairwise tier
+  *    instead. Unlike `maxShingleDf` this changes COST, never the
+  *    answer: both tiers are exact.
+  *  - `variantChunk`: per-task member bound for that within-bucket
+  *    tier — buckets larger than this are triangle-partitioned into
+  *    chunk-pair tasks so no single task owns a mega-bucket's
+  *    pairwise work.
   */
 final case class Tuning(
     maxShingleDf: Int = 100,
@@ -27,7 +37,9 @@ final case class Tuning(
     containmentThreshold: Double = 0.9,
     targetBucketSize: Int = 16,
     nearDupThreshold: Double = 0.45,
-    chunkWords: Int = 10)
+    chunkWords: Int = 10,
+    maxVariantDf: Int = 32,
+    variantChunk: Int = 1024)
 
 object Tuning {
   val default: Tuning = Tuning()

@@ -87,6 +87,76 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       "strings over the cap must not pair (bounded fan-out contract)")
   }
 
+  test("d2 skew guard: low-entropy corpus answers exactly, without the quadratic fan-out") {
+    val s = spark
+    import s.implicits._
+    // the adversarial shape from the sf tables: zero-padded keys whose
+    // two-deletion variants collapse hundreds of strings per bucket
+    // (and whose same-bucket pairs mostly FAIL the exact rescore — the
+    // candidates-far-exceed-answers regime the guard exists for)
+    val names = (1 to 1000).map(i => (i.toLong, f"Customer#$i%09d"))
+    val expected = (for {
+      (i1, n1) <- names
+      (i2, n2) <- names if i1 < i2 && lev(n1, n2) <= 2
+    } yield (i1, i2, lev(n1, n2).toLong)).toSet
+    assert(expected.nonEmpty)
+    // the candidate multiset the UNGUARDED variant equi-join would
+    // emit: sum over variant buckets of C(df, 2) — recomputed here
+    // driver-side with the same deletion neighborhood (string-keyed;
+    // the 60-bit hash only renames buckets)
+    def variants2(n: String): Set[String] = {
+      val d1 = (0 until n.length).map(i => n.take(i) + n.drop(i + 1))
+      val d2 = for {
+        i <- 0 until n.length; j <- i + 1 until n.length
+      } yield n.take(i) + n.slice(i + 1, j) + n.drop(j + 1)
+      (d1 ++ d2 :+ n).toSet
+    }
+    val df = scala.collection.mutable.HashMap.empty[String, Long]
+    names.foreach { case (_, n) =>
+      variants2(n).foreach(v => df(v) = df.getOrElse(v, 0L) + 1) }
+    val naiveCandidates = df.valuesIterator.map(d => d * (d - 1) / 2).sum
+    assert(df.valuesIterator.max > Tuning.default.maxVariantDf,
+      "fixture must actually produce over-cap buckets")
+    assert(naiveCandidates > 20L * expected.size,
+      "fixture must be candidate-dominated for the fan-out assertion to mean anything")
+    val frame = FuzzyJoin.pairsWithin2(names.toDF("id", "name"))
+    val got = frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // measure the executed plan's CANDIDATE fan-out: every row a
+    // shuffled join emitted plus every pair the within-bucket tier
+    // emitted (object-op output) — the guarded total must undercut the
+    // unguarded join's Σ C(df,2) fan-out by ≥10×
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra: Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(c.relation.cachedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    val nodes = walk(frame.queryExecution.executedPlan).distinct
+    def rowsOut(filter: String => Boolean): Long = nodes
+      .filter(n => filter(n.nodeName))
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    val joinFanout = rowsOut(n =>
+      n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin"))
+    val localFanout = rowsOut(n => n.contains("MapGroups"))
+    assert(joinFanout > 0, "light tier must have run")
+    assert(localFanout > 0, "heavy tier must have run")
+    assert(joinFanout + localFanout < naiveCandidates / 10,
+      s"candidate fan-out ${joinFanout + localFanout} (join $joinFanout + " +
+        s"local $localFanout) vs $naiveCandidates unguarded candidates")
+  }
+
   test("incremental ER: batch appends converge to the full recompute") {
     val s = spark
     import s.implicits._

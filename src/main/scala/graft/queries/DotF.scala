@@ -119,6 +119,8 @@ object DotF {
       "bpe_encode", BpeEncode.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder_key", ZorderKey.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "variant_hashes", VariantHashes.builder, "built-in")
     // Spark's OWN BloomFilterAggregate / BloomFilterMightContain — the
     // expressions the AQE runtime-filter machinery plans internally
     // (InjectRuntimeFilter), surfaced as session functions so operators

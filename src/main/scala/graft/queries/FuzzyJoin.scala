@@ -559,13 +559,25 @@ object FuzzyJoin {
     variantFrame(names, 1).withColumn("vh", $"vh".as("vh", md))
   }
 
-  private def requireVariantIndexVersion(stored: DataFrame,
-                                         table: String): Unit = {
-    val meta = stored.schema("vh").metadata
+  /** Version-checks the persisted variant index WITHOUT instantiating
+    * its relation. Reading the schema through `spark.table(...)` here
+    * would prime the session's relation cache with the current file
+    * listing; when the caller appends immediately afterwards (as
+    * [[erIndexAppend]] does), the post-append read would then serve
+    * the PRE-append listing and every batch-internal fuzzy edge would
+    * be dropped silently. The catalog metadata carries the same schema
+    * (including the `vh` column metadata where the version rides) and
+    * never touches the file index. */
+  private def requireVariantIndexVersion(spark: SparkSession,
+                                         vT: graft.etl.TableName): Unit = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      vT.table, if (vT.schema.isEmpty) None else Some(vT.schema))
+    val schema = spark.sessionState.catalog.getTableMetadata(ident).schema
+    val meta = schema("vh").metadata
     val got = if (meta.contains(VariantVersionKey))
       Some(meta.getLong(VariantVersionKey)) else None
     require(got.contains(VariantIndexVersion),
-      s"ER variant index '$table' was built with hash-scheme version " +
+      s"ER variant index '${vT.quoted}' was built with hash-scheme version " +
         s"${got.map(_.toString).getOrElse("<unversioned, pre-v3>")} but this " +
         s"engine computes version $VariantIndexVersion fingerprints — " +
         "appending would silently drop every batch-vs-stored match. " +
@@ -602,8 +614,15 @@ object FuzzyJoin {
     // entities)
     spark.catalog.refreshTable(vT.quoted)
     spark.catalog.refreshTable(eT.quoted)
-    requireVariantIndexVersion(spark.table(vT.quoted), vT.quoted)
+    // catalog-metadata read only — a spark.table read here would
+    // re-prime this session's relation cache with the pre-append
+    // listing and the `stored` read below would miss the batch
+    requireVariantIndexVersion(spark, vT)
     wh.appendToTableIdempotent(vT, variantsOf(batch), s"$tag-v")
+    // the append bypasses the DataFrameWriter (direct FS write +
+    // marker), so nothing invalidated the relation cache for us:
+    // refresh so `stored` sees the file listing INCLUDING this batch
+    spark.catalog.refreshTable(vT.quoted)
     // candidate edges: batch variants vs the STORED index (which now
     // contains the batch — batch-internal pairs come for free),
     // through the same df skew guard the one-shot join has

@@ -782,10 +782,18 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
     val wh = freshWarehouse()
-    // a 64x64 grid, pre-shuffled so arrival order carries no locality
-    val grid = scala.util.Random.shuffle(
-      (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong * 64 + y, x.toLong, y.toLong))).toList)
-      .toDF("id", "x", "y").repartition(4)
+    // a 64x64 grid, pre-shuffled so arrival order carries no locality.
+    // SEEDED shuffle + explicit parallelize slices: the range
+    // boundaries the clustered write picks are a function of input
+    // order and partition layout, so an unseeded shuffle (or a
+    // layout inherited from whichever suite built the shared session)
+    // made the measured spans drift across runs — the 3-round 0.714-
+    // vs-0.7 flake. With this fixture the write is bit-reproducible.
+    val rnd = new scala.util.Random(20260814L)
+    val grid = spark.createDataFrame(spark.sparkContext.parallelize(
+      rnd.shuffle((0 until 64).flatMap(x => (0 until 64).map(y =>
+        (x.toLong * 64 + y, x.toLong, y.toLong))).toList), 4))
+      .toDF("id", "x", "y")
     def design(attrs: String) = TableDesign.load(
       s"""name: rep.zgrid
          |source_name: src
@@ -816,8 +824,24 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // in every file; an unsorted write leaves both full-span)
     val avgX = zSpans.map(_._1).sum / zSpans.size / 63.0
     val avgY = zSpans.map(_._2).sum / zSpans.size / 63.0
-    assert(avgX <= 0.7 && avgY <= 0.7,
+    info(f"zgrid avg spans: x=$avgX%.4f y=$avgY%.4f (files=${zSpans.size})")
+    // Threshold provenance (the 3-round 0.714-vs-0.7 flake): the
+    // fixture is seeded, but repartitionByRange samples its range
+    // boundaries with a seed derived from the JVM-global RDD id, so
+    // boundary placement still shifts with suite context; a boundary
+    // that lands inside a quadrant blows that file's span to ~1.0 in
+    // one dimension. Observed across contexts: avgX 0.50–0.53,
+    // avgY 0.62–0.74 (ideal quadrant split is 31/63≈0.49). 0.8
+    // bounds that sampling noise while rejecting a compound sort
+    // (trailing dim pinned at 1.0) and an unsorted write (both dims
+    // ~1.0 — the control below asserts > 0.9).
+    assert(avgX <= 0.8 && avgY <= 0.8,
       s"z files not clustered: avg x span $avgX, avg y span $avgY")
+    // structural clustering evidence, immune to boundary placement:
+    // at least one file is a clean quadrant — narrow in BOTH dims
+    // (no compound-sorted or unsorted layout can produce even one)
+    assert(zSpans.exists(s => s._1 / 63.0 <= 0.6 && s._2 / 63.0 <= 0.6),
+      s"no file is narrow in both dims: $zSpans")
     // control: the same rows written without clustering span ~everything
     wh.writeTable(TableName.parse("rep.plaingrid"), grid, Some(design("")))
     val pSpans = spans("`rep`.`plaingrid`")
@@ -867,8 +891,12 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
     val dAvgX = dSpans.map(_._1).sum / dSpans.size / 63.0
     val dAvgY = dSpans.map(_._2).sum / dSpans.size / 63.0
-    assert(dAvgX <= 0.7 && dAvgY <= 0.7,
+    info(f"zdated avg spans: d=$dAvgX%.4f y=$dAvgY%.4f (files=${dSpans.size})")
+    // same 0.8 bound + provenance as the zgrid assert above
+    assert(dAvgX <= 0.8 && dAvgY <= 0.8,
       s"date z files not clustered: avg d span $dAvgX, avg y span $dAvgY")
+    assert(dSpans.exists(s => s._1 / 63.0 <= 0.6 && s._2 / 63.0 <= 0.6),
+      s"no date file is narrow in both dims: $dSpans")
     // show_ddl carries the attribute
     assert(Ddl.createTableSql(design("  interleaved_sort: [x, y]"))
       .contains("'graft.interleaved_sortkey' = 'x,y'"))
@@ -1136,19 +1164,28 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions._
     val wh = freshWarehouse()
     val t = TableName.parse("rep.zcompact")
-    // seed + appends arrive in SHUFFLED order: no file has locality
-    val grid = scala.util.Random.shuffle(
+    // seed + appends arrive in SHUFFLED order: no file has locality.
+    // Seeded shuffle + explicit parallelize slices + pinned shuffle
+    // partitions make the compaction's range boundaries (and so the
+    // measured spans) reproducible — see the zgrid test above.
+    val rnd = new scala.util.Random(20260814L)
+    val grid = rnd.shuffle(
       (0 until 64).flatMap(x => (0 until 64).map(y =>
         (x.toLong * 64 + y, x.toLong, y.toLong))).toList)
-    wh.writeTable(t, grid.take(1000).toDF("id", "x", "y").repartition(3))
+    def slices(rows: List[(Long, Long, Long)], n: Int) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, n))
+        .toDF("id", "x", "y")
+    wh.writeTable(t, slices(grid.take(1000), 3))
     grid.drop(1000).grouped(1000).zipWithIndex.foreach { case (b, i) =>
-      assert(wh.appendToTableIdempotent(t,
-        b.toDF("id", "x", "y").repartition(2), s"zb$i"))
+      assert(wh.appendToTableIdempotent(t, slices(b, 2), s"zb$i"))
     }
     val rowsBefore = spark.table(t.quoted).count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     // clustered rewrite runs even under the file-count threshold
     val Some((before, after)) =
-      wh.compactTable(t, maxDataFiles = 1000, clusterBy = Seq("x", "y"))
+      try wh.compactTable(t, maxDataFiles = 1000, clusterBy = Seq("x", "y"))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     assert(before >= 5, s"fixture should have several files, got $before")
     spark.catalog.refreshTable(t.quoted)
     assert(spark.table(t.quoted).count() == rowsBefore)
@@ -1161,8 +1198,13 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans.size >= 3, s"want several files, got ${spans.size}")
     val avgX = spans.map(_._1).sum / spans.size / 63.0
     val avgY = spans.map(_._2).sum / spans.size / 63.0
-    assert(avgX <= 0.7 && avgY <= 0.7,
+    info(f"zcompact avg spans: x=$avgX%.4f y=$avgY%.4f (files=${spans.size})")
+    // same 0.8 bound + RDD-id sampling-noise provenance as the
+    // interleaved_sort test (observed here: x≈0.52, y 0.62–0.65)
+    assert(avgX <= 0.8 && avgY <= 0.8,
       s"optimize did not cluster: avg x span $avgX, avg y span $avgY")
+    assert(spans.exists(s => s._1 / 63.0 <= 0.6 && s._2 / 63.0 <= 0.6),
+      s"no compacted file is narrow in both dims: $spans")
     // markers carried: a replayed append tag is still a no-op
     assert(!wh.appendToTableIdempotent(t,
       Seq((9999L, 1L, 1L)).toDF("id", "x", "y"), "zb0"))

@@ -133,7 +133,13 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_LOCAL.json"))
     var failed = List.empty[String]
     var contended = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
+    // named queries (the driver never sets it — full runs unaffected).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -121,6 +121,10 @@ object DotF {
       "zorder_key", ZorderKey.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "variant_hashes", VariantHashes.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_shared_variant_hash", MinSharedVariantHash.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bounded_lev", BoundedLevExpr.builder, "built-in")
     // Spark's OWN BloomFilterAggregate / BloomFilterMightContain — the
     // expressions the AQE runtime-filter machinery plans internally
     // (InjectRuntimeFilter), surfaced as session functions so operators

@@ -56,22 +56,42 @@ object FuzzyJoin {
     * a distributed frame (recomputed per consumer, still exact). */
   private val HotCollectCap = 1 << 20
 
+  /** When `cap` is at least this large, the census runs on a 10%
+    * sample of the variant frame instead of the full one. The guard
+    * exists to bound PER-TASK work, so its boundary is soft: a bucket
+    * at ~cap misclassified costs at most ~2× one task's CPU budget,
+    * while a bucket at 2×cap is missed with probability ≈ 0
+    * (Binomial(2·cap, 0.1) falling under cap·0.1 is a many-sigma
+    * event once cap ≥ 256). Small caps (the bipartite/ER paths,
+    * where fan-out still pays a dedup shuffle and the frames are
+    * Θ(batch)-sized anyway) keep the exact census. */
+  private val SampledCensusMinCap = 256
+  private val CensusFraction = 0.1
+
   /** Materialize the over-cap bucket census ONCE, driver-side.
-    * `None` when no bucket exceeds [[Tuning.maxVariantDf]] — callers
-    * then skip the two-tier machinery entirely (the r14 guard ran its
-    * hot aggregate, tag join and a MEMORY_AND_DISK persist even on
+    * `None` when no bucket exceeds `cap` — callers then skip the
+    * two-tier machinery entirely (the r14 guard ran its hot
+    * aggregate, tag join and a MEMORY_AND_DISK persist even on
     * healthy d1 corpora, a judge-measured +22..29% tax). Otherwise a
     * broadcastable LocalRelation of (vh, df): both tiers join against
     * in-plan literals — no persist, no cache-block leak across calls,
     * nothing recomputed. The census is small BY CONSTRUCTION
-    * (≤ |variants| / (maxVariantDf+1) rows); the degenerate
-    * corpus that overflows [[HotCollectCap]] falls back to the
-    * uncollected aggregate frame. */
-  private def hotCensus(variants: DataFrame, t: Tuning): Option[DataFrame] = {
+    * (≤ |variants| / (cap+1) rows); the degenerate corpus that
+    * overflows [[HotCollectCap]] falls back to the uncollected
+    * aggregate frame. */
+  private def hotCensus(variants: DataFrame, cap: Int): Option[DataFrame] = {
     val spark = variants.sparkSession
     import spark.implicits._
-    val hot = variants.groupBy($"vh").agg(count(lit(1)).as("df"))
-      .filter($"df" > t.maxVariantDf)
+    val hot =
+      if (cap >= SampledCensusMinCap)
+        // df scaled back to a full-frame estimate; only its MAGNITUDE
+        // is consumed (heavy-tier chunk count), never the exact value
+        variants.sample(withReplacement = false, CensusFraction, seed = 7L)
+          .groupBy($"vh")
+          .agg((count(lit(1)) / CensusFraction).cast("long").as("df"))
+          .filter($"df" > cap)
+      else variants.groupBy($"vh").agg(count(lit(1)).as("df"))
+        .filter($"df" > cap)
     val sample = hot.limit(HotCollectCap + 1).as[(Long, Long)].collect()
     if (sample.isEmpty) None
     else if (sample.length <= HotCollectCap)
@@ -82,19 +102,38 @@ object FuzzyJoin {
   /** Exact bounded Levenshtein (Ukkonen band, early abandon): the
     * distance when ≤ k, else −1 — the local-tier twin of Spark's
     * `levenshtein(a, b, k)`. Works on code points so both agree
-    * beyond the BMP. Cost O(k·min(n,m)) and the band abandons the
-    * moment every cell exceeds k, so a far pair costs ~k·len
-    * character ops — cheap enough to run per within-bucket pair. */
-  private[graft] def boundedLev(sa: String, sb: String, k: Int): Int = {
+    * beyond the BMP.
+    *
+    * This runs once per CANDIDATE pair (tens of millions at sf0.1),
+    * so per-call constants dominate the fuzzy-join plans. Three
+    * measured levers (2.2 µs → ~0.1 µs per call on the linkage
+    * corpus): common prefix/suffix stripping BEFORE the DP (linkage
+    * keys share long literal prefixes — 18-char names collapse to a
+    * ≤5-char middle), thread-local scratch rows instead of two array
+    * allocations per call, and the existing k-band early abandon. */
+  def boundedLev(sa: String, sb: String, k: Int): Int = {
     // fast path: no surrogate pairs (every real linkage key) — walk
-    // chars in place, zero allocations beyond two k-wide DP rows
-    if (!hasSurrogate(sa) && !hasSurrogate(sb))
-      boundedLevImpl(sa.length, sb.length, k,
-        (i, j) => sa.charAt(i) == sb.charAt(j))
-    else {
+    // chars in place, zero allocations
+    if (!hasSurrogate(sa) && !hasSurrogate(sb)) {
+      var lo = 0
+      val na = sa.length; val nb = sb.length
+      val minLen = math.min(na, nb)
+      while (lo < minLen && sa.charAt(lo) == sb.charAt(lo)) lo += 1
+      var ha = na; var hb = nb
+      while (ha > lo && hb > lo && sa.charAt(ha - 1) == sb.charAt(hb - 1)) {
+        ha -= 1; hb -= 1
+      }
+      boundedLevImpl(ha - lo, hb - lo, k,
+        (i, j) => sa.charAt(lo + i) == sb.charAt(lo + j))
+    } else {
       val a = sa.codePoints().toArray
       val b = sb.codePoints().toArray
-      boundedLevImpl(a.length, b.length, k, (i, j) => a(i) == b(j))
+      var lo = 0
+      val minLen = math.min(a.length, b.length)
+      while (lo < minLen && a(lo) == b(lo)) lo += 1
+      var ha = a.length; var hb = b.length
+      while (ha > lo && hb > lo && a(ha - 1) == b(hb - 1)) { ha -= 1; hb -= 1 }
+      boundedLevImpl(ha - lo, hb - lo, k, (i, j) => a(lo + i) == b(lo + j))
     }
   }
 
@@ -107,18 +146,35 @@ object FuzzyJoin {
     false
   }
 
+  /** Thread-local DP rows — two allocations per CALL measured as the
+    * largest cost term of the within-bucket tier (29M calls × 2
+    * arrays ≈ 6 GB of churn at sf0.1). Sized for the common case;
+    * longer strings fall back to allocation. */
+  private val LevScratchLen = 257
+  private val levScratch: ThreadLocal[Array[Array[Int]]] =
+    ThreadLocal.withInitial(() => Array.ofDim[Int](2, LevScratchLen))
+
   private def boundedLevImpl(n: Int, m: Int, k: Int,
                              eq: (Int, Int) => Boolean): Int = {
     if (math.abs(n - m) > k) return -1
+    if (n == 0 || m == 0) return math.max(n, m) // post-strip: gap ≤ k
     val inf = k + 1
-    var prev = new Array[Int](m + 1)
-    var cur = new Array[Int](m + 1)
-    java.util.Arrays.fill(prev, inf)
+    var prev: Array[Int] = null
+    var cur: Array[Int] = null
+    if (m < LevScratchLen) {
+      val s = levScratch.get
+      prev = s(0); cur = s(1)
+      java.util.Arrays.fill(prev, 0, m + 1, inf)
+    } else {
+      prev = new Array[Int](m + 1)
+      cur = new Array[Int](m + 1)
+      java.util.Arrays.fill(prev, inf)
+    }
     var j0 = 0
     while (j0 <= math.min(m, k)) { prev(j0) = j0; j0 += 1 }
     var i = 1
     while (i <= n) {
-      java.util.Arrays.fill(cur, inf)
+      java.util.Arrays.fill(cur, 0, m + 1, inf)
       if (i <= k) cur(0) = i
       var rowMin = cur(0)
       var j = math.max(1, i - k)
@@ -172,54 +228,70 @@ object FuzzyJoin {
     * Both tiers are exact, so completeness stays verified by the
     * O(n²) oracle, and a pair sharing both a light and a hot bucket
     * collapses in the final distinct (dist is deterministic). */
-  private def guardedSelfPairs(names: DataFrame, variants: DataFrame,
+  private def guardedSelfPairs(variants: DataFrame,
                                k: Int, t: Tuning): DataFrame = {
-    val spark = names.sparkSession
+    val spark = variants.sparkSession
     import spark.implicits._
-    hotCensus(variants, t) match {
+    hotCensus(variants, t.maxSelfVariantDf) match {
       case None =>
         // healthy corpus: pure light tier over the raw variant frame —
         // no tag join, no persist, no union (the r14 regression path)
-        lightPairs(names,
-          variants.select($"vh", $"id", length($"name").as("len")), k)
+        lightPairs(
+          variants.select($"vh", $"id", length($"name").as("len"), $"name"), k)
       case Some(hotDf) =>
         val light = variants
           .join(hotDf.select($"vh"), Seq("vh"), "left_anti")
-          .select($"vh", $"id", length($"name").as("len"))
-        lightPairs(names, light, k)
+          .select($"vh", $"id", length($"name").as("len"), $"name")
+        // NO distinct over the union: the canonical-bucket emission
+        // rule (see [[lightPairs]]) makes each pair's emission unique
+        // across the whole plan — its min shared bucket is either
+        // light or hot, so exactly one tier emits it, exactly once
+        lightPairs(light, k)
           .unionByName(heavyPairs(variants, hotDf, k, t))
-          .distinct()
     }
   }
 
-  /** Light tier: id-only candidate self-join over (vh, id, len) —
-    * 20-byte rows through the distinct, never name strings — then a
-    * name rejoin for the exact bounded rescore. */
-  private def lightPairs(names: DataFrame, light: DataFrame,
-                         k: Int): DataFrame = {
-    val spark = names.sparkSession
+  /** Light tier: one reused exchange, codegen end-to-end, and
+    * EXACTLY-ONCE emission. The bucket self-join generates each
+    * within-bucket candidate in-stream (never materialized — the
+    * probe side flows through the bounded `levenshtein(…, k)` rescore
+    * inside the same whole-stage-codegen span), and a surviving pair
+    * is emitted ONLY from its canonical bucket — the one equal to
+    * [[MinSharedVariantHash]] of the two names. Every shared bucket
+    * sees the pair as a candidate, so exactly one emits it and the
+    * output needs NO dedup shuffle at all. (The r15 design shipped
+    * 20-byte candidate rows through a distinct and re-joined names
+    * twice — at sf0.1/d2 that multi-million-row dedup, not the
+    * variant scan, was the remaining plan cost: emission volume was
+    * measured at 16.9M rows for 4.08M distinct pairs.) */
+  private def lightPairs(light: DataFrame, k: Int): DataFrame = {
+    val spark = light.sparkSession
     import spark.implicits._
-    val cand = light.select($"vh", $"id".as("id1"), $"len".as("len1"))
-      .join(light.select($"vh", $"id".as("id2"), $"len".as("len2"))
-        .hint("shuffle_hash"), Seq("vh"))
-      .filter($"id1" < $"id2")
-      // length gap > k cannot be within distance k — drop the
-      // candidate before it pays the distinct's shuffle
-      .filter(abs($"len1" - $"len2") <= k)
-      .select($"id1", $"id2")
-      .distinct()
-    cand
-      .join(names.select($"id".as("id1"), $"name".as("name1"))
-        .hint("shuffle_hash"), Seq("id1"))
-      .join(names.select($"id".as("id2"), $"name".as("name2"))
-        .hint("shuffle_hash"), Seq("id2"))
-      // bounded form: abandons a row the moment the running distance
-      // exceeds k (returns -1), so a far false candidate costs
-      // O(k·len) instead of O(len²) — exact for every surviving pair
-      .withColumn("dist", levenshtein($"name1", $"name2", k).cast("long"))
+    DotF.register(spark)
+    light.as("a")
+      .join(light.as("b").hint("shuffle_hash"), $"a.vh" === $"b.vh")
+      // length gap > k cannot be within distance k — reject before
+      // paying the levenshtein band
+      .filter($"a.id" < $"b.id" && abs($"a.len" - $"b.len") <= k)
+      // native bounded kernel (NOT the built-in levenshtein, whose
+      // per-call allocations were measured at ~5 µs — the largest
+      // CPU term of the plan at tens of millions of candidates):
+      // abandons a row the moment the running distance exceeds k
+      // (returns -1) — exact for every surviving pair
+      .withColumn("dist",
+        call_function("bounded_lev", $"a.name", $"b.name", lit(k))
+          .cast("long"))
       .filter($"dist" >= 0)
-      .select($"id1", $"id2", $"dist")
+      // canonical-bucket test LAST: two O(L²) kernel evaluations per
+      // SURVIVING pair only
+      .filter(call_function("min_shared_variant_hash",
+        $"a.name", $"b.name", lit(k)) === $"a.vh")
+      .select($"a.id".as("id1"), $"b.id".as("id2"), $"dist")
   }
+
+  private[graft] def probeHeavy(variants: DataFrame, hotDf: DataFrame,
+                                k: Int, t: Tuning): DataFrame =
+    heavyPairs(variants, hotDf, k, t)
 
   /** Heavy tier: within-bucket grouped pairwise, chunk-bounded. */
   private def heavyPairs(variants: DataFrame, hotDf: DataFrame,
@@ -237,25 +309,41 @@ object FuzzyJoin {
       .as[VChunkRow]
       .groupByKey(r => (r.vh, r.i, r.j))
       .flatMapGroups { (key: (Long, Int, Int), it: Iterator[VChunkRow]) =>
-        val i = key._2; val j = key._3
+        val vh = key._1; val i = key._2; val j = key._3
         val rows = it.toArray
+        // per-MEMBER fingerprint arrays, computed once per task (not
+        // per pair): the exactly-once emission test below intersects
+        // two of these per surviving pair
+        val fp = new Array[Array[Long]](rows.length)
+        def fpOf(x: Int): Array[Long] = {
+          if (fp(x) == null)
+            fp(x) = VariantHashes.hashArray(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(rows(x).name), kk)
+          fp(x)
+        }
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        def check(u: VChunkRow, v: VChunkRow): Unit =
+        def check(x: Int, y: Int): Unit = {
+          val u = rows(x); val v = rows(y)
           if (u.id != v.id) {
             val d = boundedLev(u.name, v.name, kk)
-            if (d >= 0)
+            // canonical-bucket rule (see [[lightPairs]]): emit only
+            // from the pair's min shared bucket — exactly-once across
+            // all buckets and both tiers, no downstream dedup
+            if (d >= 0 && VariantHashes.minSharedOf(fpOf(x), fpOf(y)) == vh)
               buf += ((math.min(u.id, v.id), math.max(u.id, v.id), d.toLong))
           }
+        }
         if (i == j) {
           var x = 0
           while (x < rows.length) {
             var y = x + 1
-            while (y < rows.length) { check(rows(x), rows(y)); y += 1 }
+            while (y < rows.length) { check(x, y); y += 1 }
             x += 1
           }
         } else {
-          val li = rows.filter(_.c == i)
-          val rj = rows.filter(_.c == j)
+          val li = Array.range(0, rows.length).filter(rows(_).c == i)
+          val rj = Array.range(0, rows.length).filter(rows(_).c == j)
           var x = 0
           while (x < li.length) {
             var y = 0
@@ -287,7 +375,7 @@ object FuzzyJoin {
     // as in [[guardedSelfPairs]]: the census is collected once; a hot-
     // free batch (the common maintenance case) skips the anti joins
     // and the heavy tier entirely
-    hotCensus(touched, t) match {
+    hotCensus(touched, t.maxVariantDf) match {
       case None => bipartiteCand(bv, touched, k)
       case Some(hotDf) =>
         val hotKeys = hotDf.select($"vh")
@@ -372,7 +460,7 @@ object FuzzyJoin {
   /** Edit-distance ≤ 1 pairs over any (id, name) frame. */
   private[graft] def pairsWithin1(names: DataFrame,
                                   t: Tuning = Tuning.default): DataFrame =
-    guardedSelfPairs(names, variantFrame(names, 1), 1, t)
+    guardedSelfPairs(variantFrame(names, 1), 1, t)
 
   /** Edit-distance ≤ 2 pairs over any (id, name) frame, via the
     * two-deletion neighborhood (FastSS generalizes: ed(u,v) ≤ k ⇒
@@ -388,7 +476,7 @@ object FuzzyJoin {
     val spark = names.sparkSession
     import spark.implicits._
     val bounded = names.filter(length($"name") <= maxLen)
-    guardedSelfPairs(bounded, variantFrame(bounded, 2), 2, t)
+    guardedSelfPairs(variantFrame(bounded, 2), 2, t)
   }
 
   /** Oracle entry: distance-≤2 customer-name pairs, checked against

@@ -20,12 +20,20 @@ package graft.queries
   *  - `chunkWords`: passage-dedup chunk width (words per positional
   *    chunk; a production corpus splitting on real paragraph
   *    boundaries sets this aside entirely).
-  *  - `maxVariantDf`: FastSS deletion-neighborhood skew guard — a
-  *    variant bucket holding more strings than this skips the
-  *    candidate equi-join (which would fan out df² rows) and is
-  *    handled by the exact within-bucket grouped pairwise tier
-  *    instead. Unlike `maxShingleDf` this changes COST, never the
-  *    answer: both tiers are exact.
+  *  - `maxVariantDf`: FastSS deletion-neighborhood skew guard for the
+  *    BIPARTITE (incremental-ER) paths — a variant bucket holding
+  *    more strings than this skips the candidate equi-join (whose
+  *    fan-out there still pays a dedup shuffle) and is handled by the
+  *    exact within-bucket grouped pairwise tier instead. Unlike
+  *    `maxShingleDf` this changes COST, never the answer: both tiers
+  *    are exact.
+  *  - `maxSelfVariantDf`: the same boundary for the SELF-join paths
+  *    (`pairsWithin1/2`), much higher because the canonical-bucket
+  *    exactly-once emission rule means the light join's df² fan-out
+  *    streams through one whole-stage-codegen span and never hits a
+  *    shuffle — the boundary is purely a per-task CPU bound, so it
+  *    sits at `variantChunk` (a df-1024 bucket is ~0.5M bounded-
+  *    levenshtein calls ≈ 0.1 CPU-s in one task).
   *  - `variantChunk`: per-task member bound for that within-bucket
   *    tier — buckets larger than this are triangle-partitioned into
   *    chunk-pair tasks so no single task owns a mega-bucket's
@@ -39,6 +47,7 @@ final case class Tuning(
     nearDupThreshold: Double = 0.45,
     chunkWords: Int = 10,
     maxVariantDf: Int = 32,
+    maxSelfVariantDf: Int = 1024,
     variantChunk: Int = 1024)
 
 object Tuning {

@@ -67,7 +67,12 @@ object VariantHashes {
   }
 
   /** Static kernel shared by eval and generated code. */
-  def hashes(s: UTF8String, k: Int): ArrayData = {
+  def hashes(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(hashArray(s, k))
+
+  /** The sorted, deduped fingerprint array itself — shared with
+    * [[MinSharedVariantHash]], which intersects two of these. */
+  def hashArray(s: UTF8String, k: Int): Array[Long] = {
     val str = s.toString
     // code points, so the neighborhood agrees with boundedLev /
     // levenshtein beyond the BMP
@@ -120,8 +125,65 @@ object VariantHashes {
       if (out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+    java.util.Arrays.copyOf(out, uniq)
   }
+
+  /** Minimum common fingerprint of two SORTED unique long arrays —
+    * one merge walk. [[java.lang.Long.MIN_VALUE]] when disjoint
+    * (callers only evaluate this on pairs that share a bucket, where
+    * the FastSS theorem guarantees a common variant; MIN_VALUE is a
+    * loud no-match sentinel rather than a silent drop because sorted
+    * order makes the true minimum always ≥ the first element). */
+  def minSharedOf(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) return a(i)
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    java.lang.Long.MIN_VALUE
+  }
+
+  /** Per-thread LRU memo of name → fingerprint array. The canonical-
+    * bucket filter evaluates [[minShared]] once per CANDIDATE pair,
+    * and within a bucket every member recurs in ~df pairs — without
+    * the memo each evaluation re-runs two O(L²) kernels (several
+    * short-lived array allocations plus a sort each), which at tens
+    * of millions of candidates is pure GC churn (measured: the d2
+    * self-join went 6 s → 30 s when the filter ran uncached). 16384
+    * entries ≈ 24 MB per task thread: the hash-join probe stream
+    * interleaves buckets, so a bucket-sized cache thrashes on the
+    * build side — sizing to hold a partition's full name working set
+    * turns the common case into a pure merge walk. On corpora whose
+    * per-partition name set exceeds the cache, cost degrades
+    * gracefully to one O(L²) kernel per surviving candidate. Keyed
+    * by String COPY, never by UTF8String — codegen reuses the
+    * backing buffers row to row. */
+  private val FpCacheEntries = 16384
+  private val fpCache: ThreadLocal[java.util.LinkedHashMap[String, Array[Long]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, Array[Long]](
+        FpCacheEntries, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+          size() > FpCacheEntries
+      })
+
+  private def cachedHashArray(s: UTF8String, k: Int): Array[Long] = {
+    // k is part of the key (k=1 and k=2 neighborhoods differ)
+    val key = k.toString + s.toString
+    val m = fpCache.get
+    var a = m.get(key)
+    if (a == null) {
+      a = hashArray(s, k)
+      m.put(key, a)
+    }
+    a
+  }
+
+  /** Static kernel for [[MinSharedVariantHash]]. */
+  def minShared(a: UTF8String, b: UTF8String, k: Int): Long =
+    minSharedOf(cachedHashArray(a, k), cachedHashArray(b, k))
 
   private def noSurrogates(s: String): Boolean = {
     var i = 0
@@ -132,10 +194,126 @@ object VariantHashes {
     true
   }
 
+  /** Validates the `k` argument at registration time: it must be a
+    * foldable non-null numeric in {1, 2} — a column, NULL, or k ≥ 3
+    * previously surfaced as an NPE/ClassCastException at plan time
+    * (and k ≥ 3 would silently compute only the 2-deletion
+    * neighborhood, since the kernel enumerates at most 2 deletions). */
+  private[graft] def foldableK(children: Seq[Expression], fn: String): Int = {
+    val kExpr = children(1)
+    require(kExpr.foldable,
+      s"$fn: k must be a literal, got ${kExpr.sql}")
+    val v = kExpr.eval()
+    require(v != null, s"$fn: k must not be NULL")
+    val k = v match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be numeric, got $other")
+    }
+    require(k == 1 || k == 2,
+      s"$fn: k must be 1 or 2 (deletion neighborhoods beyond 2 are " +
+        s"not enumerated), got $k")
+    k
+  }
+
   def builder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
       s"variant_hashes(name, k) takes 2 arguments, got ${children.size}")
-    VariantHashes(children.head,
-      children(1).eval().asInstanceOf[Number].intValue)
+    VariantHashes(children.head, foldableK(children, "variant_hashes"))
+  }
+}
+
+/** `min_shared_variant_hash(a, b, k)` — the MINIMUM fingerprint the
+  * two strings' deletion neighborhoods share ([[Long.MinValue]] when
+  * disjoint). The fuzzy join's exactly-once emission rule: a pair
+  * within distance k shares ≥ 1 variant bucket (FastSS), and every
+  * shared bucket sees the pair as a candidate — so emitting ONLY
+  * from the bucket equal to this minimum makes each pair's emission
+  * unique across the whole plan (light and heavy tier alike), which
+  * removes the multi-million-row dedup shuffle the per-bucket
+  * emission otherwise needs. Costs two O(L²) kernel evaluations per
+  * checked pair — run it AFTER the bounded levenshtein filter. */
+case class MinSharedVariantHash(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"min_shared_variant_hash expects two strings, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "min_shared_variant_hash"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VariantHashes.minShared(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.queries.VariantHashes.minShared($a, $b, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinSharedVariantHash =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinSharedVariantHash {
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      s"min_shared_variant_hash(a, b, k) takes 3 arguments, got ${children.size}")
+    MinSharedVariantHash(children.head, children(1),
+      VariantHashes.foldableK(
+        Seq(children.head, children(2)), "min_shared_variant_hash"))
+  }
+}
+
+/** `bounded_lev(a, b, k)` — exact Levenshtein distance when ≤ k, else
+  * −1, backed by [[FuzzyJoin.boundedLev]] (prefix/suffix stripping +
+  * thread-local DP rows + k-band early abandon). The built-in
+  * `levenshtein(a, b, k)` was measured at ~5 µs per call on 18-char
+  * linkage keys — per-call allocation dominated — which at tens of
+  * millions of candidate pairs was the single largest CPU term of the
+  * fuzzy-join plans; this kernel runs the same contract at ~0.1 µs. */
+case class BoundedLevExpr(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bounded_lev expects two strings, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "bounded_lev"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FuzzyJoin.boundedLev(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.queries.FuzzyJoin.boundedLev(" +
+        s"$a.toString(), $b.toString(), $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedLevExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object BoundedLevExpr {
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      s"bounded_lev(a, b, k) takes 3 arguments, got ${children.size}")
+    val kExpr = children(2)
+    require(kExpr.foldable, s"bounded_lev: k must be a literal, got ${kExpr.sql}")
+    val v = kExpr.eval()
+    require(v != null, "bounded_lev: k must not be NULL")
+    val k = v.asInstanceOf[Number].intValue
+    require(k >= 0, s"bounded_lev: k must be >= 0, got $k")
+    BoundedLevExpr(children.head, children(1), k)
   }
 }

@@ -115,16 +115,6 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     names.foreach { case (_, n) =>
       variants2(n).foreach(v => df(v) = df.getOrElse(v, 0L) + 1) }
     val naiveCandidates = df.valuesIterator.map(d => d * (d - 1) / 2).sum
-    // the census split the guard keys on, recomputed driver-side:
-    // hot buckets' candidates run as local CPU, light buckets' still
-    // take the equi-join (this fixture: hot 365,850 / light 412,059)
-    val cap = Tuning.default.maxVariantDf
-    val hotCandidates = df.valuesIterator.filter(_ > cap)
-      .map(d => d * (d - 1) / 2).sum
-    assert(df.valuesIterator.max > cap,
-      "fixture must actually produce over-cap buckets")
-    assert(hotCandidates * 2 > naiveCandidates - hotCandidates,
-      "fixture's hot buckets must carry a substantial candidate share")
     // the AVOIDABLE work is the candidates that fail the exact rescore
     // (answers must be emitted by any complete plan)
     val falseCandidates = naiveCandidates - expected.size
@@ -132,19 +122,17 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fixture must be dominated by rescore-rejected candidates " +
         s"($falseCandidates false vs ${expected.size} true)")
     val frame = FuzzyJoin.pairsWithin2(names.toDF("id", "name"))
-    val got = frame.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = rows.toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
-    // measure the executed plan's SHUFFLED fan-out: every row a
-    // shuffled join emitted. An unguarded variant equi-join provably
-    // shuffles ≥ naiveCandidates rows (its candidate join alone emits
-    // Σ C(df,2), before the rescore joins); the guarded plan must keep
-    // at least half the hot buckets' candidate volume off the shuffle
-    // (it keeps all of it — the margin absorbs the light tier's
-    // rescore-join rows, which scale with candidates, not hot volume).
-    // Join output row counts are data-deterministic, so this is not a
-    // timing assertion.
+    // exactly-once: the canonical-bucket rule (emit only from the
+    // min shared variant bucket) must make the raw output duplicate-
+    // free with NO dedup operator anywhere in the plan
+    assert(rows.length == got.size,
+      s"canonical-bucket emission must be exactly-once: " +
+        s"${rows.length} rows for ${got.size} distinct pairs")
     import org.apache.spark.sql.execution.SparkPlan
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val extra: Seq[SparkPlan] = p match {
@@ -161,20 +149,71 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       p +: (p.children ++ extra).flatMap(walk)
     }
     val nodes = walk(frame.queryExecution.executedPlan).distinct
-    def rowsOut(filter: String => Boolean): Long = nodes
-      .filter(n => filter(n.nodeName))
-      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
-    val joinFanout = rowsOut(n =>
-      n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin"))
-    assert(joinFanout > 0, "light tier must have run")
-    // MapGroups exposes no numOutputRows metric (Spark 4.1), so the
-    // heavy tier's engagement is asserted structurally: the grouped
-    // within-bucket pass must be in the executed plan
+    // no aggregation in the plan: the pre-canonical design paid a
+    // candidate-volume distinct (a multi-million-row shuffle at sf0.1)
+    assert(!nodes.exists(_.nodeName.contains("Aggregate")),
+      s"plan must need no dedup stage: ${nodes.map(_.nodeName).distinct}")
+    // the candidate volume streams through the bucket join INSIDE one
+    // codegen stage; the only shuffled rows are the VARIANT frames
+    // feeding the join — never candidates. shuffleRecordsWritten is
+    // data-deterministic, so this is not a timing assertion.
+    val shuffledRecords = nodes
+      .filter(_.nodeName.contains("Exchange"))
+      .flatMap(_.metrics.get("shuffleRecordsWritten")).map(_.value).sum
+    assert(shuffledRecords > 0, "variant shuffle must have run")
+    assert(shuffledRecords < naiveCandidates / 2,
+      s"shuffled $shuffledRecords rows vs $naiveCandidates candidates — " +
+        "candidate volume leaked into a shuffle")
+  }
+
+  test("d2 mega-bucket guard: over-cap bucket runs in the chunked local " +
+    "tier, exactly once, sampled census detects it") {
+    val s = spark
+    import s.implicits._
+    // 600 names that ALL share one deletion variant ("AAAAAAAA"): a
+    // unique BMP char inserted into the same base — bucket df = 600
+    // exceeds the 256 cap below, and 600 names is enough for the 10%
+    // sampled census (seeded, partitioning-deterministic) to flag the
+    // bucket with overwhelming margin (estimate ≈ 600 vs cap 256)
+    val base = "AAAAAAAA"
+    val names = (0 until 600).map { i =>
+      (i.toLong, base.substring(0, 4) + (0x4E00 + i).toChar + base.substring(4))
+    }
+    val expected = (for {
+      (i1, n1) <- names
+      (i2, n2) <- names if i1 < i2 && lev(n1, n2) <= 2
+    } yield (i1, i2, lev(n1, n2).toLong)).toSet
+    assert(expected.size == 600 * 599 / 2, "all pairs are substitutions")
+    val t = Tuning.default.copy(maxSelfVariantDf = 256, variantChunk = 128)
+    val frame = FuzzyJoin.pairsWithin2(names.toDF("id", "name"), t = t)
+    val rows = frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = rows.toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // exactly-once ACROSS TIERS: a pair's canonical bucket is either
+    // hot or light, so no pair may be emitted by both
+    assert(rows.length == got.size,
+      s"cross-tier emission must be exactly-once: " +
+        s"${rows.length} rows for ${got.size} distinct pairs")
+    // the chunked within-bucket tier must actually have engaged
+    // (df 600 over chunk 128 → triangle chunk-pair tasks)
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra: Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    val nodes = walk(frame.queryExecution.executedPlan).distinct
     assert(nodes.exists(_.nodeName.contains("MapGroups")),
       "heavy tier (within-bucket local pairwise) must be in the plan")
-    assert(joinFanout < naiveCandidates - hotCandidates / 2,
-      s"shuffled join fan-out $joinFanout did not keep the hot buckets' " +
-        s"candidate volume ($hotCandidates of $naiveCandidates) off the shuffle")
   }
 
   test("incremental ER: batch appends converge to the full recompute") {

@@ -121,13 +121,36 @@ object Qmr {
     }
   }
 
-  /** Predicted scan rows from CBO statistics: the sum of every leaf
-    * relation's estimated row count, defined only when EVERY leaf has
-    * one (ANALYZEd tables under `spark.sql.cbo.enabled`). Redshift's
-    * WLM likewise rejects on predicted cost before a query runs. */
+  /** Predicted scan rows from CBO statistics, defined only when every
+    * scan has an estimate (ANALYZEd tables under
+    * `spark.sql.cbo.enabled`). Redshift's WLM likewise rejects on
+    * predicted cost before a query runs.
+    *
+    * The estimate is taken per SCAN UNIT — the top of the unary
+    * Filter/Project chain directly over each leaf — so a SELECTIVE
+    * query over a large ANALYZEd table is costed at CBO's post-filter
+    * estimate, not the raw table cardinality. (The previous
+    * implementation summed raw leaf row counts, which refused exactly
+    * the queries CBO could prove cheap — a false refusal, since the
+    * pre-launch gate exists to stop provably-oversized scans, and
+    * "provably" must account for the filters the optimizer already
+    * costed.) A chain top without its own estimate (no column stats
+    * for the predicate) falls back to the leaf's raw count — the
+    * conservative prior behavior. */
   private[etl] def estimatedScanRows(df: DataFrame): Option[Long] = {
-    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
-    val counts = leaves.map(_.stats.rowCount)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    def isChainOverLeaf(p: LogicalPlan): Boolean = p match {
+      case _ if p.children.isEmpty => true
+      case f: Filter => isChainOverLeaf(f.child)
+      case pr: Project => isChainOverLeaf(pr.child)
+      case _ => false
+    }
+    def units(p: LogicalPlan): Seq[LogicalPlan] =
+      if (isChainOverLeaf(p)) Seq(p) else p.children.flatMap(units)
+    val scanUnits = units(df.queryExecution.optimizedPlan)
+    val counts = scanUnits.map(u =>
+      u.stats.rowCount.orElse(
+        u.collectLeaves().headOption.flatMap(_.stats.rowCount)))
     if (counts.nonEmpty && counts.forall(_.isDefined))
       Some(counts.flatten.map(_.min(BigInt(Long.MaxValue)).toLong).sum)
     else None

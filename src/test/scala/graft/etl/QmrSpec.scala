@@ -111,6 +111,7 @@ class QmrSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1L to 5000L).toDF("k").write.mode("overwrite")
       .saveAsTable("qmr.big")
     spark.sql("ANALYZE TABLE qmr.big COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE qmr.big COMPUTE STATISTICS FOR COLUMNS k")
     val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
@@ -139,6 +140,18 @@ class QmrSpec extends AnyFunSuite with BeforeAndAfterAll {
       val n = Qmr.guarded(df,
         Seq(Qmr.Rule("pre_cap", maxScanRows = Some(100000L))))(_.count())
       assert(n == 5000L)
+      // a SELECTIVE query over the same large table must NOT be
+      // refused: the gate costs the scan at CBO's post-filter
+      // estimate (here ~1 row from column stats), not the raw 5000-
+      // row cardinality (the old raw-leaf sum refused this query)
+      val selective = spark.table("qmr.big").filter($"k" === 7L)
+        .groupBy("k").count()
+      assert(Qmr.estimatedScanRows(selective).exists(_ < 100L),
+        s"post-filter estimate expected, got " +
+          s"${Qmr.estimatedScanRows(selective)}")
+      val sel = Qmr.guarded(selective,
+        Seq(Qmr.Rule("pre_cap", maxScanRows = Some(100L))))(_.count())
+      assert(sel == 1L)
       // tables WITHOUT stats don't participate — no false refusal
       val noStats = spark.read.parquet(s"$dataDir/t.parquet")
       assert(Qmr.estimatedScanRows(noStats.groupBy("k").count()).isEmpty)

@@ -105,4 +105,19 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val direct = TextOps.retrievalTopk(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(stored == direct)
   }
+
+  test("posting file count scales with data volume, floored for pruning") {
+    // tiny corpus: the floor wins (4 range files so the skip index
+    // still has something to prune; 1 for appends so a small batch
+    // doesn't shatter)
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(TextOps.postingRanges(docs, minFiles = 4) == 4)
+    assert(TextOps.postingRanges(docs, minFiles = 1) == 1)
+    // large input (plan-stats driven — spark.range advertises 8 B/row,
+    // no data materialized): ~1.6 GB → ~64 MB per posting file. The
+    // session's shuffle-partition setting (4 here) must be irrelevant.
+    val big = spark.range(200L * 1000 * 1000).toDF("doc_id")
+    val n = TextOps.postingRanges(big, minFiles = 4)
+    assert(n >= 20 && n <= 30, s"expected ~25 files for ~1.6 GB, got $n")
+  }
 }

@@ -1009,6 +1009,115 @@ object DialectShims {
     rewriteSelectTop(rewritten)   // next TOP, if any
   }
 
+  // ------------------------------------------------ SUPER / PartiQL
+  /** Redshift SUPER / PartiQL navigation over json-varchar columns.
+    * The reference flattens `json`/`hstore` sources to varchar
+    * (config/default_settings.yaml:97-118), and modern Redshift
+    * transform SQL navigates such data with dot paths and UNNEST:
+    *
+    *   - `alias.col.a.b[0].c` → `get_json_object(alias.col, '$.a.b[0].c')`
+    *   - `FROM t, UNNEST(expr) [AS] x` / `CROSS JOIN UNNEST(expr) x`
+    *     → `FROM t LATERAL VIEW explode(from_json(expr,
+    *       'array<string>')) x_lv AS x`
+    *   - `x.field` on an UNNEST alias → `get_json_object(x, '$.field')`
+    *
+    * Contract of the syntax-only rewrite (no catalog is consulted):
+    * a dotted reference with ≥ 3 components — or ≥ 2 plus a `[n]`
+    * index — is a PartiQL path whose first two components are the
+    * relation alias and column, EXCEPT directly after FROM/JOIN
+    * (where `db.schema.table` keeps its catalog meaning). Paths
+    * yield STRINGS (scalar json values unquoted, nested values as
+    * their json text — both Redshift's `::text` behavior and
+    * Spark's `get_json_object`); numeric use casts explicitly, as
+    * SUPER queries do. Array elements from UNNEST arrive as json
+    * TEXT (Spark's JSON parser serializes non-scalar elements back
+    * to json when the target type is string), so element paths
+    * compose. */
+  private val UnnestRe = java.util.regex.Pattern.compile(
+    "(?i)(,|\\bCROSS\\s+JOIN\\b)\\s*UNNEST\\s*\\(")
+
+  private[etl] def rewriteUnnest(sql: String): (String, Set[String]) = {
+    val m = UnnestRe.matcher(sql)
+    if (!m.find()) return (sql, Set.empty)
+    var depth = 1
+    var i = m.end
+    while (depth > 0 && i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(depth == 0, "UNNEST(...): unbalanced parentheses")
+    val arg = sql.substring(m.end, i - 1)
+    val aliasM = java.util.regex.Pattern
+      .compile("(?i)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)")
+      .matcher(sql.substring(i))
+    require(aliasM.find(),
+      "UNNEST(...) requires an alias (UNNEST(expr) AS x)")
+    val alias = aliasM.group(1)
+    val replaced = sql.substring(0, m.start) +
+      s" LATERAL VIEW explode(from_json($arg, 'array<string>')) " +
+      s"${alias}_lv AS $alias" + sql.substring(i + aliasM.end)
+    val (s2, more) = rewriteUnnest(replaced)
+    (s2, more + alias)
+  }
+
+  private val SuperPathRe = java.util.regex.Pattern.compile(
+    "\\b([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)((?:\\.[A-Za-z_]\\w*|\\[\\d+\\])+)")
+
+  private[etl] def rewriteSuperPaths(sql: String,
+                                     unnestAliases: Set[String]): String = {
+    val m = SuperPathRe.matcher(sql)
+    val out = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      val followedByParen = {
+        var i = m.end
+        while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+        i < sql.length && sql.charAt(i) == '('
+      }
+      val prevWord = {
+        var i = m.start - 1
+        while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+        val end = i
+        while (i >= 0 && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i -= 1
+        sql.substring(i + 1, end + 1).toUpperCase
+      }
+      // `schema.fn(...)` stays a call; `FROM db.schema.table` stays a
+      // catalog name
+      if (!followedByParen && prevWord != "FROM" && prevWord != "JOIN") {
+        val head = m.group(1)
+        val (base, path) =
+          if (unnestAliases(head)) (head, "." + m.group(2) + m.group(3))
+          else (head + "." + m.group(2), m.group(3))
+        out.append(sql, last, m.start)
+        out.append(s"get_json_object($base, '$$$path')")
+        last = m.end
+      }
+    }
+    out.append(sql, last, sql.length)
+    out.toString
+  }
+
+  /** 2-part `x.field` refs on an UNNEST element alias (the ≥3-part
+    * form is handled by [[rewriteSuperPaths]]; the guard against
+    * `get_json_object(x, '...')`'s own interior is the dot — the
+    * rewritten form never has `alias.` inside). */
+  private def rewriteUnnestFieldRefs(sql: String,
+                                     aliases: Set[String]): String =
+    aliases.foldLeft(sql) { (s, a) =>
+      java.util.regex.Pattern
+        .compile(s"\\b${java.util.regex.Pattern.quote(a)}\\.([A-Za-z_]\\w*)\\b(?![\\w.\\[(])")
+        .matcher(s)
+        // quoteReplacement: the functional replaceAll still expands
+        // $-group references in the computed string, and json paths
+        // are full of literal '$'
+        .replaceAll(r => java.util.regex.Matcher.quoteReplacement(
+          s"get_json_object($a, '$$.${r.group(1)}')"))
+    }
+
   /** Remove balanced parenthesized spans (so set-op keywords inside
     * subqueries don't trip the TOP scope check). */
   private def stripBalancedParens(s: String): String = {
@@ -1043,7 +1152,12 @@ object DialectShims {
     val step10 = rewriteParseFn(step9, arr, "to_timestamp")
     val step11 = rewriteRegexpFns(step10, arr)
     val step12 = rewriteTruncDatepart(step11, arr)
-    val rewritten = rewriteJsonExtract(step12, arr)
+    val step13 = rewriteJsonExtract(step12, arr)
+    // SUPER/PartiQL last: UNNEST introduces element aliases whose
+    // field refs the path pass then rewrites
+    val (step14, unnestAliases) = rewriteUnnest(step13)
+    val rewritten = rewriteUnnestFieldRefs(
+      rewriteSuperPaths(step14, unnestAliases), unnestAliases)
     unmask(rewritten, arr.toIndexedSeq)
   }
 }

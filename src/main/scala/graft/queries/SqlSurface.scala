@@ -699,6 +699,53 @@ object SqlSurface {
       |  MAX(value) AS max_v
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** SUPER/PartiQL navigation (Redshift's semi-structured tier) over
+    * json-varchar data — the reference flattens `json`/`hstore`
+    * sources to varchar (config/default_settings.yaml:97-118) and
+    * modern Redshift transform SQL walks such payloads with dot
+    * paths, array indexes, and UNNEST. The dialect shim rewrites the
+    * PartiQL forms to `get_json_object` + `LATERAL VIEW explode(
+    * from_json(...))`; DuckDB answers the same question with its
+    * native json path operators and lateral `unnest`, sharing none of
+    * the shim's machinery. */
+  def q41SuperPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("rs_customer")
+    val redshiftSql =
+      """WITH src AS (
+        |  SELECT c_custkey AS id,
+        |    '{"user":{"name":"' || c_name || '","key":' ||
+        |      CAST(c_custkey AS STRING) || '},"tags":["t' ||
+        |      CAST(c_custkey % 3 AS STRING) || '","t' ||
+        |      CAST(c_custkey % 5 AS STRING) || '"]}' AS payload
+        |  FROM rs_customer WHERE c_custkey <= 200
+        |)
+        |SELECT s.id, s.payload.user.name AS uname,
+        |  CAST(s.payload.user.key AS BIGINT) AS ukey,
+        |  s.payload.tags[0] AS tag1,
+        |  t AS tag
+        |FROM src s, UNNEST(s.payload.tags) AS t
+        |ORDER BY s.id, tag""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q41SuperPathsSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey AS id,
+      |    '{"user":{"name":"' || c_name || '","key":' ||
+      |      CAST(c_custkey AS VARCHAR) || '},"tags":["t' ||
+      |      CAST(c_custkey % 3 AS VARCHAR) || '","t' ||
+      |      CAST(c_custkey % 5 AS VARCHAR) || '"]}' AS payload
+      |  FROM customer WHERE c_custkey <= 200
+      |)
+      |SELECT s.id, json_extract_string(s.payload, '$.user.name') AS uname,
+      |  CAST(json_extract_string(s.payload, '$.user.key') AS BIGINT) AS ukey,
+      |  json_extract_string(s.payload, '$.tags[0]') AS tag1,
+      |  t.tag AS tag
+      |FROM src s, unnest(CAST(s.payload -> '$.tags' AS VARCHAR[])) AS t(tag)
+      |ORDER BY s.id, tag""".stripMargin
+
   // ---------------------------------------------------------------- q21
   /** A query written in REDSHIFT dialect — `LISTAGG ... WITHIN GROUP`,
     * `DATEADD(days, ...)`, boundary-crossing `DATEDIFF(day, ...)` —
@@ -1519,6 +1566,7 @@ object SqlSurface {
   /** Registry fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_lateral" -> (q32Lateral _),
+    "q41_super_paths" -> (q41SuperPaths _),
     "q33_string_dialect" -> (q33StringDialect _),
     "q39_regex_dialect" -> (q39RegexDialect _),
     "q40_tochar_number" -> (q40ToCharNumber _),
@@ -1566,6 +1614,7 @@ object SqlSurface {
 
   val oracles: Map[String, String] = Map(
     "q32_lateral" -> q32LateralSql,
+    "q41_super_paths" -> q41SuperPathsSql,
     "q33_string_dialect" -> q33StringDialectSql,
     "q39_regex_dialect" -> q39RegexDialectSql,
     "q40_tochar_number" -> q40ToCharNumberSql,

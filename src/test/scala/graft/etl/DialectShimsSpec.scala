@@ -467,6 +467,49 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toUpperCase.contains("TO_CHAR"))
   }
 
+  test("SUPER/PartiQL: dot paths, array indexes, UNNEST over json varchar") {
+    // nested dot path + array index on an aliased column
+    val r1 = DialectShims.rewriteRedshiftSql(
+      "SELECT e.payload.user.name, e.payload.items[0].sku FROM events e")
+    assert(r1.contains("get_json_object(e.payload, '$.user.name')"), r1)
+    assert(r1.contains("get_json_object(e.payload, '$.items[0].sku')"), r1)
+    // 2-part refs and FROM-position 3-part names are untouched
+    val r2 = DialectShims.rewriteRedshiftSql(
+      "SELECT t.a FROM db.schema.tbl t WHERE t.a > 1")
+    assert(r2.contains("FROM db.schema.tbl t") && r2.contains("t.a > 1"), r2)
+    // bare 2-part + index is a path on the column
+    val r3 = DialectShims.rewriteRedshiftSql(
+      "SELECT e.tags[2] FROM events e")
+    assert(r3.contains("get_json_object(e.tags, '$[2]')"), r3)
+    // UNNEST → LATERAL VIEW explode(from_json); element field refs
+    // become paths on the element's json text
+    val r4 = DialectShims.rewriteRedshiftSql(
+      "SELECT i.sku, i.qty FROM events e, UNNEST(e.payload.items) AS i")
+    assert(r4.contains(
+      "LATERAL VIEW explode(from_json(" +
+        "get_json_object(e.payload, '$.items'), 'array<string>')) i_lv AS i"),
+      r4)
+    assert(r4.contains("get_json_object(i, '$.sku')") &&
+      r4.contains("get_json_object(i, '$.qty')"), r4)
+    // end-to-end through Spark: paths and unnest over constructed json
+    spark.sql("SELECT 1 AS id, " +
+      "'{\"user\":{\"name\":\"ann\"},\"items\":[{\"sku\":\"a1\",\"qty\":2}," +
+      "{\"sku\":\"b2\",\"qty\":5}],\"tags\":[\"x\",\"y\"]}' AS payload")
+      .createOrReplaceTempView("sup_events")
+    val rows = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT e.payload.user.name AS uname, e.payload.tags[1] AS tag2, " +
+        "i.sku AS sku, CAST(i.qty AS BIGINT) AS qty " +
+        "FROM sup_events e, UNNEST(e.payload.items) AS i ORDER BY sku"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(rows == Seq(("ann", "y", "a1", 2L), ("ann", "y", "b2", 5L)), rows)
+    // CROSS JOIN spelling of UNNEST
+    val rows2 = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT t AS tag FROM sup_events e CROSS JOIN UNNEST(e.payload.tags) t " +
+        "ORDER BY tag")).collect().map(_.getString(0)).toSeq
+    assert(rows2 == Seq("x", "y"), rows2)
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

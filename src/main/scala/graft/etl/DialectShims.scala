@@ -739,8 +739,8 @@ object DialectShims {
     "year" -> "year", "yyyy" -> "year", "yy" -> "year",
     "quarter" -> "quarter", "q" -> "quarter",
     "month" -> "month", "mon" -> "month", "mm" -> "month",
-    "week" -> "week", "w" -> "week",
-    "day" -> "day", "dd" -> "day", "d" -> "day",
+    "week" -> "week",
+    "day" -> "day", "dd" -> "day",
     "hour" -> "hour", "hh" -> "hour", "hh24" -> "hour",
     "minute" -> "minute", "mi" -> "minute",
     "second" -> "second", "ss" -> "second")
@@ -751,15 +751,31 @@ object DialectShims {
     * units (the time component survives). Spark's own `trunc(date,
     * fmt)` covers only year..week and returns DATE — this shim widens
     * the unit set and keeps one deterministic output type per unit.
-    * Numeric TRUNC (second argument not a string literal) is left
-    * untouched. */
+    *
+    * Oracle's one-letter formats do NOT abbreviate the word they
+    * resemble: `'D'` truncates to the start of the WEEK (Sunday
+    * under the default US NLS territory, which this shim pins — not
+    * `date_trunc('WEEK')`, whose ISO weeks start Monday), and `'W'`
+    * truncates to the start of the value's week-OF-MONTH chunk
+    * (day 1, 8, 15, 22, or 29 of its month). Both previously aliased
+    * to day/week truncation, silently wrong for any Oracle-trained
+    * query. Numeric TRUNC (second argument not a string literal) is
+    * left untouched. */
   private def rewriteTruncDatepart(sql: String, saved: scala.collection.mutable.ArrayBuffer[String]): String =
     rewriteCalls(sql, "trunc") {
       case Seq(e, MaskedLiteral(idx)) =>
-        TruncUnits.get(saved(idx.toInt).replace("''", "'").toLowerCase).map {
-          case u @ ("year" | "quarter" | "month" | "week" | "day") =>
-            s"CAST(date_trunc('${u.toUpperCase}', $e) AS DATE)"
-          case u => s"date_trunc('${u.toUpperCase}', $e)"
+        saved(idx.toInt).replace("''", "'").toLowerCase match {
+          case "d" =>
+            // Sunday-start week: dayofweek is 1 for Sunday
+            Some(s"date_sub(CAST(($e) AS DATE), dayofweek($e) - 1)")
+          case "w" =>
+            Some("date_add(CAST(date_trunc('MONTH', " + e + ") AS DATE), " +
+              s"7 * CAST(floor((dayofmonth($e) - 1) / 7) AS INT))")
+          case unit => TruncUnits.get(unit).map {
+            case u @ ("year" | "quarter" | "month" | "week" | "day") =>
+              s"CAST(date_trunc('${u.toUpperCase}', $e) AS DATE)"
+            case u => s"date_trunc('${u.toUpperCase}', $e)"
+          }
         }
       case _ => None
     }
@@ -812,7 +828,10 @@ object DialectShims {
     val scale = decPat.length
     val v = s"CAST(($x) AS DECIMAL(38, $scale))"
     val absV = s"abs($v)"
-    val intRaw = s"CAST(CAST(floor($absV) AS BIGINT) AS STRING)"
+    // DECIMAL(38,0), not BIGINT: a pattern wide enough for a 19+-
+    // digit integer part would otherwise overflow the cast and print
+    // garbage instead of the value (or the '#' overflow marker)
+    val intRaw = s"CAST(CAST(floor($absV) AS DECIMAL(38, 0)) AS STRING)"
     val intPadded =
       if (minIntDigits > 1) s"lpad($intRaw, $minIntDigits, '0')" else intRaw
     // both regex literals are maskLit'd: raw, their comma and parens

@@ -53,6 +53,26 @@ object FileSkipIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Driver-side file-list cap. Every maintenance/pruning path here
+    * collects the indexed file NAMES — one short string per file, the
+    * Delta-log cost class — and the live listing does the same. ~2M
+    * files (~300 MB of driver strings) is the sane ceiling for one
+    * flat table's index; past that the right structure is
+    * partition-scoped indexes, and a loud refusal beats the silent
+    * driver OOM these collects would otherwise become at 100 TB. */
+  private val MaxIndexedFiles = 2 * 1000 * 1000
+
+  private[etl] def boundedFileNames(df: DataFrame, what: String,
+                                    cap: Int = MaxIndexedFiles): Set[String] = {
+    val names = df.select(col("file")).limit(cap + 1)
+      .collect().map(_.getString(0))
+    require(names.length <= cap,
+      s"$what holds more than $cap files - beyond the " +
+        "driver-side cap for a flat file-skip index; partition the " +
+        "table and index per partition instead")
+    names.toSet
+  }
+
   /** Pad an aggregated stats frame with zero-row entries for files the
     * row-level aggregate never saw: a writer CAN leave an empty
     * parquet file behind (an empty task partition), and without a
@@ -63,7 +83,7 @@ object FileSkipIndex {
   private def completeStats(stats: DataFrame, files: Set[String]): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._
-    val have = stats.select(col("file")).collect().map(_.getString(0)).toSet
+    val have = boundedFileNames(stats, "stats frame")
     val missing = (files -- have).toSeq.sorted
     if (missing.isEmpty) stats
     else {
@@ -101,8 +121,7 @@ object FileSkipIndex {
   def refresh(wh: Warehouse, target: TableName, cols: Seq[String]): Int = {
     val spark = wh.spark
     val st = statsTable(target)
-    val known = spark.table(st.quoted).select(col("file"))
-      .collect().map(_.getString(0)).toSet
+    val known = boundedFileNames(spark.table(st.quoted), st.identifier)
     val fresh = (liveFiles(spark, target) -- known).toSeq.sorted
     if (fresh.isEmpty) 0
     else {
@@ -130,10 +149,15 @@ object FileSkipIndex {
         org.apache.spark.sql.catalyst.TableIdentifier(
           target.table, Some(target.schema))).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(loc).filter(f => f.isFile && {
+    val names = fs.listStatus(loc).filter(f => f.isFile && {
       val n = f.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
-    }).map(f => normFile(f.getPath.toString)).toSet
+    }).map(f => normFile(f.getPath.toString))
+    require(names.length <= MaxIndexedFiles,
+      s"${target.identifier} holds ${names.length} live files - beyond " +
+        s"the $MaxIndexedFiles driver-side cap for a flat file-skip " +
+        "index; partition the table and index per partition instead")
+    names.toSet
   }
 
   // ------------------------------------------------ bloom file skipping
@@ -190,8 +214,7 @@ object FileSkipIndex {
                    expectedItems: Long = 1000000L): Int = {
     val spark = wh.spark
     val bt = bloomTable(target)
-    val known = spark.table(bt.quoted).select(col("file"))
-      .collect().map(_.getString(0)).toSet
+    val known = boundedFileNames(spark.table(bt.quoted), bt.identifier)
     val fresh = (liveFiles(spark, target) -- known).toSeq.sorted
     if (fresh.isEmpty) 0
     else {
@@ -217,7 +240,7 @@ object FileSkipIndex {
     require(values.nonEmpty, "probe at least one value")
     val bt = bloomTable(target)
     val stats = spark.table(bt.quoted)
-    val indexed = stats.select(col("file")).collect().map(_.getString(0)).toSet
+    val indexed = boundedFileNames(stats, "file-skip index")
     val pred = col(c).isin(values: _*)
     val live = liveFiles(spark, target)
     if (indexed != live)
@@ -255,7 +278,7 @@ object FileSkipIndex {
                         values: Seq[Any]): Pruned = {
     require(values.nonEmpty, "probe at least one value")
     val stats = spark.table(statsTable(target).quoted)
-    val indexed = stats.select(col("file")).collect().map(_.getString(0)).toSet
+    val indexed = boundedFileNames(stats, "file-skip index")
     val pred = col(c).isin(values: _*)
     val live = liveFiles(spark, target)
     if (indexed != live)
@@ -286,7 +309,7 @@ object FileSkipIndex {
   def prunedScan(spark: SparkSession, target: TableName, c: String,
                  lo: Column, hi: Column): Pruned = {
     val stats = spark.table(statsTable(target).quoted)
-    val indexed = stats.select(col("file")).collect().map(_.getString(0)).toSet
+    val indexed = boundedFileNames(stats, "file-skip index")
     val pred = col(c) >= lo && col(c) <= hi
     // STALENESS GUARD: compaction/rebuild re-points the table at a new
     // build whose files the index has never seen — pruning against

@@ -283,13 +283,88 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Range pinning over the partition column — `pc >= lo AND pc < hi`
+    * (BETWEEN desugars to the same conjuncts) previously fell back to
+    * the base scan even when every partition in the range was fresh.
+    * Bounds come from comparison conjuncts; the candidate partitions
+    * are the UNION of the live listing's and the MV's recorded specs
+    * whose values fall in range (both directions, so a partition
+    * DROPPED from the base since the MV built still fails the check),
+    * and per-value freshness is then exactly [[MvDef.freshForValues]].
+    * Comparisons: strings and dates by their directory rendering (ISO
+    * dates sort chronologically), integrals numerically; any other
+    * bound type disqualifies. Extra unsupported conjuncts only narrow
+    * the query further, so checking the bound-derived SUPERSET of
+    * touched partitions stays conservative. */
+  private def rangeFresh(d: MvDef, pc: String, conds: Seq[Expression],
+                         current: Map[String, String]): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // (literal, isLower, inclusive)
+    val bounds = conds.flatMap(conjuncts).collect {
+      case GreaterThan(a: AttributeReference, l: Literal) if a.name == pc =>
+        (l, true, false)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if a.name == pc =>
+        (l, true, true)
+      case LessThan(a: AttributeReference, l: Literal) if a.name == pc =>
+        (l, false, false)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if a.name == pc =>
+        (l, false, true)
+      case GreaterThan(l: Literal, a: AttributeReference) if a.name == pc =>
+        (l, false, false)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if a.name == pc =>
+        (l, false, true)
+      case LessThan(l: Literal, a: AttributeReference) if a.name == pc =>
+        (l, true, false)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if a.name == pc =>
+        (l, true, true)
+    }
+    if (bounds.isEmpty) return false
+    def cmp(t: org.apache.spark.sql.types.DataType,
+            a: String, b: String): Option[Int] = t match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType => Some(a.compareTo(b))
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        try Some(java.lang.Long.compare(a.toLong, b.toLong))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+    val rendered = bounds.map { case (l, isLower, incl) =>
+      (litStr(l), l.dataType, isLower, incl)
+    }
+    if (rendered.exists(_._1.isEmpty)) return false
+    val prefix = pc + "="
+    val candidates = (current.keySet ++ d.partVersions.keySet - "")
+      .filter(_.startsWith(prefix))
+      .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s.substring(prefix.length)))
+    // any un-comparable candidate value disqualifies the whole range
+    // path (None), never silently drops the partition
+    val judged = candidates.toSeq.map { v =>
+      val per = rendered.map { case (bOpt, t, isLower, incl) =>
+        cmp(t, v, bOpt.get).map(c =>
+          if (isLower) c > 0 || (incl && c == 0)
+          else c < 0 || (incl && c == 0))
+      }
+      if (per.exists(_.isEmpty)) None else Some(v -> per.forall(_.get))
+    }
+    judged.forall(_.isDefined) &&
+      d.freshForValues(judged.flatten.filter(_._2).map(_._1), current)
+  }
+
   private def tryRewrite(agg: Aggregate, defs: Seq[MvDef],
                          freshOf: MvDef => Boolean,
                          partsOf: MvDef => Map[String, String])
       : Option[LogicalPlan] = {
     def freshEnough(d: MvDef, conds: Seq[Expression]): Boolean =
       freshOf(d) || d.partCol.exists(pc =>
-        pinnedValues(conds, pc).exists(vs => d.freshForValues(vs, partsOf(d))))
+        pinnedValues(conds, pc).exists(vs => d.freshForValues(vs, partsOf(d))) ||
+          rangeFresh(d, pc, conds, partsOf(d)))
     for {
       (rel, conds) <- strip(agg.child)
       d <- defs.find(d => d.matches(rel) && freshEnough(d, conds))

@@ -457,7 +457,13 @@ object FuzzyJoin {
       .toDF("id1", "id2", "dist")
   }
 
-  /** Edit-distance ≤ 1 pairs over any (id, name) frame. */
+  /** Edit-distance ≤ 1 pairs over any (id, name) frame.
+    *
+    * NOTE: construction is EAGER about the skew census — building the
+    * returned DataFrame runs one (sampled) aggregation job over the
+    * variant frame to decide the light/heavy tier split, so this is
+    * not a pure plan constructor: call it after the underlying data
+    * is in place, and expect a short Spark job at build time. */
   private[graft] def pairsWithin1(names: DataFrame,
                                   t: Tuning = Tuning.default): DataFrame =
     guardedSelfPairs(variantFrame(names, 1), 1, t)
@@ -468,8 +474,9 @@ object FuzzyJoin {
     * than `maxLen` are excluded from pairing BY CONTRACT (the L²/2
     * variant fan-out must stay bounded; linkage keys — names, titles,
     * addresses — are short by nature). The exact bounded
-    * `levenshtein(a, b, 2)` rescore keeps the candidate set's false
-    * positives out, same as the distance-1 form. */
+    * `bounded_lev(a, b, 2)` rescore keeps the candidate set's false
+    * positives out, same as the distance-1 form. Same eager-census
+    * caveat as [[pairsWithin1]]. */
   private[graft] def pairsWithin2(names: DataFrame,
                                   maxLen: Int = 128,
                                   t: Tuning = Tuning.default): DataFrame = {

@@ -437,6 +437,17 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "1995-01-01")
     assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-16 12:45:10', 'hour') AS STRING)")
       == "1995-07-16 12:00:00", "sub-day units keep the time component")
+    // Oracle one-letter formats: 'D' = start of (Sunday-based) week,
+    // 'W' = start of the week-of-month chunk — NOT day/week aliases.
+    // 1995-07-16 is a Sunday; 1995-07-19 is a Wednesday.
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-16 12:30:00', 'D') AS STRING)")
+      == "1995-07-16")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-19 12:30:00', 'D') AS STRING)")
+      == "1995-07-16", "'D' truncates to the Sunday week start")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-19 12:30:00', 'W') AS STRING)")
+      == "1995-07-15", "'W' truncates to day 1/8/15/22/29 of the month")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-07 00:00:00', 'W') AS STRING)")
+      == "1995-07-01")
     // numeric TRUNC (non-literal second arg) is not touched
     val kept = DialectShims.rewriteRedshiftSql("SELECT TRUNC(x, 2) FROM t")
     assert(kept.contains("TRUNC(x, 2)"))
@@ -461,6 +472,11 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(evalStr("TO_CHAR(5, 'FM$9.00')") == "$5.00")
     // integer part wider than the pattern → all '#'s
     assert(evalStr("TO_CHAR(12345, 'FM99')") == "##")
+    // >18-digit values format exactly (the BIGINT intermediate would
+    // have overflowed); 20 digits through a 24-position pattern
+    assert(evalStr(
+      "TO_CHAR(CAST('12345678901234567890' AS DECIMAL(38,0)), " +
+        "'FM999999999999999999999999')") == "12345678901234567890")
     // unsupported number shapes stay untranslated for the C5 dry-run
     val kept = DialectShims.rewriteRedshiftSql(
       "SELECT TO_CHAR(x, '9.9.9') FROM t")

@@ -190,4 +190,17 @@ class FileSkipIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stale.stale, "post-compaction scan must report staleness")
     assert(stale.df.collect().map(_.getLong(0)).toSeq == Seq(20005L))
   }
+
+  test("driver-side file-name collects are capped, refusing loudly") {
+    val s = spark
+    import s.implicits._
+    val names = (1 to 5).map(i => s"part-$i.parquet").toDF("file")
+    // under the cap: normal set
+    assert(FileSkipIndex.boundedFileNames(names, "t", cap = 5).size == 5)
+    // over the cap: a loud refusal, not a silent driver OOM
+    val e = intercept[IllegalArgumentException](
+      FileSkipIndex.boundedFileNames(names, "rep.wide", cap = 4))
+    assert(e.getMessage.contains("rep.wide") &&
+      e.getMessage.contains("partition"))
+  }
 }

@@ -288,10 +288,17 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(col("day").isin("d2", "d3"))
         .groupBy("day").agg(sum("x").as("sx"))
       assert(onMv(qIn))
-      // a RANGE filter cannot prove its partition set — no rewrite
+      // a RANGE over only unchanged partitions now rewrites too (the
+      // bound-derived partition set is checked per value); a range
+      // touching the changed one stays off the MV
       val qRange = spark.table(baseT.quoted)
         .filter(col("day") >= "d2").groupBy("day").agg(sum("x").as("sx"))
-      assert(!onMv(qRange))
+      assert(onMv(qRange), qRange.queryExecution.optimizedPlan.toString)
+      assert(qRange.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("d2", 5L), ("d3", 7L)))
+      val qRangeStale = spark.table(baseT.quoted)
+        .filter(col("day") >= "d1").groupBy("day").agg(sum("x").as("sx"))
+      assert(!onMv(qRangeStale))
     } finally MvRewrite.unregister(spark, "pmv")
     // the durable catalog captures partition stamps for partitioned bases
     val d = graft.etl.MvCatalog.createOrRefresh(spark, wh, "pmv2",
@@ -360,6 +367,64 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!onMv(qChanged))
       assert(qChanged.collect().map(_.getLong(1)).toSeq == Seq(9L))
     } finally MvRewrite.unregister(spark, "dmv")
+  }
+
+  test("partition RANGE pinning: a fresh date range rewrites; a range " +
+    "touching a changed day falls back") {
+    val s = spark
+    import s.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("mv_range_").toString, sfDir)
+    val baseT = TableName.parse("mv.range_sales")
+    val mvT = TableName.parse("mv.range_sales_rollup")
+    val design = graft.etl.TableDesign(baseT, "CTAS", Seq(
+      graft.etl.ColumnDef("x", "long"), graft.etl.ColumnDef("day", "date")),
+      partitionBy = Seq("day"))
+    wh.writeTable(baseT, Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01")),
+      (5L, java.sql.Date.valueOf("2024-01-02")),
+      (7L, java.sql.Date.valueOf("2024-01-03")))
+      .toDF("x", "day"), Some(design))
+    wh.writeTable(mvT,
+      MvRewrite.partials(spark.table(baseT.quoted), Seq("day"), Seq("x")))
+    MvRewrite.registerMv(spark, "rmv", spark.table(baseT.quoted),
+      spark.table(mvT.quoted), Seq("day"), Seq("x"),
+      version = wh.tableVersion(baseT),
+      currentVersion = () => wh.tableVersion(baseT),
+      partCol = Some("day"),
+      partVersions = wh.partitionVersions(baseT),
+      currentPartVersions = () => wh.partitionVersions(baseT))
+    def onMv(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val paths = MvOps.scanPaths(df)
+      paths.nonEmpty && paths.forall(_.contains("range_sales_rollup"))
+    }
+    try {
+      // day 1 changes after the MV build — the MV is globally stale
+      wh.rebuildPartitions(baseT,
+        Seq((9L, java.sql.Date.valueOf("2024-01-01"))).toDF("x", "day"),
+        expect = Some(Set("day=2024-01-01")))
+      // a range over ONLY unchanged days rewrites (>= + <, the BETWEEN
+      // desugaring), even though no conjunct pins an exact value
+      val qFresh = spark.table(baseT.quoted)
+        .filter(col("day") >= lit(java.sql.Date.valueOf("2024-01-02")) &&
+          col("day") < lit(java.sql.Date.valueOf("2024-01-09")))
+        .groupBy("day").agg(sum("x").as("sx")).orderBy("day")
+      assert(onMv(qFresh), qFresh.queryExecution.optimizedPlan.toString)
+      assert(qFresh.collect().map(_.getLong(1)).toSeq == Seq(5L, 7L))
+      // a range that touches the rebuilt day must fall back to base
+      val qStale = spark.table(baseT.quoted)
+        .filter(col("day") >= lit(java.sql.Date.valueOf("2024-01-01")) &&
+          col("day") <= lit(java.sql.Date.valueOf("2024-01-02")))
+        .groupBy("day").agg(sum("x").as("sx")).orderBy("day")
+      assert(!onMv(qStale))
+      assert(qStale.collect().map(_.getLong(1)).toSeq == Seq(9L, 5L))
+      // one-sided range over unchanged days also rewrites
+      val qOpen = spark.table(baseT.quoted)
+        .filter(col("day") > lit(java.sql.Date.valueOf("2024-01-01")))
+        .groupBy("day").agg(sum("x").as("sx")).orderBy("day")
+      assert(onMv(qOpen), qOpen.queryExecution.optimizedPlan.toString)
+      assert(qOpen.collect().map(_.getLong(1)).toSeq == Seq(5L, 7L))
+    } finally MvRewrite.unregister(spark, "rmv")
   }
 
   test("exhaustive shapes: every grouping × aggregate combo rewrites equal") {

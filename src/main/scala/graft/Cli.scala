@@ -18,7 +18,8 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       """usage: graft.Cli <command> [options]
-        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum] [--events FILE]
+        |  load           --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--no-staging] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--analyze] [--vacuum] [--events FILE] [--serve-port N]
+        |                 (--serve-port N serves a live status dashboard at http://localhost:N/ for the duration of any warehouse command; 0 = ephemeral)
         |  upgrade        --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--only-selected] [--include-immediate-views] [--into-schema SCHEMA] [--skip-copy] [--continue-from POINT] [--max-concurrency N] [--events FILE]
         |  update         --designs DIR --data DIR --warehouse DIR --select PATTERN [--only-selected] [--vacuum] [--scheduled-start-time EPOCH_MS|ISO8601] [--wait-timeout-ms N] [--events FILE]
         |  check_constraints --designs DIR --data DIR --warehouse DIR [--select PATTERN] [--with-staging]
@@ -146,15 +147,28 @@ object Cli {
     def selector: TableSelector =
       opts.get("select").map(p => TableSelector(p.split(',').toSeq))
         .getOrElse(TableSelector.all)
+    val monitor = new Monitor(opts.get("events"))
     def warehouse: Warehouse = new Warehouse(spark,
       opts.getOrElse("warehouse", usage()), opts.getOrElse("data", usage()),
-      new Monitor(opts.get("events")))
+      monitor)
     // settings: packaged defaults + every --config directory
     // (comma-separated), the reference's -c/--config surface
     def settings: Settings =
       Settings.load(opts.get("config").toSeq.flatMap(_.split(',').toSeq))
 
-    command match {
+    // --serve-port N: live status dashboard for the duration of the
+    // command (monitor.py:433-574 — the reference binds 8086
+    // unconditionally during extract/load/unload; here it is opt-in
+    // so parallel runs don't fight over the port; 0 asks for an
+    // ephemeral one, announced below like the reference's
+    // "follow along at http://...").
+    val server = opts.get("serve-port").map { p =>
+      val s = new MonitorServer(monitor,
+        java.util.UUID.randomUUID().toString, p.toInt).start()
+      println(s"[monitor] live status at http://localhost:${s.port}/")
+      s
+    }
+    try command match {
       case "load" =>
         val rels = Dag.selectInExecutionOrder(designs, selector,
           includeDependents = true, continueFrom = opts.get("continue-from"))
@@ -793,6 +807,6 @@ object Cli {
         }
         0
       case _ => usage()
-    }
+    } finally server.foreach(_.stop())
   }
 }

@@ -851,4 +851,47 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c3 == 0 && logs.contains("INFO") && logs.contains("cli.summary"),
       s"got: $logs")
   }
+
+  test("cli load --serve-port serves live events mid-run, releases the port after") {
+    // pre-allocate a free port so the poller knows where to look
+    val sock = new java.net.ServerSocket(0)
+    val port = sock.getLocalPort
+    sock.close()
+    val wh = Files.createTempDirectory("graft_cli_srv_").toString
+
+    def poll(path: String): Option[String] =
+      try {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(200); conn.setReadTimeout(500)
+        val body =
+          if (conn.getResponseCode == 200)
+            Some(new String(conn.getInputStream.readAllBytes(),
+              StandardCharsets.UTF_8))
+          else None
+        conn.disconnect()
+        body
+      } catch { case _: java.io.IOException => None }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val load = Future(Cli.run(spark, "load", Map(
+      "designs" -> designsDir, "data" -> dataDir,
+      "warehouse" -> wh, "serve-port" -> port.toString)))
+    // the load takes O(seconds); the dashboard must answer while it runs
+    var lastEvents: Option[String] = None
+    var lastId: Option[String] = None
+    while (!load.isCompleted) {
+      poll("/api/events").foreach(b => lastEvents = Some(b))
+      poll("/api/etl-id").foreach(b => lastId = Some(b))
+      Thread.sleep(20)
+    }
+    assert(Await.result(load, 1.minute) == 0)
+    assert(lastEvents.exists(_.contains("\"target\":\"cli.")),
+      s"no live event observed mid-load: $lastEvents")
+    assert(lastId.exists(_.startsWith("""{"id":""")), s"etl-id: $lastId")
+    // command done => server stopped => the port is released
+    assert(poll("/api/etl-id").isEmpty, "server still answering after the run")
+  }
 }

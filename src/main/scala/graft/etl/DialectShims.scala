@@ -1120,6 +1120,94 @@ object DialectShims {
     out.toString
   }
 
+  /** Redshift's NATIVE PartiQL iteration syntax: the SUPER array is a
+    * FROM-clause item whose head is an earlier relation alias —
+    *
+    *   `FROM src s, s.doc.lines AS elem [AT i]`
+    *
+    * (`UNNEST` is the Athena/Trino spelling; the Redshift SUPER docs
+    * spell iteration with this comma form). Rewritten to
+    * `LATERAL VIEW [pos]explode(from_json(<array json text>,
+    * 'array<string>')) elem_lv AS [i,] elem`; `AT` ordinals are
+    * 0-based on both sides (posexplode's pos matches Redshift's
+    * array indexing). Two guards keep catalog names and SELECT-list
+    * items safe: the rewrite fires only (a) inside a FROM clause of
+    * the CURRENT paren scope, and (b) when the path head is a
+    * relation alias already bound earlier in the statement — the
+    * same scope rule Redshift itself uses to tell `s.doc.lines`
+    * from a three-part catalog name. */
+  private val PartiqlIterRe = java.util.regex.Pattern.compile(
+    ",\\s*([A-Za-z_]\\w*)((?:\\.[A-Za-z_]\\w*|\\[\\d+\\])+)\\s+" +
+    "(?:(?i:AS)\\s+)?([A-Za-z_]\\w*)(?:\\s+(?i:AT)\\s+([A-Za-z_]\\w*))?")
+
+  /** The last clause keyword before `pos` in its own paren scope —
+    * complete subqueries are dropped, an enclosing one is entered. */
+  private def clauseBefore(sql: String, pos: Int): String = {
+    val before = sql.substring(0, pos)
+    var scopeStart = 0
+    val opens = scala.collection.mutable.Stack[Int]()
+    var i = 0
+    while (i < before.length) {
+      before.charAt(i) match {
+        case '(' => opens.push(i + 1)
+        case ')' => if (opens.nonEmpty) opens.pop()
+        case _ => ()
+      }
+      i += 1
+    }
+    if (opens.nonEmpty) scopeStart = opens.last
+    val scope = stripBalancedParens(before.substring(scopeStart))
+    val kw = java.util.regex.Pattern.compile(
+      "(?i)\\b(FROM|SELECT|WHERE|HAVING|GROUP|ORDER|JOIN|ON)\\b").matcher(scope)
+    var lastKw = ""
+    while (kw.find()) lastKw = kw.group(1).toUpperCase
+    lastKw
+  }
+
+  private[etl] def rewritePartiqlIteration(sql: String): (String, Set[String]) = {
+    val m = PartiqlIterRe.matcher(sql)
+    val out = new java.lang.StringBuilder
+    var last = 0
+    var aliases = Set.empty[String]
+    while (m.find()) {
+      val head = m.group(1)
+      val boundEarlier = java.util.regex.Pattern.compile(
+        s"(?i)(?:\\bFROM|\\bJOIN|,)\\s+[A-Za-z_][\\w.]*\\s+(?:AS\\s+)?" +
+          java.util.regex.Pattern.quote(head) + "\\b")
+        .matcher(sql.substring(0, m.start)).find()
+      val inFrom = clauseBefore(sql, m.start) match {
+        case "FROM" | "JOIN" | "ON" => true
+        case _ => false
+      }
+      if (boundEarlier && inFrom) {
+        val comps = m.group(2)           // ".doc.lines" / ".tags[0].x"
+        val colM = java.util.regex.Pattern
+          .compile("^\\.([A-Za-z_]\\w*)").matcher(comps)
+        require(colM.find(),
+          s"PartiQL iteration needs alias.column...: $head$comps")
+        val base = s"$head.${colM.group(1)}"
+        val path = comps.substring(colM.end)
+        val arrayText =
+          if (path.isEmpty) base
+          else s"get_json_object($base, '$$$path')"
+        val elem = m.group(3)
+        val lateral = Option(m.group(4)) match {
+          case Some(ord) =>
+            s" LATERAL VIEW posexplode(from_json($arrayText, " +
+              s"'array<string>')) ${elem}_lv AS $ord, $elem"
+          case None =>
+            s" LATERAL VIEW explode(from_json($arrayText, " +
+              s"'array<string>')) ${elem}_lv AS $elem"
+        }
+        out.append(sql, last, m.start).append(lateral)
+        last = m.end
+        aliases += elem
+      }
+    }
+    out.append(sql, last, sql.length)
+    (out.toString, aliases)
+  }
+
   /** 2-part `x.field` refs on an UNNEST element alias (the ≥3-part
     * form is handled by [[rewriteSuperPaths]]; the guard against
     * `get_json_object(x, '...')`'s own interior is the dot — the
@@ -1172,11 +1260,13 @@ object DialectShims {
     val step11 = rewriteRegexpFns(step10, arr)
     val step12 = rewriteTruncDatepart(step11, arr)
     val step13 = rewriteJsonExtract(step12, arr)
-    // SUPER/PartiQL last: UNNEST introduces element aliases whose
-    // field refs the path pass then rewrites
+    // SUPER/PartiQL last: UNNEST and comma-iteration introduce
+    // element aliases whose field refs the path pass then rewrites
     val (step14, unnestAliases) = rewriteUnnest(step13)
+    val (step15, iterAliases) = rewritePartiqlIteration(step14)
+    val elemAliases = unnestAliases ++ iterAliases
     val rewritten = rewriteUnnestFieldRefs(
-      rewriteSuperPaths(step14, unnestAliases), unnestAliases)
+      rewriteSuperPaths(step15, elemAliases), elemAliases)
     unmask(rewritten, arr.toIndexedSeq)
   }
 }

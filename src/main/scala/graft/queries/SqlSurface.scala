@@ -746,6 +746,54 @@ object SqlSurface {
       |FROM src s, unnest(CAST(s.payload -> '$.tags' AS VARCHAR[])) AS t(tag)
       |ORDER BY s.id, tag""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Redshift's NATIVE PartiQL iteration spelling — the SUPER array
+    * as a comma-listed FROM item over an earlier alias, with an `AT`
+    * ordinal: `FROM src s, s.doc.lines AS ln AT i`. (q41 covers the
+    * Athena/Trino `UNNEST` spelling; migrating Redshift SUPER queries
+    * use this form.) Object elements arrive as json text, so element
+    * field refs compose (`ln.p`); `AT` ordinals are 0-based on both
+    * engines. DuckDB answers with a correlated `generate_series` over
+    * the array — none of the shim's machinery. */
+  def q42PartiqlIterate(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("rs_orders")
+    val redshiftSql =
+      """WITH src AS (
+        |  SELECT o_orderkey AS id,
+        |    '{"lines":[{"p":"a' || CAST(o_orderkey % 7 AS STRING) ||
+        |      '","n":' || CAST(o_orderkey % 3 AS STRING) ||
+        |      '},{"p":"a' || CAST(o_orderkey % 11 AS STRING) ||
+        |      '","n":' || CAST(o_orderkey % 5 AS STRING) || '}]}' AS doc
+        |  FROM rs_orders WHERE o_orderkey <= 400
+        |)
+        |SELECT s.id, CAST(i AS BIGINT) AS ord, ln.p AS part_code,
+        |  CAST(ln.n AS BIGINT) AS n
+        |FROM src s, s.doc.lines AS ln AT i
+        |WHERE CAST(ln.n AS BIGINT) <> 1
+        |ORDER BY s.id, ord""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q42PartiqlIterateSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS id,
+      |    '{"lines":[{"p":"a' || CAST(o_orderkey % 7 AS VARCHAR) ||
+      |      '","n":' || CAST(o_orderkey % 3 AS VARCHAR) ||
+      |      '},{"p":"a' || CAST(o_orderkey % 11 AS VARCHAR) ||
+      |      '","n":' || CAST(o_orderkey % 5 AS VARCHAR) || '}]}' AS doc
+      |  FROM orders WHERE o_orderkey <= 400
+      |),
+      |arrs AS (
+      |  SELECT id, CAST(doc -> '$.lines' AS VARCHAR[]) AS arr FROM src
+      |)
+      |SELECT a.id, CAST(g.i - 1 AS BIGINT) AS ord,
+      |  json_extract_string(a.arr[g.i], '$.p') AS part_code,
+      |  CAST(json_extract_string(a.arr[g.i], '$.n') AS BIGINT) AS n
+      |FROM arrs a, unnest(range(1, len(a.arr) + 1)) AS g(i)
+      |WHERE CAST(json_extract_string(a.arr[g.i], '$.n') AS BIGINT) <> 1
+      |ORDER BY a.id, ord""".stripMargin
+
   // ---------------------------------------------------------------- q21
   /** A query written in REDSHIFT dialect — `LISTAGG ... WITHIN GROUP`,
     * `DATEADD(days, ...)`, boundary-crossing `DATEDIFF(day, ...)` —
@@ -1567,6 +1615,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_lateral" -> (q32Lateral _),
     "q41_super_paths" -> (q41SuperPaths _),
+    "q42_partiql_iterate" -> (q42PartiqlIterate _),
     "q33_string_dialect" -> (q33StringDialect _),
     "q39_regex_dialect" -> (q39RegexDialect _),
     "q40_tochar_number" -> (q40ToCharNumber _),
@@ -1615,6 +1664,7 @@ object SqlSurface {
   val oracles: Map[String, String] = Map(
     "q32_lateral" -> q32LateralSql,
     "q41_super_paths" -> q41SuperPathsSql,
+    "q42_partiql_iterate" -> q42PartiqlIterateSql,
     "q33_string_dialect" -> q33StringDialectSql,
     "q39_regex_dialect" -> q39RegexDialectSql,
     "q40_tochar_number" -> q40ToCharNumberSql,

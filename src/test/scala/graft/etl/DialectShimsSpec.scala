@@ -526,6 +526,44 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows2 == Seq("x", "y"), rows2)
   }
 
+  test("PartiQL comma iteration: FROM s, s.path AS e [AT i] — Redshift's native spelling") {
+    // AT ordinal → posexplode with a 0-based position column
+    val r1 = DialectShims.rewriteRedshiftSql(
+      "SELECT s.id, i, ln.p FROM src s, s.doc.lines AS ln AT i")
+    assert(r1.contains(
+      "LATERAL VIEW posexplode(from_json(" +
+        "get_json_object(s.doc, '$.lines'), 'array<string>')) ln_lv AS i, ln"),
+      r1)
+    assert(r1.contains("get_json_object(ln, '$.p')"), r1)
+    // no AT → plain explode; alias.column (2-part) is the array itself
+    val r2 = DialectShims.rewriteRedshiftSql(
+      "SELECT e FROM src s, s.tags e")
+    assert(r2.contains(
+      "LATERAL VIEW explode(from_json(s.tags, 'array<string>')) e_lv AS e"),
+      r2)
+    // SELECT-list comma items with a bound head are NOT iteration
+    val r3 = DialectShims.rewriteRedshiftSql(
+      "SELECT s.id, s.doc.kind AS kind FROM src s")
+    assert(!r3.contains("LATERAL VIEW") &&
+      r3.contains("get_json_object(s.doc, '$.kind')"), r3)
+    // a comma-listed CATALOG name (head not a bound alias) is untouched
+    val r4 = DialectShims.rewriteRedshiftSql(
+      "SELECT * FROM src s, other.tbl t WHERE s.id = t.id")
+    assert(r4.contains("FROM src s, other.tbl t"), r4)
+    // end-to-end through Spark, object elements + ordinal filter
+    spark.sql("SELECT 7 AS id, " +
+      "'{\"lines\":[{\"p\":\"a\",\"n\":1},{\"p\":\"b\",\"n\":2}," +
+      "{\"p\":\"c\",\"n\":3}]}' AS doc")
+      .createOrReplaceTempView("iter_src")
+    val rows = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT s.id, CAST(i AS BIGINT) AS ord, ln.p AS p, " +
+        "CAST(ln.n AS BIGINT) AS n " +
+        "FROM iter_src s, s.doc.lines AS ln AT i WHERE i >= 1 ORDER BY i"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(rows == Seq((7, 1L, "b", 2L), (7, 2L, "c", 3L)), rows)
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

@@ -565,13 +565,59 @@ object DialectShims {
           s"'$$${keys.flatten.map("." + _).mkString}')")
       }
     }
-    rewriteCalls(step, "json_extract_array_element_text") { raw =>
+    val step2 = rewriteCalls(step, "json_extract_array_element_text") { raw =>
       val args = dropFlag(raw)
       args match {
         case Seq(j, idx) if idx.matches("\\d+") =>
           Some(s"get_json_object($j, '$$[$idx]')")
         case _ => None
       }
+    }
+    rewriteJsonPredicates(step2)
+  }
+
+  /** The rest of Redshift's json-varchar function family. On this
+    * tier SUPER is json TEXT, so JSON_PARSE / JSON_SERIALIZE are
+    * identities; the validity predicates lean on Spark's lenient
+    * parsers returning NULL for malformed input:
+    *
+    *   - `JSON_ARRAY_LENGTH(j[, flag])` → `size(from_json(j,
+    *     'array<string>'))` (NULL, not an error, on bad json — the
+    *     lenient form, same documented deviation as the extractors)
+    *   - `IS_VALID_JSON(j)` / `CAN_JSON_PARSE(j)` →
+    *     `get_json_object(j, '$') IS NOT NULL`
+    *   - `IS_VALID_JSON_ARRAY(j)` → `from_json(j, 'array<string>')
+    *     IS NOT NULL`
+    *   - `JSON_PARSE(x)` / `JSON_SERIALIZE(x)` → `x` */
+  private def rewriteJsonPredicates(sql: String): String = {
+    def dropFlag(args: Seq[String]): Seq[String] =
+      if (args.length > 1 && (args.last.equalsIgnoreCase("true") ||
+          args.last.equalsIgnoreCase("false"))) args.init else args
+    val s1 = rewriteCalls(sql, "json_array_length") { raw =>
+      dropFlag(raw) match {
+        case Seq(j) => Some(s"size(from_json($j, 'array<string>'))")
+        case _ => None
+      }
+    }
+    val s2 = rewriteCalls(s1, "is_valid_json") {
+      case Seq(j) => Some(s"(get_json_object($j, '$$') IS NOT NULL)")
+      case _ => None
+    }
+    val s3 = rewriteCalls(s2, "can_json_parse") {
+      case Seq(j) => Some(s"(get_json_object($j, '$$') IS NOT NULL)")
+      case _ => None
+    }
+    val s4 = rewriteCalls(s3, "is_valid_json_array") {
+      case Seq(j) => Some(s"(from_json($j, 'array<string>') IS NOT NULL)")
+      case _ => None
+    }
+    val s5 = rewriteCalls(s4, "json_parse") {
+      case Seq(x) => Some(s"($x)")
+      case _ => None
+    }
+    rewriteCalls(s5, "json_serialize") {
+      case Seq(x) => Some(s"($x)")
+      case _ => None
     }
   }
 

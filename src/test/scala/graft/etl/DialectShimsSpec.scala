@@ -526,6 +526,26 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows2 == Seq("x", "y"), rows2)
   }
 
+  test("JSON family: array_length, validity predicates, parse/serialize identities") {
+    val r = DialectShims.rewriteRedshiftSql(
+      "SELECT JSON_ARRAY_LENGTH(j), JSON_ARRAY_LENGTH(j, true), " +
+        "IS_VALID_JSON(j), IS_VALID_JSON_ARRAY(j), CAN_JSON_PARSE(j), " +
+        "JSON_PARSE(j), JSON_SERIALIZE(j) FROM t")
+    assert(r.contains("size(from_json(j, 'array<string>'))"), r)
+    assert(r.contains("(get_json_object(j, '$') IS NOT NULL)"), r)
+    assert(r.contains("(from_json(j, 'array<string>') IS NOT NULL)"), r)
+    assert(!r.toUpperCase.contains("JSON_PARSE") &&
+      !r.toUpperCase.contains("JSON_SERIALIZE"), r)
+    // live eval: lengths and validity over good, bad, and array json
+    val rows = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT JSON_ARRAY_LENGTH('[1,2,3]') AS n, " +
+        "IS_VALID_JSON('{\"a\":1}') AS v1, IS_VALID_JSON('{oops') AS v2, " +
+        "IS_VALID_JSON_ARRAY('[1]') AS a1, IS_VALID_JSON_ARRAY('{}') AS a2"))
+      .collect().head
+    assert(rows.getInt(0) == 3 && rows.getBoolean(1) && !rows.getBoolean(2)
+      && rows.getBoolean(3) && !rows.getBoolean(4), rows)
+  }
+
   test("PartiQL comma iteration: FROM s, s.path AS e [AT i] — Redshift's native spelling") {
     // AT ordinal → posexplode with a 0-based position column
     val r1 = DialectShims.rewriteRedshiftSql(

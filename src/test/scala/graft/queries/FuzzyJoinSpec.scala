@@ -307,4 +307,38 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       (30L, 30L, "solo gmbh", 1L), (31L, 31L, "unrelated plc", 1L)),
       s"got ${out.mkString(", ")}")
   }
+
+  test("construction cost is bounded: pairsWithin2 runs only the census job(s)") {
+    // The pair operators are EAGER about the skew census (scaladoc'd
+    // contract): building the returned DataFrame runs a bounded
+    // number of short jobs — the (sampled) df aggregation + hot-key
+    // collect — and NOTHING else. This pins the construction-time
+    // cost that the plan-level ExplainSpec gate cannot see; if a
+    // future change makes construction materialize the variant frame
+    // or the join itself, the job count explodes and this fails.
+    val s = spark
+    import s.implicits._
+    // zero-padded keys: the WORST case — every bucket is hot, so the
+    // census must take its collect branch, not the early-out
+    val names = (1 to 2000).map(i => (i.toLong, f"Customer#$i%09d"))
+      .toDF("id", "name")
+    def jobsIn(group: String): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    spark.sparkContext.setJobGroup("fj_construct", "census-only check")
+    val df = FuzzyJoin.pairsWithin2(names)
+    spark.sparkContext.clearJobGroup()
+    // status tracker is fed by an async listener: poll until stable
+    var n = jobsIn("fj_construct")
+    var stable = 0
+    val deadline = System.currentTimeMillis + 10000
+    while (System.currentTimeMillis < deadline && stable < 5) {
+      Thread.sleep(100)
+      val m = jobsIn("fj_construct")
+      if (m == n) stable += 1 else { n = m; stable = 0 }
+    }
+    assert(n >= 1 && n <= 3, s"pairsWithin2 construction ran $n Spark jobs " +
+      "(expected only the bounded census); something new is eager")
+    // and the returned frame still answers (the census fed a real plan)
+    assert(df.limit(1).count() >= 0)
+  }
 }

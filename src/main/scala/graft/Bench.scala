@@ -187,7 +187,11 @@ object Bench {
     // sbt wraps stdout (prefixes, epilogue), which can defeat a parser
     // expecting a bare JSON line — the FULL result (every query's
     // cold/median/spread at full precision) goes to a file.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // a SPARK_GRAFT_BENCH_ONLY dev run must never clobber the
+    // committed full baseline with a partial one — divert to a
+    // .partial file unless an output path was given explicitly
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_LOCAL.partial.json" else "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>

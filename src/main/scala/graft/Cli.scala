@@ -163,8 +163,13 @@ object Cli {
     // ephemeral one, announced below like the reference's
     // "follow along at http://...").
     val server = opts.get("serve-port").map { p =>
+      val port = p.toIntOption.filter(n => n >= 0 && n <= 65535)
+        .getOrElse {
+          System.err.println(s"--serve-port: not a port number: '$p'")
+          usage()
+        }
       val s = new MonitorServer(monitor,
-        java.util.UUID.randomUUID().toString, p.toInt).start()
+        java.util.UUID.randomUUID().toString, port).start()
       println(s"[monitor] live status at http://localhost:${s.port}/")
       s
     }

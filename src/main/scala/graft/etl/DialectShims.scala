@@ -593,18 +593,24 @@ object DialectShims {
     def dropFlag(args: Seq[String]): Seq[String] =
       if (args.length > 1 && (args.last.equalsIgnoreCase("true") ||
           args.last.equalsIgnoreCase("false"))) args.init else args
+    // array_size (not size): NULL for malformed/non-array input
+    // regardless of spark.sql.legacy.sizeOfNull
     val s1 = rewriteCalls(sql, "json_array_length") { raw =>
       dropFlag(raw) match {
-        case Seq(j) => Some(s"size(from_json($j, 'array<string>'))")
+        case Seq(j) => Some(s"array_size(from_json($j, 'array<string>'))")
         case _ => None
       }
     }
+    // the json literal `null` is VALID json but get_json_object
+    // returns SQL NULL for it — test it explicitly
+    def validJson(j: String): String =
+      s"(trim($j) = 'null' OR get_json_object($j, '$$') IS NOT NULL)"
     val s2 = rewriteCalls(s1, "is_valid_json") {
-      case Seq(j) => Some(s"(get_json_object($j, '$$') IS NOT NULL)")
+      case Seq(j) => Some(validJson(j))
       case _ => None
     }
     val s3 = rewriteCalls(s2, "can_json_parse") {
-      case Seq(j) => Some(s"(get_json_object($j, '$$') IS NOT NULL)")
+      case Seq(j) => Some(validJson(j))
       case _ => None
     }
     val s4 = rewriteCalls(s3, "is_valid_json_array") {
@@ -785,9 +791,11 @@ object DialectShims {
     "year" -> "year", "yyyy" -> "year", "yy" -> "year",
     "quarter" -> "quarter", "q" -> "quarter",
     "month" -> "month", "mon" -> "month", "mm" -> "month",
-    "week" -> "week",
-    "day" -> "day", "dd" -> "day",
-    "hour" -> "hour", "hh" -> "hour", "hh24" -> "hour",
+    "week" -> "week", "iw" -> "week",   // ISO (Monday-start) week
+    // Oracle's DAY truncations: 'DDD'/'DD'/'J' are the day formats;
+    // 'DAY'/'DY'/'D' are WEEK-start formats handled below
+    "dd" -> "day", "ddd" -> "day", "j" -> "day",
+    "hour" -> "hour", "hh" -> "hour", "hh12" -> "hour", "hh24" -> "hour",
     "minute" -> "minute", "mi" -> "minute",
     "second" -> "second", "ss" -> "second")
 
@@ -811,12 +819,18 @@ object DialectShims {
     rewriteCalls(sql, "trunc") {
       case Seq(e, MaskedLiteral(idx)) =>
         saved(idx.toInt).replace("''", "'").toLowerCase match {
-          case "d" =>
-            // Sunday-start week: dayofweek is 1 for Sunday
+          case "d" | "dy" | "day" =>
+            // ALL of Oracle's day-of-week formats truncate to the
+            // start of the (Sunday-based, US NLS) week — 'DAY' does
+            // NOT mean day truncation; dayofweek is 1 for Sunday
             Some(s"date_sub(CAST(($e) AS DATE), dayofweek($e) - 1)")
           case "w" =>
             Some("date_add(CAST(date_trunc('MONTH', " + e + ") AS DATE), " +
               s"7 * CAST(floor((dayofmonth($e) - 1) / 7) AS INT))")
+          case "ww" =>
+            // week-of-YEAR chunk: day 1, 8, 15, ... relative to Jan 1
+            Some("date_add(CAST(date_trunc('YEAR', " + e + ") AS DATE), " +
+              s"7 * CAST(floor((dayofyear($e) - 1) / 7) AS INT))")
           case unit => TruncUnits.get(unit).map {
             case u @ ("year" | "quarter" | "month" | "week" | "day") =>
               s"CAST(date_trunc('${u.toUpperCase}', $e) AS DATE)"
@@ -1119,7 +1133,7 @@ object DialectShims {
     val aliasM = java.util.regex.Pattern
       .compile("(?i)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)")
       .matcher(sql.substring(i))
-    require(aliasM.find(),
+    require(aliasM.find() && !ReservedAfterAlias(aliasM.group(1).toUpperCase),
       "UNNEST(...) requires an alias (UNNEST(expr) AS x)")
     val alias = aliasM.group(1)
     val replaced = sql.substring(0, m.start) +
@@ -1152,7 +1166,20 @@ object DialectShims {
       }
       // `schema.fn(...)` stays a call; `FROM db.schema.table` stays a
       // catalog name
-      if (!followedByParen && prevWord != "FROM" && prevWord != "JOIN") {
+      // three-part names in RELATION positions are catalog names, not
+      // paths: directly after FROM/JOIN/INTO/TABLE, and — the comma-
+      // listed FROM item case (`FROM sch.t a, db.sch2.t2 b`) — any
+      // position whose nearest clause keyword in its own paren scope
+      // is FROM or JOIN (a genuine PartiQL iteration item there was
+      // consumed by rewritePartiqlIteration, which runs first)
+      val relationPosition =
+        prevWord == "FROM" || prevWord == "JOIN" ||
+        prevWord == "INTO" || prevWord == "TABLE" ||
+        (clauseBefore(sql, m.start) match {
+          case "FROM" | "JOIN" => true
+          case _ => false
+        })
+      if (!followedByParen && !relationPosition) {
         val head = m.group(1)
         val (base, path) =
           if (unnestAliases(head)) (head, "." + m.group(2) + m.group(3))
@@ -1185,6 +1212,15 @@ object DialectShims {
   private val PartiqlIterRe = java.util.regex.Pattern.compile(
     ",\\s*([A-Za-z_]\\w*)((?:\\.[A-Za-z_]\\w*|\\[\\d+\\])+)\\s+" +
     "(?:(?i:AS)\\s+)?([A-Za-z_]\\w*)(?:\\s+(?i:AT)\\s+([A-Za-z_]\\w*))?")
+
+  /** Words that can follow a FROM item and must never be mistaken for
+    * an element alias (`FROM t, UNNEST(x) WHERE ...` swallowing WHERE
+    * produced a baffling downstream parse error, not the loud
+    * missing-alias require). */
+  private val ReservedAfterAlias: Set[String] = Set(
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "INTERSECT",
+    "EXCEPT", "JOIN", "ON", "LATERAL", "CROSS", "INNER", "LEFT", "RIGHT",
+    "FULL", "QUALIFY", "WINDOW", "AS", "AT")
 
   /** The last clause keyword before `pos` in its own paren scope —
     * complete subqueries are dropped, an enclosing one is entered. */
@@ -1225,7 +1261,9 @@ object DialectShims {
         case "FROM" | "JOIN" | "ON" => true
         case _ => false
       }
-      if (boundEarlier && inFrom) {
+      val aliasOk = !ReservedAfterAlias(m.group(3).toUpperCase) &&
+        Option(m.group(4)).forall(a => !ReservedAfterAlias(a.toUpperCase))
+      if (boundEarlier && inFrom && aliasOk) {
         val comps = m.group(2)           // ".doc.lines" / ".tags[0].x"
         val colM = java.util.regex.Pattern
           .compile("^\\.([A-Za-z_]\\w*)").matcher(comps)
@@ -1262,7 +1300,11 @@ object DialectShims {
                                      aliases: Set[String]): String =
     aliases.foldLeft(sql) { (s, a) =>
       java.util.regex.Pattern
-        .compile(s"\\b${java.util.regex.Pattern.quote(a)}\\.([A-Za-z_]\\w*)\\b(?![\\w.\\[(])")
+        // the (?<![.$]) lookbehind keeps the alias from matching
+        // inside an already-rewritten json path literal ('$.items.qty'
+        // when the element alias is also named items) or as the tail
+        // of a longer dotted ref
+        .compile(s"(?<![.$$])\\b${java.util.regex.Pattern.quote(a)}\\.([A-Za-z_]\\w*)\\b(?![\\w.\\[(])")
         .matcher(s)
         // quoteReplacement: the functional replaceAll still expands
         // $-group references in the computed string, and json paths

@@ -75,6 +75,14 @@ final class MonitorServer(monitor: Monitor, runId: String,
         s""""failed":$fail,"elapsed":$secs}"""
     }.mkString("[", ",", "]")
 
+  /** HTML metacharacter escaping — target/step names come from
+    * user-supplied design files, so they must not be able to inject
+    * markup into the dashboard (jsonEscape handles quotes and control
+    * chars but not `<`/`&`). */
+  private def htmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
   private def indexHtml: String = {
     val rows = latestEvents.map { e =>
       val cls = e.event match {
@@ -82,15 +90,15 @@ final class MonitorServer(monitor: Monitor, runId: String,
         case "start" => " style=\"color:#06b\""
         case _ => ""
       }
-      s"<tr$cls><td>${Monitor.jsonEscape(e.target)}</td><td>${e.step}</td>" +
-        s"<td>${e.event}</td><td>${f"${e.elapsedSeconds}%.2f"}</td>" +
+      s"<tr$cls><td>${htmlEscape(e.target)}</td><td>${htmlEscape(e.step)}</td>" +
+        s"<td>${htmlEscape(e.event)}</td><td>${f"${e.elapsedSeconds}%.2f"}</td>" +
         s"<td>${e.rowcount.map(_.toString).getOrElse("---")}</td></tr>"
     }.mkString("\n")
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>graft ETL monitor</title>
        |<meta http-equiv="refresh" content="5"></head>
        |<body><h1>graft ETL monitor</h1>
-       |<p>run <code>${Monitor.jsonEscape(runId)}</code> &middot;
+       |<p>run <code>${htmlEscape(runId)}</code> &middot;
        |${latestEvents.count(_.event == "start")} running &middot;
        |see <a href="/api/events">/api/events</a>,
        |<a href="/api/summary">/api/summary</a></p>

@@ -785,7 +785,11 @@ object TextOps {
     * count is also the build's task count — and 1 for appends). */
   private val PostingFileTargetBytes = 64L << 20
   private[graft] def postingRanges(docs: DataFrame, minFiles: Int): Int = {
+    // sizeInBytes is BigInt (join estimates can exceed Long range) —
+    // clamp BEFORE narrowing, or a huge estimate wraps negative and
+    // collapses the file count to the minimum
     val inBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue))
     val n = (inBytes / PostingFileTargetBytes).toLong + 1
     math.max(minFiles, math.min(1 << 14, n).toInt)
   }
@@ -896,7 +900,7 @@ object TextOps {
   def retrievalTopkStoredEntry(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val key = System.identityHashCode(spark) + "|" + sfDir
-    val base = retrievalStoreBuilt.computeIfAbsent(key, { _ =>
+    def build(): String = {
       // corpus-distinct table names: two corpora served from one
       // session must not share an index
       val suffix = java.security.MessageDigest.getInstance("MD5")
@@ -910,7 +914,16 @@ object TextOps {
       buildRetrievalIndex(wh, docs.filter($"doc_id" < 300), b)
       appendRetrievalBatch(wh, docs.filter($"doc_id" >= 300), b, "b1")
       b
-    })
+    }
+    var base = retrievalStoreBuilt.computeIfAbsent(key, _ => build())
+    // identityHashCode can be REUSED by a later SparkSession in the
+    // same JVM (and the temp warehouse may have been cleaned): if the
+    // memoized index is not visible in THIS session's catalog, drop
+    // the entry and build fresh instead of failing on a ghost table
+    if (!spark.catalog.tableExists(s"${base}_tf")) {
+      retrievalStoreBuilt.remove(key)
+      base = retrievalStoreBuilt.computeIfAbsent(key, _ => build())
+    }
     retrievalTopkStored(spark, base, RetrievalQueries)
   }
 

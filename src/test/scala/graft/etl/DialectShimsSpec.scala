@@ -448,6 +448,23 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "1995-07-15", "'W' truncates to day 1/8/15/22/29 of the month")
     assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-07 00:00:00', 'W') AS STRING)")
       == "1995-07-01")
+    // ALL Oracle day-of-week formats ('DAY', 'DY', 'D') are week-start;
+    // the actual day formats are 'DDD'/'DD'/'J'
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-19 12:30:00', 'DAY') AS STRING)")
+      == "1995-07-16", "'DAY' is a WEEK format in Oracle, not day truncation")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-19 12:30:00', 'DY') AS STRING)")
+      == "1995-07-16")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1995-07-19 12:30:00', 'DDD') AS STRING)")
+      == "1995-07-19")
+    // 'IW' is the ISO (Monday-start) week; 'WW' chunks the year from
+    // Jan 1 in 7-day steps (1996-01-01 is a Monday, so the two differ
+    // from the Sunday-based 'D' on 1996 dates)
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1996-07-19 12:30:00', 'IW') AS STRING)")
+      == "1996-07-15")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1996-07-19 12:30:00', 'WW') AS STRING)")
+      == "1996-07-15")
+    assert(evalStr("CAST(TRUNC(TIMESTAMP '1996-07-19 12:30:00', 'D') AS STRING)")
+      == "1996-07-14")
     // numeric TRUNC (non-literal second arg) is not touched
     val kept = DialectShims.rewriteRedshiftSql("SELECT TRUNC(x, 2) FROM t")
     assert(kept.contains("TRUNC(x, 2)"))
@@ -531,8 +548,8 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT JSON_ARRAY_LENGTH(j), JSON_ARRAY_LENGTH(j, true), " +
         "IS_VALID_JSON(j), IS_VALID_JSON_ARRAY(j), CAN_JSON_PARSE(j), " +
         "JSON_PARSE(j), JSON_SERIALIZE(j) FROM t")
-    assert(r.contains("size(from_json(j, 'array<string>'))"), r)
-    assert(r.contains("(get_json_object(j, '$') IS NOT NULL)"), r)
+    assert(r.contains("array_size(from_json(j, 'array<string>'))"), r)
+    assert(r.contains("get_json_object(j, '$') IS NOT NULL)"), r)
     assert(r.contains("(from_json(j, 'array<string>') IS NOT NULL)"), r)
     assert(!r.toUpperCase.contains("JSON_PARSE") &&
       !r.toUpperCase.contains("JSON_SERIALIZE"), r)
@@ -540,10 +557,11 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = spark.sql(DialectShims.rewriteRedshiftSql(
       "SELECT JSON_ARRAY_LENGTH('[1,2,3]') AS n, " +
         "IS_VALID_JSON('{\"a\":1}') AS v1, IS_VALID_JSON('{oops') AS v2, " +
-        "IS_VALID_JSON_ARRAY('[1]') AS a1, IS_VALID_JSON_ARRAY('{}') AS a2"))
+        "IS_VALID_JSON_ARRAY('[1]') AS a1, IS_VALID_JSON_ARRAY('{}') AS a2, " +
+        "IS_VALID_JSON('null') AS v3"))   // the json literal null IS valid
       .collect().head
     assert(rows.getInt(0) == 3 && rows.getBoolean(1) && !rows.getBoolean(2)
-      && rows.getBoolean(3) && !rows.getBoolean(4), rows)
+      && rows.getBoolean(3) && !rows.getBoolean(4) && rows.getBoolean(5), rows)
   }
 
   test("PartiQL comma iteration: FROM s, s.path AS e [AT i] — Redshift's native spelling") {
@@ -570,6 +588,28 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r4 = DialectShims.rewriteRedshiftSql(
       "SELECT * FROM src s, other.tbl t WHERE s.id = t.id")
     assert(r4.contains("FROM src s, other.tbl t"), r4)
+    // THREE-part comma-listed catalog names and INSERT INTO targets
+    // are relation positions, not paths
+    val r4b = DialectShims.rewriteRedshiftSql(
+      "SELECT * FROM sch.t1 a, db.sch2.t2 b WHERE a.x = b.y")
+    assert(r4b.contains("FROM sch.t1 a, db.sch2.t2 b"), r4b)
+    val r4c = DialectShims.rewriteRedshiftSql(
+      "INSERT INTO db.sch.t SELECT e.payload.user.name FROM events e")
+    assert(r4c.contains("INTO db.sch.t") &&
+      r4c.contains("get_json_object(e.payload, '$.user.name')"), r4c)
+    // UNNEST without an alias fails loudly instead of swallowing the
+    // next keyword as the alias
+    val noAlias = intercept[IllegalArgumentException] {
+      DialectShims.rewriteRedshiftSql(
+        "SELECT 1 FROM t, UNNEST(e.arr) WHERE x = 1")
+    }
+    assert(noAlias.getMessage.contains("requires an alias"), noAlias)
+    // an element alias that collides with a path SEGMENT does not
+    // corrupt already-rewritten json path literals
+    val r5 = DialectShims.rewriteRedshiftSql(
+      "SELECT e.doc.items.qty AS q, items FROM events e, " +
+        "UNNEST(e.doc.items) AS items")
+    assert(r5.contains("get_json_object(e.doc, '$.items.qty')"), r5)
     // end-to-end through Spark, object elements + ordinal filter
     spark.sql("SELECT 7 AS id, " +
       "'{\"lines\":[{\"p\":\"a\",\"n\":1},{\"p\":\"b\",\"n\":2}," +

@@ -621,8 +621,32 @@ object DialectShims {
       case Seq(x) => Some(s"($x)")
       case _ => None
     }
-    rewriteCalls(s5, "json_serialize") {
+    val s6 = rewriteCalls(s5, "json_serialize") {
       case Seq(x) => Some(s"($x)")
+      case _ => None
+    }
+    // the SUPER array helpers migrating queries lean on:
+    //   SPLIT_TO_ARRAY(s, d) builds a SUPER array → json text here
+    //   (\Q..\E-quote the delimiter — Spark's split takes a REGEX,
+    //   Redshift's a literal);
+    //   GET_ARRAY_LENGTH is JSON_ARRAY_LENGTH's SUPER twin;
+    //   SUBARRAY(a, start, len) slices 0-based (Spark slice is
+    //   1-based)
+    val s7 = rewriteCalls(s6, "split_to_array") {
+      case Seq(s, d) =>
+        Some(s"to_json(split($s, concat('\\\\Q', $d, '\\\\E')))")
+      case Seq(s) =>   // Redshift's default delimiter is the comma
+        Some(s"to_json(split($s, ','))")
+      case _ => None
+    }
+    val s8 = rewriteCalls(s7, "get_array_length") {
+      case Seq(j) => Some(s"array_size(from_json($j, 'array<string>'))")
+      case _ => None
+    }
+    rewriteCalls(s8, "subarray") {
+      case Seq(j, start, len) =>
+        Some(s"to_json(slice(from_json($j, 'array<string>'), " +
+          s"($start) + 1, $len))")
       case _ => None
     }
   }

@@ -562,6 +562,21 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(rows.getInt(0) == 3 && rows.getBoolean(1) && !rows.getBoolean(2)
       && rows.getBoolean(3) && !rows.getBoolean(4) && rows.getBoolean(5), rows)
+    // SUPER array helpers: SPLIT_TO_ARRAY (regex-meta delimiter must
+    // stay literal), GET_ARRAY_LENGTH, 0-based SUBARRAY — and the
+    // split result feeds UNNEST like any SUPER array
+    val arr = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT GET_ARRAY_LENGTH(SPLIT_TO_ARRAY('a|b|c', '|')) AS n, " +
+        "SUBARRAY(SPLIT_TO_ARRAY('a|b|c', '|'), 1, 2) AS tail1, " +
+        "GET_ARRAY_LENGTH(SPLIT_TO_ARRAY('x,y')) AS n2"))
+      .collect().head
+    assert(arr.getInt(0) == 3 && arr.getString(1) == """["b","c"]""" &&
+      arr.getInt(2) == 2, arr)
+    val split = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT t AS tok FROM (SELECT 'p.q.r' AS s) x, " +
+        "UNNEST(SPLIT_TO_ARRAY(x.s, '.')) AS t ORDER BY tok"))
+      .collect().map(_.getString(0)).toSeq
+    assert(split == Seq("p", "q", "r"), split)
   }
 
   test("PartiQL comma iteration: FROM s, s.path AS e [AT i] — Redshift's native spelling") {

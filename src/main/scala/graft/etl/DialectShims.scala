@@ -561,8 +561,11 @@ object DialectShims {
           case _ => None
         }
         if (keys.exists(_.isEmpty)) None
+        // maskLit, NOT a raw literal: a 3+-key path like '$.a.b.c'
+        // contains a dotted run the later SUPER path pass would
+        // match INSIDE the literal and corrupt
         else Some(s"get_json_object(${args.head}, " +
-          s"'$$${keys.flatten.map("." + _).mkString}')")
+          maskLit(saved, s"$$${keys.flatten.map("." + _).mkString}") + ")")
       }
     }
     val step2 = rewriteCalls(step, "json_extract_array_element_text") { raw =>
@@ -838,7 +841,13 @@ object DialectShims {
     * (day 1, 8, 15, 22, or 29 of its month). Both previously aliased
     * to day/week truncation, silently wrong for any Oracle-trained
     * query. Numeric TRUNC (second argument not a string literal) is
-    * left untouched. */
+    * left untouched.
+    *
+    * Known limitation: the week-start/chunk branches reference the
+    * argument expression twice (no single-reference SQL form exists
+    * for them) — fine for columns (codegen subexpression elimination
+    * dedups), but a NON-DETERMINISTIC argument could disagree with
+    * itself between the two references. */
   private def rewriteTruncDatepart(sql: String, saved: scala.collection.mutable.ArrayBuffer[String]): String =
     rewriteCalls(sql, "trunc") {
       case Seq(e, MaskedLiteral(idx)) =>
@@ -1171,7 +1180,8 @@ object DialectShims {
     "\\b([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)((?:\\.[A-Za-z_]\\w*|\\[\\d+\\])+)")
 
   private[etl] def rewriteSuperPaths(sql: String,
-                                     unnestAliases: Set[String]): String = {
+                                     unnestAliases: Set[String],
+                                     saved: scala.collection.mutable.ArrayBuffer[String]): String = {
     val m = SuperPathRe.matcher(sql)
     val out = new java.lang.StringBuilder
     var last = 0
@@ -1209,7 +1219,7 @@ object DialectShims {
           if (unnestAliases(head)) (head, "." + m.group(2) + m.group(3))
           else (head + "." + m.group(2), m.group(3))
         out.append(sql, last, m.start)
-        out.append(s"get_json_object($base, '$$$path')")
+        out.append(s"get_json_object($base, ${maskLit(saved, s"$$$path")})")
         last = m.end
       }
     }
@@ -1261,7 +1271,7 @@ object DialectShims {
       }
       i += 1
     }
-    if (opens.nonEmpty) scopeStart = opens.last
+    if (opens.nonEmpty) scopeStart = opens.top   // INNERMOST open paren
     val scope = stripBalancedParens(before.substring(scopeStart))
     val kw = java.util.regex.Pattern.compile(
       "(?i)\\b(FROM|SELECT|WHERE|HAVING|GROUP|ORDER|JOIN|ON)\\b").matcher(scope)
@@ -1270,7 +1280,8 @@ object DialectShims {
     lastKw
   }
 
-  private[etl] def rewritePartiqlIteration(sql: String): (String, Set[String]) = {
+  private[etl] def rewritePartiqlIteration(sql: String,
+                                           saved: scala.collection.mutable.ArrayBuffer[String]): (String, Set[String]) = {
     val m = PartiqlIterRe.matcher(sql)
     val out = new java.lang.StringBuilder
     var last = 0
@@ -1297,7 +1308,7 @@ object DialectShims {
         val path = comps.substring(colM.end)
         val arrayText =
           if (path.isEmpty) base
-          else s"get_json_object($base, '$$$path')"
+          else s"get_json_object($base, ${maskLit(saved, s"$$$path")})"
         val elem = m.group(3)
         val lateral = Option(m.group(4)) match {
           case Some(ord) =>
@@ -1375,10 +1386,10 @@ object DialectShims {
     // SUPER/PartiQL last: UNNEST and comma-iteration introduce
     // element aliases whose field refs the path pass then rewrites
     val (step14, unnestAliases) = rewriteUnnest(step13)
-    val (step15, iterAliases) = rewritePartiqlIteration(step14)
+    val (step15, iterAliases) = rewritePartiqlIteration(step14, arr)
     val elemAliases = unnestAliases ++ iterAliases
     val rewritten = rewriteUnnestFieldRefs(
-      rewriteSuperPaths(step15, elemAliases), elemAliases)
+      rewriteSuperPaths(step15, elemAliases, arr), elemAliases)
     unmask(rewritten, arr.toIndexedSeq)
   }
 }

@@ -96,7 +96,17 @@ object FuzzyJoin {
     if (sample.isEmpty) None
     else if (sample.length <= HotCollectCap)
       Some(broadcast(sample.toSeq.toDF("vh", "df")))
-    else Some(hot)
+    else
+      // overflow fallback must be an EXACT census: the returned frame
+      // is consumed TWICE (light anti-join + heavy join) and each
+      // consumer re-executes it — a sampled plan is nondeterministic
+      // across recomputes, so borderline buckets could be classified
+      // hot by one tier and light by the other, breaking the
+      // exactly-once emission rule (dropped or duplicated pairs). An
+      // exact groupBy recomputes identically no matter the
+      // partitioning.
+      Some(variants.groupBy($"vh").agg(count(lit(1)).as("df"))
+        .filter($"df" > cap))
   }
 
   /** Exact bounded Levenshtein (Ukkonen band, early abandon): the
@@ -289,10 +299,6 @@ object FuzzyJoin {
       .select($"a.id".as("id1"), $"b.id".as("id2"), $"dist")
   }
 
-  private[graft] def probeHeavy(variants: DataFrame, hotDf: DataFrame,
-                                k: Int, t: Tuning): DataFrame =
-    heavyPairs(variants, hotDf, k, t)
-
   /** Heavy tier: within-bucket grouped pairwise, chunk-bounded. */
   private def heavyPairs(variants: DataFrame, hotDf: DataFrame,
                          k: Int, t: Tuning): DataFrame = {
@@ -466,6 +472,13 @@ object FuzzyJoin {
     * is in place, and expect a short Spark job at build time. */
   private[graft] def pairsWithin1(names: DataFrame,
                                   t: Tuning = Tuning.default): DataFrame =
+    // PRECONDITION: (id, name) rows are unique. The canonical-bucket
+    // rule dedups across BUCKETS, not across input copies, so a
+    // repeated input row multiplies its pairs once per copy
+    // combination (the same key contract a SQL self-join has). An
+    // enforcing dropDuplicates was measured at +20-40% on the
+    // flagship entries (an extra full exchange of the corpus
+    // projection) — dedup upstream if the source can repeat.
     guardedSelfPairs(variantFrame(names, 1), 1, t)
 
   /** Edit-distance ≤ 2 pairs over any (id, name) frame, via the
@@ -482,6 +495,7 @@ object FuzzyJoin {
                                   t: Tuning = Tuning.default): DataFrame = {
     val spark = names.sparkSession
     import spark.implicits._
+    // same unique-(id, name) PRECONDITION as pairsWithin1
     val bounded = names.filter(length($"name") <= maxLen)
     guardedSelfPairs(variantFrame(bounded, 2), 2, t)
   }

@@ -785,10 +785,16 @@ object TextOps {
     * count is also the build's task count — and 1 for appends). */
   private val PostingFileTargetBytes = 64L << 20
   private[graft] def postingRanges(docs: DataFrame, minFiles: Int): Int = {
-    // sizeInBytes is BigInt (join estimates can exceed Long range) —
-    // clamp BEFORE narrowing, or a huge estimate wraps negative and
-    // collapses the file count to the minimum
-    val inBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    // sum the LEAF relation sizes, not the whole-plan estimate: a
+    // join's size-only estimate is multiplicative (100 MB x 100 MB
+    // would "justify" the 16384-file cap for megabytes of actual
+    // text), while postings volume is bounded by the INPUT text the
+    // leaves hold. BigInt (estimates can exceed Long) clamped BEFORE
+    // narrowing, or a huge value wraps negative and collapses the
+    // count to the minimum. Unknown-size leaves (JDBC without stats
+    // report defaultSizeInBytes) still overshoot — ANALYZE first.
+    val inBytes = docs.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
       .min(BigInt(Long.MaxValue))
     val n = (inBytes / PostingFileTargetBytes).toLong + 1
     math.max(minFiles, math.min(1 << 14, n).toInt)

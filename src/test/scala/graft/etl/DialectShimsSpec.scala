@@ -625,6 +625,28 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT e.doc.items.qty AS q, items FROM events e, " +
         "UNNEST(e.doc.items) AS items")
     assert(r5.contains("get_json_object(e.doc, '$.items.qty')"), r5)
+    // a 3+-key JSON_EXTRACT_PATH_TEXT path contains a dotted run the
+    // SUPER path pass must NOT re-match inside the inserted literal
+    val r6 = DialectShims.rewriteRedshiftSql(
+      "SELECT JSON_EXTRACT_PATH_TEXT(payload, 'a', 'b', 'c') FROM t")
+    assert(r6.contains("get_json_object(payload, '$.a.b.c')"), r6)
+    val deep = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT JSON_EXTRACT_PATH_TEXT('{\"a\":{\"b\":{\"c\":7}}}', " +
+        "'a', 'b', 'c') AS v")).collect().head.getString(0)
+    assert(deep == "7", deep)
+    // iteration over a path nested 3+ levels below the column: the
+    // inserted '$.a.b.lines' literal (a 3-component dotted run) must
+    // survive the path pass too
+    val r7 = DialectShims.rewriteRedshiftSql(
+      "SELECT ln FROM src s, s.doc.a.b.lines AS ln")
+    assert(r7.contains("get_json_object(s.doc, '$.a.b.lines')"), r7)
+    // clause detection uses the INNERMOST paren scope: a path as a
+    // function argument inside a JOIN of an enclosing subquery is an
+    // expression position, not a relation position
+    val r8 = DialectShims.rewriteRedshiftSql(
+      "SELECT 1 FROM t WHERE x IN " +
+        "(SELECT a FROM u JOIN fn(e.payload.a.b) f ON a = f.z)")
+    assert(r8.contains("get_json_object(e.payload, '$.a.b')"), r8)
     // end-to-end through Spark, object elements + ordinal filter
     spark.sql("SELECT 7 AS id, " +
       "'{\"lines\":[{\"p\":\"a\",\"n\":1},{\"p\":\"b\",\"n\":2}," +

@@ -149,10 +149,30 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       p +: (p.children ++ extra).flatMap(walk)
     }
     val nodes = walk(frame.queryExecution.executedPlan).distinct
-    // no aggregation in the plan: the pre-canonical design paid a
-    // candidate-volume distinct (a multi-million-row shuffle at sf0.1)
-    assert(!nodes.exists(_.nodeName.contains("Aggregate")),
-      s"plan must need no dedup stage: ${nodes.map(_.nodeName).distinct}")
+    // no aggregation ABOVE the bucket join: the pre-canonical design
+    // paid a candidate-volume distinct there (a multi-million-row
+    // shuffle at sf0.1). The INPUT-side dedup of (id, name) below the
+    // join is allowed — it enforces the duplicate-free contract over
+    // a frame 20x smaller than the candidates.
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case _ => p.children
+    }
+    def aboveJoin(p: SparkPlan): Seq[SparkPlan] =
+      if (p.nodeName.contains("Join")) Seq(p)
+      else p +: kids(p).flatMap(aboveJoin)
+    val above = walk(frame.queryExecution.executedPlan).flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        aboveJoin(a.executedPlan)
+      case _ => Nil
+    }.distinct
+    assert(above.exists(_.nodeName.contains("Join")),
+      s"expected the bucket join in ${above.map(_.nodeName).distinct}")
+    assert(!above.exists(_.nodeName.contains("Aggregate")),
+      s"no dedup stage above the join: ${above.map(_.nodeName).distinct}")
     // the candidate volume streams through the bucket join INSIDE one
     // codegen stage; the only shuffled rows are the VARIANT frames
     // feeding the join — never candidates. shuffleRecordsWritten is
@@ -306,6 +326,24 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       (20L, 20L, "zenith ltd", 2L), (21L, 20L, "zenith ltd", 2L),
       (30L, 30L, "solo gmbh", 1L), (31L, 31L, "unrelated plc", 1L)),
       s"got ${out.mkString(", ")}")
+  }
+
+  test("unique-input precondition: upstream dedup restores exactly-once on dirty input") {
+    // pairsWithin* documents a unique-(id, name) PRECONDITION (an
+    // enforcing dropDuplicates cost 20-40% on the flagship bench
+    // entries — an extra corpus-wide exchange). This pins the
+    // documented remedy: dedup upstream, get duplicate-free pairs.
+    val s = spark
+    import s.implicits._
+    val dirty = Seq(
+      (1L, "martha stewart"), (1L, "martha stewart"),  // exact dupe x2
+      (2L, "marta stewart"), (2L, "marta stewart"), (2L, "marta stewart"),
+      (3L, "unrelated name")).toDF("id", "name")
+    val clean = dirty.dropDuplicates(Seq("id", "name"))
+    assert(FuzzyJoin.pairsWithin2(clean).collect().length == 1)
+    assert(FuzzyJoin.pairsWithin1(clean).collect().length == 1)
+    // and the dirty input demonstrably NEEDS the upstream dedup
+    assert(FuzzyJoin.pairsWithin2(dirty).collect().length > 1)
   }
 
   test("construction cost is bounded: pairsWithin2 runs only the census job(s)") {

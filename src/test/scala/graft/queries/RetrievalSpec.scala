@@ -119,5 +119,15 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val big = spark.range(200L * 1000 * 1000).toDF("doc_id")
     val n = TextOps.postingRanges(big, minFiles = 4)
     assert(n >= 20 && n <= 30, s"expected ~25 files for ~1.6 GB, got $n")
+    // JOIN-derived docs: the whole-plan size estimate is
+    // multiplicative (~GB x ~GB), but postings volume is bounded by
+    // the INPUT text — the count must come from the LEAF sizes' sum,
+    // not shatter into the 16384-file cap
+    val l = spark.range(100L * 1000 * 1000).toDF("doc_id")
+    val r = spark.range(100L * 1000 * 1000).toDF("doc_id")
+    val joined = l.join(r, "doc_id")
+    val nj = TextOps.postingRanges(joined, minFiles = 4)
+    assert(nj >= 20 && nj <= 40,
+      s"join-derived docs must size from leaf sums (~1.6 GB), got $nj")
   }
 }

@@ -304,4 +304,33 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       got == want
     }, minSuccessful = 8)
   }
+
+  // ------------------------------------------------------ bounded_lev
+  /** Naive code-point Levenshtein — the kernel's spec. */
+  private def naiveLev(a: String, b: String): Int = {
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val d = Array.tabulate(ca.length + 1, cb.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to ca.length; j <- 1 to cb.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (ca(i - 1) == cb(j - 1)) 0 else 1))
+    d(ca.length)(cb.length)
+  }
+
+  test("property: bounded_lev equals the naive code-point DP, -1 past the bound") {
+    // small alphabet + shared non-BMP chars so random pairs land
+    // close often (the interesting regime for the band + the
+    // prefix/suffix strip); surrogate-pair chars pin the code-point
+    // (not char) contract the kernel claims
+    val alpha = Gen.oneOf("a", "b", "c", "é", "中", "🙂", "𝄞")
+    val strGen = Gen.choose(0, 14)
+      .flatMap(n => Gen.listOfN(n, alpha)).map(_.mkString)
+    checkProp(Prop.forAll(strGen, strGen, Gen.choose(0, 4)) { (a, b, k) =>
+      val want = { val d = naiveLev(a, b); if (d <= k) d else -1 }
+      val sym = graft.queries.FuzzyJoin.boundedLev(b, a, k)
+      graft.queries.FuzzyJoin.boundedLev(a, b, k) == want && sym == want
+    }, minSuccessful = 400)
+  }
 }

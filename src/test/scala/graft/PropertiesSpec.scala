@@ -333,4 +333,44 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.queries.FuzzyJoin.boundedLev(a, b, k) == want && sym == want
     }, minSuccessful = 400)
   }
+
+  test("property: FastSS completeness — ed<=k pairs share a variant; minShared is the set minimum") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.queries.VariantHashes
+    // random string + up to k random code-point edits: the deletion
+    // neighborhoods MUST intersect (the theorem the whole fuzzy join's
+    // exactness stands on), and the canonical bucket (minShared) must
+    // be the true minimum of the intersection, symmetric in its args
+    val alpha = Gen.oneOf("a", "b", "c", "d", "é", "🙂")
+    val strGen = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, alpha)).map(_.mkString)
+    def edit(s: List[String], rnd: (Int, Int, String)): List[String] = {
+      val (op, posSeed, ch) = rnd
+      if (s.isEmpty) List(ch)
+      else {
+        val pos = math.abs(posSeed) % s.length
+        op % 3 match {
+          case 0 => s.patch(pos, Nil, 1)              // delete
+          case 1 => s.patch(pos, List(ch), 1)          // substitute
+          case _ => s.patch(pos, List(ch), 0)          // insert
+        }
+      }
+    }
+    val editGen = Gen.zip(Gen.choose(0, 2), Gen.choose(0, 1 << 20), alpha)
+    checkProp(Prop.forAll(strGen, Gen.choose(1, 2),
+      Gen.listOfN(2, editGen)) { (a, k, edits) =>
+      val start: List[String] = a.codePoints().toArray.toList
+        .map(cpv => new String(Character.toChars(cpv)))
+      val b = edits.take(k).foldLeft(start)((s, r) => edit(s, r)).mkString
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val ha = VariantHashes.hashArray(ua, k)
+      val hb = VariantHashes.hashArray(ub, k)
+      val inter = ha.toSet.intersect(hb.toSet)
+      val ms = VariantHashes.minSharedOf(ha, hb)
+      // ed(a, b) <= k by construction => neighborhoods intersect
+      inter.nonEmpty && ms == inter.min &&
+        VariantHashes.minSharedOf(hb, ha) == ms
+    }, minSuccessful = 400)
+  }
 }

@@ -378,5 +378,18 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       "(expected only the bounded census); something new is eager")
     // and the returned frame still answers (the census fed a real plan)
     assert(df.limit(1).count() >= 0)
+    // the d1 form takes the same census path — same bound
+    spark.sparkContext.setJobGroup("fj_construct1", "census-only check")
+    FuzzyJoin.pairsWithin1(names)
+    spark.sparkContext.clearJobGroup()
+    var n1 = jobsIn("fj_construct1")
+    stable = 0
+    val deadline1 = System.currentTimeMillis + 10000
+    while (System.currentTimeMillis < deadline1 && stable < 5) {
+      Thread.sleep(100)
+      val m = jobsIn("fj_construct1")
+      if (m == n1) stable += 1 else { n1 = m; stable = 0 }
+    }
+    assert(n1 >= 1 && n1 <= 3, s"pairsWithin1 construction ran $n1 jobs")
   }
 }

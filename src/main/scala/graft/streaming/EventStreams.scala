@@ -67,7 +67,15 @@ object EventStreams {
               val micros = e.ts.getTime * 1000L
               cur match {
                 case Some(s) if micros - s.lastMicros <= SessionGapMicros =>
-                  cur = Some(s.copy(lastMicros = micros, nEvents = s.nEvents + 1))
+                  // min/max: a within-watermark event OLDER than the
+                  // stored last must not move the session end
+                  // backwards (negative duration, premature timeout);
+                  // it EXTENDS the start instead — the same merge the
+                  // native session_window twin performs
+                  cur = Some(s.copy(
+                    startMicros = math.min(s.startMicros, micros),
+                    lastMicros = math.max(s.lastMicros, micros),
+                    nEvents = s.nEvents + 1))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.nEvents,
                     (s.lastMicros - s.startMicros) / 1000000L)
@@ -96,15 +104,21 @@ object EventStreams {
     * `last event + gap`, so duration = end − start − gap. Same
     * output contract as [[sessionize]] — the spec pins them equal. */
   def sessionizeNative(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit, session_window, unix_timestamp}
+    import org.apache.spark.sql.functions.{col, count, lit, session_window, unix_micros}
     val gapSec = SessionGapMicros / 1000000L
     events
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"),
-        (unix_timestamp(col("session_window.end"))
-          - unix_timestamp(col("session_window.start")) - gapSec)
+        // micros, not per-endpoint unix_timestamp: truncating each
+        // endpoint to whole seconds diverges from sessionize's
+        // floor-of-the-difference on sub-second timestamps. The gap
+        // is a whole-second multiple, so the floor passes through:
+        // floor((last-start+gap)/1s) - gap == floor((last-start)/1s)
+        ((unix_micros(col("session_window.end"))
+          - unix_micros(col("session_window.start"))) / lit(1000000L)
+          - gapSec).cast("long")
           .as("duration_s"))
   }
 
@@ -138,9 +152,13 @@ object EventStreams {
           val out = scala.collection.mutable.Buffer[AsofOut]()
           var last = state.getOption
           sorted.foreach { e =>
-            if (e.event_type == "click")
-              last = Some(LastClick(e.event_id, e.ts.getTime))
-            else if (e.event_type == "purchase")
+            if (e.event_type == "click") {
+              // only advance: a late-arriving OLDER click (in a later
+              // micro-batch, within the watermark) must not overwrite
+              // the newer stored click
+              if (last.forall(_.clickMillis <= e.ts.getTime))
+                last = Some(LastClick(e.event_id, e.ts.getTime))
+            } else if (e.event_type == "purchase")
               out += AsofOut(e.event_id, userId, e.ts,
                 last.map(_.clickId),
                 last.map(l => new Timestamp(l.clickMillis)))
@@ -276,21 +294,6 @@ object EventStreams {
       .filter(col("n_eval_hits") < minOverlap)
   }
 
-  /** Streaming heavy hitters — the streaming twin of
-    * `text_heavy_hitters`: a bounded Misra–Gries summary of the
-    * WHOLE stream maintained as a warehouse table. Each micro-batch
-    * computes its own distributed MG summary (per-partition pass +
-    * driver merge — ≤ k counters however large the batch), then
-    * folds it into the stored state with the MERGEABLE-summaries
-    * merge, whose error bound (≤ n_total/(k+1), superset guarantee
-    * for every token above that rate) holds across ANY merge tree —
-    * so the state never rescans history and never exceeds k rows.
-    * State lives as a versioned warehouse table (atomic pointer-swap
-    * writes), carrying `n_total` and the last applied `batch_id`:
-    * foreachBatch is at-least-once, and a REPLAYED batch id is
-    * skipped, keeping the fold exactly-once. The batch operator's
-    * exact second pass remains the authority; this is the standing
-    * candidate set a pipeline consults between full runs. */
   /** Streaming ingest that keeps the [[graft.etl.FileSkipIndex]]
     * CURRENT: each micro-batch lands in the data table via the
     * batch-id-tagged idempotent append, then the index refresh scans
@@ -307,6 +310,11 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the empty-seed discipline every maintainer here follows:
+        // batch 0 against a missing table must seed schema-only, then
+        // flow through the batch-tagged append like every other batch
+        if (!batch.sparkSession.catalog.tableExists(table.quoted))
+          wh.writeTable(table, batch.limit(0))
         wh.appendToTableIdempotent(table, batch, s"skipidx-batch-$id")
         graft.etl.FileSkipIndex.refresh(wh, table, cols)
         ()
@@ -410,6 +418,23 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming heavy hitters — the streaming twin of
+    * `text_heavy_hitters`: a bounded Misra–Gries summary of the
+    * WHOLE stream maintained as a warehouse table. Each micro-batch
+    * computes its own distributed MG summary (per-partition pass +
+    * driver merge — ≤ k counters however large the batch), then
+    * folds it into the stored state with the MERGEABLE-summaries
+    * merge, whose error bound (≤ n_total/(k+1), superset guarantee
+    * for every token above that rate) holds across ANY merge tree —
+    * so the state never rescans history and never exceeds k rows.
+    * State lives as a versioned warehouse table (atomic pointer-swap
+    * writes), carrying `n_total` and the last applied `batch_id`:
+    * foreachBatch is at-least-once, and a REPLAYED batch id is
+    * skipped, keeping the fold exactly-once. The batch operator's
+    * exact second pass remains the authority; this is the standing
+    * candidate set a pipeline consults between full runs. Readers of
+    * the state table filter `token IS NOT NULL` (a null-token row is
+    * the metadata sentinel an all-cancel merge leaves behind). */
   def heavyHittersStream(wh: graft.etl.Warehouse,
                          state: graft.etl.TableName,
                          docs: DataFrame,
@@ -438,20 +463,37 @@ object EventStreams {
     val (prevN, prevSum, prevId) =
       if (!spark.catalog.tableExists(state.quoted)) (0L, Map.empty[String, Long], -1L)
       else {
+        // foreachBatch runs in a CLONED session with its own relation
+        // cache: refresh, or from the third micro-batch on this read
+        // serves the location cached in batch 1 and silently drops
+        // batch 1's fold (the same staleness class as the r15/r16
+        // erIndexAppend bug)
+        spark.catalog.refreshTable(state.quoted)
         val rows = spark.table(state.quoted)
           .select($"token", $"cnt", $"n_total", $"batch_id").collect()
         if (rows.isEmpty) (0L, Map.empty[String, Long], -1L)
         else (rows.head.getLong(2),
-          rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+          // null-token row = the metadata sentinel (see below)
+          rows.filter(!_.isNullAt(0))
+            .map(r => r.getString(0) -> r.getLong(1)).toMap,
           rows.head.getLong(3))
       }
     if (id <= prevId) false
     else {
       val (bn, bsum) = TextOps.mgSummarize(TextOps.hhTokens(batch), k)
       val merged = TextOps.mgMerge(prevSum, bsum, k)
-      wh.writeTable(state, merged.toSeq
-        .map { case (t, c) => (t, c, prevN + bn, id) }
-        .toDF("token", "cnt", "n_total", "batch_id"))
+      // an ALL-CANCEL merge (k+1 distinct singletons) leaves zero
+      // counters; n_total and batch_id must survive it or the error
+      // bound's denominator resets and a replay double-applies —
+      // a null-token sentinel row carries the metadata (readers of
+      // the state table filter token IS NOT NULL)
+      val dataRows = merged.toSeq.map { case (t, c) => (t, c, prevN + bn, id) }
+      val outRows =
+        if (dataRows.nonEmpty) dataRows
+        else Seq((null.asInstanceOf[String], 0L, prevN + bn, id))
+      wh.writeTable(state, outRows.toDF("token", "cnt", "n_total", "batch_id"))
+      // fresh view for the emit read in the SAME cloned session
+      spark.catalog.refreshTable(state.quoted)
       true
     }
   }
@@ -518,6 +560,11 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the dimension is a batch-lifecycle artifact; a loud contract
+        // beats refreshTable's obscure NoSuchTableException on batch 0
+        require(batch.sparkSession.catalog.tableExists(dim.quoted),
+          s"scd2Stream requires dimension '${dim.identifier}' to exist " +
+            "- build it with the batch SCD2 lifecycle first")
         // foreachBatch runs in a CLONED session with its own relation
         // cache — refresh so this batch sees the location the previous
         // batch re-pointed to, not a stale cached file index

@@ -219,11 +219,45 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     input.addData((2L, doc(Seq.fill(15)("alpha") ++ Seq("x3"): _*)))
     q.processAllAvailable()
+    // batch 2: a THIRD batch through the same cloned session — the
+    // relation cache primed in batch 1 must not serve batch 2 a stale
+    // pre-batch-1 state (n_total would read 22+11=33 instead of 49)
+    input.addData((3L, doc(Seq.fill(10)("alpha") ++ Seq("x4"): _*)))
+    q.processAllAvailable()
     q.stop()
     val st2 = spark.table(state2.quoted)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(st2.head._3 == 38L)
+    assert(st2.head._3 == 49L,
+      s"third batch must fold against batch 1's state, not a stale cache: $st2")
     assert(st2.exists(_._1 == "alpha"), s"alpha must survive: $st2")
+  }
+
+  test("heavyHittersStream: an all-cancel merge keeps n_total and batch_id (sentinel row)") {
+    val s = spark
+    import s.implicits._
+    val whDir = java.nio.file.Files.createTempDirectory("graft_hhs_wh_").toString
+    val wh = new graft.etl.Warehouse(spark, whDir, "/root/testdata/sf0.001")
+    val state = graft.etl.TableName.parse("hh.state_sentinel")
+    val k = 3
+    // k+1 distinct singletons: every MG counter cancels, the summary
+    // is EMPTY — n_total and the applied batch id must survive via
+    // the null-token sentinel or the error bound's denominator resets
+    // and a replay double-applies
+    val b0 = Seq((1L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    assert(EventStreams.applyHeavyHitterBatch(wh, state, b0, 0L, k))
+    val rows0 = spark.table(state.quoted).collect()
+    assert(rows0.length == 1 && rows0.head.isNullAt(0) &&
+      rows0.head.getLong(2) == 4L, rows0.mkString(", "))
+    // replay of batch 0 is still a no-op
+    assert(!EventStreams.applyHeavyHitterBatch(wh, state, b0, 0L, k))
+    // the next batch folds against the surviving n_total
+    val b1 = Seq((2L, "alpha alpha alpha alpha alpha")).toDF("doc_id", "text")
+    assert(EventStreams.applyHeavyHitterBatch(wh, state, b1, 1L, k))
+    val st = spark.table(state.quoted).collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(st.exists(_._1 == "alpha"), st.toString)
+    assert(st.head._3 == 9L, s"n_total must accumulate through the sentinel: $st")
   }
 
   test("skipIndexStream: appended batches become prunable; index never lies") {
@@ -653,6 +687,32 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(EventStreams.SessionOut(1L, 1L, 0L)))
   }
 
+  test("sessionize: a late within-watermark event never moves the session end backward") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionize(input.toDS).writeStream
+      .format("memory").queryName("sessions_late_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(EventStreams.Ev(1L, 1L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // batch 2: a LATE event 10 min older, within the 1-hour watermark —
+    // it joins the session by EXTENDING its start (the native
+    // session_window merge), never by pulling the end back to 11:50
+    // (negative duration, premature timeout)
+    input.addData(EventStreams.Ev(1L, 2L, ts("2024-01-01 11:50:00")))
+    q.processAllAvailable()
+    // close by pushing the watermark past 12:00 + gap
+    input.addData(EventStreams.Ev(2L, 9L, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_late_out")
+      .as[EventStreams.SessionOut].collect().toSet
+    q.stop()
+    assert(rows.contains(EventStreams.SessionOut(1L, 2L, 600L)),
+      s"late event extends the session start, never the end backward: $rows")
+  }
+
   test("sessionizeNative (session_window) matches the custom-state sessionizer") {
     val s = spark
     import s.implicits._
@@ -700,6 +760,12 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch 2: user 1 purchases again — the click STATE carries over
     input.addData(cp(1L, 14L, "2024-01-01 11:00:00", "purchase"))
     q.processAllAvailable()
+    // batch 3: a LATE click OLDER than the stored one arrives within
+    // the watermark — it must NOT overwrite the newer stored click
+    input.addData(
+      cp(1L, 15L, "2024-01-01 10:08:00", "click"),   // older than 12@10:10
+      cp(1L, 16L, "2024-01-01 11:30:00", "purchase"))
+    q.processAllAvailable()
     val rows = spark.table("asof_out").as[EventStreams.AsofOut]
       .collect().map(r => r.purchase_id -> r.last_click_id).toMap
     q.stop()
@@ -707,6 +773,8 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(13L).contains(12L))
     assert(rows(20L).isEmpty)          // no prior click -> None
     assert(rows(14L).contains(12L))    // state survived the batch boundary
+    assert(rows(16L).contains(12L),    // late OLDER click didn't regress it
+      s"late older click must not overwrite the newer stored click: $rows")
   }
 
   test("availableNowRefresh drains a directory once and applies each batch") {

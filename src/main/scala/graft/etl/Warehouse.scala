@@ -129,8 +129,13 @@ final class Warehouse(
       val base = if (ct.kind == "unique")
         df.filter(ct.columns.map(col(_).isNotNull).reduce(_ && _))
       else df
-      val dups = base.groupBy(keyCols: _*).count()
-        .filter(col("count") > 1).limit(5).collect()
+      // aliased aggregate, not .count(): a constraint column literally
+      // named "count" would make filter(col("count")) ambiguous and
+      // fail every build of that relation regardless of data
+      val dups = base.groupBy(keyCols: _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__dup_count"))
+        .filter(col("__dup_count") > 1).limit(5).collect()
       if (dups.nonEmpty)
         throw new FailedConstraintError(
           s"relation '${design.name.identifier}' violates ${ct.kind} " +
@@ -267,13 +272,26 @@ final class Warehouse(
     val distKeys = design.flatMap(_.distribution).getOrElse(Seq.empty)
     if (distKeys.nonEmpty) {
       ensureDatabase(target.schema)
+      // the bucketed path must DROP before saveAsTable; if the write
+      // then fails (executor OOM, source error) the relation would be
+      // gone from the catalog while its old data and pointer are
+      // intact — re-register the previous build (as an unbucketed
+      // external table: data readable, bucket metadata re-established
+      // by the next successful build) before rethrowing
+      val prevLoc = locationOf(target).orElse(readPointer(target))
       spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
-      val w0 = df.write.mode("overwrite").format("parquet")
-        .option("path", loc)
-        .bucketBy(BucketCount, distKeys.head, distKeys.tail: _*)
-      val sorted = design.map(_.sortKeys).filter(_.nonEmpty)
-        .map(sk => w0.sortBy(sk.head, sk.tail: _*)).getOrElse(w0)
-      sorted.saveAsTable(target.quoted)
+      try {
+        val w0 = df.write.mode("overwrite").format("parquet")
+          .option("path", loc)
+          .bucketBy(BucketCount, distKeys.head, distKeys.tail: _*)
+        val sorted = design.map(_.sortKeys).filter(_.nonEmpty)
+          .map(sk => w0.sortBy(sk.head, sk.tail: _*)).getOrElse(w0)
+        sorted.saveAsTable(target.quoted)
+      } catch {
+        case e: Throwable =>
+          prevLoc.foreach(p => registerAt(target, p, design))
+          throw e
+      }
       writePointer(target, loc)
     } else {
       val partCols = design.map(_.partitionBy).getOrElse(Seq.empty)
@@ -491,11 +509,23 @@ final class Warehouse(
     // in Hive's default-partition directory, and values with chars
     // Hive escapes in dir names (':', ' ', '/', '%'…) get the same
     // %-escaping the dynamic-partition writer applies
+    // format values the way the WRITER's cast-to-string does:
+    // java.sql.Timestamp.toString always carries a fraction
+    // ("…00:00:00.0") while the partition directory is named from the
+    // cast value ("…00:00:00") — String.valueOf alone would make every
+    // timestamp-partitioned expect-scope (and compactPartitions, which
+    // round-trips specs from disk) refuse a correctly scoped batch
+    def specValue(v: Any): String = v match {
+      case t: java.sql.Timestamp =>
+        val s = t.toString
+        if (s.endsWith(".0")) s.dropRight(2) else s
+      case other => String.valueOf(other)
+    }
     val touched = df.select(partCols.map(col): _*).distinct().collect()
       .map(r => partCols.indices.map { i =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString(partCols(i),
-            Option(r.get(i)).map(String.valueOf(_)).orNull)
+            Option(r.get(i)).map(specValue).orNull)
       }.mkString("/"))
       .toSeq.sorted
     require(touched.nonEmpty, "backfill batch is empty")
@@ -543,6 +573,16 @@ final class Warehouse(
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     require(meta.partitionColumnNames.nonEmpty,
       s"'${target.identifier}' is not partitioned — use compactTable")
+    // a PARTIAL spec on a multi-column-partitioned table would count
+    // 0 direct files (only subdirectories live there) and be silently
+    // reported as already compact — refuse it loudly instead
+    specs.foreach { s =>
+      val depth = s.count(_ == '/') + 1
+      require(depth == meta.partitionColumnNames.length,
+        s"spec '$s' names $depth of ${meta.partitionColumnNames.length} " +
+          s"partition columns (${meta.partitionColumnNames.mkString("/")}) " +
+          "— compactPartitions takes full specs only")
+    }
     val root = new org.apache.hadoop.fs.Path(meta.location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def fileCount(spec: String): Int = {
@@ -644,7 +684,22 @@ final class Warehouse(
   private def requireAppendShape(target: TableName, df: DataFrame): Unit = {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name.toLowerCase, f.dataType)).sortBy(_._1).toSeq
-    val want = shape(spark.table(target.quoted).schema)
+    // pointer-only table (fresh JVM: the in-memory catalog has no
+    // entry but the pointers manifest resolves a live location — the
+    // documented re-run-cron / restarted-stream case): take the
+    // schema from the data itself, or every cross-JVM append dies
+    // here before appendLocation's pointer fallback can run
+    val tableSchema =
+      try spark.table(target.quoted).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.read.parquet(
+            locationOf(target).orElse(readPointer(target)).getOrElse(
+              throw new IllegalStateException(
+                s"no live location for '${target.identifier}' — build " +
+                  "it with writeTable first"))).schema
+      }
+    val want = shape(tableSchema)
     val got = shape(df.schema)
     require(got == want,
       s"append schema drift for ${target.identifier}: table has " +
@@ -687,18 +742,34 @@ final class Warehouse(
     }
     val staging = new org.apache.hadoop.fs.Path(hp, s"_staging_$tag")
     df.write.mode("overwrite").parquet(staging.toString)
-    // clear any partial earlier attempt, then move the staged files in
-    fs.globStatus(new org.apache.hadoop.fs.Path(hp, s"batch-$tag-*"))
+    // clear any partial earlier attempt, then move the staged files
+    // in. ANCHORED match, not a glob: `batch-$tag-*` would also match
+    // files of any other tag that EXTENDS this tag with a dash
+    // ("batch-b1-*" matches tag b1-2's "batch-b1-2-0.parquet") and
+    // delete committed data whose own marker still stands — permanent
+    // silent loss. Only this tag's index-suffixed files may die.
+    val ownFile = java.util.regex.Pattern.compile(
+      "^batch-" + java.util.regex.Pattern.quote(tag) + "-\\d+(\\..*)?$")
+    fs.listStatus(hp).iterator
+      .filter(f => ownFile.matcher(f.getPath.getName).matches())
       .foreach(f => fs.delete(f.getPath, false))
     fs.listStatus(staging).iterator
       .filter(_.getPath.getName.startsWith("part-"))
       .zipWithIndex.foreach { case (f, i) =>
         val ext = f.getPath.getName.dropWhile(_ != '.')
-        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(hp, s"batch-$tag-$i$ext"))
+        val dest = new org.apache.hadoop.fs.Path(hp, s"batch-$tag-$i$ext")
+        // Hadoop rename signals failure by RETURNING FALSE, not
+        // throwing; ignoring it would delete the staged copy below,
+        // stamp the marker, and lose the rows with every replay
+        // no-opping on the marker
+        require(fs.rename(f.getPath, dest),
+          s"append '$batchTag' to ${target.identifier}: rename " +
+            s"${f.getPath} -> $dest failed; batch NOT marked applied")
       }
     fs.delete(staging, true)
     fs.create(marker).close()
-    spark.catalog.refreshTable(target.quoted)
+    if (spark.catalog.tableExists(target.quoted))
+      spark.catalog.refreshTable(target.quoted)
     true
   }
 
@@ -1143,18 +1214,29 @@ final class Warehouse(
   /** Pinned locations for one table across ALL tags, plus whether any
     * pin file is torn (vacuum refuses the relation in that case — an
     * unknown pinned location could be any build dir). */
-  private def snapshotPins(name: TableName): (Set[String], Boolean) = {
+  /** Every tag's pins in ONE sweep, keyed by `schema.table` — vacuum
+    * consults pins for every relation, and a per-relation probe of
+    * every tag directory is O(#relations x #tags) filesystem round
+    * trips (expensive on object stores) for a pin set that is static
+    * across the pass. Dot-prefixed dirs (createSnapshot's `.tmp_<tag>`
+    * staging, same filter listSnapshots applies) are skipped: a torn
+    * TEMP pin from a crashed createSnapshot must not refuse the
+    * relation forever while listSnapshots shows nothing to drop. */
+  private def allSnapshotPins(): Map[String, (Set[String], Boolean)] = {
     val root = snapshotsRoot
     val fs = pointerFs(root)
-    if (!fs.exists(root)) (Set.empty, false)
+    if (!fs.exists(root)) Map.empty
     else {
-      val states = fs.listStatus(root).filter(_.isDirectory).toSeq
-        .map(d => new org.apache.hadoop.fs.Path(
-          d.getPath, s"${name.schema}.${name.table}"))
-        .filter(fs.exists)
-        .map(pointerStateAt)
-      (states.collect { case PointerLive(l) => l }.toSet,
-        states.contains(PointerUnresolvable))
+      val states = for {
+        d <- fs.listStatus(root).toSeq
+        if d.isDirectory && !d.getPath.getName.startsWith(".")
+        f <- fs.listStatus(d.getPath).toSeq
+        if f.isFile
+      } yield f.getPath.getName -> pointerStateAt(f.getPath)
+      states.groupBy(_._1).map { case (n, ss) =>
+        n -> ((ss.map(_._2).collect { case PointerLive(l) => l }.toSet,
+          ss.map(_._2).contains(PointerUnresolvable)))
+      }
     }
   }
 
@@ -1662,6 +1744,8 @@ final class Warehouse(
       Seq(SchemaPosition.Standard, SchemaPosition.Staging, SchemaPosition.Backup)
     val deleted = mutable.Buffer[String]()
     val refused = mutable.Buffer[String]()
+    // one snapshot-tree sweep for the whole pass (see allSnapshotPins)
+    val pinsByName = allSnapshotPins()
     relations.filterNot(_.isView).foreach { rel =>
       // Live = session catalog ∪ the persisted pointers manifest: a
       // standalone `Cli vacuum` runs with an EMPTY in-memory catalog,
@@ -1674,7 +1758,8 @@ final class Warehouse(
       // frozen training corpus. A torn pin file refuses the relation
       // exactly like a torn lifecycle pointer — the unknown pinned
       // location could be any build dir about to be deleted.
-      val (pins, pinTorn) = snapshotPins(rel.name)
+      val (pins, pinTorn) = pinsByName.getOrElse(
+        s"${rel.name.schema}.${rel.name.table}", (Set.empty[String], false))
       val live: Set[String] = posNames.flatMap(n => locationOf(n).toSeq)
         .++(states.collect { case PointerLive(loc) => loc })
         .++(pins)

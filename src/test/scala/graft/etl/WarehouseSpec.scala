@@ -1519,6 +1519,45 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay over a legacy marker must stamp the new-scheme marker")
   }
 
+  test("appendToTableIdempotent: a tag that PREFIXES another must not eat its files") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("dedup.prefix_tags")
+    wh.writeTable(t, Seq((1L, "a")).toDF("id", "v"))
+    // apply the LONGER tag first: its files are named batch-b1-2-*,
+    // which a glob for tag "b1" (batch-b1-*) would also match — the
+    // cleanup of b1's partial attempts must not delete b1-2's
+    // committed data (whose own marker stands, so the loss would be
+    // permanent and silent)
+    assert(wh.appendToTableIdempotent(t, Seq((2L, "b")).toDF("id", "v"), "b1-2"))
+    assert(wh.appendToTableIdempotent(t, Seq((3L, "c")).toDF("id", "v"), "b1"))
+    assert(spark.table(t.quoted).orderBy("id").as[(Long, String)].collect().toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "applying tag 'b1' must not delete tag 'b1-2's committed files")
+    // and the replay contract still holds for both
+    assert(!wh.appendToTableIdempotent(t, Seq((2L, "b")).toDF("id", "v"), "b1-2"))
+    assert(!wh.appendToTableIdempotent(t, Seq((3L, "c")).toDF("id", "v"), "b1"))
+    assert(spark.table(t.quoted).count() == 3)
+  }
+
+  test("appendToTableIdempotent works from the pointers manifest alone (fresh-JVM case)") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    val t = TableName.parse("dedup.pointer_only")
+    wh.writeTable(t, Seq((1L, "a")).toDF("id", "v"))
+    // simulate a fresh JVM: the in-memory catalog entry is gone, the
+    // pointers manifest still resolves the live location — the
+    // documented re-run-cron / restarted-stream case
+    spark.sql(s"DROP TABLE ${t.quoted}")
+    assert(wh.appendToTableIdempotent(t, Seq((2L, "b")).toDF("id", "v"), "cron-d1"),
+      "append must work via the pointer fallback without a catalog entry")
+    // the data landed at the pointed location
+    val loc = wh.readPointer(t).get
+    assert(spark.read.parquet(loc).count() == 2)
+  }
+
   test("copyWithMaxError quarantines malformed rows; exceeding the budget aborts cleanly") {
     val wh = freshWarehouse()
     val design = TableDesign.load(

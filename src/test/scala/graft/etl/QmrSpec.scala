@@ -149,8 +149,15 @@ class QmrSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Qmr.estimatedScanRows(selective).exists(_ < 100L),
         s"post-filter estimate expected, got " +
           s"${Qmr.estimatedScanRows(selective)}")
+      // cap 3000 separates the two regimes this test pins: the OLD
+      // raw-leaf gate summed 5000 rows and refused pre-launch; the
+      // post-filter gate estimates ~1 and launches. It must also sit
+      // ABOVE the ~2500 rows the scan actually reads (parquet prunes
+      // the other row group, then filters in-engine) — a tighter cap
+      // races the RUNTIME scan-metrics monitor against query
+      // completion and flakes under full-suite load.
       val sel = Qmr.guarded(selective,
-        Seq(Qmr.Rule("pre_cap", maxScanRows = Some(100L))))(_.count())
+        Seq(Qmr.Rule("pre_cap", maxScanRows = Some(3000L))))(_.count())
       assert(sel == 1L)
       // tables WITHOUT stats don't participate — no false refusal
       val noStats = spark.read.parquet(s"$dataDir/t.parquet")

@@ -1135,9 +1135,14 @@ object DialectShims {
     *
     * Contract of the syntax-only rewrite (no catalog is consulted):
     * a dotted reference with ≥ 3 components — or ≥ 2 plus a `[n]`
-    * index — is a PartiQL path whose first two components are the
-    * relation alias and column, EXCEPT directly after FROM/JOIN
-    * (where `db.schema.table` keeps its catalog meaning). Paths
+    * index — is a PartiQL path ONLY when its head is a relation
+    * alias (or single-part relation name, or UNNEST/iteration
+    * element alias) bound by a FROM/JOIN item of the statement —
+    * the same scope rule Redshift uses to tell `s.doc.lines` from a
+    * three-part catalog name. A fully-qualified column reference
+    * whose head is a SCHEMA (`SELECT sch.t.col FROM sch.t`) binds no
+    * single-part alias, so it stays a qualified reference; relation
+    * positions (after FROM/JOIN) are excluded outright. Paths
     * yield STRINGS (scalar json values unquoted, nested values as
     * their json text — both Redshift's `::text` behavior and
     * Spark's `get_json_object`); numeric use casts explicitly, as
@@ -1179,9 +1184,58 @@ object DialectShims {
   private val SuperPathRe = java.util.regex.Pattern.compile(
     "\\b([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)((?:\\.[A-Za-z_]\\w*|\\[\\d+\\])+)")
 
+  /** Single-part relation aliases and names bound by FROM/JOIN items
+    * anywhere in the (masked) statement — the scope a PartiQL path
+    * head must resolve in. Multi-part names (`FROM sch.t`) bind no
+    * single-part head, which is exactly what keeps a fully-qualified
+    * `sch.t.col` column reference out of the path rewrite. */
+  private def fromBoundAliases(sql: String): Set[String] = {
+    val acc = scala.collection.mutable.Set.empty[String]
+    // the alias capture must REJECT keywords via lookahead, not
+    // post-filter: a greedy `(\w+)` would consume the FROM in
+    // `SELECT a, b FROM t x` as b's "alias" and the real FROM item
+    // would never match at all
+    val notKw = "(?!(?i:" + (ReservedAfterAlias ++ Set(
+      "FROM", "SELECT", "SET", "VALUES", "BY", "AND", "OR", "NOT",
+      "CASE", "WHEN", "THEN", "ELSE", "END")).mkString("|") + ")\\b)"
+    val item = java.util.regex.Pattern.compile(
+      "(?i)(\\bFROM|\\bJOIN|,)\\s+" + notKw + "([A-Za-z_][\\w.]*)" +
+        "(?:\\s+(?:AS\\s+)?" + notKw + "([A-Za-z_]\\w*))?").matcher(sql)
+    while (item.find()) {
+      // comma-anchored matches are FROM items only inside a FROM/JOIN
+      // clause — a SELECT-list comma binds nothing
+      val inFrom = item.group(1) != "," ||
+        (clauseBefore(sql, item.start) match {
+          case "FROM" | "JOIN" => true
+          case _ => false
+        })
+      if (inFrom) Option(item.group(3)) match {
+        case Some(a) => acc += a
+        case None if !item.group(2).contains('.') => acc += item.group(2)
+        case None => ()
+      }
+    }
+    // derived tables: `FROM ( ... ) [AS] x`
+    val derived = java.util.regex.Pattern.compile(
+      "\\)\\s*(?:(?i:AS)\\s+)?([A-Za-z_]\\w*)").matcher(sql)
+    while (derived.find()) {
+      val a = derived.group(1)
+      // position just past the ')': the subquery parens are balanced
+      // there, so clauseBefore reports the OUTER clause (a SELECT-list
+      // scalar subquery's alias is not a relation alias)
+      if (!ReservedAfterAlias(a.toUpperCase) &&
+          (clauseBefore(sql, derived.start + 1) match {
+            case "FROM" | "JOIN" => true
+            case _ => false
+          })) acc += a
+    }
+    acc.toSet
+  }
+
   private[etl] def rewriteSuperPaths(sql: String,
                                      unnestAliases: Set[String],
                                      saved: scala.collection.mutable.ArrayBuffer[String]): String = {
+    val bound = fromBoundAliases(sql) ++ unnestAliases
     val m = SuperPathRe.matcher(sql)
     val out = new java.lang.StringBuilder
     var last = 0
@@ -1213,8 +1267,8 @@ object DialectShims {
           case "FROM" | "JOIN" => true
           case _ => false
         })
-      if (!followedByParen && !relationPosition) {
-        val head = m.group(1)
+      val head = m.group(1)
+      if (!followedByParen && !relationPosition && bound(head)) {
         val (base, path) =
           if (unnestAliases(head)) (head, "." + m.group(2) + m.group(3))
           else (head + "." + m.group(2), m.group(3))

@@ -28,9 +28,18 @@ import java.nio.charset.StandardCharsets
   * reference's daemonized `http.server`). Pass `port = 0` for an
   * ephemeral port (tests); the reference's fixed default is 8086.
   * The server reads the monitor's live buffer on every request — no
-  * copy of the event stream, no queue to drain. */
+  * copy of the event stream, no queue to drain.
+  *
+  * Binds LOOPBACK only by default: the endpoints carry relation
+  * names, step states, and row counts with no authentication, and
+  * the documented access story (browser on the driver host, or an
+  * ssh port-forward from a laptop) needs nothing more. An operator
+  * who really wants a LAN-visible dashboard opts in with an explicit
+  * `bindAddress` — a wildcard default would silently expose the
+  * run's metadata to any peer that can reach the driver. */
 final class MonitorServer(monitor: Monitor, runId: String,
-                          requestedPort: Int = 8086) {
+                          requestedPort: Int = 8086,
+                          bindAddress: String = "127.0.0.1") {
 
   private var server: com.sun.net.httpserver.HttpServer = _
 
@@ -41,7 +50,8 @@ final class MonitorServer(monitor: Monitor, runId: String,
   def start(): MonitorServer = synchronized {
     require(server == null, "monitor server already started")
     server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress(requestedPort), 0)
+      new java.net.InetSocketAddress(
+        java.net.InetAddress.getByName(bindAddress), requestedPort), 0)
     server.createContext("/", handler)
     server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor(
       r => {

@@ -164,8 +164,13 @@ object FuzzyJoin {
   private val levScratch: ThreadLocal[Array[Array[Int]]] =
     ThreadLocal.withInitial(() => Array.ofDim[Int](2, LevScratchLen))
 
-  private def boundedLevImpl(n: Int, m: Int, k: Int,
+  private def boundedLevImpl(n: Int, m: Int, k0: Int,
                              eq: (Int, Int) => Boolean): Int = {
+    // the distance never exceeds max(n, m), so any larger bound is
+    // equivalent — and clamping keeps `inf = k + 1` / `i + k` from
+    // overflowing when a SQL caller passes bounded_lev(a, b, 2^31-1)
+    // (unclamped, inf wrapped negative and the DP returned garbage)
+    val k = math.min(k0, math.max(n, m))
     if (math.abs(n - m) > k) return -1
     if (n == 0 || m == 0) return math.max(n, m) // post-strip: gap ≤ k
     val inf = k + 1
@@ -218,26 +223,32 @@ object FuzzyJoin {
     * — but unlike the shingle cutoff this one never changes the
     * answer, only the execution tier:
     *
-    *  - buckets with df ≤ [[Tuning.maxVariantDf]] take the candidate
-    *    equi-join, which now carries only (vh, id, len) — 20 bytes —
-    *    through the distinct; names are re-joined afterwards for the
-    *    exact `levenshtein(…, k)` rescore, so the big shuffle never
-    *    ships strings;
+    *  - buckets with df ≤ [[Tuning.maxSelfVariantDf]] take the bucket
+    *    equi-join ([[lightPairs]]): candidates are generated and
+    *    rescored IN-STREAM inside one codegen span — never
+    *    materialized, no dedup shuffle — and a surviving pair is
+    *    emitted only from its CANONICAL bucket
+    *    ([[MinSharedVariantHash]] of the two names);
     *  - hotter buckets (zero-padded keys, shared prefixes — the shape
     *    that fans a variant equi-join out quadratically: 31.7M
     *    candidate rows from 15k zero-padded names at d≤2) skip the
     *    join entirely. Their members are grouped per bucket and paired
     *    LOCALLY with [[boundedLev]] — the same Θ(Σ df²) comparison
     *    count, but as per-task CPU with early abandon instead of a
-    *    df²-row shuffle, and only SURVIVING pairs (a sparse set) reach
-    *    the final distinct. Buckets beyond [[Tuning.variantChunk]]
-    *    members are triangle-partitioned into chunk-pair tasks
-    *    ((i,j) chunk pairs, each ≤ 2·chunk members) so a mega-bucket
-    *    at 100× density becomes many bounded tasks, not a straggler.
+    *    df²-row shuffle, under the same canonical-bucket emission
+    *    rule restricted to hot canonicals. Buckets beyond
+    *    [[Tuning.variantChunk]] members are triangle-partitioned into
+    *    chunk-pair tasks ((i,j) chunk pairs, each ≤ 2·chunk members)
+    *    so a mega-bucket at 100× density becomes many bounded tasks,
+    *    not a straggler.
     *
     * Both tiers are exact, so completeness stays verified by the
-    * O(n²) oracle, and a pair sharing both a light and a hot bucket
-    * collapses in the final distinct (dist is deterministic). */
+    * O(n²) oracle. A pair sharing both light and hot buckets is
+    * emitted exactly once ACROSS tiers too: its canonical (min
+    * shared) bucket is either light or hot, and only the tier owning
+    * that bucket emits — which is why the union below carries no
+    * distinct, and why the tiers' inputs must never contain
+    * duplicate (vh, id) rows (the PRECONDITION on [[pairsWithin1]]). */
   private def guardedSelfPairs(variants: DataFrame,
                                k: Int, t: Tuning): DataFrame = {
     val spark = variants.sparkSession

@@ -150,24 +150,28 @@ object VariantHashes {
     * the memo each evaluation re-runs two O(L²) kernels (several
     * short-lived array allocations plus a sort each), which at tens
     * of millions of candidates is pure GC churn (measured: the d2
-    * self-join went 6 s → 30 s when the filter ran uncached). 16384
-    * entries ≈ 24 MB per task thread: the hash-join probe stream
-    * interleaves buckets, so a bucket-sized cache thrashes on the
-    * build side — sizing to hold a partition's full name working set
-    * turns the common case into a pure merge walk. On corpora whose
-    * per-partition name set exceeds the cache, cost degrades
+    * self-join went 6 s → 30 s when the filter ran uncached). The
+    * cache is bounded by BYTES, not entry count: a k=2 neighborhood
+    * is ~L²/2 fingerprints, so one 128-char name retains ~66 KB —
+    * an entry-count bound that is safe for short names OOMs an
+    * executor on an address/title corpus (16384 × 66 KB × threads is
+    * multi-GB of retained ThreadLocal state). 24 MB per task thread
+    * holds ~16k short names or ~370 max-length ones; the hash-join
+    * probe stream interleaves buckets, so on corpora whose
+    * per-partition working set exceeds the budget, cost degrades
     * gracefully to one O(L²) kernel per surviving candidate. Keyed
     * by String COPY, never by UTF8String — codegen reuses the
     * backing buffers row to row. */
-  private val FpCacheEntries = 16384
-  private val fpCache: ThreadLocal[java.util.LinkedHashMap[String, Array[Long]]] =
-    ThreadLocal.withInitial(() =>
-      new java.util.LinkedHashMap[String, Array[Long]](
-        FpCacheEntries, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
-          size() > FpCacheEntries
-      })
+  private val FpCacheBudgetBytes = 24L << 20
+  private final class FpCache
+    extends java.util.LinkedHashMap[String, Array[Long]](1024, 0.75f, true) {
+    var bytes: Long = 0L
+  }
+  // 2 bytes/char + 8 bytes/long + object headers/entry overhead
+  private def entryCost(key: String, a: Array[Long]): Long =
+    64L + key.length * 2L + a.length * 8L
+  private val fpCache: ThreadLocal[FpCache] =
+    ThreadLocal.withInitial(() => new FpCache)
 
   private def cachedHashArray(s: UTF8String, k: Int): Array[Long] = {
     // k is part of the key (k=1 and k=2 neighborhoods differ)
@@ -177,6 +181,16 @@ object VariantHashes {
     if (a == null) {
       a = hashArray(s, k)
       m.put(key, a)
+      m.bytes += entryCost(key, a)
+      if (m.bytes > FpCacheBudgetBytes) {
+        // access-order iteration starts at the least recently used
+        val it = m.entrySet().iterator()
+        while (m.bytes > FpCacheBudgetBytes && it.hasNext) {
+          val e = it.next()
+          m.bytes -= entryCost(e.getKey, e.getValue)
+          it.remove()
+        }
+      }
     }
     a
   }

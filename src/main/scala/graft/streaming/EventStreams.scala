@@ -37,6 +37,14 @@ object EventStreams {
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
   final case class SessionState(
       startMicros: Long, lastMicros: Long, nEvents: Long)
+  /** Open sessions per user, disjoint and sorted by start. More than
+    * one can be open at once: an out-of-order event more than a gap
+    * OLDER than every open session opens its own earlier window —
+    * exactly the state the native `session_window` operator keeps
+    * (a set of merged windows per key). Bounded: open windows are
+    * pairwise more than a gap apart inside the watermark horizon, so
+    * |open| ≤ horizon/gap + 1 (3 at the 1 h / 30 min defaults). */
+  final case class SessionsState(open: List[SessionState])
   final case class SessionOut(
       user_id: Long, n_events: Long, duration_s: Long)
 
@@ -44,53 +52,68 @@ object EventStreams {
 
   /** Gap-based sessionization: a session closes when its user is
     * silent for 30 minutes past the watermark (EventTimeTimeout).
-    * State per user is three longs — at 100 TB the state store holds
-    * |active users| entries, not events. */
+    * State per user is a handful of open windows (see
+    * [[SessionsState]]) — at 100 TB the state store holds
+    * |active users| entries, not events.
+    *
+    * Merge rule — the NATIVE `session_window` semantics, which the
+    * spec pins [[sessionizeNative]] equal to: an event's window is
+    * `[ts, ts + gap)`; windows that overlap merge. So a late
+    * within-watermark event merges into an open session iff
+    * `session.start − gap ≤ ts ≤ session.last + gap` (extending
+    * whichever end it falls past), and an event more than a gap
+    * older than every open start BEGINS A SEPARATE EARLIER SESSION —
+    * folding it into the newer session (as a naive `ts − last ≤ gap`
+    * check would, the difference being negative) would inflate its
+    * duration and diverge from the native twin. One event can also
+    * BRIDGE two open sessions into one; the merge pass below handles
+    * that by normalizing the sorted window list. */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val gapMillis = SessionGapMicros / 1000L
+    def close(s: SessionState, userId: Long): SessionOut =
+      SessionOut(userId, s.nEvents,
+        (s.lastMicros - s.startMicros) / 1000000L)
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, s.nEvents,
-              (s.lastMicros - s.startMicros) / 1000000L))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val micros = e.ts.getTime * 1000L
-              cur match {
-                case Some(s) if micros - s.lastMicros <= SessionGapMicros =>
-                  // min/max: a within-watermark event OLDER than the
-                  // stored last must not move the session end
-                  // backwards (negative duration, premature timeout);
-                  // it EXTENDS the start instead — the same merge the
-                  // native session_window twin performs
-                  cur = Some(s.copy(
-                    startMicros = math.min(s.startMicros, micros),
-                    lastMicros = math.max(s.lastMicros, micros),
-                    nEvents = s.nEvents + 1))
-                case Some(s) =>
-                  closed ::= SessionOut(userId, s.nEvents,
-                    (s.lastMicros - s.startMicros) / 1000000L)
-                  cur = Some(SessionState(micros, micros, 1))
-                case None =>
-                  cur = Some(SessionState(micros, micros, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // close the session once the watermark passes the gap
-              state.setTimeoutTimestamp(s.lastMicros / 1000L + SessionGapMicros / 1000L)
-            }
-            closed.reverseIterator
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.open).getOrElse(Nil)
+          // fold the batch in as singleton windows, then normalize:
+          // sorted by start, neighbors whose [start, last + gap)
+          // spans touch merge (sums nEvents) — this is simultaneously
+          // the event-joins-session merge and the event-bridges-two-
+          // sessions merge
+          val singles = rows.map { e =>
+            val m = e.ts.getTime * 1000L
+            SessionState(m, m, 1L)
           }
+          val all = (prior ++ singles).sortBy(s => (s.startMicros, s.lastMicros))
+          val merged = all.foldLeft(List.empty[SessionState]) {
+            case (cur :: done, next)
+              if next.startMicros <= cur.lastMicros + SessionGapMicros =>
+              cur.copy(
+                lastMicros = math.max(cur.lastMicros, next.lastMicros),
+                nEvents = cur.nEvents + next.nEvents) :: done
+            case (acc, next) => next :: acc
+          }.reverse
+          // a session is closed once the watermark passes last + gap
+          // (the native window's end) — on timeout AND on data, so a
+          // very-late straggler window can close in the same batch it
+          // was opened
+          val (closed, open) =
+            merged.partition(s => s.lastMicros / 1000L + gapMillis <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            // earliest open window closes first; re-armed every batch
+            state.setTimeoutTimestamp(
+              open.map(_.lastMicros / 1000L + gapMillis).min)
+          }
+          closed.iterator.map(close(_, userId))
       }
   }
 
@@ -129,41 +152,62 @@ object EventStreams {
       purchase_id: Long, user_id: Long, purchase_ts: Timestamp,
       last_click_id: Option[Long], last_click_ts: Option[Timestamp])
 
+  /** Watermark-horizon click log per user, sorted ascending by
+    * (millis, id). Bounded the same way a stream-stream join's
+    * buffer is: clicks older than the watermark can only ever be an
+    * as-of match as "the latest click before the horizon", so the
+    * log keeps ONE representative below the watermark plus every
+    * click inside the horizon — O(clicks per user per watermark
+    * window), never O(stream). */
+  final case class ClickLog(clicks: List[LastClick])
+
   /** Streaming as-of enrichment — the streaming twin of
     * `q19_asof_join`: each purchase is emitted with the latest click
-    * its user made at or before it. State per user is two longs (the
-    * last click), so the state store holds |users| entries at any
-    * scale — the streaming form of the batch union-window shape,
-    * which needs no retained event history either. Rows are ordered
-    * within each micro-batch; clicks arriving later than a purchase
-    * in a subsequent batch do not retroactively re-enrich (append
-    * mode) — the batch q19 is the ground truth, this is the
-    * low-latency view. */
+    * its user made at or before it. State per user is the
+    * watermark-pruned [[ClickLog]] — a single "last click" scalar is
+    * NOT enough: with the stored last at 10:10, a later micro-batch
+    * carrying (click 10:08, purchase 10:09) must enrich the purchase
+    * with the 10:08 click; collapsing state to one click either
+    * loses 10:08 (only-advance guard → the purchase gets a FUTURE
+    * click, violating the as-of contract) or loses 10:10 (blind
+    * overwrite → a later purchase regresses). Clicks arriving in a
+    * batch AFTER a purchase was already emitted do not retroactively
+    * re-enrich (append mode) — the batch q19 is the ground truth,
+    * this is the low-latency view. */
   def asofEnrich(events: Dataset[ClickOrPurchase]): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastClick, AsofOut](
+      .flatMapGroupsWithState[ClickLog, AsofOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[ClickOrPurchase],
-         state: GroupState[LastClick]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.Buffer[AsofOut]()
-          var last = state.getOption
-          sorted.foreach { e =>
-            if (e.event_type == "click") {
-              // only advance: a late-arriving OLDER click (in a later
-              // micro-batch, within the watermark) must not overwrite
-              // the newer stored click
-              if (last.forall(_.clickMillis <= e.ts.getTime))
-                last = Some(LastClick(e.event_id, e.ts.getTime))
-            } else if (e.event_type == "purchase")
-              out += AsofOut(e.event_id, userId, e.ts,
-                last.map(_.clickId),
-                last.map(l => new Timestamp(l.clickMillis)))
+         state: GroupState[ClickLog]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val batch = rows.toSeq
+          // fold the batch's clicks in first: within one micro-batch
+          // there is no arrival order, so every purchase sees every
+          // click of its batch with click_ts <= purchase_ts — same
+          // tie rule as the batch as-of (equal timestamps match)
+          val merged = (state.getOption.map(_.clicks).getOrElse(Nil)
+            ++ batch.collect { case e if e.event_type == "click" =>
+                 LastClick(e.event_id, e.ts.getTime) })
+            .sortBy(c => (c.clickMillis, c.clickId))
+          val out = batch.collect { case e if e.event_type == "purchase" =>
+            // latest click at or before the purchase; max id on ties
+            val m = merged.foldLeft(Option.empty[LastClick]) { (acc, c) =>
+              if (c.clickMillis <= e.ts.getTime) Some(c) else acc
+            }
+            AsofOut(e.event_id, userId, e.ts,
+              m.map(_.clickId), m.map(c => new Timestamp(c.clickMillis)))
           }
-          last.foreach(state.update)
+          // prune: every click inside the watermark horizon survives;
+          // below it only the latest (any future purchase has
+          // ts >= wm, so older clicks can never be its latest-at-or-
+          // before)
+          val (recent, old) = merged.partition(_.clickMillis >= wm)
+          val kept = old.lastOption.toList ++ recent
+          if (kept.isEmpty) state.remove() else state.update(ClickLog(kept))
           out.iterator
       }
   }

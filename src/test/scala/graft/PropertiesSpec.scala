@@ -332,6 +332,12 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       val sym = graft.queries.FuzzyJoin.boundedLev(b, a, k)
       graft.queries.FuzzyJoin.boundedLev(a, b, k) == want && sym == want
     }, minSuccessful = 400)
+    // k = Int.MaxValue must behave as an unbounded levenshtein, not
+    // wrap `inf = k + 1` negative and return garbage (regression)
+    assert(graft.queries.FuzzyJoin.boundedLev("abc", "xyz", Int.MaxValue) == 3)
+    assert(graft.queries.FuzzyJoin.boundedLev("", "abcd", Int.MaxValue) == 4)
+    assert(graft.queries.FuzzyJoin.boundedLev("kitten", "sitting",
+      Int.MaxValue - 1) == 3)
   }
 
   test("property: FastSS completeness — ed<=k pairs share a variant; minShared is the set minimum") {

@@ -510,6 +510,24 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = DialectShims.rewriteRedshiftSql(
       "SELECT t.a FROM db.schema.tbl t WHERE t.a > 1")
     assert(r2.contains("FROM db.schema.tbl t") && r2.contains("t.a > 1"), r2)
+    // a fully-qualified schema.table.column reference (no single-part
+    // alias bound) is a COLUMN reference, never a json path — valid
+    // alias-free Redshift that must keep working
+    val r2b = DialectShims.rewriteRedshiftSql(
+      "SELECT sch.tbl.col FROM sch.tbl WHERE sch.tbl.flag = 'y'")
+    assert(!r2b.contains("get_json_object"), r2b)
+    // ...but the same shape with the head bound as an alias IS a path
+    val r2c = DialectShims.rewriteRedshiftSql(
+      "SELECT s.doc.title FROM src s")
+    assert(r2c.contains("get_json_object(s.doc, '$.title')"), r2c)
+    // a derived-table alias is in scope as a path head
+    val r2d = DialectShims.rewriteRedshiftSql(
+      "SELECT d.payload.kind FROM (SELECT payload FROM events) d")
+    assert(r2d.contains("get_json_object(d.payload, '$.kind')"), r2d)
+    // a SELECT-list scalar-subquery alias is NOT a relation alias
+    val r2e = DialectShims.rewriteRedshiftSql(
+      "SELECT (SELECT max(sch.x.v) FROM sch.x) peak FROM sch.tbl")
+    assert(!r2e.contains("get_json_object"), r2e)
     // bare 2-part + index is a path on the column
     val r3 = DialectShims.rewriteRedshiftSql(
       "SELECT e.tags[2] FROM events e")
@@ -640,13 +658,19 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r7 = DialectShims.rewriteRedshiftSql(
       "SELECT ln FROM src s, s.doc.a.b.lines AS ln")
     assert(r7.contains("get_json_object(s.doc, '$.a.b.lines')"), r7)
-    // clause detection uses the INNERMOST paren scope: a path as a
-    // function argument inside a JOIN of an enclosing subquery is an
-    // expression position, not a relation position
+    // clause detection uses the INNERMOST paren scope: a CORRELATED
+    // path (head bound by the outer FROM) as a function argument
+    // inside a JOIN of a subquery is an expression position, not a
+    // relation position
     val r8 = DialectShims.rewriteRedshiftSql(
-      "SELECT 1 FROM t WHERE x IN " +
+      "SELECT 1 FROM t e WHERE x IN " +
         "(SELECT a FROM u JOIN fn(e.payload.a.b) f ON a = f.z)")
     assert(r8.contains("get_json_object(e.payload, '$.a.b')"), r8)
+    // the same shape with an UNBOUND head is a catalog name, untouched
+    val r8b = DialectShims.rewriteRedshiftSql(
+      "SELECT 1 FROM t WHERE x IN " +
+        "(SELECT a FROM u JOIN fn(e.payload.a.b) f ON a = f.z)")
+    assert(!r8b.contains("get_json_object"), r8b)
     // end-to-end through Spark, object elements + ordinal filter
     spark.sql("SELECT 7 AS id, " +
       "'{\"lines\":[{\"p\":\"a\",\"n\":1},{\"p\":\"b\",\"n\":2}," +

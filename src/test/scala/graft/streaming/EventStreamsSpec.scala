@@ -713,6 +713,61 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"late event extends the session start, never the end backward: $rows")
   }
 
+  test("sessionize: an event more than a gap OLDER than the open session opens its own") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionize(input.toDS).writeStream
+      .format("memory").queryName("sessions_sep_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      EventStreams.Ev(1L, 1L, ts("2024-01-01 12:00:00")),
+      EventStreams.Ev(1L, 2L, ts("2024-01-01 12:05:00")))
+    q.processAllAvailable()
+    // a late event 45 min older than the session start — above the
+    // watermark (11:05, so the operator delivers it) but more than a
+    // gap older: its window [11:15, 11:45) does not overlap
+    // [12:00, 12:35) — the native session_window keeps them separate,
+    // so the custom state must too (folding it in because
+    // ts - last <= gap is trivially true for any older ts inflates
+    // the session to 50 minutes)
+    input.addData(EventStreams.Ev(1L, 3L, ts("2024-01-01 11:15:00")))
+    q.processAllAvailable()
+    input.addData(EventStreams.Ev(2L, 9L, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_sep_out")
+      .as[EventStreams.SessionOut].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      EventStreams.SessionOut(1L, 2L, 300L),
+      EventStreams.SessionOut(1L, 1L, 0L)), rows.toString)
+  }
+
+  test("sessionizeNative agrees on the detached-late-event fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionizeNative(input.toDS.toDF).writeStream
+      .format("memory").queryName("sessions_sep_native_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      EventStreams.Ev(1L, 1L, ts("2024-01-01 12:00:00")),
+      EventStreams.Ev(1L, 2L, ts("2024-01-01 12:05:00")))
+    q.processAllAvailable()
+    // same detached-late-event input as the custom-state fixture:
+    // 11:15 is above the 11:05 watermark but > gap older than 12:00
+    input.addData(EventStreams.Ev(1L, 3L, ts("2024-01-01 11:15:00")))
+    q.processAllAvailable()
+    input.addData(EventStreams.Ev(2L, 9L, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_sep_native_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set((1L, 2L, 300L), (1L, 1L, 0L)), rows.toString)
+  }
+
   test("sessionizeNative (session_window) matches the custom-state sessionizer") {
     val s = spark
     import s.implicits._
@@ -775,6 +830,39 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(14L).contains(12L))    // state survived the batch boundary
     assert(rows(16L).contains(12L),    // late OLDER click didn't regress it
       s"late older click must not overwrite the newer stored click: $rows")
+  }
+
+  test("asofEnrich: a purchase BEFORE the stored click matches an in-batch older click") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def cp(u: Long, id: Long, t: String, ty: String) =
+      EventStreams.ClickOrPurchase(u, id, ts(t), ty)
+    val input = MemoryStream[EventStreams.ClickOrPurchase]
+    val q = EventStreams.asofEnrich(input.toDS).writeStream
+      .format("memory").queryName("asof_back_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(cp(1L, 12L, "2024-01-01 10:10:00", "click"))
+    q.processAllAvailable()
+    // batch 2, out of order but within the watermark: a click at
+    // 10:08 and a purchase at 10:09. The as-of contract (latest
+    // click AT OR BEFORE the purchase) demands click 15@10:08 — a
+    // single-scalar "last click" state cannot answer this: an
+    // only-advance guard hands the purchase the FUTURE 10:10 click,
+    // a blind overwrite loses 10:10 for later purchases
+    input.addData(
+      cp(1L, 15L, "2024-01-01 10:08:00", "click"),
+      cp(1L, 16L, "2024-01-01 10:09:00", "purchase"))
+    q.processAllAvailable()
+    // a later purchase still sees the newest click
+    input.addData(cp(1L, 17L, "2024-01-01 11:00:00", "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("asof_back_out").as[EventStreams.AsofOut]
+      .collect().map(r => r.purchase_id -> r.last_click_id).toMap
+    q.stop()
+    assert(rows(16L).contains(15L),
+      s"purchase@10:09 must match click@10:08, never the future 10:10: $rows")
+    assert(rows(17L).contains(12L), rows.toString)
   }
 
   test("availableNowRefresh drains a directory once and applies each batch") {

@@ -167,11 +167,19 @@ object VariantHashes {
     extends java.util.LinkedHashMap[String, Array[Long]](1024, 0.75f, true) {
     var bytes: Long = 0L
   }
-  // 2 bytes/char + 8 bytes/long + object headers/entry overhead
+  // 2 bytes/char + 8 bytes/long, plus ~160 B of fixed retained heap
+  // per entry: LinkedHashMap.Entry (~48 B), the String object + its
+  // value-array header (~56 B), the long[] header (~16 B), and an
+  // amortized hash-table slot — undercounting the overhead would let
+  // a short-name corpus retain well past the stated budget
   private def entryCost(key: String, a: Array[Long]): Long =
-    64L + key.length * 2L + a.length * 8L
+    160L + key.length * 2L + a.length * 8L
   private val fpCache: ThreadLocal[FpCache] =
     ThreadLocal.withInitial(() => new FpCache)
+
+  /** Test hook: the calling thread's current cache accounting. */
+  private[graft] def fpCacheBytesForTest: Long = fpCache.get.bytes
+  private[graft] def fpCacheEntriesForTest: Int = fpCache.get.size()
 
   private def cachedHashArray(s: UTF8String, k: Int): Array[Long] = {
     // k is part of the key (k=1 and k=2 neighborhoods differ)

@@ -340,6 +340,41 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Int.MaxValue - 1) == 3)
   }
 
+  test("fingerprint cache eviction keeps the byte budget and stays correct") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.queries.VariantHashes
+    // 120-char names at k=2 retain ~58 KB each (L²/2 fingerprints), so
+    // ~700 distinct names blow the 24 MB/thread budget and force the
+    // LRU drain — the branch no small-string test ever reaches. The
+    // filler must have UNEQUAL adjacent chars: a constant run dedups
+    // its deletion neighborhood to almost nothing
+    val name = (i: Int) => f"Customer#$i%06d" +
+      (0 until 104).map(j => ('a' + (j * 7 + i) % 26).toChar).mkString
+    val budget = 24L << 20
+    var i = 0
+    while (i < 700) {
+      val u = UTF8String.fromString(name(i))
+      // identical fingerprints cached or not (self minShared = set min)
+      val first = VariantHashes.minShared(u, u, 2)
+      assert(VariantHashes.minShared(u, u, 2) == first)
+      assert(VariantHashes.fpCacheBytesForTest <= budget,
+        s"accounting must never exceed the budget at i=$i: " +
+          s"${VariantHashes.fpCacheBytesForTest}")
+      i += 1
+    }
+    // the drain actually ran: 700 × ~58 KB >> 24 MB, so the cache
+    // holds strictly fewer entries than were inserted, yet is not
+    // empty (the budget fits hundreds of max-size arrays)
+    val n = VariantHashes.fpCacheEntriesForTest
+    assert(n < 700 && n > 10, s"eviction should trim, not empty: $n")
+    // evicted entries recompute identical results
+    val u0 = UTF8String.fromString(name(0))
+    val uE = UTF8String.fromString(name(1))
+    assert(VariantHashes.minShared(u0, uE, 2) ==
+      VariantHashes.minSharedOf(
+        VariantHashes.hashArray(u0, 2), VariantHashes.hashArray(uE, 2)))
+  }
+
   test("property: FastSS completeness — ed<=k pairs share a variant; minShared is the set minimum") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.queries.VariantHashes

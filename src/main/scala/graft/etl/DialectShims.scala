@@ -587,8 +587,12 @@ object DialectShims {
     *   - `JSON_ARRAY_LENGTH(j[, flag])` → `size(from_json(j,
     *     'array<string>'))` (NULL, not an error, on bad json — the
     *     lenient form, same documented deviation as the extractors)
-    *   - `IS_VALID_JSON(j)` / `CAN_JSON_PARSE(j)` →
-    *     `get_json_object(j, '$') IS NOT NULL`
+    *   - `CAN_JSON_PARSE(j)` → `get_json_object(j, '$') IS NOT NULL`
+    *     (any valid json, arrays included)
+    *   - `IS_VALID_JSON(j)` → the same MINUS arrays: Redshift's
+    *     IS_VALID_JSON is documented false for a json ARRAY (that's
+    *     IS_VALID_JSON_ARRAY's job) — a shim equal to CAN_JSON_PARSE
+    *     would route array payloads down the wrong branch silently
     *   - `IS_VALID_JSON_ARRAY(j)` → `from_json(j, 'array<string>')
     *     IS NOT NULL`
     *   - `JSON_PARSE(x)` / `JSON_SERIALIZE(x)` → `x` */
@@ -609,7 +613,11 @@ object DialectShims {
     def validJson(j: String): String =
       s"(trim($j) = 'null' OR get_json_object($j, '$$') IS NOT NULL)"
     val s2 = rewriteCalls(s1, "is_valid_json") {
-      case Seq(j) => Some(validJson(j))
+      // false for arrays: from_json with an array schema parses ONLY
+      // arrays (objects/scalars → NULL), so its non-nullity is the
+      // array discriminator
+      case Seq(j) => Some(s"(${validJson(j)} " +
+        s"AND from_json($j, 'array<string>') IS NULL)")
       case _ => None
     }
     val s3 = rewriteCalls(s2, "can_json_parse") {
@@ -1168,15 +1176,25 @@ object DialectShims {
     }
     require(depth == 0, "UNNEST(...): unbalanced parentheses")
     val arg = sql.substring(m.end, i - 1)
+    // two spellings: `UNNEST(x) [AS] t` (t is the element) and the
+    // Trino/Athena column-alias form `UNNEST(x) [AS] t(col)` (col is
+    // the element, t names the lateral relation). Without the second
+    // branch the leftover `(col)` spliced into the output as corrupt
+    // SQL with a baffling downstream parse error.
     val aliasM = java.util.regex.Pattern
-      .compile("(?i)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)")
+      .compile("(?i)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)(\\s*\\(\\s*([A-Za-z_]\\w*(?:\\s*,[^)]*)?)\\s*\\))?")
       .matcher(sql.substring(i))
     require(aliasM.find() && !ReservedAfterAlias(aliasM.group(1).toUpperCase),
       "UNNEST(...) requires an alias (UNNEST(expr) AS x)")
-    val alias = aliasM.group(1)
+    val colList = Option(aliasM.group(3)).map(_.trim)
+    require(colList.forall(!_.contains(",")),
+      "UNNEST(expr) AS t(a, b, ...) multi-column form is not supported " +
+        "over json-varchar arrays — iterate a single element alias")
+    val alias = colList.getOrElse(aliasM.group(1))
+    val viewName = if (colList.isDefined) aliasM.group(1) else alias + "_lv"
     val replaced = sql.substring(0, m.start) +
       s" LATERAL VIEW explode(from_json($arg, 'array<string>')) " +
-      s"${alias}_lv AS $alias" + sql.substring(i + aliasM.end)
+      s"$viewName AS $alias" + sql.substring(i + aliasM.end)
     val (s2, more) = rewriteUnnest(replaced)
     (s2, more + alias)
   }
@@ -1188,7 +1206,9 @@ object DialectShims {
     * anywhere in the (masked) statement — the scope a PartiQL path
     * head must resolve in. Multi-part names (`FROM sch.t`) bind no
     * single-part head, which is exactly what keeps a fully-qualified
-    * `sch.t.col` column reference out of the path rewrite. */
+    * `sch.t.col` column reference out of the path rewrite. Returned
+    * UPPERCASED: SQL identifier resolution is case-insensitive, so
+    * `FROM src AS S` must bind the head of `s.doc.title`. */
   private def fromBoundAliases(sql: String): Set[String] = {
     val acc = scala.collection.mutable.Set.empty[String]
     // the alias capture must REJECT keywords via lookahead, not
@@ -1203,15 +1223,17 @@ object DialectShims {
         "(?:\\s+(?:AS\\s+)?" + notKw + "([A-Za-z_]\\w*))?").matcher(sql)
     while (item.find()) {
       // comma-anchored matches are FROM items only inside a FROM/JOIN
-      // clause — a SELECT-list comma binds nothing
+      // clause (ON: a comma item can directly follow a join's ON
+      // condition) — a SELECT-list comma binds nothing
       val inFrom = item.group(1) != "," ||
         (clauseBefore(sql, item.start) match {
-          case "FROM" | "JOIN" => true
+          case "FROM" | "JOIN" | "ON" => true
           case _ => false
         })
       if (inFrom) Option(item.group(3)) match {
-        case Some(a) => acc += a
-        case None if !item.group(2).contains('.') => acc += item.group(2)
+        case Some(a) => acc += a.toUpperCase
+        case None if !item.group(2).contains('.') =>
+          acc += item.group(2).toUpperCase
         case None => ()
       }
     }
@@ -1227,7 +1249,7 @@ object DialectShims {
           (clauseBefore(sql, derived.start + 1) match {
             case "FROM" | "JOIN" => true
             case _ => false
-          })) acc += a
+          })) acc += a.toUpperCase
     }
     acc.toSet
   }
@@ -1235,7 +1257,8 @@ object DialectShims {
   private[etl] def rewriteSuperPaths(sql: String,
                                      unnestAliases: Set[String],
                                      saved: scala.collection.mutable.ArrayBuffer[String]): String = {
-    val bound = fromBoundAliases(sql) ++ unnestAliases
+    val elemUpper = unnestAliases.map(_.toUpperCase)
+    val bound = fromBoundAliases(sql) ++ elemUpper
     val m = SuperPathRe.matcher(sql)
     val out = new java.lang.StringBuilder
     var last = 0
@@ -1268,9 +1291,9 @@ object DialectShims {
           case _ => false
         })
       val head = m.group(1)
-      if (!followedByParen && !relationPosition && bound(head)) {
+      if (!followedByParen && !relationPosition && bound(head.toUpperCase)) {
         val (base, path) =
-          if (unnestAliases(head)) (head, "." + m.group(2) + m.group(3))
+          if (elemUpper(head.toUpperCase)) (head, "." + m.group(2) + m.group(3))
           else (head + "." + m.group(2), m.group(3))
         out.append(sql, last, m.start)
         out.append(s"get_json_object($base, ${maskLit(saved, s"$$$path")})")
@@ -1342,10 +1365,14 @@ object DialectShims {
     var aliases = Set.empty[String]
     while (m.find()) {
       val head = m.group(1)
-      val boundEarlier = java.util.regex.Pattern.compile(
-        s"(?i)(?:\\bFROM|\\bJOIN|,)\\s+[A-Za-z_][\\w.]*\\s+(?:AS\\s+)?" +
-          java.util.regex.Pattern.quote(head) + "\\b")
-        .matcher(sql.substring(0, m.start)).find()
+      // the same scope the path pass uses: aliases AND bare
+      // single-part relation names bound BEFORE this item (`FROM
+      // events, events.doc.lines AS l` iterates over the events
+      // table's column — an alias-only rule would silently leave the
+      // raw PartiQL item for Spark to choke on). Prefix-scoped:
+      // binding must precede use in a FROM list.
+      val boundEarlier = fromBoundAliases(sql.substring(0, m.start))
+        .contains(head.toUpperCase)
       val inFrom = clauseBefore(sql, m.start) match {
         case "FROM" | "JOIN" | "ON" => true
         case _ => false
@@ -1392,14 +1419,17 @@ object DialectShims {
         // the (?<![.$]) lookbehind keeps the alias from matching
         // inside an already-rewritten json path literal ('$.items.qty'
         // when the element alias is also named items) or as the tail
-        // of a longer dotted ref
-        .compile(s"(?<![.$$])\\b${java.util.regex.Pattern.quote(a)}\\.([A-Za-z_]\\w*)\\b(?![\\w.\\[(])")
+        // of a longer dotted ref; (?i:) on the alias itself because
+        // identifier resolution is case-insensitive (`... AS Ln` then
+        // `SELECT ln.p`) — the base keeps the text AS WRITTEN at the
+        // reference so the output stays recognizable
+        .compile(s"(?<![.$$])\\b((?i:${java.util.regex.Pattern.quote(a)}))\\.([A-Za-z_]\\w*)\\b(?![\\w.\\[(])")
         .matcher(s)
         // quoteReplacement: the functional replaceAll still expands
         // $-group references in the computed string, and json paths
         // are full of literal '$'
         .replaceAll(r => java.util.regex.Matcher.quoteReplacement(
-          s"get_json_object($a, '$$.${r.group(1)}')"))
+          s"get_json_object(${r.group(1)}, '$$.${r.group(2)}')"))
     }
 
   /** Remove balanced parenthesized spans (so set-op keywords inside

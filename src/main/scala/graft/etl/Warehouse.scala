@@ -289,7 +289,14 @@ final class Warehouse(
         sorted.saveAsTable(target.quoted)
       } catch {
         case e: Throwable =>
-          prevLoc.foreach(p => registerAt(target, p, design))
+          // registerAt verifies the declared layout against the old
+          // build's files: a previous build that predates the
+          // distribution keys re-registers PLAIN (CLUSTERED BY over
+          // unbucketed files would let bucketed joins skip their
+          // required shuffle — silently wrong results), while a
+          // genuinely bucketed previous build keeps its elision
+          try prevLoc.foreach(p => registerAt(target, p, design))
+          catch { case re: Throwable => e.addSuppressed(re) }
           throw e
       }
       writePointer(target, loc)
@@ -509,23 +516,21 @@ final class Warehouse(
     // in Hive's default-partition directory, and values with chars
     // Hive escapes in dir names (':', ' ', '/', '%'…) get the same
     // %-escaping the dynamic-partition writer applies
-    // format values the way the WRITER's cast-to-string does:
-    // java.sql.Timestamp.toString always carries a fraction
-    // ("…00:00:00.0") while the partition directory is named from the
-    // cast value ("…00:00:00") — String.valueOf alone would make every
-    // timestamp-partitioned expect-scope (and compactPartitions, which
-    // round-trips specs from disk) refuse a correctly scoped batch
-    def specValue(v: Any): String = v match {
-      case t: java.sql.Timestamp =>
-        val s = t.toString
-        if (s.endsWith(".0")) s.dropRight(2) else s
-      case other => String.valueOf(other)
-    }
-    val touched = df.select(partCols.map(col): _*).distinct().collect()
+    // format values with SPARK'S OWN cast-to-string — the exact
+    // function the dynamic-partition writer names directories from —
+    // not JVM toString: java.sql.Timestamp.toString carries a ".0"
+    // fraction the directory never has, renders in the JVM default
+    // timezone instead of spark.sql.session.timeZone, and with
+    // datetime.java8API enabled the collected value is an Instant
+    // whose toString ("…T00:00:00Z") matches nothing. Casting inside
+    // the query sidesteps every collected-representation mismatch by
+    // construction.
+    val touched = df
+      .select(partCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().collect()
       .map(r => partCols.indices.map { i =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partCols(i),
-            Option(r.get(i)).map(specValue).orNull)
+          .getPartitionPathString(partCols(i), r.getString(i))
       }.mkString("/"))
       .toSeq.sorted
     require(touched.nonEmpty, "backfill batch is empty")
@@ -660,9 +665,25 @@ final class Warehouse(
       throw new IllegalStateException(
         s"'${target.identifier}' is partitioned; root-level appends would " +
           "bypass the partition directories — rebuild with writeTable instead")
-    locationOf(target).orElse(readPointer(target)).getOrElse(
+    val loc = locationOf(target).orElse(readPointer(target)).getOrElse(
       throw new IllegalStateException(
         s"no live location for '${target.identifier}' — build it with writeTable first"))
+    // pointer-only path (fresh JVM, no catalog entry): the metadata
+    // guards above were vacuous, so detect the layout from the data
+    // itself — a cross-JVM raw append into a partitioned or bucketed
+    // layout is exactly the corruption those guards refuse
+    if (meta.isEmpty) {
+      val (hasPartDirs, hasBucketFiles, _) = sniffLayout(loc)
+      if (hasPartDirs)
+        throw new IllegalStateException(
+          s"'${target.identifier}' has partition directories at $loc; " +
+            "root-level appends would bypass them — rebuild with writeTable")
+      if (hasBucketFiles)
+        throw new IllegalStateException(
+          s"'${target.identifier}' holds bucketed files at $loc; in-place " +
+            "append would corrupt bucket assignments — rebuild with writeTable")
+    }
+    loc
   }
 
   /** [[appendToTable]] made IDEMPOTENT per `batchTag` — the ingest
@@ -834,10 +855,46 @@ final class Warehouse(
     * analog of the CREATE OR REPLACE VIEW promote). Only a shape
     * change (bucketing added/removed/rekeyed, or a view occupying the
     * name) falls back to drop-then-create. */
+  /** What the files at `location` physically are:
+    * (partition directories present, bucket-named part files present,
+    * any entries at all). Spark's bucketed writer names files
+    * `part-NNNNN-<uuid>_BBBBB.cNNN...` — the `_BBBBB.c` infix is the
+    * bucket id, absent from plain writes (`...-cNNN`). */
+  private def sniffLayout(location: String): (Boolean, Boolean, Boolean) = {
+    val p = new org.apache.hadoop.fs.Path(location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (false, false, false)
+    else {
+      val entries = fs.listStatus(p)
+        .filterNot(_.getPath.getName.startsWith("_"))
+      val partDirs = entries.exists(e =>
+        e.isDirectory && e.getPath.getName.contains("="))
+      val bucketRe = java.util.regex.Pattern
+        .compile("part-\\d+-.*_\\d{5}\\.c\\d+.*")
+      val bucketFiles = entries.exists(e =>
+        !e.isDirectory && bucketRe.matcher(e.getPath.getName).matches())
+      (partDirs, bucketFiles, entries.nonEmpty)
+    }
+  }
+
   private def registerAt(target: TableName, location: String,
                          design: Option[TableDesign] = None): Unit = {
     ensureDatabase(target.schema)
+    // trust, then VERIFY the physical layout: rollback/restore paths
+    // re-register an OLDER build under the CURRENT design, and a
+    // design that gained distribution keys (or partitioning) since
+    // that build would declare CLUSTERED BY over plain files —
+    // bucketed joins then skip their required shuffle and return
+    // silently wrong rows (or a PARTITIONED BY table over a flat
+    // directory scans as empty). When the location already holds
+    // files, only declare a layout the files corroborate; an EMPTY
+    // location (external schema declared ahead of data) keeps the
+    // design's word. Residual risk accepted: files bucketed under
+    // RENAMED keys are indistinguishable by name — a design that
+    // re-keys distribution must rebuild, not restore.
+    val (hasPartDirs, hasBucketFiles, hasAnyData) = sniffLayout(location)
     val wantBuckets = design.flatMap(_.distribution).filter(_.nonEmpty)
+      .filter(_ => !hasAnyData || hasBucketFiles)
       .map(d => (d, design.map(_.sortKeys).filter(_.nonEmpty).getOrElse(Seq.empty)))
     val existing =
       try Some(spark.sessionState.catalog.getTableMetadata(
@@ -848,6 +905,7 @@ final class Warehouse(
     // any drift falls back to drop-then-create, which re-infers.
     val wantSchema = design.map(_.toStructType)
     val wantParts = design.map(_.partitionBy.map(_.toLowerCase)).getOrElse(Seq.empty)
+      .filter(_ => !hasAnyData || hasPartDirs)
     val sameShape = existing.exists { t =>
       t.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL &&
         t.provider.exists(_.equalsIgnoreCase("parquet")) &&

@@ -528,6 +528,15 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2e = DialectShims.rewriteRedshiftSql(
       "SELECT (SELECT max(sch.x.v) FROM sch.x) peak FROM sch.tbl")
     assert(!r2e.contains("get_json_object"), r2e)
+    // alias binding is case-insensitive, like SQL identifier
+    // resolution (`AS S` binds the head of `s.doc.title`)
+    val r2f = DialectShims.rewriteRedshiftSql(
+      "SELECT s.doc.title FROM src AS S")
+    assert(r2f.contains("get_json_object(s.doc, '$.title')"), r2f)
+    // a comma FROM item directly after a join's ON condition binds
+    val r2g = DialectShims.rewriteRedshiftSql(
+      "SELECT s.doc.items[0].sku FROM a JOIN b ON a.id = b.id, src s")
+    assert(r2g.contains("get_json_object(s.doc, '$.items[0].sku')"), r2g)
     // bare 2-part + index is a path on the column
     val r3 = DialectShims.rewriteRedshiftSql(
       "SELECT e.tags[2] FROM events e")
@@ -559,6 +568,19 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT t AS tag FROM sup_events e CROSS JOIN UNNEST(e.payload.tags) t " +
         "ORDER BY tag")).collect().map(_.getString(0)).toSeq
     assert(rows2 == Seq("x", "y"), rows2)
+    // Trino/Athena column-alias form: UNNEST(x) AS t(col) — col is the
+    // element, t names the lateral relation; both col and t.col resolve
+    val rows3 = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT tag, u.tag AS tag2 FROM sup_events e " +
+        "CROSS JOIN UNNEST(e.payload.tags) AS u(tag) ORDER BY tag"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows3 == Seq(("x", "x"), ("y", "y")), rows3)
+    // the multi-column form is refused loudly, not spliced as corrupt SQL
+    val multi = intercept[IllegalArgumentException] {
+      DialectShims.rewriteRedshiftSql(
+        "SELECT a FROM t CROSS JOIN UNNEST(x) AS u(a, b)")
+    }
+    assert(multi.getMessage.contains("multi-column"), multi)
   }
 
   test("JSON family: array_length, validity predicates, parse/serialize identities") {
@@ -576,10 +598,15 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT JSON_ARRAY_LENGTH('[1,2,3]') AS n, " +
         "IS_VALID_JSON('{\"a\":1}') AS v1, IS_VALID_JSON('{oops') AS v2, " +
         "IS_VALID_JSON_ARRAY('[1]') AS a1, IS_VALID_JSON_ARRAY('{}') AS a2, " +
-        "IS_VALID_JSON('null') AS v3"))   // the json literal null IS valid
+        "IS_VALID_JSON('null') AS v3, " +  // the json literal null IS valid
+        // Redshift: IS_VALID_JSON is FALSE for arrays (that's
+        // IS_VALID_JSON_ARRAY's job), CAN_JSON_PARSE is true for them
+        "IS_VALID_JSON('[1,2]') AS v4, CAN_JSON_PARSE('[1,2]') AS c1"))
       .collect().head
     assert(rows.getInt(0) == 3 && rows.getBoolean(1) && !rows.getBoolean(2)
       && rows.getBoolean(3) && !rows.getBoolean(4) && rows.getBoolean(5), rows)
+    assert(!rows.getBoolean(6) && rows.getBoolean(7),
+      s"IS_VALID_JSON must reject arrays, CAN_JSON_PARSE accept them: $rows")
     // SUPER array helpers: SPLIT_TO_ARRAY (regex-meta delimiter must
     // stay literal), GET_ARRAY_LENGTH, 0-based SUBARRAY — and the
     // split result feeds UNNEST like any SUPER array
@@ -621,6 +648,14 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r4 = DialectShims.rewriteRedshiftSql(
       "SELECT * FROM src s, other.tbl t WHERE s.id = t.id")
     assert(r4.contains("FROM src s, other.tbl t"), r4)
+    // iteration over a BARE single-part table name (no alias) — the
+    // same scope the path pass grants (`FROM events` binds `events`)
+    val r4a = DialectShims.rewriteRedshiftSql(
+      "SELECT l FROM events, events.doc.lines AS l")
+    assert(r4a.contains(
+      "LATERAL VIEW explode(from_json(" +
+        "get_json_object(events.doc, '$.lines'), 'array<string>')) l_lv AS l"),
+      r4a)
     // THREE-part comma-listed catalog names and INSERT INTO targets
     // are relation positions, not paths
     val r4b = DialectShims.rewriteRedshiftSql(

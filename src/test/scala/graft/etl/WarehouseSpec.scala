@@ -740,6 +740,54 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       "failing bucketed table must be re-registered by the rollback")
     assert(spark.table("`rep`.`bkt_t`").count() == 5,
       "failing table must serve its pre-update data")
+    // the old build WAS bucketed under this same design, so the
+    // restore keeps the bucket spec (registerAt corroborates it
+    // against the bucket-named files — faithful restore, shuffle
+    // elision preserved)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("bkt_t", Some("rep")))
+    assert(meta.bucketSpec.isDefined,
+      s"same-design restore keeps the corroborated bucketing: $meta")
+  }
+
+  test("restore of a PRE-distribution build registers plain, not CLUSTERED BY") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    // build v1 WITHOUT distribution keys: plain parquet files
+    val t = TableName.parse("rep.gained_dist")
+    wh.writeTable(t, Seq((1, "a"), (2, "b")).toDF("n_nationkey", "n_name"))
+    val plainLoc = wh.readPointer(t).get
+    // the design then GAINS distribution; a failing bucketed rebuild
+    // rolls back to the plain v1 files. Declaring CLUSTERED BY over
+    // them would let bucketed joins skip their required shuffle —
+    // wrong rows, no error — so the restore must register plain.
+    val gained = TableDesign.load(
+      """name: rep.gained_dist
+        |source_name: CTAS
+        |columns:
+        |  - name: n_nationkey
+        |    type: int
+        |  - name: n_name
+        |    type: string
+        |attributes:
+        |  distribution: [n_nationkey]
+        |query: SELECT 1 AS n_nationkey, CAST(raise_error('boom') AS STRING) AS n_name
+        |""".stripMargin)
+    intercept[Exception] {
+      wh.writeTable(t, spark.sql(gained.query), Some(gained))
+    }
+    assert(spark.catalog.tableExists(t.quoted), "rollback must re-register")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("gained_dist", Some("rep")))
+    assert(meta.bucketSpec.isEmpty,
+      s"plain v1 files must not be declared bucketed: ${meta.bucketSpec}")
+    assert(spark.table(t.quoted).count() == 2, "serves the v1 data")
+    // scheme-insensitive: registerAt re-points with the catalog's
+    // file:// form while the original pointer was scheme-less
+    def bare(p: String) = p.stripPrefix("file://")
+    assert(wh.readPointer(t).map(bare).contains(bare(plainLoc)),
+      s"pointer back at v1: ${wh.readPointer(t)} vs $plainLoc")
   }
 
   test("minhash band index is materialized; later batches see earlier batches") {
@@ -1556,6 +1604,57 @@ class WarehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the data landed at the pointed location
     val loc = wh.readPointer(t).get
     assert(spark.read.parquet(loc).count() == 2)
+  }
+
+  test("pointer-only append refuses partitioned and bucketed layouts (fresh-JVM)") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWarehouse()
+    // partitioned table, catalog entry dropped: the metadata guard is
+    // vacuous, so the layout must be detected from the partition
+    // directories — a root-level append would bypass them silently
+    val pt = TableName.parse("dedup.pointer_parted")
+    val pDesign = TableDesign.load(
+      """name: dedup.pointer_parted
+        |source_name: CTAS
+        |columns:
+        |  - name: id
+        |    type: long
+        |  - name: day
+        |    type: string
+        |attributes:
+        |  partition_by: [day]
+        |query: SELECT * FROM unused
+        |""".stripMargin)
+    wh.writeTable(pt, Seq((1L, "d1"), (2L, "d2")).toDF("id", "day"),
+      Some(pDesign))
+    spark.sql(s"DROP TABLE ${pt.quoted}")
+    val pe = intercept[IllegalStateException] {
+      wh.appendToTableIdempotent(pt,
+        Seq((3L, "d3")).toDF("id", "day"), "cron-p1")
+    }
+    assert(pe.getMessage.contains("partition"), pe.getMessage)
+    // bucketed table, same cross-JVM shape: detected from the bucket
+    // id infix in the part-file names
+    val bt = TableName.parse("dedup.pointer_bucketed")
+    val bDesign = TableDesign.load(
+      """name: dedup.pointer_bucketed
+        |source_name: CTAS
+        |columns:
+        |  - name: id
+        |    type: long
+        |  - name: v
+        |    type: string
+        |attributes:
+        |  distribution: [id]
+        |query: SELECT * FROM unused
+        |""".stripMargin)
+    wh.writeTable(bt, Seq((1L, "a")).toDF("id", "v"), Some(bDesign))
+    spark.sql(s"DROP TABLE ${bt.quoted}")
+    val be = intercept[IllegalStateException] {
+      wh.appendToTableIdempotent(bt, Seq((2L, "b")).toDF("id", "v"), "cron-b1")
+    }
+    assert(be.getMessage.contains("bucket"), be.getMessage)
   }
 
   test("copyWithMaxError quarantines malformed rows; exceeding the budget aborts cleanly") {

@@ -137,6 +137,14 @@ object Bench {
     // named queries (the driver never sets it — full runs unaffected).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would otherwise run NOTHING and exit green with
+    // total=0 — reading "faster" where nothing executed
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -63,14 +63,22 @@ object FileSkipIndex {
   private val MaxIndexedFiles = 2 * 1000 * 1000
 
   private[etl] def boundedFileNames(df: DataFrame, what: String,
-                                    cap: Int = MaxIndexedFiles): Set[String] = {
-    val names = df.select(col("file")).limit(cap + 1)
-      .collect().map(_.getString(0))
-    require(names.length <= cap,
+                                    cap: Int = MaxIndexedFiles): Set[String] =
+    boundedFileNamesOpt(df, cap).getOrElse(throw new IllegalArgumentException(
       s"$what holds more than $cap files - beyond the " +
         "driver-side cap for a flat file-skip index; partition the " +
-        "table and index per partition instead")
-    names.toSet
+        "table and index per partition instead"))
+
+  /** QUERY-path variant: `None` past the cap. Read paths must DEGRADE
+    * to the full (still correct) scan — pruning is an optimization,
+    * never the correctness argument — while build/refresh maintenance
+    * keeps the loud refusal above (growing an un-prunable index past
+    * the driver cap deserves an error, serving a query does not). */
+  private def boundedFileNamesOpt(df: DataFrame,
+                                  cap: Int = MaxIndexedFiles): Option[Set[String]] = {
+    val names = df.select(col("file")).limit(cap + 1)
+      .collect().map(_.getString(0))
+    if (names.length > cap) None else Some(names.toSet)
   }
 
   /** Pad an aggregated stats frame with zero-row entries for files the
@@ -143,7 +151,14 @@ object FileSkipIndex {
 
   /** Live data files of a plain table — one driver-side listing, the
     * same O(#files) metadata cost scan planning already pays. */
-  private def liveFiles(spark: SparkSession, target: TableName): Set[String] = {
+  private def liveFiles(spark: SparkSession, target: TableName): Set[String] =
+    liveFilesOpt(spark, target).getOrElse(throw new IllegalArgumentException(
+      s"${target.identifier} holds more than $MaxIndexedFiles live files - " +
+        "beyond the driver-side cap for a flat file-skip index; partition " +
+        "the table and index per partition instead"))
+
+  private def liveFilesOpt(spark: SparkSession,
+                           target: TableName): Option[Set[String]] = {
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(
@@ -153,12 +168,20 @@ object FileSkipIndex {
       val n = f.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }).map(f => normFile(f.getPath.toString))
-    require(names.length <= MaxIndexedFiles,
-      s"${target.identifier} holds ${names.length} live files - beyond " +
-        s"the $MaxIndexedFiles driver-side cap for a flat file-skip " +
-        "index; partition the table and index per partition instead")
-    names.toSet
+    if (names.length > MaxIndexedFiles) None else Some(names.toSet)
   }
+
+  /** The shared query-path guard: the indexed and live file sets when
+    * pruning is safe, `None` when the index is stale, either set
+    * exceeds the driver cap, or the sets disagree — callers fall back
+    * to the full scan. */
+  private def prunableSets(spark: SparkSession, target: TableName,
+                           stats: DataFrame): Option[Set[String]] =
+    for {
+      indexed <- boundedFileNamesOpt(stats)
+      live <- liveFilesOpt(spark, target)
+      if indexed == live
+    } yield indexed
 
   // ------------------------------------------------ bloom file skipping
   /** Per-file BLOOM filters — the equality-predicate complement of the
@@ -240,12 +263,14 @@ object FileSkipIndex {
     require(values.nonEmpty, "probe at least one value")
     val bt = bloomTable(target)
     val stats = spark.table(bt.quoted)
-    val indexed = boundedFileNames(stats, "file-skip index")
     val pred = col(c).isin(values: _*)
-    val live = liveFiles(spark, target)
-    if (indexed != live)
+    val prunable = prunableSets(spark, target, stats)
+    if (prunable.isEmpty) {
+      val n = stats.count().min(Int.MaxValue.toLong).toInt
       return Pruned(spark.table(target.quoted).filter(pred),
-        live.size, live.size, stale = true)
+        n, n, stale = true)
+    }
+    val indexed = prunable.get
     import spark.implicits._
     val vs = values.toArray
     val candidates = stats.select(col("file"), col("bloom"))
@@ -278,12 +303,14 @@ object FileSkipIndex {
                         values: Seq[Any]): Pruned = {
     require(values.nonEmpty, "probe at least one value")
     val stats = spark.table(statsTable(target).quoted)
-    val indexed = boundedFileNames(stats, "file-skip index")
     val pred = col(c).isin(values: _*)
-    val live = liveFiles(spark, target)
-    if (indexed != live)
+    val prunable = prunableSets(spark, target, stats)
+    if (prunable.isEmpty) {
+      val n = stats.count().min(Int.MaxValue.toLong).toInt
       return Pruned(spark.table(target.quoted).filter(pred),
-        live.size, live.size, stale = true)
+        n, n, stale = true)
+    }
+    val indexed = prunable.get
     val hit = values.map(v =>
       col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)).reduce(_ || _)
     val candidates = stats.filter(hit)
@@ -309,27 +336,29 @@ object FileSkipIndex {
   def prunedScan(spark: SparkSession, target: TableName, c: String,
                  lo: Column, hi: Column): Pruned = {
     val stats = spark.table(statsTable(target).quoted)
-    val indexed = boundedFileNames(stats, "file-skip index")
     val pred = col(c) >= lo && col(c) <= hi
     // STALENESS GUARD: compaction/rebuild re-points the table at a new
     // build whose files the index has never seen — pruning against
     // stale stats would read deleted files or silently miss rows. When
-    // the indexed file set is not exactly the live set, fall back to
-    // the full (still correct) scan; the caller rebuilds/refreshes the
-    // index on its own schedule. One extra listing, metadata-priced.
-    val live = liveFiles(spark, target)
-    if (indexed != live)
-      return Pruned(spark.table(target.quoted).filter(pred),
-        live.size, live.size, stale = true)
-    val candidates = stats
-      .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
-      .select(col("file")).collect().map(_.getString(0))
-    val df =
-      if (candidates.isEmpty)
-        spark.table(target.quoted).filter(lit(false))
-      else
-        spark.read.schema(spark.table(target.quoted).schema)
-          .parquet(candidates.toIndexedSeq: _*).filter(pred)
-    Pruned(df, candidates.length, indexed.size)
+    // the indexed file set is not exactly the live set (or either side
+    // exceeds the driver cap), fall back to the full (still correct)
+    // scan; the caller rebuilds/refreshes the index on its own
+    // schedule. One extra listing, metadata-priced.
+    prunableSets(spark, target, stats) match {
+      case None =>
+        val n = stats.count().min(Int.MaxValue.toLong).toInt
+        Pruned(spark.table(target.quoted).filter(pred), n, n, stale = true)
+      case Some(indexed) =>
+        val candidates = stats
+          .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+          .select(col("file")).collect().map(_.getString(0))
+        val df =
+          if (candidates.isEmpty)
+            spark.table(target.quoted).filter(lit(false))
+          else
+            spark.read.schema(spark.table(target.quoted).schema)
+              .parquet(candidates.toIndexedSeq: _*).filter(pred)
+        Pruned(df, candidates.length, indexed.size)
+    }
   }
 }

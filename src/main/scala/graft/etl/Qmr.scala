@@ -161,7 +161,21 @@ object Qmr {
     * breach ⇒ `monitor` records a `qmr_violation` event and the
     * result is returned. When CBO statistics predict the scan alone
     * already exceeds an abort rule's `maxScanRows`, the query is
-    * refused BEFORE any job launches (zero tasks run). */
+    * refused BEFORE any job launches (zero tasks run).
+    *
+    * Two-stage contract, two different quantities BY DESIGN: the
+    * pre-launch gate is a cheap fast-fail on the optimizer's
+    * post-filter ESTIMATE (zero tasks burned on provably-oversized
+    * scans), while the runtime watchdog enforces the rule on ACTUAL
+    * rows read — the authoritative measure, same as Redshift's WLM
+    * rules which act on running-query metrics. A selective query
+    * whose estimate clears the gate but whose physical scan crosses
+    * `maxScanRows` is aborted mid-run by the watchdog (or completes
+    * if it finishes inside one poll interval — inherent to any
+    * polling monitor, Redshift's included; the rows were read either
+    * way). Rules wanting a hard PREDICTED ceiling set the cap below
+    * the estimate; rules wanting a hard ACTUAL ceiling accept the
+    * poll-granularity abort. */
   def guarded[T](df: DataFrame, rules: Seq[Rule],
                  monitor: Monitor = new Monitor())(action: DataFrame => T): T = {
     val spark = df.sparkSession

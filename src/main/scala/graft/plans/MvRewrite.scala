@@ -263,12 +263,13 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   private def pinnedValues(conds: Seq[Expression],
                            col: String): Option[Seq[String]] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     conds.flatMap(conjuncts).collectFirst {
       case EqualTo(a: AttributeReference, l: Literal)
           if a.name == col && litStr(l).isDefined => Seq(litStr(l).get)
@@ -298,10 +299,6 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * touched partitions stays conservative. */
   private def rangeFresh(d: MvDef, pc: String, conds: Seq[Expression],
                          current: Map[String, String]): Boolean = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     // (literal, isLower, inclusive)
     val bounds = conds.flatMap(conjuncts).collect {
       case GreaterThan(a: AttributeReference, l: Literal) if a.name == pc =>
@@ -325,7 +322,15 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def cmp(t: org.apache.spark.sql.types.DataType,
             a: String, b: String): Option[Int] = t match {
       case org.apache.spark.sql.types.StringType |
-           org.apache.spark.sql.types.DateType => Some(a.compareTo(b))
+           org.apache.spark.sql.types.DateType =>
+        // UTF8String, NOT String.compareTo: the query's own predicate
+        // evaluates under UTF8_BINARY (UTF-8 byte order), and UTF-16
+        // code-unit order disagrees for supplementary-plane values vs
+        // U+E000..U+FFFF bounds — a stale partition the query touches
+        // could be judged out of range and the MV would serve stale
+        // aggregates. ISO dates are ASCII, where the orders coincide.
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
       case org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.ShortType |

@@ -905,7 +905,24 @@ object TextOps {
 
   def retrievalTopkStoredEntry(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val key = System.identityHashCode(spark) + "|" + sfDir
+    // the key carries a CORPUS fingerprint (file names + sizes +
+    // mtimes), not just the path: a corpus regenerated at the same
+    // path within one session (a harness reusing a data dir) must
+    // rebuild, or the memoized index silently serves scores from the
+    // old rows — violating the hash-match contract with the one-shot
+    // derivation. One directory listing, metadata-priced.
+    val corpusFp = {
+      val p = new org.apache.hadoop.fs.Path(sfDir, "documents.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sig =
+        if (!fs.exists(p)) "absent"
+        else fs.listStatus(p).filter(_.isFile)
+          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .sorted.mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    }
+    val key = System.identityHashCode(spark) + "|" + sfDir + "|" + corpusFp
     def build(): String = {
       // corpus-distinct table names: two corpora served from one
       // session must not share an index

@@ -128,6 +128,15 @@ class BenchSpec extends AnyFunSuite {
       f"spinners did not inflate: $median%.3f vs $baseline%.3f")
     assume(minWarm > 1.5 * baseline,
       f"quietest loaded run not inflated: $minWarm%.3f vs $baseline%.3f")
+    // ...and on a box still loaded by something ELSE after our
+    // spinners stopped (another suite's executor threads, a parallel
+    // build): the final asserts require the re-run to come out CLEAN,
+    // which only an otherwise-idle box can promise — a dirty box is
+    // an environment fact, not an adjudicate() bug
+    val postQuiet = (1 to 2).map(_ => work()).min
+    assume(postQuiet < 1.3 * baseline,
+      f"box still externally loaded after spinners stopped: " +
+        f"$postQuiet%.3f vs baseline $baseline%.3f - cancelling, not failing")
     // the re-run (now unloaded) clears → the query is flagged
     // contended and the clean time replaces the inflated median
     var rerun = 0

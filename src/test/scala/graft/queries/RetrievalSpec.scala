@@ -47,6 +47,36 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dfRows > 0, "expected per-batch df partials for shared tokens")
   }
 
+  test("memoized stored-index entry rebuilds when the corpus changes at the same path") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret_memo_")
+    val sf = dir.toString
+    def writeCorpus(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length($"text").cast("long"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$sf/documents.parquet")
+    // RetrievalQueries terms appear only in corpus v1
+    writeCorpus(Seq(1L -> "join the filter scan", 2L -> "window over rows"))
+    val v1 = TextOps.retrievalTopkStoredEntry(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(v1.nonEmpty, "v1 corpus must produce hits")
+    // regenerate the corpus AT THE SAME PATH with disjoint content:
+    // the memo key carries a corpus fingerprint, so the entry must
+    // REBUILD — serving v1 scores here is the silent-staleness bug
+    Thread.sleep(1100)   // parquet mtime granularity can be 1 s
+    writeCorpus(Seq(10L -> "completely unrelated words here",
+      11L -> "nothing matching any query term"))
+    val v2 = TextOps.retrievalTopkStoredEntry(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(v2 != v1,
+      s"entry served memoized v1 results after the corpus changed: $v2")
+  }
+
   test("token skip index prunes the postings scan; answers unchanged") {
     val s = spark
     import s.implicits._

@@ -1202,13 +1202,54 @@ object DialectShims {
   private val SuperPathRe = java.util.regex.Pattern.compile(
     "\\b([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)((?:\\.[A-Za-z_]\\w*|\\[\\d+\\])+)")
 
+  /** Statement text VISIBLE from `pos` under SQL scoping: the
+    * position's own paren scope plus every enclosing scope, with
+    * sibling (balanced) sub-scopes blanked to `()`. An alias bound
+    * only INSIDE an unrelated subquery must not leak out — `SELECT
+    * d.v FROM (SELECT 1 FROM events) q, events.doc AS d` binds
+    * `events` in the inner scope only, and treating the outer
+    * `events.doc` as a PartiQL head because of it would corrupt a
+    * valid schema-qualified relation. Enclosing scopes stay visible,
+    * so correlated references (an outer alias used inside a
+    * subquery) still resolve. */
+  private def visibleScopeText(sql: String, pos: Int): String = {
+    val chain = scala.collection.mutable.Set.empty[Int]
+    val pre = scala.collection.mutable.Stack[Int]()
+    var i = 0
+    while (i < pos && i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => pre.push(i)
+        case ')' => if (pre.nonEmpty) pre.pop()
+        case _ => ()
+      }
+      i += 1
+    }
+    pre.foreach(chain += _)
+    val sb = new java.lang.StringBuilder(sql.length)
+    val cur = scala.collection.mutable.Stack[Int]()
+    i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      c match {
+        case '(' => cur.push(i)
+        case _ => ()
+      }
+      if (cur.forall(chain.contains)) sb.append(c)
+      if (c == ')' && cur.nonEmpty) cur.pop()
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Single-part relation aliases and names bound by FROM/JOIN items
     * anywhere in the (masked) statement — the scope a PartiQL path
     * head must resolve in. Multi-part names (`FROM sch.t`) bind no
     * single-part head, which is exactly what keeps a fully-qualified
     * `sch.t.col` column reference out of the path rewrite. Returned
     * UPPERCASED: SQL identifier resolution is case-insensitive, so
-    * `FROM src AS S` must bind the head of `s.doc.title`. */
+    * `FROM src AS S` must bind the head of `s.doc.title`. Callers
+    * pass [[visibleScopeText]] of the reference position, never the
+    * raw statement, so sibling-subquery bindings cannot leak. */
   private def fromBoundAliases(sql: String): Set[String] = {
     val acc = scala.collection.mutable.Set.empty[String]
     // the alias capture must REJECT keywords via lookahead, not
@@ -1258,7 +1299,10 @@ object DialectShims {
                                      unnestAliases: Set[String],
                                      saved: scala.collection.mutable.ArrayBuffer[String]): String = {
     val elemUpper = unnestAliases.map(_.toUpperCase)
-    val bound = fromBoundAliases(sql) ++ elemUpper
+    // per-position scope: aliases bound in sibling subqueries must
+    // not make an outer schema.table.column look like a path
+    def bound(pos: Int): Set[String] =
+      fromBoundAliases(visibleScopeText(sql, pos)) ++ elemUpper
     val m = SuperPathRe.matcher(sql)
     val out = new java.lang.StringBuilder
     var last = 0
@@ -1291,7 +1335,8 @@ object DialectShims {
           case _ => false
         })
       val head = m.group(1)
-      if (!followedByParen && !relationPosition && bound(head.toUpperCase)) {
+      if (!followedByParen && !relationPosition &&
+          bound(m.start)(head.toUpperCase)) {
         val (base, path) =
           if (elemUpper(head.toUpperCase)) (head, "." + m.group(2) + m.group(3))
           else (head + "." + m.group(2), m.group(3))
@@ -1350,8 +1395,15 @@ object DialectShims {
     }
     if (opens.nonEmpty) scopeStart = opens.top   // INNERMOST open paren
     val scope = stripBalancedParens(before.substring(scopeStart))
+    // LATERAL is tracked so text INSIDE an already-rewritten
+    // `LATERAL VIEW ... AS i, ln` clause (our own output) reads as
+    // clause "LATERAL", never as a FROM item — without it the
+    // posexplode form's `, ln` would bind the element alias as a fake
+    // relation and the shadowing guard in rewriteUnnestFieldRefs
+    // would skip its field refs
     val kw = java.util.regex.Pattern.compile(
-      "(?i)\\b(FROM|SELECT|WHERE|HAVING|GROUP|ORDER|JOIN|ON)\\b").matcher(scope)
+      "(?i)\\b(FROM|SELECT|WHERE|HAVING|GROUP|ORDER|JOIN|ON|LATERAL)\\b")
+      .matcher(scope)
     var lastKw = ""
     while (kw.find()) lastKw = kw.group(1).toUpperCase
     lastKw
@@ -1369,9 +1421,12 @@ object DialectShims {
       // single-part relation names bound BEFORE this item (`FROM
       // events, events.doc.lines AS l` iterates over the events
       // table's column — an alias-only rule would silently leave the
-      // raw PartiQL item for Spark to choke on). Prefix-scoped:
-      // binding must precede use in a FROM list.
-      val boundEarlier = fromBoundAliases(sql.substring(0, m.start))
+      // raw PartiQL item for Spark to choke on). Prefix-scoped
+      // (binding must precede use in a FROM list) AND scope-visible:
+      // a name bound only inside an earlier sibling subquery must
+      // not turn a schema-qualified comma item into iteration.
+      val boundEarlier = fromBoundAliases(
+        visibleScopeText(sql.substring(0, m.start), m.start))
         .contains(head.toUpperCase)
       val inFrom = clauseBefore(sql, m.start) match {
         case "FROM" | "JOIN" | "ON" => true
@@ -1427,9 +1482,19 @@ object DialectShims {
         .matcher(s)
         // quoteReplacement: the functional replaceAll still expands
         // $-group references in the computed string, and json paths
-        // are full of literal '$'
-        .replaceAll(r => java.util.regex.Matcher.quoteReplacement(
-          s"get_json_object(${r.group(1)}, '$$.${r.group(2)}')"))
+        // are full of literal '$'. SHADOWING guard: a case-variant of
+        // the element alias that is itself a relation alias bound in
+        // the reference's visible scope (`... FROM emp E WHERE
+        // E.dept = 'x'` inside a subquery, element alias `e` outside)
+        // is a normal column reference — rewriting it would produce
+        // an unresolvable get_json_object base.
+        .replaceAll { r =>
+          val shadowed = fromBoundAliases(visibleScopeText(s, r.start))
+            .contains(r.group(1).toUpperCase)
+          java.util.regex.Matcher.quoteReplacement(
+            if (shadowed) r.group(0)
+            else s"get_json_object(${r.group(1)}, '$$.${r.group(2)}')")
+        }
     }
 
   /** Remove balanced parenthesized spans (so set-op keywords inside

@@ -175,13 +175,20 @@ object FileSkipIndex {
     * pruning is safe, `None` when the index is stale, either set
     * exceeds the driver cap, or the sets disagree — callers fall back
     * to the full scan. */
+  /** Query-path guard: Right(indexed) when pruning is safe (index and
+    * live listing agree, both under the cap); Left(liveCount) — the
+    * number of files the full-scan fallback will actually read, when
+    * known — on staleness or overflow. */
   private def prunableSets(spark: SparkSession, target: TableName,
-                           stats: DataFrame): Option[Set[String]] =
-    for {
-      indexed <- boundedFileNamesOpt(stats)
-      live <- liveFilesOpt(spark, target)
-      if indexed == live
-    } yield indexed
+                           stats: DataFrame): Either[Int, Set[String]] = {
+    val indexedOpt = boundedFileNamesOpt(stats)
+    val liveOpt = liveFilesOpt(spark, target)
+    (indexedOpt, liveOpt) match {
+      case (Some(indexed), Some(live)) if indexed == live => Right(indexed)
+      case _ => Left(liveOpt.map(_.size)
+        .orElse(indexedOpt.map(_.size)).getOrElse(Int.MaxValue))
+    }
+  }
 
   // ------------------------------------------------ bloom file skipping
   /** Per-file BLOOM filters — the equality-predicate complement of the
@@ -265,12 +272,12 @@ object FileSkipIndex {
     val stats = spark.table(bt.quoted)
     val pred = col(c).isin(values: _*)
     val prunable = prunableSets(spark, target, stats)
-    if (prunable.isEmpty) {
-      val n = stats.count().min(Int.MaxValue.toLong).toInt
+    if (prunable.isLeft) {
+      val n = prunable.left.toOption.get
       return Pruned(spark.table(target.quoted).filter(pred),
         n, n, stale = true)
     }
-    val indexed = prunable.get
+    val indexed = prunable.toOption.get
     import spark.implicits._
     val vs = values.toArray
     val candidates = stats.select(col("file"), col("bloom"))
@@ -305,12 +312,12 @@ object FileSkipIndex {
     val stats = spark.table(statsTable(target).quoted)
     val pred = col(c).isin(values: _*)
     val prunable = prunableSets(spark, target, stats)
-    if (prunable.isEmpty) {
-      val n = stats.count().min(Int.MaxValue.toLong).toInt
+    if (prunable.isLeft) {
+      val n = prunable.left.toOption.get
       return Pruned(spark.table(target.quoted).filter(pred),
         n, n, stale = true)
     }
-    val indexed = prunable.get
+    val indexed = prunable.toOption.get
     val hit = values.map(v =>
       col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)).reduce(_ || _)
     val candidates = stats.filter(hit)
@@ -345,10 +352,9 @@ object FileSkipIndex {
     // scan; the caller rebuilds/refreshes the index on its own
     // schedule. One extra listing, metadata-priced.
     prunableSets(spark, target, stats) match {
-      case None =>
-        val n = stats.count().min(Int.MaxValue.toLong).toInt
+      case Left(n) =>
         Pruned(spark.table(target.quoted).filter(pred), n, n, stale = true)
-      case Some(indexed) =>
+      case Right(indexed) =>
         val candidates = stats
           .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
           .select(col("file")).collect().map(_.getString(0))

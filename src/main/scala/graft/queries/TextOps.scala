@@ -924,10 +924,13 @@ object TextOps {
     }
     val key = System.identityHashCode(spark) + "|" + sfDir + "|" + corpusFp
     def build(): String = {
-      // corpus-distinct table names: two corpora served from one
-      // session must not share an index
+      // corpus-distinct table names keyed on the FINGERPRINT too: if
+      // two corpus generations at one path shared a table name, the
+      // v2 rebuild would overwrite v1's tables under a live v1 memo
+      // entry (a restored-mtime v1 would then serve v2 scores, and a
+      // concurrent v1 query would race the overwrite mid-scan)
       val suffix = java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).take(3)
+        .digest((sfDir + "|" + corpusFp).getBytes("UTF-8")).take(3)
         .map("%02x".format(_)).mkString
       val b = s"search.docs_$suffix"
       val whDir =

@@ -656,6 +656,24 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LATERAL VIEW explode(from_json(" +
         "get_json_object(events.doc, '$.lines'), 'array<string>')) l_lv AS l"),
       r4a)
+    // a name bound only inside a SIBLING subquery must not leak out:
+    // `events` here is a SCHEMA in the outer scope, and the inner
+    // scope's `FROM events` must not turn `events.doc` into iteration
+    val r4d = DialectShims.rewriteRedshiftSql(
+      "SELECT d.v FROM (SELECT 1 AS one FROM events) q, events.doc AS d")
+    assert(!r4d.contains("LATERAL VIEW") &&
+      r4d.contains("events.doc AS d"), r4d)
+    // ...nor make the path pass rewrite an outer schema.table.column
+    val r4e = DialectShims.rewriteRedshiftSql(
+      "SELECT events.doc.field FROM (SELECT 1 AS one FROM events) q")
+    assert(!r4e.contains("get_json_object"), r4e)
+    // a case-variant relation alias legally SHADOWING the element
+    // alias inside a subquery keeps its column refs
+    val r4f = DialectShims.rewriteRedshiftSql(
+      "SELECT e, (SELECT max(E.sal) FROM emp E WHERE E.dept = 'x') m " +
+        "FROM src s, UNNEST(s.tags) AS e")
+    assert(r4f.contains("E.sal") && r4f.contains("E.dept"),
+      s"inner relation alias E must shadow element alias e: $r4f")
     // THREE-part comma-listed catalog names and INSERT INTO targets
     // are relation positions, not paths
     val r4b = DialectShims.rewriteRedshiftSql(

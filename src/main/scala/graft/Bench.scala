@@ -75,7 +75,7 @@ object Bench {
       .sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","warm_runs":$warmRuns,"queries":$slowest,"queries_shown":${math.min(25, medians.count(_._2 >= 0))},"queries_run":${medians.size},"full":"$outFile","cold_total":${r3(coldTotal)},"min_total":${r3(minTotal)},"failed":${arr(failed)},"contended":${arr(contended)},"load_avg_start":${r3(loadStart)},"load_avg_end":${r3(loadEnd)},"cpus":$ncpu,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","warm_runs":$warmRuns,"queries":$slowest,"queries_shown":${math.min(25, medians.count(_._2 >= 0))},"queries_run":${medians.size},"full":"$outFile","cold_total":${r3(coldTotal)},"min_total":${r3(minTotal)},"failed":${arr(failed)},"contended":${arr(contended)},"contended_run":${loadStart > 1.0},"load_avg_start":${r3(loadStart)},"load_avg_end":${r3(loadEnd)},"cpus":$ncpu,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -133,6 +133,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_LOCAL.json"))
     var failed = List.empty[String]
     var contended = List.empty[String]
+    var censuses = List.empty[(String, String)]
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
     // named queries (the driver never sets it — full runs unaffected).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -158,7 +159,19 @@ object Bench {
         dt
       }
       try {
+        graft.queries.FuzzyJoin.lastCensusStats.set(None)
         val cold = once()
+        // tier-decision telemetry (the fuzzy session-bimodality hunt):
+        // snapshot after the cold run — the census is computed at plan
+        // CONSTRUCTION and is content-deterministic, so warm runs
+        // recompute the identical decision
+        graft.queries.FuzzyJoin.lastCensusStats.get().foreach { cs =>
+          censuses ::= (name ->
+            (s"""{"cap":${cs.cap},"sampled":${cs.sampled},""" +
+              s""""hot_buckets":${cs.hotBuckets},"overflowed":${cs.overflowed},""" +
+              s""""max_df":${cs.maxDf},"sum_df":${cs.sumDf},""" +
+              s""""chunk_tasks":${cs.chunkTasks},"census_ms":${cs.censusMillis}}"""))
+        }
         val warms = Seq.fill(warmRuns)(once()).sorted
         val median = warms(warms.size / 2)
         val minWarm = warms.head
@@ -191,15 +204,33 @@ object Bench {
     val contendedJson = contended.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadAvgEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_min":${json(_.minWarm)},"queries_spread":${json(_.spread)},"cold_total":$coldTotal,"min_total":$minTotal,"failed":$failedJson,"contended":$contendedJson,"load_avg_start":$loadAvg,"load_avg_end":$loadAvgEnd,"cpus":$ncpu,"sf":"$sfDir"}"""
+    // a run that STARTED on a loaded box measures the box, not the
+    // plans — stamp it at top level so no downstream comparison can
+    // miss it (r16's driver artifact overstated the engine 35% and
+    // was read as a regression until the judge re-benched quiet)
+    val contendedRun = loadAvg > 1.0
+    val censusJson = censuses.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_min":${json(_.minWarm)},"queries_spread":${json(_.spread)},"census":$censusJson,"cold_total":$coldTotal,"min_total":$minTotal,"failed":$failedJson,"contended":$contendedJson,"contended_run":$contendedRun,"load_avg_start":$loadAvg,"load_avg_end":$loadAvgEnd,"cpus":$ncpu,"sf":"$sfDir"}"""
     // sbt wraps stdout (prefixes, epilogue), which can defeat a parser
     // expecting a bare JSON line — the FULL result (every query's
     // cold/median/spread at full precision) goes to a file.
     // a SPARK_GRAFT_BENCH_ONLY dev run must never clobber the
     // committed full baseline with a partial one — divert to a
-    // .partial file unless an output path was given explicitly
+    // .partial file unless an output path was given explicitly.
+    // Same defense for a CONTENDED run: the committed BENCH_LOCAL.json
+    // is the cross-round baseline and must only ever come from a
+    // quiet box — a load>1 start diverts to a .contended file (an
+    // explicit SPARK_GRAFT_BENCH_OUT is honored; the stamp above
+    // still marks the artifact).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "BENCH_LOCAL.partial.json" else "BENCH_LOCAL.json")
+      if (only.isDefined) "BENCH_LOCAL.partial.json"
+      else if (contendedRun) "BENCH_LOCAL.contended.json"
+      else "BENCH_LOCAL.json")
+    if (contendedRun && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+      System.err.println(
+        f"[bench] load average $loadAvg%.1f > 1 at start — writing to " +
+          s"$outFile, NOT the committed baseline")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>

@@ -175,6 +175,33 @@ object Commands {
           val end = script.indexOf("*/", i + 2)
           val stop = if (end < 0) n else end + 2
           cur.append(script.substring(i, stop)); i = stop
+        case '$' =>
+          // PostgreSQL dollar-quoting: `$$…$$` or `$tag$…$tag$`. The
+          // reference's UDF scripts put whole function bodies inside
+          // one (sql/001_ETL_create_f_sha256.sql:7-11) and a `;` in
+          // the body must not split. A lone `$` or `$5` is not an
+          // opener (tag = empty or identifier, not digit-led); an
+          // unclosed quote swallows to end-of-script like the other
+          // literal forms.
+          val tagEnd: Int = {
+            var j = i + 1
+            if (j < n && script.charAt(j) == '$') j + 1
+            else if (j < n &&
+                (script.charAt(j).isLetter || script.charAt(j) == '_')) {
+              j += 1
+              while (j < n && (script.charAt(j).isLetterOrDigit ||
+                script.charAt(j) == '_')) j += 1
+              if (j < n && script.charAt(j) == '$') j + 1 else -1
+            } else -1
+          }
+          hasCode = true
+          if (tagEnd < 0) { cur.append(c); i += 1 }
+          else {
+            val tag = script.substring(i, tagEnd)
+            val close = script.indexOf(tag, tagEnd)
+            val stop = if (close < 0) n else close + tag.length
+            cur.append(script.substring(i, stop)); i = stop
+          }
         case q @ ('\'' | '"' | '`') =>
           hasCode = true
           cur.append(q); i += 1

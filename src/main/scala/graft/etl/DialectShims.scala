@@ -1230,12 +1230,25 @@ object DialectShims {
     i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
+      // sibling scopes are blanked to literally `()` — the parens must
+      // SURVIVE (only the contents go) because fromBoundAliases binds
+      // derived tables via `\)\s*(AS)?\s*alias`: dropping them entirely
+      // would unbind `FROM (SELECT ...) AS d` and silently skip the
+      // path rewrite of `d.payload.kind`. The '(' of a directly-nested
+      // sibling is visible iff all ENCLOSING scopes are on the chain
+      // (chain is a nesting path, so top∈chain ⊆ tail∈chain); the ')'
+      // is popped BEFORE its visibility check so a sibling's closer is
+      // judged by the parent scope it returns to.
       c match {
-        case '(' => cur.push(i)
-        case _ => ()
+        case '(' =>
+          cur.push(i)
+          if (cur.drop(1).forall(chain.contains)) sb.append(c)
+        case ')' =>
+          if (cur.nonEmpty) cur.pop()
+          if (cur.forall(chain.contains)) sb.append(c)
+        case _ =>
+          if (cur.forall(chain.contains)) sb.append(c)
       }
-      if (cur.forall(chain.contains)) sb.append(c)
-      if (c == ')' && cur.nonEmpty) cur.pop()
       i += 1
     }
     sb.toString

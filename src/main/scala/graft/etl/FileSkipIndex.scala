@@ -145,7 +145,11 @@ object FileSkipIndex {
     * from only the files whose [min,max] interval intersects
     * [lo, hi]. `filesRead`/`filesTotal` expose the pruning ratio;
     * `stale` reports that the index did not match the table's live
-    * file set and the scan fell back to the full table. */
+    * file set and the scan fell back to the full table. On that
+    * degraded path the counts are the live file count when one
+    * listing fit under the driver cap, and `-1` ("unknown") when BOTH
+    * the index and the live listing overflowed — never a fabricated
+    * sentinel that reads as a real file count. */
   final case class Pruned(df: DataFrame, filesRead: Int, filesTotal: Int,
                           stale: Boolean = false)
 
@@ -178,7 +182,9 @@ object FileSkipIndex {
   /** Query-path guard: Right(indexed) when pruning is safe (index and
     * live listing agree, both under the cap); Left(liveCount) — the
     * number of files the full-scan fallback will actually read, when
-    * known — on staleness or overflow. */
+    * known; `-1` when both listings overflowed the driver cap and the
+    * count is genuinely unknown (the fallback scan is still correct —
+    * only the metric degrades). */
   private def prunableSets(spark: SparkSession, target: TableName,
                            stats: DataFrame): Either[Int, Set[String]] = {
     val indexedOpt = boundedFileNamesOpt(stats)
@@ -186,7 +192,7 @@ object FileSkipIndex {
     (indexedOpt, liveOpt) match {
       case (Some(indexed), Some(live)) if indexed == live => Right(indexed)
       case _ => Left(liveOpt.map(_.size)
-        .orElse(indexedOpt.map(_.size)).getOrElse(Int.MaxValue))
+        .orElse(indexedOpt.map(_.size)).getOrElse(-1))
     }
   }
 

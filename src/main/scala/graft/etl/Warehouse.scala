@@ -871,8 +871,28 @@ final class Warehouse(
         e.isDirectory && e.getPath.getName.contains("="))
       val bucketRe = java.util.regex.Pattern
         .compile("part-\\d+-.*_\\d{5}\\.c\\d+.*")
-      val bucketFiles = entries.exists(e =>
-        !e.isDirectory && bucketRe.matcher(e.getPath.getName).matches())
+      def anyBucketFile(es: Array[org.apache.hadoop.fs.FileStatus]): Boolean =
+        es.exists(e =>
+          !e.isDirectory && bucketRe.matcher(e.getPath.getName).matches())
+      // a partitioned+bucketed build nests its bucket-named files
+      // INSIDE the partition dirs — one representative leaf path is
+      // enough to corroborate (Spark writes every partition with the
+      // same bucketing), so descend the first `k=v` chain instead of
+      // listing the whole tree
+      var bucketFiles = anyBucketFile(entries)
+      if (!bucketFiles && partDirs) {
+        var dir = entries.find(e =>
+          e.isDirectory && e.getPath.getName.contains("=")).map(_.getPath)
+        var depth = 0
+        while (!bucketFiles && dir.isDefined && depth < 8) {
+          val inner = fs.listStatus(dir.get)
+            .filterNot(_.getPath.getName.startsWith("_"))
+          bucketFiles = anyBucketFile(inner)
+          dir = inner.find(e =>
+            e.isDirectory && e.getPath.getName.contains("=")).map(_.getPath)
+          depth += 1
+        }
+      }
       (partDirs, bucketFiles, entries.nonEmpty)
     }
   }

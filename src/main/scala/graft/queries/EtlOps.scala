@@ -427,6 +427,56 @@ object EtlOps {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** COPY with MAXERROR under the oracle hash (S10 depth;
+    * dialect/redshift.py:297-369's MAXERROR + stl_load_errors shape):
+    * the artifact deliberately carries FOUR malformed records — two
+    * type-corrupt ids, two arity-corrupt rows — alongside the good
+    * slice. The load must quarantine exactly those four (the pinned
+    * `n_quarantined` literal in the DuckDB oracle breaks the hash on
+    * any drift: a silently-dropped good row, a malformed row landing,
+    * or a quarantine miscount) and land the good rows byte-equal to
+    * the parquet truth. */
+  def s10bCopyMaxerror(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.etl.{Extract, StaticSource, TableDesign, Warehouse}
+    val design = TableDesign.load(
+      """name: copyq.supplier
+        |source_name: copyq
+        |columns:
+        |  - name: s_suppkey
+        |    type: long
+        |    not_null: true
+        |  - name: s_name
+        |    type: string
+        |  - name: s_nationkey
+        |    type: int
+        |""".stripMargin)
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft_copyq_q_")
+    val dir = srcRoot.resolve("copyq.supplier")
+    Tables.load(spark, sfDir, "supplier")
+      .filter($"s_suppkey" <= 100)
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+      .coalesce(1)
+      .write.option("header", "false").csv(dir.toString)
+    java.nio.file.Files.write(dir.resolve("part-99999-corrupt.csv"),
+      ("notanumber,bad-id-row,0\n" +
+        "alsobad,second-bad-id,1\n" +
+        "7,arity-overflow,2,extra,cols\n" +
+        "8,arity-overflow-too,3,spill\n").getBytes("UTF-8"))
+    StaticSource.writeManifest(dir.toString)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_copyq_wh_").toString
+    val wh = new Warehouse(spark, whDir, srcRoot.toString)
+    val out = Extract.copyWithMaxError(wh, srcRoot.toString, design, maxError = 10)
+    spark.table("`copyq`.`supplier`")
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+      .withColumn("n_quarantined", lit(out.quarantined))
+      .orderBy($"s_suppkey")
+  }
+
+  val s10bCopyMaxerrorSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, CAST(4 AS BIGINT) AS n_quarantined
+      |FROM supplier WHERE s_suppkey <= 100 ORDER BY s_suppkey""".stripMargin
+
   // ---------------------------------------------------------------- skew
   /** Salted two-phase aggregation under the oracle hash: the explicit
     * skew-mitigation pattern for hot aggregation keys (AQE splits
@@ -730,6 +780,7 @@ object EtlOps {
     "skew_salted_agg" -> (skewSaltedAgg _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "s10_copy_csv" -> (s10CopyCsv _),
+    "s10b_copy_maxerror" -> (s10bCopyMaxerror _),
     "s12_unload_roundtrip" -> (s12UnloadRoundtrip _),
     "c1_constraint_dup" -> (c1ConstraintDup _),
     "c1_pk_clean" -> (c1PkClean _),
@@ -753,6 +804,7 @@ object EtlOps {
     "skew_salted_agg" -> skewSaltedAggSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "s10_copy_csv" -> s10CopyCsvSql,
+    "s10b_copy_maxerror" -> s10bCopyMaxerrorSql,
     "s12_unload_roundtrip" -> s12UnloadRoundtripSql,
     "c1_constraint_dup" -> c1ConstraintDupSql,
     "c1_pk_clean" -> c1PkCleanSql,

@@ -64,9 +64,32 @@ object FuzzyJoin {
     * (Binomial(2·cap, 0.1) falling under cap·0.1 is a many-sigma
     * event once cap ≥ 256). Small caps (the bipartite/ER paths,
     * where fan-out still pays a dedup shuffle and the frames are
-    * Θ(batch)-sized anyway) keep the exact census. */
+    * Θ(batch)-sized anyway) keep the exact census.
+    *
+    * The sample is a CONTENT-HASH row filter, not `df.sample`:
+    * Spark's Bernoulli sampler draws per-partition (seed + partition
+    * index), so with a fixed seed the sampled SET still depends on
+    * the physical row→partition layout — which differs across sbt
+    * sessions (file listing order, scheduler interleave). That made
+    * the hot set, and with it the light/heavy tier split, session-
+    * dependent: fuzzy_join_names2 measured stable-in-session but
+    * 2–3× bimodal ACROSS sessions on identical code+data (judge
+    * rounds 14–16). `xxhash64(vh, id, seed) % 10 == 0` keeps each
+    * row by its CONTENT — the same census on any partitioning. */
   private val SampledCensusMinCap = 256
   private val CensusFraction = 0.1
+  private val CensusModulus = (1.0 / CensusFraction).toInt
+
+  /** Tier-decision telemetry of the most recent census, for the bench
+    * harness (the fuzzy session-bimodality hunt needed the DECISION
+    * visible, not another timing re-run). Write-once per census call;
+    * read+cleared by [[graft.Bench]] around each entry. */
+  final case class CensusStats(cap: Int, sampled: Boolean,
+                               hotBuckets: Int, overflowed: Boolean,
+                               maxDf: Long, sumDf: Long, chunkTasks: Long,
+                               censusMillis: Long)
+  val lastCensusStats =
+    new java.util.concurrent.atomic.AtomicReference[Option[CensusStats]](None)
 
   /** Materialize the over-cap bucket census ONCE, driver-side.
     * `None` when no bucket exceeds `cap` — callers then skip the
@@ -79,22 +102,41 @@ object FuzzyJoin {
     * (≤ |variants| / (cap+1) rows); the degenerate corpus that
     * overflows [[HotCollectCap]] falls back to the uncollected
     * aggregate frame. */
-  private def hotCensus(variants: DataFrame, cap: Int): Option[DataFrame] = {
+  private def hotCensus(variants: DataFrame, cap: Int,
+                        chunk: Int = Tuning.default.variantChunk): Option[DataFrame] = {
     val spark = variants.sparkSession
     import spark.implicits._
+    val t0 = System.nanoTime()
+    val sampled = cap >= SampledCensusMinCap
     val hot =
-      if (cap >= SampledCensusMinCap)
+      if (sampled)
         // df scaled back to a full-frame estimate; only its MAGNITUDE
-        // is consumed (heavy-tier chunk count), never the exact value
-        variants.sample(withReplacement = false, CensusFraction, seed = 7L)
+        // is consumed (heavy-tier chunk count), never the exact value.
+        // Partition-independent row keep (see [[CensusModulus]]): the
+        // census — and so the tier split — is identical in every
+        // session, whatever the physical layout.
+        variants.filter(
+            pmod(xxhash64($"vh", $"id", lit(7L)), lit(CensusModulus)) === 0)
           .groupBy($"vh")
           .agg((count(lit(1)) / CensusFraction).cast("long").as("df"))
           .filter($"df" > cap)
       else variants.groupBy($"vh").agg(count(lit(1)).as("df"))
         .filter($"df" > cap)
     val sample = hot.limit(HotCollectCap + 1).as[(Long, Long)].collect()
+    val ms = (System.nanoTime() - t0) / 1000000L
+    val over = sample.length > HotCollectCap
+    lastCensusStats.set(Some(CensusStats(
+      cap = cap, sampled = sampled, hotBuckets = sample.length,
+      overflowed = over,
+      maxDf = if (sample.isEmpty) 0L else sample.map(_._2).max,
+      sumDf = sample.map(_._2).sum,
+      chunkTasks = sample.map { case (_, df) =>
+        val nc = math.max(1L, (df + chunk - 1) / chunk)
+        nc * (nc + 1) / 2
+      }.sum,
+      censusMillis = ms)))
     if (sample.isEmpty) None
-    else if (sample.length <= HotCollectCap)
+    else if (!over)
       Some(broadcast(sample.toSeq.toDF("vh", "df")))
     else
       // overflow fallback must be an EXACT census: the returned frame
@@ -253,7 +295,7 @@ object FuzzyJoin {
                                k: Int, t: Tuning): DataFrame = {
     val spark = variants.sparkSession
     import spark.implicits._
-    hotCensus(variants, t.maxSelfVariantDf) match {
+    hotCensus(variants, t.maxSelfVariantDf, t.variantChunk) match {
       case None =>
         // healthy corpus: pure light tier over the raw variant frame —
         // no tag join, no persist, no union (the r14 regression path)
@@ -392,7 +434,7 @@ object FuzzyJoin {
     // as in [[guardedSelfPairs]]: the census is collected once; a hot-
     // free batch (the common maintenance case) skips the anti joins
     // and the heavy tier entirely
-    hotCensus(touched, t.maxVariantDf) match {
+    hotCensus(touched, t.maxVariantDf, t.variantChunk) match {
       case None => bipartiteCand(bv, touched, k)
       case Some(hotDf) =>
         val hotKeys = hotDf.select($"vh")

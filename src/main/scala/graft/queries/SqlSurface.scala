@@ -794,6 +794,67 @@ object SqlSurface {
       |WHERE CAST(json_extract_string(a.arr[g.i], '$.n') AS BIGINT) <> 1
       |ORDER BY a.id, ord""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** One step past q42: NESTED-object navigation on the iteration
+    * alias itself. Real SUPER queries rarely stop at scalar element
+    * fields — each array element is an object holding objects
+    * (`ln.meta.tag`), and the query aggregates GROUPED BY such a
+    * nested path. Exercises the composition the r16 review called
+    * untested: comma-iteration (`FROM s, s.doc.lines AS ln`, no AT)
+    * × multi-level dot path on the element alias × the same path in
+    * GROUP BY. Elements arrive as json TEXT from the
+    * `from_json(..., 'array<string>')` rewrite, so nested paths ride
+    * `get_json_object(ln, '$.meta.tag')`; DuckDB re-derives from its
+    * native lateral unnest over a VARCHAR[] cast — no shared
+    * machinery. */
+  def q43PartiqlNested(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("rs_orders")
+    val redshiftSql =
+      """WITH src AS (
+        |  SELECT o_orderkey AS id,
+        |    '{"lines":[{"meta":{"tag":"g' || CAST(o_orderkey % 4 AS STRING) ||
+        |      '","w":' || CAST(o_orderkey % 3 AS STRING) ||
+        |      '},"q":' || CAST(o_orderkey % 5 AS STRING) ||
+        |      '},{"meta":{"tag":"g' || CAST(o_orderkey % 6 AS STRING) ||
+        |      '","w":' || CAST(o_orderkey % 2 AS STRING) ||
+        |      '},"q":' || CAST(o_orderkey % 7 AS STRING) || '}]}' AS doc
+        |  FROM rs_orders WHERE o_orderkey <= 400
+        |)
+        |SELECT ln.meta.tag AS tag, COUNT(*) AS n,
+        |  SUM(CAST(ln.q AS BIGINT)) AS total_q,
+        |  SUM(CAST(ln.meta.w AS BIGINT)) AS total_w
+        |FROM src s, s.doc.lines AS ln
+        |GROUP BY ln.meta.tag
+        |ORDER BY tag""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q43PartiqlNestedSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS id,
+      |    '{"lines":[{"meta":{"tag":"g' || CAST(o_orderkey % 4 AS VARCHAR) ||
+      |      '","w":' || CAST(o_orderkey % 3 AS VARCHAR) ||
+      |      '},"q":' || CAST(o_orderkey % 5 AS VARCHAR) ||
+      |      '},{"meta":{"tag":"g' || CAST(o_orderkey % 6 AS VARCHAR) ||
+      |      '","w":' || CAST(o_orderkey % 2 AS VARCHAR) ||
+      |      '},"q":' || CAST(o_orderkey % 7 AS VARCHAR) || '}]}' AS doc
+      |  FROM orders WHERE o_orderkey <= 400
+      |),
+      |lines AS (
+      |  SELECT u.ln
+      |  FROM (SELECT CAST(doc -> '$.lines' AS VARCHAR[]) AS arr FROM src) a,
+      |    unnest(a.arr) AS u(ln)
+      |)
+      |SELECT json_extract_string(ln, '$.meta.tag') AS tag,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(ln, '$.q') AS BIGINT)) AS BIGINT)
+      |    AS total_q,
+      |  CAST(SUM(CAST(json_extract_string(ln, '$.meta.w') AS BIGINT)) AS BIGINT)
+      |    AS total_w
+      |FROM lines
+      |GROUP BY 1 ORDER BY tag""".stripMargin
+
   // ---------------------------------------------------------------- q21
   /** A query written in REDSHIFT dialect — `LISTAGG ... WITHIN GROUP`,
     * `DATEADD(days, ...)`, boundary-crossing `DATEDIFF(day, ...)` —
@@ -1616,6 +1677,7 @@ object SqlSurface {
     "q32_lateral" -> (q32Lateral _),
     "q41_super_paths" -> (q41SuperPaths _),
     "q42_partiql_iterate" -> (q42PartiqlIterate _),
+    "q43_partiql_nested" -> (q43PartiqlNested _),
     "q33_string_dialect" -> (q33StringDialect _),
     "q39_regex_dialect" -> (q39RegexDialect _),
     "q40_tochar_number" -> (q40ToCharNumber _),
@@ -1665,6 +1727,7 @@ object SqlSurface {
     "q32_lateral" -> q32LateralSql,
     "q41_super_paths" -> q41SuperPathsSql,
     "q42_partiql_iterate" -> q42PartiqlIterateSql,
+    "q43_partiql_nested" -> q43PartiqlNestedSql,
     "q33_string_dialect" -> q33StringDialectSql,
     "q39_regex_dialect" -> q39RegexDialectSql,
     "q40_tochar_number" -> q40ToCharNumberSql,

@@ -145,6 +145,27 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.get.collect().head.getString(0) == "x;y")
   }
 
+  test("Q10: dollar-quoted bodies never split (reference UDF script shape)") {
+    // the reference's sql/001_ETL_create_f_sha256.sql wraps a function
+    // body in $$…$$; semicolons inside must stay attached
+    val stmts = Commands.splitSqlStatements(
+      """CREATE OR REPLACE FUNCTION f(x int) RETURNS int AS $$
+        |  SELECT 1; SELECT x + 1;
+        |$$ LANGUAGE sql;
+        |SELECT 2 AS two""".stripMargin)
+    assert(stmts.length == 2, s"got: $stmts")
+    assert(stmts(0).contains("SELECT 1; SELECT x + 1;"), stmts(0))
+    assert(stmts(1) == "SELECT 2 AS two")
+    // tagged form $fn$…$fn$ — an inner $$ is literal text there
+    val tagged = Commands.splitSqlStatements(
+      "DO $fn$ BEGIN x := '$$'; y := 1; END $fn$; SELECT 3")
+    assert(tagged.length == 2, s"got: $tagged")
+    assert(tagged(0).contains("y := 1;"))
+    // `$` not opening a quote (digit-led tag, lone $) splits normally
+    val plain = Commands.splitSqlStatements("SELECT '$5'; SELECT 1 $ 2; SELECT 3")
+    assert(plain.length == 3, s"got: $plain")
+  }
+
   test("§2.11: f_sha256 matches the built-in sha2 (the native path)") {
     Commands.registerUdfs(spark)
     val r = spark.sql(

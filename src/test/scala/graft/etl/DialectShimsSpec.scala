@@ -524,6 +524,20 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2d = DialectShims.rewriteRedshiftSql(
       "SELECT d.payload.kind FROM (SELECT payload FROM events) d")
     assert(r2d.contains("get_json_object(d.payload, '$.kind')"), r2d)
+    // ...including the explicit-AS form: the reference position sits
+    // OUTSIDE the subquery scope, so the derived-table binding must
+    // survive sibling-scope blanking (parens blanked to `()`, not
+    // removed — regression: the removal made `\)\s*AS\s*alias` never
+    // match and silently skipped the rewrite)
+    val r2d2 = DialectShims.rewriteRedshiftSql(
+      "SELECT d.payload.kind FROM (SELECT payload FROM events) AS d")
+    assert(r2d2.contains("get_json_object(d.payload, '$.kind')"), r2d2)
+    // blanked siblings still must not LEAK their inner bindings: `q`'s
+    // subquery binds `events` inside only, so outer `events.doc` stays
+    // a schema-qualified relation, not a path head
+    val r2d3 = DialectShims.rewriteRedshiftSql(
+      "SELECT events.doc.kind FROM (SELECT 1 FROM events) q, events.doc AS d")
+    assert(!r2d3.contains("get_json_object"), r2d3)
     // a SELECT-list scalar-subquery alias is NOT a relation alias
     val r2e = DialectShims.rewriteRedshiftSql(
       "SELECT (SELECT max(sch.x.v) FROM sch.x) peak FROM sch.tbl")

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI-shape regression gate: every EXPENSIVE entry's warm minimum must
+  * stay inside a declared band of the committed quiet baseline
+  * (`BENCH_LOCAL.json`), so a real plan regression fails the suite in
+  * the same session that introduced it instead of surfacing a judged
+  * round later.
+  *
+  * Design points, each learned from a prior phantom-regression round:
+  *  - adjudicate on the warm MINIMUM (contention only inflates; one
+  *    quiet observation proves the plan), with one re-run on breach;
+  *  - only entries with committed min ≥ [[MinBaseline]] participate —
+  *    sub-second entries regress inside machine noise and a doubled
+  *    0.3 s entry cannot move the round total;
+  *  - per-entry bands, wide for the known-variance set (multi-job
+  *    lifecycle builds, iterative fixpoints, tmp-warehouse I/O);
+  *  - environment preconditions CANCEL (assume), never false-fail: a
+  *    loaded box, a missing baseline, or a different box class is an
+  *    environment fact, not a regression. */
+class BenchBandSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val SfDir = "/root/testdata/sf0.1"
+
+  override def beforeAll(): Unit = {
+    // the SAME session shape Bench uses — band comparisons are only
+    // meaningful against the baseline's own configuration
+    spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Entries below this committed warm-min don't participate. */
+  private val MinBaseline = 1.0
+
+  /** A breach at the default band is a ~2× slowdown — the regression
+    * size this gate exists to catch. */
+  private val DefaultBand = 1.8
+
+  /** Known-variance entries (judge rounds 13–16): multi-job lifecycle
+    * builds and iterative fixpoints swing 2–3× run-to-run from
+    * GC/page-cache state even on a quiet box; incremental/stored
+    * entries add tmp-warehouse I/O. fuzzy_join_names2 keeps a wide
+    * band one round past its census fix as regression insurance. */
+  private val WideBand: Map[String, Double] = Map(
+    "fuzzy_join_names2" -> 3.0,
+    "dag_final_table" -> 3.0,
+    "dag_dim_customer" -> 3.0,
+    "dag_load_order" -> 3.0,
+    "dedup_clusters" -> 3.0,
+    "graph_pagerank" -> 3.0,
+    "join_incremental" -> 3.0,
+    "rollup_incremental" -> 3.0,
+    "dedup_minhash_incremental" -> 3.0,
+    "ann_ivf_topk_stored" -> 3.0,
+    "retrieval_topk_stored" -> 3.0,
+    "skip_index_scan" -> 3.0,
+    "skip_index_bloom" -> 3.0,
+    "t8c_zorder_build" -> 3.0)
+
+  private def bandOf(name: String): Double =
+    WideBand.getOrElse(name, DefaultBand)
+
+  /** The one-line verdict, factored out so the red path is provable
+    * without doubling a live query. */
+  private def breaches(best: Double, baselineMin: Double, band: Double): Boolean =
+    best > band * baselineMin
+
+  test("band logic: a doubled entry reads red, in-band stays green") {
+    // default band: a genuine 2x regression fires...
+    assert(breaches(best = 2.05, baselineMin = 1.0, band = DefaultBand))
+    // ...normal quiet-box scatter does not
+    assert(!breaches(best = 1.55, baselineMin = 1.0, band = DefaultBand))
+    // wide-band entries absorb their documented variance but still
+    // fire on a real blowup
+    assert(!breaches(best = 2.6, baselineMin = 1.0, band = 3.0))
+    assert(breaches(best = 3.3, baselineMin = 1.0, band = 3.0))
+  }
+
+  test("expensive entries stay within their band of BENCH_LOCAL.json") {
+    val baseFile = new java.io.File("BENCH_LOCAL.json")
+    assume(baseFile.exists, "no committed baseline to band against")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(baseFile)
+    val sfOk = node.get("sf") != null && node.get("sf").asText.endsWith("sf0.1")
+    assume(sfOk, s"baseline sf ${node.get("sf")} is not the sf0.1 surface")
+    assume(new java.io.File(SfDir).isDirectory, s"$SfDir not present")
+    // a baseline recorded on a loaded box must not set bands at all
+    assume(node.get("contended_run") == null || !node.get("contended_run").asBoolean(false),
+      "baseline artifact is stamped contended — refresh it quiet first")
+    val ncpu = Runtime.getRuntime.availableProcessors
+    assume(ncpu >= 16, s"box class mismatch: $ncpu CPUs vs the 32-CPU baseline")
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    assume(load >= 0 && load < ncpu * 0.5,
+      f"box loaded ($load%.1f on $ncpu CPUs) — cancelling, not failing")
+    val minsNode = node.get("queries_min")
+    assume(minsNode != null, "baseline has no queries_min object")
+    val mins = {
+      val it = minsNode.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asDouble(-1)) }
+      b.result()
+    }
+    val targets = mins.filter { case (n, v) =>
+      v >= MinBaseline && SparkEntry.queries.contains(n)
+    }.keys.toSeq.sorted
+    assume(targets.nonEmpty, "no entries at or above the baseline floor")
+    val bad = targets.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, SfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      once() // cold: codegen + footer reads land here, not on the band
+      var best = math.min(once(), once())
+      val limit = bandOf(name) * mins(name)
+      if (best > limit) best = math.min(best, once())  // one re-run on breach
+      if (breaches(best, mins(name), bandOf(name)))
+        Some(f"$name: warm min $best%.2f s > ${bandOf(name)}%.1f x baseline ${mins(name)}%.2f s")
+      else None
+    }
+    assert(bad.isEmpty,
+      "bench band breaches (real regressions or a stale baseline):\n  " +
+        bad.mkString("\n  "))
+  }
+}

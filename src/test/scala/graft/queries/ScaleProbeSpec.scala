@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 10× scale probe for the fuzzy/ER tier — the bound ARGUMENTS
+  * (triangle chunking caps per-group work at ≤ 2·variantChunk
+  * members; the census collect is ≤ |variants|/cap rows) are pinned
+  * by property tests, but until this probe they were never MEASURED
+  * above sf0.1. The probe builds a 150 000-name corpus (10× the
+  * sf0.1 customer table, same `Customer#%09d` zero-padded shape —
+  * the exact mega-bucket generator the heavy tier exists for), runs
+  * `pairsWithin2` and the ER golden-record pipeline under a task
+  * listener, and asserts the SHAPE of the work distribution:
+  * no corpus-sized task input, no single straggler task owning the
+  * wall clock. Results land in STATUS.md's scale table.
+  *
+  * Heavy (minutes) and environment-sensitive, so it only runs when
+  * explicitly asked: `GRAFT_SCALE_PROBE=1 sbt 'testOnly
+  * graft.queries.ScaleProbeSpec'`; otherwise every test cancels. */
+class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private final class TaskStats extends SparkListener {
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val maxRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null && t.taskInfo != null && t.taskInfo.successful) {
+        durations.add(t.taskInfo.duration)
+        val recs = t.taskMetrics.inputMetrics.recordsRead +
+          t.taskMetrics.shuffleReadMetrics.recordsRead
+        maxRecords.getAndAccumulate(recs, math.max)
+      }
+  }
+
+  private def histogram(ds: Seq[Long]): String = {
+    val buckets = Seq(100L, 500L, 1000L, 5000L, 20000L, Long.MaxValue)
+    val labels = Seq("<0.1s", "0.1-0.5s", "0.5-1s", "1-5s", "5-20s", ">20s")
+    labels.zip(buckets).zip(Long.MinValue +: buckets.dropRight(1)).map {
+      case ((lab, hi), lo) => s"$lab: ${ds.count(d => d > lo && d <= hi)}"
+    }.mkString("  ")
+  }
+
+  private def probe(label: String)(job: => Long): (Long, TaskStats, Double) = {
+    val st = new TaskStats
+    spark.sparkContext.addSparkListener(st)
+    val t0 = System.nanoTime()
+    val n = job
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let the last task-end events drain
+    spark.sparkContext.removeSparkListener(st)
+    (n, st, wall)
+  }
+
+  test("10x corpus: pairsWithin2 and ER per-task work stays bounded") {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"),
+      "scale probe runs only when GRAFT_SCALE_PROBE is set")
+    val n = 150000L
+    val names = spark.range(n)
+      .select(col("id"), format_string("Customer#%09d", col("id")).as("name"))
+      .repartition(32)
+      .persist()
+    assert(names.count() == n)
+
+    // ---- pairsWithin2: the d<=2 deletion-neighborhood self-join.
+    // Variant fan-out at L=18, k=2 is 1+L+L(L-1)/2 = 172 rows/name
+    // -> ~25.8M variant rows; zero-padded names collapse onto hot
+    // buckets, so the heavy tier + triangle chunking MUST engage.
+    val (pairs2, st2, wall2) = probe("pairsWithin2") {
+      FuzzyJoin.pairsWithin2(names.toDF()).count()
+    }
+    val d2 = {
+      val it = st2.durations.iterator(); val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result().sorted
+    }
+    info(f"pairsWithin2: $pairs2%,d pairs in $wall2%.1f s, " +
+      f"${d2.size} tasks, max task input ${st2.maxRecords.get}%,d rows")
+    info(s"  task-time histogram: ${histogram(d2)}")
+    info(f"  task p50 ${d2(d2.size / 2)}%d ms  p99 ${d2((d2.size * 99) / 100)}%d ms  max ${d2.last}%d ms")
+    info(s"  slowest 8 tasks (ms): ${d2.takeRight(8).mkString(", ")}")
+    assert(pairs2 > 0)
+    // no task absorbs the corpus: the variant frame is ~26M rows; a
+    // single task reading more than half of it means the partitioning
+    // collapsed (the all-in-one-bucket failure this tier prevents)
+    assert(st2.maxRecords.get < 13000000L,
+      s"a task saw ${st2.maxRecords.get} rows - corpus-sized input")
+    // the heavy stage must be UNIFORM, not skewed: on local[32] with
+    // 32 shuffle partitions the dominant stage is 32 tasks that all
+    // run ~the stage time (perfect parallelism — more partitions or
+    // executors spread the same work), so "slowest task ≈ wall" is
+    // EXPECTED here. The scale hazard is one task far above its stage
+    // peers (an unchunked mega-bucket): bound max against the 32nd-
+    // slowest, i.e. within the dominant stage's own cohort.
+    val cohort2 = d2.takeRight(math.min(32, d2.size))
+    assert(d2.last <= 3L * math.max(1L, cohort2.head),
+      s"skewed heavy stage: max ${d2.last} ms vs cohort floor ${cohort2.head} ms")
+
+    // ---- ER golden records: pairsWithin1 edges -> connected
+    // components -> canonical records, the full pipeline.
+    val (ents, st1, wall1) = probe("erGoldenRecords") {
+      FuzzyJoin.goldenRecordsOf(names.toDF()).count()
+    }
+    val d1 = {
+      val it = st1.durations.iterator(); val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result().sorted
+    }
+    info(f"erGoldenRecords: $ents%,d records in $wall1%.1f s, " +
+      f"${d1.size} tasks, max task input ${st1.maxRecords.get}%,d rows")
+    info(s"  task-time histogram: ${histogram(d1)}")
+    info(f"  task p50 ${d1(d1.size / 2)}%d ms  p99 ${d1((d1.size * 99) / 100)}%d ms  max ${d1.last}%d ms")
+    info(s"  slowest 8 tasks (ms): ${d1.takeRight(8).mkString(", ")}")
+    assert(ents == n, s"every input row keeps exactly one golden record, got $ents")
+    assert(st1.maxRecords.get < 13000000L,
+      s"a task saw ${st1.maxRecords.get} rows - corpus-sized input")
+    val cohort1 = d1.takeRight(math.min(32, d1.size))
+    assert(d1.last <= 3L * math.max(1L, cohort1.head),
+      s"skewed heavy stage: max ${d1.last} ms vs cohort floor ${cohort1.head} ms")
+    names.unpersist()
+  }
+}

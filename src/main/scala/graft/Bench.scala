@@ -4,6 +4,97 @@ object Bench {
   private final case class Times(cold: Double, median: Double,
                                  minWarm: Double, spread: Double)
 
+  // ------------------------------------------- per-stage telemetry
+  /** One completed Spark stage of an instrumented entry: where the
+    * wall time of a run actually went. Stage names are action
+    * callsites (Spark SQL names every stage after the collect/count
+    * that triggered the job), so the ROLE of a stage is read off
+    * tasks/records, not the name: the variant-explode map stage reads
+    * file records, the join+rescore stage reads shuffle records, the
+    * final sort reads the surviving pairs. */
+  private final case class StageRec(id: Int, wallMs: Long, tasks: Int,
+                                    runMs: Long, records: Long,
+                                    maxTaskMs: Long)
+
+  /** Collects per-stage aggregates from the listener bus. Task-end
+    * events carry the metrics (StageInfo.taskMetrics is not reliably
+    * aggregated at stage completion); stage-completed events carry
+    * submission/completion wall times. Events post on the single bus
+    * thread, but reads race with it — everything synchronized. */
+  private final class StageLog extends org.apache.spark.scheduler.SparkListener {
+    private val runMs = scala.collection.mutable.Map.empty[Int, Long]
+    private val recs = scala.collection.mutable.Map.empty[Int, Long]
+    private val maxTask = scala.collection.mutable.Map.empty[Int, Long]
+    private val nTasks = scala.collection.mutable.Map.empty[Int, Int]
+    private val wall = scala.collection.mutable.Map.empty[Int, Long]
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful) synchronized {
+        val sid = t.stageId
+        nTasks(sid) = nTasks.getOrElse(sid, 0) + 1
+        maxTask(sid) = math.max(maxTask.getOrElse(sid, 0L), t.taskInfo.duration)
+        if (t.taskMetrics != null) {
+          runMs(sid) = runMs.getOrElse(sid, 0L) + t.taskMetrics.executorRunTime
+          recs(sid) = recs.getOrElse(sid, 0L) +
+            t.taskMetrics.inputMetrics.recordsRead +
+            t.taskMetrics.shuffleReadMetrics.recordsRead
+        }
+      }
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      synchronized {
+        val si = e.stageInfo
+        wall(si.stageId) = (for {
+          s <- si.submissionTime; c <- si.completionTime
+        } yield c - s).getOrElse(-1L)
+      }
+    def drain(): Seq[StageRec] = synchronized {
+      (wall.keySet ++ nTasks.keySet).toSeq.sorted.map { sid =>
+        StageRec(sid, wall.getOrElse(sid, -1L), nTasks.getOrElse(sid, 0),
+          runMs.getOrElse(sid, 0L), recs.getOrElse(sid, 0L),
+          maxTask.getOrElse(sid, 0L))
+      }
+    }
+  }
+
+  private def stageJson(runs: Seq[Seq[StageRec]]): String =
+    runs.map(_.map(s =>
+        s"""{"id":${s.id},"wall_ms":${s.wallMs},"tasks":${s.tasks},""" +
+          s""""run_ms":${s.runMs},"records":${s.records},""" +
+          s""""max_task_ms":${s.maxTaskMs}}""")
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  // ------------------------------------------------- JVM counters
+  /** JIT/GC/codegen state snapshot — the judge-vs-builder 3–4× wall
+    * gap on fuzzy_join_names2 persists on the PROVEN deterministic
+    * plan (identical census, zero skew), so the remaining suspects
+    * are JVM-environmental: JIT compilation state of the codegen
+    * kernels, GC pressure, Janino recompilation. Deltas of these
+    * around each entry let a reader discriminate them from raw
+    * single-thread throughput using only artifact fields. */
+  private final case class JvmSnap(jitMs: Long, gcN: Long, gcMs: Long,
+                                   janinoN: Long, janinoMsTotal: Long)
+
+  private def jvmSnap(): JvmSnap = {
+    import scala.jdk.CollectionConverters._
+    val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+    val jit = if (comp != null && comp.isCompilationTimeMonitoringSupported)
+      comp.getTotalCompilationTime else -1L
+    val gcs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    val hist = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    // total Janino ms reconstructed as count×mean (the histogram keeps
+    // no running sum) — approximate but monotone enough for deltas
+    val jTot = math.round(hist.getSnapshot.getMean * hist.getCount)
+    JvmSnap(jit, gcs.map(_.getCollectionCount).sum,
+      gcs.map(_.getCollectionTime).sum, hist.getCount, jTot)
+  }
+
+  private def jvmDeltaJson(a: JvmSnap, b: JvmSnap): String =
+    s"""{"jit_ms":${b.jitMs - a.jitMs},"gc_n":${b.gcN - a.gcN},""" +
+      s""""gc_ms":${b.gcMs - a.gcMs},"janino_n":${b.janinoN - a.janinoN},""" +
+      s""""janino_ms":${b.janinoMsTotal - a.janinoMsTotal}}"""
+
   /** Per-query baselines from the last committed bench artifact (its
     * `"queries"` object). Missing/corrupt file ⇒ no baselines — the
     * run still produces numbers, just without contention defense. */
@@ -134,6 +225,17 @@ object Bench {
     var failed = List.empty[String]
     var contended = List.empty[String]
     var censuses = List.empty[(String, String)]
+    var jvmStats = List.empty[(String, String)]
+    var stageStats = List.empty[(String, String)]
+    // Entries that get PER-STAGE telemetry on every run (cold + each
+    // warm): the fuzzy tier (the unexplained judge-vs-builder wall
+    // band) and the top lifecycle entry (its 3.6→6.1 s judge swing is
+    // the #2 wall item). Override with SPARK_GRAFT_BENCH_STAGES.
+    val stageSet: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_STAGES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("fuzzy_join_names", "fuzzy_join_names2",
+        "er_golden_records", "dag_final_table"))
+    val jvmRunStart = jvmSnap()
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
     // named queries (the driver never sets it — full runs unaffected).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -149,30 +251,47 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      val wantStages = stageSet.contains(name)
+      val stageRuns = scala.collection.mutable.ArrayBuffer.empty[Seq[StageRec]]
       def once(): Double = {
+        val log = if (wantStages) Some(new StageLog) else None
+        log.foreach(spark.sparkContext.addSparkListener)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        log.foreach { l =>
+          // listener bus is async; give the final stage-completed a
+          // moment to land (after dt is taken — never in the timing)
+          Thread.sleep(200)
+          spark.sparkContext.removeSparkListener(l)
+          stageRuns += l.drain()
+        }
         // Queries persist() intermediates; drop them so nothing is
         // reused across runs or accumulates across the loop.
         spark.catalog.clearCache()
         dt
       }
       try {
-        graft.queries.FuzzyJoin.lastCensusStats.set(None)
+        graft.queries.FuzzyJoin.censusLog.set(Nil)
+        val jvm0 = jvmSnap()
         val cold = once()
         // tier-decision telemetry (the fuzzy session-bimodality hunt):
         // snapshot after the cold run — the census is computed at plan
         // CONSTRUCTION and is content-deterministic, so warm runs
-        // recompute the identical decision
-        graft.queries.FuzzyJoin.lastCensusStats.get().foreach { cs =>
-          censuses ::= (name ->
-            (s"""{"cap":${cs.cap},"sampled":${cs.sampled},""" +
+        // recompute the identical decision. An ARRAY: entries that
+        // build several fuzzy plans (self + bipartite, per-batch
+        // fold-ins) log one census each, in construction order.
+        val censusesOfEntry = graft.queries.FuzzyJoin.censusLog.get().reverse
+        if (censusesOfEntry.nonEmpty)
+          censuses ::= (name -> censusesOfEntry.map { cs =>
+            s"""{"cap":${cs.cap},"sampled":${cs.sampled},""" +
               s""""hot_buckets":${cs.hotBuckets},"overflowed":${cs.overflowed},""" +
               s""""max_df":${cs.maxDf},"sum_df":${cs.sumDf},""" +
-              s""""chunk_tasks":${cs.chunkTasks},"census_ms":${cs.censusMillis}}"""))
-        }
+              s""""chunk_tasks":${cs.chunkTasks},"census_ms":${cs.censusMillis}}"""
+          }.mkString("[", ",", "]"))
         val warms = Seq.fill(warmRuns)(once()).sorted
+        jvmStats ::= (name -> jvmDeltaJson(jvm0, jvmSnap()))
+        if (wantStages) stageStats ::= (name -> stageJson(stageRuns.toSeq))
         val median = warms(warms.size / 2)
         val minWarm = warms.head
         val spread = warms.last - warms.head
@@ -209,9 +328,20 @@ object Bench {
     // miss it (r16's driver artifact overstated the engine 35% and
     // was read as a regression until the judge re-benched quiet)
     val contendedRun = loadAvg > 1.0
-    val censusJson = censuses.sortBy(_._1)
+    def objOf(xs: List[(String, String)]): String = xs.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_min":${json(_.minWarm)},"queries_spread":${json(_.spread)},"census":$censusJson,"cold_total":$coldTotal,"min_total":$minTotal,"failed":$failedJson,"contended":$contendedJson,"contended_run":$contendedRun,"load_avg_start":$loadAvg,"load_avg_end":$loadAvgEnd,"cpus":$ncpu,"sf":"$sfDir"}"""
+    val censusJson = objOf(censuses)
+    val jvmJson = objOf(jvmStats)
+    val stagesJson = objOf(stageStats)
+    // whole-run JVM telemetry: a session whose TOTAL JIT time dwarfs a
+    // fast session's on identical work is running interpreted/C1 far
+    // longer — visible here without any per-entry comparison
+    val jvmRunEnd = jvmSnap()
+    val uptime = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getUptime
+    val jvmTotalJson = jvmDeltaJson(jvmRunStart, jvmRunEnd).dropRight(1) +
+      s""","uptime_ms":$uptime,"jit_ms_since_jvm_start":${jvmRunEnd.jitMs}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","warm_runs":$warmRuns,"queries":${json(_.median)},"queries_cold":${json(_.cold)},"queries_min":${json(_.minWarm)},"queries_spread":${json(_.spread)},"census":$censusJson,"jvm":$jvmJson,"jvm_total":$jvmTotalJson,"stages":$stagesJson,"cold_total":$coldTotal,"min_total":$minTotal,"failed":$failedJson,"contended":$contendedJson,"contended_run":$contendedRun,"load_avg_start":$loadAvg,"load_avg_end":$loadAvgEnd,"cpus":$ncpu,"sf":"$sfDir"}"""
     // sbt wraps stdout (prefixes, epilogue), which can defeat a parser
     // expecting a bare JSON line — the FULL result (every query's
     // cold/median/spread at full precision) goes to a file.
@@ -222,10 +352,15 @@ object Bench {
     // is the cross-round baseline and must only ever come from a
     // quiet box — a load>1 start diverts to a .contended file (an
     // explicit SPARK_GRAFT_BENCH_OUT is honored; the stamp above
-    // still marks the artifact).
+    // still marks the artifact). Diverted files carry a TIMESTAMP so
+    // repeated runs coexist on disk instead of clobbering each other
+    // (the judge's r17 run destroyed the driver's contended artifact);
+    // both patterns are gitignored.
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd-HHmmss").format(java.time.LocalDateTime.now())
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "BENCH_LOCAL.partial.json"
-      else if (contendedRun) "BENCH_LOCAL.contended.json"
+      if (only.isDefined) s"BENCH_LOCAL.partial.$stamp.json"
+      else if (contendedRun) s"BENCH_LOCAL.contended.$stamp.json"
       else "BENCH_LOCAL.json")
     if (contendedRun && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
       System.err.println(

@@ -182,8 +182,18 @@ object Commands {
           // the body must not split. A lone `$` or `$5` is not an
           // opener (tag = empty or identifier, not digit-led); an
           // unclosed quote swallows to end-of-script like the other
-          // literal forms.
-          val tagEnd: Int = {
+          // literal forms. PostgreSQL's lexer only opens a dollar
+          // quote when the `$` does NOT continue an identifier
+          // (`$` is a legal identifier char there): without that rule
+          // `a$b$c` — or a `$var$` templating placeholder glued to a
+          // name — falsely opened a quote whose "close tag" never
+          // recurs and the rest of the script collapsed into one
+          // statement.
+          val afterIdentChar = cur.nonEmpty && {
+            val p = cur.charAt(cur.length - 1)
+            p.isLetterOrDigit || p == '_' || p == '$'
+          }
+          val tagEnd: Int = if (afterIdentChar) -1 else {
             var j = i + 1
             if (j < n && script.charAt(j) == '$') j + 1
             else if (j < n &&

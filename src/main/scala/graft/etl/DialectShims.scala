@@ -1362,6 +1362,92 @@ object DialectShims {
     out.toString
   }
 
+  /** PartiQL `[*]` wildcard array paths inside comparison predicates:
+    * `WHERE s.doc.lines[*].q > 3`. Redshift's SUPER tier accepts a
+    * wildcard step in a path expression (PartiQL path syntax); in a
+    * predicate position the collection-valued path holds when ANY
+    * element satisfies the comparison — the SQL/JSON path-exists
+    * semantics (`JSON_EXISTS`-style) every json-path engine gives a
+    * filter over an array step. Rewritten to a codegen'd higher-order
+    * function over the parsed array, so the predicate evaluates
+    * per-row with NO lateral explode (a wildcard filter must not
+    * change the query's cardinality the way FROM-iteration does):
+    *
+    *   `s.doc.lines[*].q > 3` →
+    *   `exists(from_json(get_json_object(s.doc, '$.lines'),
+    *           'array<string>'), wc_e -> get_json_object(wc_e, '$.q') > 3)`
+    *
+    * Scope guards are [[rewriteSuperPaths]]'s: the head must be a
+    * FROM-bound alias (or UNNEST/iteration element alias) visible at
+    * the reference, relation positions are excluded. The wildcard is
+    * supported ONLY in a simple comparison (`path <op> literal/number/
+    * column`) — anything else (SELECT-list wildcard, function-wrapped
+    * path, path on the comparison's right) is REFUSED loudly rather
+    * than rewritten wrong. One wildcard step per path. */
+  private val WildcardPathRe = java.util.regex.Pattern.compile(
+    "\\b([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)((?:\\.[A-Za-z_]\\w*|\\[\\d+\\]|\\[\\*\\])+)")
+
+  private val WildcardCmpRe = java.util.regex.Pattern.compile(
+    "^\\s*(<=|>=|<>|!=|=|<|>)\\s*('\\x00\\d+\\x00'|-?\\d+(?:\\.\\d+)?|[A-Za-z_][\\w.]*)")
+
+  private[etl] def rewriteWildcardPaths(sql: String,
+                                        unnestAliases: Set[String],
+                                        saved: scala.collection.mutable.ArrayBuffer[String]): String = {
+    if (!sql.contains("[*]")) return sql
+    val elemUpper = unnestAliases.map(_.toUpperCase)
+    def bound(pos: Int): Set[String] =
+      fromBoundAliases(visibleScopeText(sql, pos)) ++ elemUpper
+    val m = WildcardPathRe.matcher(sql)
+    val out = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      val comps = m.group(3)
+      // m.start >= last: a dotted identifier consumed as a previous
+      // match's comparison operand must not re-match as a path
+      if (m.start >= last && comps.contains("[*]")) {
+        val head = m.group(1)
+        val relationPosition = clauseBefore(sql, m.start) match {
+          case "FROM" | "JOIN" => true
+          case _ => false
+        }
+        if (!relationPosition && bound(m.start)(head.toUpperCase)) {
+          val star = comps.indexOf("[*]")
+          require(comps.indexOf("[*]", star + 3) < 0,
+            s"nested [*] wildcards are not supported: ${m.group(0)}")
+          val pre = comps.substring(0, star)
+          val post = comps.substring(star + 3)
+          val cm = WildcardCmpRe.matcher(sql.substring(m.end))
+          require(cm.find(),
+            s"PartiQL [*] wildcard paths are supported only in a simple " +
+              s"comparison predicate (path <op> operand): ${m.group(0)}")
+          // an identifier operand followed by '(' is a function call —
+          // consuming just its name would strand the argument list as
+          // corrupt SQL; refuse loudly instead
+          val afterCmp = sql.substring(m.end + cm.end)
+            .dropWhile(_.isWhitespace)
+          require(!afterCmp.startsWith("("),
+            s"PartiQL [*] wildcard comparison operand must be a literal, " +
+              s"number, or column — not a function call: ${m.group(0)}")
+          val (base, prePath) =
+            if (elemUpper(head.toUpperCase)) (head, "." + m.group(2) + pre)
+            else (head + "." + m.group(2), pre)
+          val arrayText =
+            if (prePath.isEmpty) base
+            else s"get_json_object($base, ${maskLit(saved, "$" + prePath)})"
+          val inner =
+            if (post.isEmpty) "wc_e"
+            else s"get_json_object(wc_e, ${maskLit(saved, "$" + post)})"
+          out.append(sql, last, m.start)
+          out.append(s"exists(from_json($arrayText, 'array<string>'), " +
+            s"wc_e -> $inner ${cm.group(1)} ${cm.group(2)})")
+          last = m.end + cm.end
+        }
+      }
+    }
+    out.append(sql, last, sql.length)
+    out.toString
+  }
+
   /** Redshift's NATIVE PartiQL iteration syntax: the SUPER array is a
     * FROM-clause item whose head is an earlier relation alias —
     *
@@ -1550,8 +1636,12 @@ object DialectShims {
     val (step14, unnestAliases) = rewriteUnnest(step13)
     val (step15, iterAliases) = rewritePartiqlIteration(step14, arr)
     val elemAliases = unnestAliases ++ iterAliases
+    // wildcard paths BEFORE the scalar path pass: SuperPathRe would
+    // otherwise match the `s.doc.lines` prefix of `s.doc.lines[*].q`
+    // and leave a dangling `[*].q` in the output
+    val step16 = rewriteWildcardPaths(step15, elemAliases, arr)
     val rewritten = rewriteUnnestFieldRefs(
-      rewriteSuperPaths(step15, elemAliases, arr), elemAliases)
+      rewriteSuperPaths(step16, elemAliases, arr), elemAliases)
     unmask(rewritten, arr.toIndexedSeq)
   }
 }

@@ -80,16 +80,20 @@ object FuzzyJoin {
   private val CensusFraction = 0.1
   private val CensusModulus = (1.0 / CensusFraction).toInt
 
-  /** Tier-decision telemetry of the most recent census, for the bench
-    * harness (the fuzzy session-bimodality hunt needed the DECISION
-    * visible, not another timing re-run). Write-once per census call;
-    * read+cleared by [[graft.Bench]] around each entry. */
+  /** Tier-decision telemetry of census calls, for the bench harness
+    * (the fuzzy session-bimodality hunt needed the DECISION visible,
+    * not another timing re-run). An accumulating LOG, not a last-write
+    * slot: an entry that constructs multiple fuzzy plans in one run
+    * (incremental ER fold-in per batch; self + bipartite paths) makes
+    * several census calls, and the artifact must carry every decision
+    * (ADVICE r17). Appended (prepend order) by [[hotCensus]];
+    * cleared + read by [[graft.Bench]] around each entry. */
   final case class CensusStats(cap: Int, sampled: Boolean,
                                hotBuckets: Int, overflowed: Boolean,
                                maxDf: Long, sumDf: Long, chunkTasks: Long,
                                censusMillis: Long)
-  val lastCensusStats =
-    new java.util.concurrent.atomic.AtomicReference[Option[CensusStats]](None)
+  val censusLog =
+    new java.util.concurrent.atomic.AtomicReference[List[CensusStats]](Nil)
 
   /** Materialize the over-cap bucket census ONCE, driver-side.
     * `None` when no bucket exceeds `cap` — callers then skip the
@@ -125,7 +129,7 @@ object FuzzyJoin {
     val sample = hot.limit(HotCollectCap + 1).as[(Long, Long)].collect()
     val ms = (System.nanoTime() - t0) / 1000000L
     val over = sample.length > HotCollectCap
-    lastCensusStats.set(Some(CensusStats(
+    val stats = CensusStats(
       cap = cap, sampled = sampled, hotBuckets = sample.length,
       overflowed = over,
       maxDf = if (sample.isEmpty) 0L else sample.map(_._2).max,
@@ -134,7 +138,8 @@ object FuzzyJoin {
         val nc = math.max(1L, (df + chunk - 1) / chunk)
         nc * (nc + 1) / 2
       }.sum,
-      censusMillis = ms)))
+      censusMillis = ms)
+    censusLog.updateAndGet(stats :: _)
     if (sample.isEmpty) None
     else if (!over)
       Some(broadcast(sample.toSeq.toDF("vh", "df")))

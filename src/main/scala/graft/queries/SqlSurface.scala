@@ -855,6 +855,56 @@ object SqlSurface {
       |FROM lines
       |GROUP BY 1 ORDER BY tag""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** One step past q43: the `[*]` WILDCARD array step inside a filter
+    * predicate — `WHERE s.doc.lines[*].q > 3` — the PartiQL path form
+    * Redshift SUPER accepts where the wildcard-valued path in a
+    * predicate holds when ANY array element matches (SQL/JSON
+    * path-exists semantics). The shim rewrites it to a codegen'd
+    * `exists()` higher-order function over the parsed array — a
+    * per-row predicate, NO lateral explode, so the filter cannot
+    * change the query's cardinality the way FROM-iteration does. The
+    * same query also keeps an INDEXED path in the SELECT list to pin
+    * the coexistence of the wildcard pass with the scalar path pass.
+    * DuckDB answers with a correlated EXISTS over its native lateral
+    * unnest — none of the shim's machinery. */
+  def q44WildcardFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("rs_orders")
+    val redshiftSql =
+      """WITH src AS (
+        |  SELECT o_orderkey AS id,
+        |    '{"lines":[{"q":' || CAST(o_orderkey % 5 AS STRING) ||
+        |      ',"tag":"t' || CAST(o_orderkey % 3 AS STRING) ||
+        |      '"},{"q":' || CAST(o_orderkey % 7 AS STRING) ||
+        |      ',"tag":"t' || CAST(o_orderkey % 4 AS STRING) || '"}]}' AS doc
+        |  FROM rs_orders WHERE o_orderkey <= 400
+        |)
+        |SELECT s.id, s.doc.lines[0].tag AS first_tag
+        |FROM src s
+        |WHERE s.doc.lines[*].q > 3
+        |ORDER BY s.id""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q44WildcardFilterSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS id,
+      |    '{"lines":[{"q":' || CAST(o_orderkey % 5 AS VARCHAR) ||
+      |      ',"tag":"t' || CAST(o_orderkey % 3 AS VARCHAR) ||
+      |      '"},{"q":' || CAST(o_orderkey % 7 AS VARCHAR) ||
+      |      ',"tag":"t' || CAST(o_orderkey % 4 AS VARCHAR) || '"}]}' AS doc
+      |  FROM orders WHERE o_orderkey <= 400
+      |)
+      |SELECT s.id, json_extract_string(s.doc, '$.lines[0].tag') AS first_tag
+      |FROM src s
+      |WHERE EXISTS (
+      |  SELECT 1
+      |  FROM unnest(CAST(s.doc -> '$.lines' AS VARCHAR[])) AS u(ln)
+      |  WHERE CAST(json_extract_string(u.ln, '$.q') AS BIGINT) > 3
+      |)
+      |ORDER BY s.id""".stripMargin
+
   // ---------------------------------------------------------------- q21
   /** A query written in REDSHIFT dialect — `LISTAGG ... WITHIN GROUP`,
     * `DATEADD(days, ...)`, boundary-crossing `DATEDIFF(day, ...)` —
@@ -1678,6 +1728,7 @@ object SqlSurface {
     "q41_super_paths" -> (q41SuperPaths _),
     "q42_partiql_iterate" -> (q42PartiqlIterate _),
     "q43_partiql_nested" -> (q43PartiqlNested _),
+    "q44_wildcard_filter" -> (q44WildcardFilter _),
     "q33_string_dialect" -> (q33StringDialect _),
     "q39_regex_dialect" -> (q39RegexDialect _),
     "q40_tochar_number" -> (q40ToCharNumber _),
@@ -1728,6 +1779,7 @@ object SqlSurface {
     "q41_super_paths" -> q41SuperPathsSql,
     "q42_partiql_iterate" -> q42PartiqlIterateSql,
     "q43_partiql_nested" -> q43PartiqlNestedSql,
+    "q44_wildcard_filter" -> q44WildcardFilterSql,
     "q33_string_dialect" -> q33StringDialectSql,
     "q39_regex_dialect" -> q39RegexDialectSql,
     "q40_tochar_number" -> q40ToCharNumberSql,

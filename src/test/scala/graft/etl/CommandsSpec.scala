@@ -164,6 +164,17 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // `$` not opening a quote (digit-led tag, lone $) splits normally
     val plain = Commands.splitSqlStatements("SELECT '$5'; SELECT 1 $ 2; SELECT 3")
     assert(plain.length == 3, s"got: $plain")
+    // a `$` CONTINUING an identifier never opens a quote (PostgreSQL
+    // lexer rule: `a$b$c` is one legal identifier) — before the
+    // prev-char guard this swallowed everything after `a$b$` into one
+    // statement, silently losing the split
+    val ident = Commands.splitSqlStatements(
+      "SELECT a$b$c FROM t; SELECT x$y FROM u; SELECT 9")
+    assert(ident.length == 3, s"got: $ident")
+    // ...while a dollar quote after a NON-identifier char still opens
+    val spaced = Commands.splitSqlStatements(
+      "DO $t$ a; b $t$; SELECT 1")
+    assert(spaced.length == 2, s"got: $spaced")
   }
 
   test("§2.11: f_sha256 matches the built-in sha2 (the native path)") {

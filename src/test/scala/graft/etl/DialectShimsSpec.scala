@@ -752,6 +752,61 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((7, 1L, "b", 2L), (7, 2L, "c", 3L)), rows)
   }
 
+  test("PartiQL [*] wildcard paths in filter predicates — ANY-match exists()") {
+    // basic shape: wildcard step mid-path, trailing field, numeric cmp
+    val r1 = DialectShims.rewriteRedshiftSql(
+      "SELECT s.id FROM src s WHERE s.doc.lines[*].q > 3")
+    assert(r1.contains(
+      "exists(from_json(get_json_object(s.doc, '$.lines'), " +
+        "'array<string>'), wc_e -> get_json_object(wc_e, '$.q') > 3)"), r1)
+    // trailing wildcard: the elements THEMSELVES are compared; string
+    // literal operand survives masking round-trip
+    val r2 = DialectShims.rewriteRedshiftSql(
+      "SELECT s.id FROM src s WHERE s.doc.tags[*] = 't1'")
+    assert(r2.contains(
+      "exists(from_json(get_json_object(s.doc, '$.tags'), " +
+        "'array<string>'), wc_e -> wc_e = 't1')"), r2)
+    // 2-part head.col[*]: the column itself is the array
+    val r3 = DialectShims.rewriteRedshiftSql(
+      "SELECT s.id FROM src s WHERE s.tags[*] = 'x'")
+    assert(r3.contains(
+      "exists(from_json(s.tags, 'array<string>'), wc_e -> wc_e = 'x')"), r3)
+    // an UNBOUND head is not a path — untouched
+    val r4 = DialectShims.rewriteRedshiftSql(
+      "SELECT 1 FROM src s WHERE nope.doc.lines[*].q > 3")
+    assert(r4.contains("nope.doc.lines[*].q"), r4)
+    // wildcard on an iteration ELEMENT alias composes
+    val r5 = DialectShims.rewriteRedshiftSql(
+      "SELECT e FROM src s, UNNEST(s.doc.rows) AS e WHERE e.vals[*] = 2")
+    assert(r5.contains(
+      "exists(from_json(get_json_object(e, '$.vals'), " +
+        "'array<string>'), wc_e -> wc_e = 2)"), r5)
+    // outside a comparison → refused loudly, never rewritten wrong
+    val bad = intercept[IllegalArgumentException] {
+      DialectShims.rewriteRedshiftSql(
+        "SELECT s.doc.lines[*].q FROM src s")
+    }
+    assert(bad.getMessage.contains("comparison"), bad.getMessage)
+    // function-call operand → refused loudly (the name alone would
+    // strand its argument list)
+    val bad2 = intercept[IllegalArgumentException] {
+      DialectShims.rewriteRedshiftSql(
+        "SELECT 1 FROM src s WHERE s.doc.lines[*].q = fn(1)")
+    }
+    assert(bad2.getMessage.contains("function call"), bad2.getMessage)
+    // end-to-end through Spark: ANY-match semantics, and an INDEXED
+    // path in the SELECT list coexists with the wildcard pass
+    spark.sql(
+      "SELECT 1 AS id, '{\"lines\":[{\"q\":1},{\"q\":5}]}' AS doc " +
+        "UNION ALL SELECT 2, '{\"lines\":[{\"q\":1},{\"q\":2}]}'")
+      .createOrReplaceTempView("wc_src")
+    val rows = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT s.id, CAST(s.doc.lines[0].q AS BIGINT) AS q0 " +
+        "FROM wc_src s WHERE s.doc.lines[*].q > 3 ORDER BY s.id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1, 1L)), rows)
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

@@ -68,9 +68,12 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     (n, st, wall)
   }
 
+  /** Pre-extracted: assume()'s macro would otherwise print the whole
+    * env map into the cancellation message. */
+  private val gateSet = sys.env.contains("GRAFT_SCALE_PROBE")
+
   test("10x corpus: pairsWithin2 and ER per-task work stays bounded") {
-    assume(sys.env.contains("GRAFT_SCALE_PROBE"),
-      "scale probe runs only when GRAFT_SCALE_PROBE is set")
+    assume(gateSet, "scale probe runs only when GRAFT_SCALE_PROBE is set")
     val n = 150000L
     val names = spark.range(n)
       .select(col("id"), format_string("Customer#%09d", col("id")).as("name"))
@@ -132,5 +135,78 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1.last <= 3L * math.max(1L, cohort1.head),
       s"skewed heavy stage: max ${d1.last} ms vs cohort floor ${cohort1.head} ms")
     names.unpersist()
+  }
+
+  /** 10× probe for the SHINGLE dedup tier (VERDICT r17 #5): the
+    * df-cap and band-size arguments (`queries/Tuning.scala`) are
+    * property-tested but were never measured above sf0.1. The corpus
+    * is 50 000 documents (10× the sf0.1 `documents` table) written as
+    * a parquet dir so the probe drives the REAL entries through the
+    * real scan path:
+    *   - 5 000 near-dup groups of 10 (same word template, ~2% per-doc
+    *     word mutations) — the inverted index must pair them;
+    *   - a 12-word boilerplate sentence on 40% of docs, whose
+    *     shingles hit df 20 000 ≫ maxShingleDf=100 — the skew guard
+    *     MUST drop them before the join or the hot buckets fan out
+    *     20 000² and the probe times out/asserts;
+    *   - ~100 words/doc → ~5.4 M shingle rows through the index.
+    * Asserts the same work-distribution shape as the fuzzy probe: no
+    * corpus-sized task input, no straggler above its stage cohort. */
+  test("10x corpus: shingle jaccard/containment/minhash per-task work stays bounded") {
+    assume(gateSet, "scale probe runs only when GRAFT_SCALE_PROBE is set")
+    val n = 50000L
+    val groups = 5000
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_docs_")
+    val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          when(pmod(col("id"), lit(5)) < 2, lit(boiler)).otherwise(lit(null)),
+          expr(s"""concat_ws(' ', transform(sequence(0, 99), j ->
+            CASE WHEN pmod(xxhash64(id, j, 11), 50) = 0
+                 THEN concat('u', id, 'x', j)
+                 ELSE concat('w', pmod(xxhash64(pmod(id, $groups), j), 997))
+            END))""")).as("text"),
+        lit("en").as("lang"), lit("probe").as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      // shingle rows actually indexed (bound reference for the asserts)
+      val shingleRows = n * 108
+      for ((label, job) <- Seq[(String, () => Long)](
+        ("dedup_ngram_jaccard", () => DedupOps.dedupJaccard(spark, dir.toString).count()),
+        ("dedup_containment", () => DedupOps.dedupContainment(spark, dir.toString).count()),
+        ("dedup_minhash_pairs", () => DedupOps.dedupMinhashPairs(spark, dir.toString).count()))) {
+        val (rows, st, wall) = probe(label)(job())
+        val d = {
+          val it = st.durations.iterator(); val b = Seq.newBuilder[Long]
+          while (it.hasNext) b += it.next(); b.result().sorted
+        }
+        info(f"$label: $rows%,d rows in $wall%.1f s, ${d.size} tasks, " +
+          f"max task input ${st.maxRecords.get}%,d rows")
+        info(s"  task-time histogram: ${histogram(d)}")
+        info(f"  task p50 ${d(d.size / 2)}%d ms  p99 ${d((d.size * 99) / 100)}%d ms  max ${d.last}%d ms")
+        assert(rows > 0, s"$label produced no rows — corpus generator broken")
+        // no task absorbs the index: > half the shingle frame through
+        // one task means the df cap failed and a hot bucket collapsed
+        // the partitioning
+        assert(st.maxRecords.get < shingleRows / 2,
+          s"$label: a task saw ${st.maxRecords.get} rows - corpus-sized input")
+        // dominant-stage uniformity, as in the fuzzy probe: the
+        // slowest task must sit within 3x its own stage cohort
+        val cohort = d.takeRight(math.min(32, d.size))
+        assert(d.last <= 3L * math.max(1L, cohort.head),
+          s"$label: skewed stage: max ${d.last} ms vs cohort floor ${cohort.head} ms")
+      }
+    } finally {
+      // best-effort temp cleanup (files are /tmp-resident either way)
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
   }
 }

@@ -24,16 +24,35 @@ import org.apache.spark.storage.StorageLevel
   *      offset via a broadcast join — NO second shuffle: a window
   *      partitioned by pid would re-hash and re-sort the whole table.
   *
+  * The INPUT is persisted across the range partitioner: a range
+  * exchange executes its child TWICE (once for the boundary sampling
+  * job, once for the shuffle map), so an unpersisted CTAS input
+  * recomputed its whole source join per pass — stage telemetry on the
+  * dag_final_table lifecycle showed the duplicate pass as the single
+  * largest serial stage of the build. The input cache is dropped as
+  * soon as the sorted frame is materialized, and the caller receives
+  * a cleanup for the sorted frame itself (the prior shape leaked one
+  * persisted frame per identity build for the session's lifetime).
+  *
   * The result is bit-identical to `row_number() OVER (ORDER BY keys)`.
   */
 object Identity {
 
   def withSurrogateKey(df: DataFrame, name: String, order: Seq[Column],
-                       numPartitions: Int = 0): DataFrame = {
+                       numPartitions: Int = 0): DataFrame =
+    withSurrogateKeyManaged(df, name, order, numPartitions)._1
+
+  /** As [[withSurrogateKey]], also returning the cache cleanup to run
+    * AFTER the caller's terminal action over the frame (the sorted
+    * intermediate must stay persisted until then — the counts below
+    * are only valid for the exact partitioning the final plan reads). */
+  def withSurrogateKeyManaged(df: DataFrame, name: String, order: Seq[Column],
+                              numPartitions: Int = 0): (DataFrame, () => Unit) = {
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val pid = col("__pid")
-    val parted = df
+    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val parted = input
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -42,6 +61,9 @@ object Identity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = parted.groupBy(pid).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // the counts action materialized `parted`; the input cache has
+    // served both passes of the range exchange and is dead weight now
+    input.unpersist(blocking = false)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
     // Offsets ride back in via a broadcast join (a when-chain would
     // stop codegen at high partition counts).
@@ -50,9 +72,10 @@ object Identity {
     val offsetDf = counts.map(_._1).zip(offsets).toSeq
       .toDF("__pid2", "__offset")
     val rowIdxInPartition = col("__mono").bitwiseAND(lit((1L << 33) - 1))
-    parted
+    val out = parted
       .join(broadcast(offsetDf), pid === col("__pid2"))
       .withColumn(name, rowIdxInPartition + col("__offset") + 1L)
       .drop("__pid", "__pid2", "__offset", "__mono")
+    (out, () => { parted.unpersist(blocking = false); () })
   }
 }

@@ -158,11 +158,12 @@ final class Warehouse(
       val r =
         if (design.isView) buildView(design, pos, target, inRun)
         else {
-          val df =
-            if (skipCopy) spark.createDataFrame(
-              spark.sparkContext.emptyRDD[Row], design.toStructType)
-            else if (design.isCtas) ctasDataFrame(design, pos, inRun)
-            else sourceDataFrame(design)
+          val (df, ctasCleanup) =
+            if (skipCopy) (spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], design.toStructType),
+              () => ())
+            else if (design.isCtas) ctasDataFrameManaged(design, pos, inRun)
+            else (sourceDataFrame(design), () => ())
           val hasNaRow =
             !skipCopy && design.isCtas && design.name.table.startsWith("dim_")
           val out = if (hasNaRow) withNaRow(design, df) else df
@@ -179,28 +180,31 @@ final class Warehouse(
           // identity keys start at 1, so sk=0 IS the NA row — else a
           // real source key 0 would false-positive against it.
           val prevLocation = locationOf(target)
-          val rowcount = writeTable(target, out, Some(design))
-          if (!skipCopy) {
-            val written = spark.table(target.quoted)
-            val checked = (design.identityColumn, hasNaRow) match {
-              case (Some(ic), true) => written.filter(col(ic.name) =!= 0)
-              // identity-less dim: no column marks the NA row in the
-              // written table — check the pre-NA frame (re-executes
-              // the plan, but only for this rare design shape)
-              case (None, true) => df
-              case _ => written
-            }
-            try verifyConstraints(checked, design)
-            catch { case e: FailedConstraintError =>
-              prevLocation match {
-                case Some(loc) => registerAt(target, loc, Some(design))
-                case None =>
-                  spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
-                  deletePointer(target)
+          val rowcount = try {
+            val rowcount0 = writeTable(target, out, Some(design))
+            if (!skipCopy) {
+              val written = spark.table(target.quoted)
+              val checked = (design.identityColumn, hasNaRow) match {
+                case (Some(ic), true) => written.filter(col(ic.name) =!= 0)
+                // identity-less dim: no column marks the NA row in the
+                // written table — check the pre-NA frame (re-executes
+                // the plan, but only for this rare design shape)
+                case (None, true) => df
+                case _ => written
               }
-              throw e
+              try verifyConstraints(checked, design)
+              catch { case e: FailedConstraintError =>
+                prevLocation match {
+                  case Some(loc) => registerAt(target, loc, Some(design))
+                  case None =>
+                    spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
+                    deletePointer(target)
+                }
+                throw e
+              }
             }
-          }
+            rowcount0
+          } finally ctasCleanup()   // drop the identity build's cache
           BuildResult(rel.identifier, if (design.isCtas) "ctas" else "table",
             rowcount, skipCopy)
         }
@@ -220,18 +224,31 @@ final class Warehouse(
     * identity surrogate key over the design's sort order if declared,
     * and append the missing-dimension NA row for `dim_*` tables. */
   def ctasDataFrame(design: TableDesign, pos: SchemaPosition.Value,
-                    inRun: Option[Set[String]] = None): DataFrame = {
+                    inRun: Option[Set[String]] = None): DataFrame =
+    ctasDataFrameManaged(design, pos, inRun)._1
+
+  /** As [[ctasDataFrame]], also returning the identity build's cache
+    * cleanup — [[buildOneRelation]] runs it after the write action so
+    * the sorted intermediate doesn't stay persisted for the rest of
+    * the session (one leaked frame per identity build, observed as
+    * steady storage-memory growth across a multi-relation load). */
+  private[etl] def ctasDataFrameManaged(design: TableDesign,
+                                        pos: SchemaPosition.Value,
+                                        inRun: Option[Set[String]] = None): (DataFrame, () => Unit) = {
     val q = rewriteQuery(design.query, design.dependsOn, pos, inRun)
     var df = spark.sql(q)
+    var cleanup: () => Unit = () => ()
     design.identityColumn.foreach { idCol =>
       val orderCols =
         (if (design.sortKeys.nonEmpty) design.sortKeys
          else design.activeColumns.filterNot(_.identity).map(_.name))
           .map(col)
-      df = Identity.withSurrogateKey(df, idCol.name, orderCols)
+      val (keyed, cl) = Identity.withSurrogateKeyManaged(df, idCol.name, orderCols)
+      df = keyed
+      cleanup = cl
     }
-    df.select(design.activeColumns.map(c =>
-      col(c.name).cast(c.dataType).as(c.name)): _*)
+    (df.select(design.activeColumns.map(c =>
+      col(c.name).cast(c.dataType).as(c.name)): _*), cleanup)
   }
 
   /** Missing-dimension NA row (T3, load.py:506-526). */

@@ -132,6 +132,14 @@ class BenchBandSpec extends AnyFunSuite with BeforeAndAfterAll {
     val baseCpus = if (node.get("cpus") != null) node.get("cpus").asInt(-1) else -1
     assume(baseCpus > 0 && ncpu == baseCpus,
       s"box class mismatch: $ncpu CPUs here vs $baseCpus in the baseline")
+    // ...and the baseline's SESSION parallelism must match this spec's
+    // hardcoded local[32]: a local[4] baseline (the env-var fallback
+    // that produced the four-round fuzzy2 "bimodality") would set
+    // bands 3-4x too loose on CPU-bound entries
+    val basePar = if (node.get("spark_parallelism") != null)
+      node.get("spark_parallelism").asInt(-1) else 32
+    assume(basePar == 32,
+      s"baseline session parallelism $basePar is not this spec's local[32]")
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // a genuinely quiet box, not merely sub-half-loaded: the judge's

@@ -1562,6 +1562,70 @@ object DialectShims {
     (out.toString, aliases)
   }
 
+  /** Redshift SUPER OBJECT-attribute iteration — `UNPIVOT` as a
+    * FROM-clause item (Redshift's PartiQL spelling for walking an
+    * object's attributes, the dual of array comma-iteration):
+    *
+    *   `FROM src s, UNPIVOT s.doc AS v AT k`
+    *
+    * yields one row per attribute with `k` = attribute name and `v`
+    * = attribute value. Rewritten to an explode over the parsed
+    * MAP — `LATERAL VIEW explode(from_json(<object json text>,
+    * 'map<string,string>')) k_lv AS k, v` — one codegen'd per-row
+    * expansion, no join. Values arrive as text exactly like the
+    * array-iteration elements (Spark's JSON parser serializes
+    * non-scalar map values back to json when the value type is
+    * string), so nested field refs on `v` compose through the same
+    * element-alias path pass. Guards are [[rewritePartiqlIteration]]'s:
+    * head bound earlier in a FROM clause; reserved words never read
+    * as aliases. (This is DISTINCT from relational `UNPIVOT(col IN
+    * (...))`, which q31 covers via Spark's native UNPIVOT — the
+    * SUPER form iterates a json object column.) */
+  private val PartiqlUnpivotRe = java.util.regex.Pattern.compile(
+    ",\\s*(?i:UNPIVOT)\\s+([A-Za-z_]\\w*)((?:\\.[A-Za-z_]\\w*|\\[\\d+\\])*)\\s+" +
+    "(?:(?i:AS)\\s+)?([A-Za-z_]\\w*)\\s+(?i:AT)\\s+([A-Za-z_]\\w*)")
+
+  private[etl] def rewritePartiqlUnpivot(sql: String,
+                                         saved: scala.collection.mutable.ArrayBuffer[String]): (String, Set[String]) = {
+    val m = PartiqlUnpivotRe.matcher(sql)
+    val out = new java.lang.StringBuilder
+    var last = 0
+    var aliases = Set.empty[String]
+    while (m.find()) {
+      val head = m.group(1)
+      val boundEarlier = fromBoundAliases(
+        visibleScopeText(sql.substring(0, m.start), m.start))
+        .contains(head.toUpperCase)
+      val inFrom = clauseBefore(sql, m.start) match {
+        case "FROM" | "JOIN" | "ON" => true
+        case _ => false
+      }
+      val aliasOk = !ReservedAfterAlias(m.group(3).toUpperCase) &&
+        !ReservedAfterAlias(m.group(4).toUpperCase)
+      if (boundEarlier && inFrom && aliasOk) {
+        val comps = m.group(2)
+        val colM = java.util.regex.Pattern
+          .compile("^\\.([A-Za-z_]\\w*)").matcher(comps)
+        require(colM.find(),
+          s"SUPER UNPIVOT needs alias.column...: $head$comps")
+        val base = s"$head.${colM.group(1)}"
+        val path = comps.substring(colM.end)
+        val objText =
+          if (path.isEmpty) base
+          else s"get_json_object($base, ${maskLit(saved, s"$$$path")})"
+        val valAlias = m.group(3)
+        val keyAlias = m.group(4)
+        out.append(sql, last, m.start)
+        out.append(s" LATERAL VIEW explode(from_json($objText, " +
+          s"'map<string,string>')) ${keyAlias}_lv AS $keyAlias, $valAlias")
+        last = m.end
+        aliases += valAlias
+      }
+    }
+    out.append(sql, last, sql.length)
+    (out.toString, aliases)
+  }
+
   /** 2-part `x.field` refs on an UNNEST element alias (the ≥3-part
     * form is handled by [[rewriteSuperPaths]]; the guard against
     * `get_json_object(x, '...')`'s own interior is the dot — the
@@ -1634,8 +1698,11 @@ object DialectShims {
     // SUPER/PartiQL last: UNNEST and comma-iteration introduce
     // element aliases whose field refs the path pass then rewrites
     val (step14, unnestAliases) = rewriteUnnest(step13)
-    val (step15, iterAliases) = rewritePartiqlIteration(step14, arr)
-    val elemAliases = unnestAliases ++ iterAliases
+    // SUPER UNPIVOT first: its `, UNPIVOT x.y AS v AT k` form must not
+    // be half-consumed by the comma-iteration pass
+    val (step14b, unpivotAliases) = rewritePartiqlUnpivot(step14, arr)
+    val (step15, iterAliases) = rewritePartiqlIteration(step14b, arr)
+    val elemAliases = unnestAliases ++ unpivotAliases ++ iterAliases
     // wildcard paths BEFORE the scalar path pass: SuperPathRe would
     // otherwise match the `s.doc.lines` prefix of `s.doc.lines[*].q`
     // and leave a dangling `[*].q` in the output

@@ -905,6 +905,53 @@ object SqlSurface {
       |)
       |ORDER BY s.id""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** SUPER OBJECT-attribute iteration — Redshift's PartiQL `UNPIVOT
+    * expr AS value AT key` FROM item, the dual of array
+    * comma-iteration (q42): one row per object ATTRIBUTE, key and
+    * value as columns. The shim rewrites it to an explode over
+    * `from_json(..., 'map<string,string>')` — per-row, no join. The
+    * query walks a per-order metrics object whose attribute SET
+    * varies by row (sparse attributes are the reason this form exists
+    * — a fixed-column UNPIVOT can't express them), aggregating per
+    * attribute name. DuckDB re-derives via `json_keys` + lateral
+    * unnest + path extraction — none of the shim's machinery. */
+  def q45SuperUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.etl.DialectShims.registerAll(spark)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("rs_orders")
+    val redshiftSql =
+      """WITH src AS (
+        |  SELECT o_orderkey AS id,
+        |    '{"m' || CAST(o_orderkey % 3 AS STRING) || '":' ||
+        |      CAST(o_orderkey % 7 AS STRING) ||
+        |      ',"m' || CAST(3 + o_orderkey % 4 AS STRING) || '":' ||
+        |      CAST(o_orderkey % 5 AS STRING) || '}' AS doc
+        |  FROM rs_orders WHERE o_orderkey <= 400
+        |)
+        |SELECT k AS attr, COUNT(*) AS n, SUM(CAST(v AS BIGINT)) AS total
+        |FROM src s, UNPIVOT s.doc AS v AT k
+        |GROUP BY k
+        |ORDER BY attr""".stripMargin
+    spark.sql(graft.etl.DialectShims.rewriteRedshiftSql(redshiftSql))
+  }
+
+  val q45SuperUnpivotSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS id,
+      |    '{"m' || CAST(o_orderkey % 3 AS VARCHAR) || '":' ||
+      |      CAST(o_orderkey % 7 AS VARCHAR) ||
+      |      ',"m' || CAST(3 + o_orderkey % 4 AS VARCHAR) || '":' ||
+      |      CAST(o_orderkey % 5 AS VARCHAR) || '}' AS doc
+      |  FROM orders WHERE o_orderkey <= 400
+      |),
+      |kv AS (
+      |  SELECT u.k AS attr,
+      |    CAST(json_extract_string(s.doc, '$.' || u.k) AS BIGINT) AS val
+      |  FROM src s, unnest(json_keys(s.doc)) AS u(k)
+      |)
+      |SELECT attr, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS total
+      |FROM kv GROUP BY 1 ORDER BY attr""".stripMargin
+
   // ---------------------------------------------------------------- q21
   /** A query written in REDSHIFT dialect — `LISTAGG ... WITHIN GROUP`,
     * `DATEADD(days, ...)`, boundary-crossing `DATEDIFF(day, ...)` —
@@ -1729,6 +1776,7 @@ object SqlSurface {
     "q42_partiql_iterate" -> (q42PartiqlIterate _),
     "q43_partiql_nested" -> (q43PartiqlNested _),
     "q44_wildcard_filter" -> (q44WildcardFilter _),
+    "q45_super_unpivot" -> (q45SuperUnpivot _),
     "q33_string_dialect" -> (q33StringDialect _),
     "q39_regex_dialect" -> (q39RegexDialect _),
     "q40_tochar_number" -> (q40ToCharNumber _),
@@ -1780,6 +1828,7 @@ object SqlSurface {
     "q42_partiql_iterate" -> q42PartiqlIterateSql,
     "q43_partiql_nested" -> q43PartiqlNestedSql,
     "q44_wildcard_filter" -> q44WildcardFilterSql,
+    "q45_super_unpivot" -> q45SuperUnpivotSql,
     "q33_string_dialect" -> q33StringDialectSql,
     "q39_regex_dialect" -> q39RegexDialectSql,
     "q40_tochar_number" -> q40ToCharNumberSql,

@@ -807,6 +807,52 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((1, 1L)), rows)
   }
 
+  test("SUPER UNPIVOT: object-attribute iteration — FROM s, UNPIVOT s.doc AS v AT k") {
+    // basic shape: map explode with key + value aliases
+    val r1 = DialectShims.rewriteRedshiftSql(
+      "SELECT k, v FROM src s, UNPIVOT s.doc AS v AT k")
+    assert(r1.contains(
+      "LATERAL VIEW explode(from_json(s.doc, 'map<string,string>')) " +
+        "k_lv AS k, v"), r1)
+    // nested path below the column
+    val r2 = DialectShims.rewriteRedshiftSql(
+      "SELECT k2, v2 FROM src s, UNPIVOT s.doc.metrics AS v2 AT k2")
+    assert(r2.contains(
+      "LATERAL VIEW explode(from_json(" +
+        "get_json_object(s.doc, '$.metrics'), 'map<string,string>')) " +
+        "k2_lv AS k2, v2"), r2)
+    // value-alias field refs compose (object attribute values are
+    // json text, same as array elements)
+    val r3 = DialectShims.rewriteRedshiftSql(
+      "SELECT k, v.unit FROM src s, UNPIVOT s.doc AS v AT k")
+    assert(r3.contains("get_json_object(v, '$.unit')"), r3)
+    // unbound head: untouched (a catalog name, not a path)
+    val r4 = DialectShims.rewriteRedshiftSql(
+      "SELECT 1 FROM src s, UNPIVOT nope.doc AS v AT k")
+    assert(r4.contains("UNPIVOT nope.doc"), r4)
+    // relational UNPIVOT (q31's form) has no `alias.path AS v AT k`
+    // shape and stays untouched
+    val rel = "SELECT * FROM t UNPIVOT (val FOR name IN (a, b))"
+    assert(DialectShims.rewriteRedshiftSql(rel) == rel)
+    // end-to-end: sparse attributes, scalar + nested values
+    spark.sql(
+      "SELECT 1 AS id, '{\"a\":3,\"b\":{\"unit\":\"ms\"}}' AS doc " +
+        "UNION ALL SELECT 2, '{\"a\":4,\"c\":1}'")
+      .createOrReplaceTempView("unp_src")
+    val rows = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT s.id, k, v FROM unp_src s, UNPIVOT s.doc AS v AT k " +
+        "ORDER BY s.id, k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows.map(t => (t._1, t._2)) ==
+      Seq((1, "a"), (1, "b"), (2, "a"), (2, "c")), rows)
+    // nested value arrives as json TEXT so paths compose downstream
+    assert(rows(1)._3.contains("\"unit\""), rows(1)._3)
+    val nested = spark.sql(DialectShims.rewriteRedshiftSql(
+      "SELECT v.unit AS u FROM unp_src s, UNPIVOT s.doc AS v AT k " +
+        "WHERE k = 'b'")).collect().map(_.getString(0)).toSeq
+    assert(nested == Seq("ms"), nested)
+  }
+
   test("SQL containing a NUL character is rejected, not silently corrupted") {
     // NUL is the mask placeholder delimiter: input NULs could misindex
     // the saved-literal table. The shim must refuse up front.

@@ -64,13 +64,14 @@ object Bench {
       .mkString("[", ",", "]")).mkString("[", ",", "]")
 
   // ------------------------------------------------- JVM counters
-  /** JIT/GC/codegen state snapshot — the judge-vs-builder 3–4× wall
-    * gap on fuzzy_join_names2 persists on the PROVEN deterministic
-    * plan (identical census, zero skew), so the remaining suspects
-    * are JVM-environmental: JIT compilation state of the codegen
-    * kernels, GC pressure, Janino recompilation. Deltas of these
-    * around each entry let a reader discriminate them from raw
-    * single-thread throughput using only artifact fields. */
+  /** JIT/GC/codegen state snapshot. Built (with the stage log) to
+    * localize the four-round fuzzy_join_names2 judge-vs-builder wall
+    * band — which the combined telemetry then root-caused in ONE slow
+    * run (a local[4] env-var fallback: same census, same records,
+    * 4 tasks instead of 32 — see the SPARK_GRAFT_CPUS default below).
+    * Kept because the same three-way discrimination (compilation
+    * state vs GC pressure vs raw throughput) answers any future wall
+    * gap from artifact fields alone. */
   private final case class JvmSnap(jitMs: Long, gcN: Long, gcMs: Long,
                                    janinoN: Long, janinoMsTotal: Long)
 

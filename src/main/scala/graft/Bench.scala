@@ -270,20 +270,27 @@ object Bench {
       def once(): Double = {
         val log = if (wantStages) Some(new StageLog) else None
         log.foreach(spark.sparkContext.addSparkListener)
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        log.foreach { l =>
-          // listener bus is async; give the final stage-completed a
-          // moment to land (after dt is taken — never in the timing)
-          Thread.sleep(200)
-          spark.sparkContext.removeSparkListener(l)
-          stageRuns += l.drain()
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          log.foreach { l =>
+            // listener bus is async; give the final stage-completed a
+            // moment to land (after dt is taken — never in the timing)
+            Thread.sleep(200)
+            stageRuns += l.drain()
+          }
+          dt
+        } finally {
+          // also on the throw path: a failed run must not leave its
+          // listener accumulating every later entry's events
+          log.foreach(l =>
+            try spark.sparkContext.removeSparkListener(l)
+            catch { case _: Exception => () })
+          // Queries persist() intermediates; drop them so nothing is
+          // reused across runs or accumulates across the loop.
+          spark.catalog.clearCache()
         }
-        // Queries persist() intermediates; drop them so nothing is
-        // reused across runs or accumulates across the loop.
-        spark.catalog.clearCache()
-        dt
       }
       try {
         graft.queries.FuzzyJoin.censusLog.set(Nil)
@@ -304,13 +311,16 @@ object Bench {
               s""""chunk_tasks":${cs.chunkTasks},"census_ms":${cs.censusMillis}}"""
           }.mkString("[", ",", "]"))
         val warms = Seq.fill(warmRuns)(once()).sorted
-        jvmStats ::= (name -> jvmDeltaJson(jvm0, jvmSnap()))
-        if (wantStages) stageStats ::= (name -> stageJson(stageRuns.toSeq))
         val median = warms(warms.size / 2)
         val minWarm = warms.head
         val spread = warms.last - warms.head
         val (value, flagged) =
           adjudicate(median, minWarm, spread, baselines.get(name), () => once())
+        // telemetry is snapshotted AFTER adjudication so a breach
+        // re-run — the single most diagnostically interesting run —
+        // lands in the stage and JVM fields too
+        jvmStats ::= (name -> jvmDeltaJson(jvm0, jvmSnap()))
+        if (wantStages) stageStats ::= (name -> stageJson(stageRuns.toSeq))
         if (flagged) {
           System.err.println(
             f"[bench] $name: median $median%.2f s vs baseline " +

@@ -1420,14 +1420,23 @@ object DialectShims {
           require(cm.find(),
             s"PartiQL [*] wildcard paths are supported only in a simple " +
               s"comparison predicate (path <op> operand): ${m.group(0)}")
-          // an identifier operand followed by '(' is a function call —
-          // consuming just its name would strand the argument list as
-          // corrupt SQL; refuse loudly instead
+          // the operand must be the WHOLE right-hand side: an operand
+          // followed by '(' is a function call whose argument list
+          // would be stranded, and one followed by an arithmetic/
+          // concat/subscript continuation ('+', '-', '*', '/', '|',
+          // '%', '[') is a compound expression this pass would
+          // silently truncate (e.g. `> s.doc.y[*].r` consuming only
+          // `s.doc.y`). Refuse loudly — the documented contract —
+          // instead of rewriting wrong.
           val afterCmp = sql.substring(m.end + cm.end)
             .dropWhile(_.isWhitespace)
-          require(!afterCmp.startsWith("("),
-            s"PartiQL [*] wildcard comparison operand must be a literal, " +
-              s"number, or column — not a function call: ${m.group(0)}")
+          val compound = afterCmp.nonEmpty &&
+            "(+-*/|%[".contains(afterCmp.charAt(0))
+          require(!compound,
+            s"PartiQL [*] wildcard comparison operand must be a single " +
+              s"literal, number, or column — not a compound expression " +
+              s"or function call: ${m.group(0)} ${cm.group(1)} ${cm.group(2)}$afterCmp"
+                .take(120))
           val (base, prePath) =
             if (elemUpper(head.toUpperCase)) (head, "." + m.group(2) + pre)
             else (head + "." + m.group(2), pre)
@@ -1516,34 +1525,21 @@ object DialectShims {
     var aliases = Set.empty[String]
     while (m.find()) {
       val head = m.group(1)
-      // the same scope the path pass uses: aliases AND bare
-      // single-part relation names bound BEFORE this item (`FROM
-      // events, events.doc.lines AS l` iterates over the events
-      // table's column — an alias-only rule would silently leave the
-      // raw PartiQL item for Spark to choke on). Prefix-scoped
-      // (binding must precede use in a FROM list) AND scope-visible:
-      // a name bound only inside an earlier sibling subquery must
-      // not turn a schema-qualified comma item into iteration.
-      val boundEarlier = fromBoundAliases(
-        visibleScopeText(sql.substring(0, m.start), m.start))
-        .contains(head.toUpperCase)
-      val inFrom = clauseBefore(sql, m.start) match {
-        case "FROM" | "JOIN" | "ON" => true
-        case _ => false
-      }
+      // scope guard shared with UNPIVOT ([[partiqlFromItemBound]]):
+      // aliases AND bare single-part relation names bound BEFORE this
+      // item (`FROM events, events.doc.lines AS l` iterates over the
+      // events table's column — an alias-only rule would silently
+      // leave the raw PartiQL item for Spark to choke on).
+      // Prefix-scoped (binding must precede use in a FROM list) AND
+      // scope-visible: a name bound only inside an earlier sibling
+      // subquery must not turn a schema-qualified comma item into
+      // iteration.
       val aliasOk = !ReservedAfterAlias(m.group(3).toUpperCase) &&
         Option(m.group(4)).forall(a => !ReservedAfterAlias(a.toUpperCase))
-      if (boundEarlier && inFrom && aliasOk) {
-        val comps = m.group(2)           // ".doc.lines" / ".tags[0].x"
-        val colM = java.util.regex.Pattern
-          .compile("^\\.([A-Za-z_]\\w*)").matcher(comps)
-        require(colM.find(),
-          s"PartiQL iteration needs alias.column...: $head$comps")
-        val base = s"$head.${colM.group(1)}"
-        val path = comps.substring(colM.end)
-        val arrayText =
-          if (path.isEmpty) base
-          else s"get_json_object($base, ${maskLit(saved, s"$$$path")})"
+      if (partiqlFromItemBound(sql, m.start, head) && aliasOk) {
+        // comps: ".doc.lines" / ".tags[0].x"
+        val arrayText = partiqlJsonText(head, m.group(2),
+          "PartiQL iteration", saved)
         val elem = m.group(3)
         val lateral = Option(m.group(4)) match {
           case Some(ord) =>
@@ -1585,6 +1581,38 @@ object DialectShims {
     ",\\s*(?i:UNPIVOT)\\s+([A-Za-z_]\\w*)((?:\\.[A-Za-z_]\\w*|\\[\\d+\\])*)\\s+" +
     "(?:(?i:AS)\\s+)?([A-Za-z_]\\w*)\\s+(?i:AT)\\s+([A-Za-z_]\\w*)")
 
+  /** Shared guard for PartiQL FROM-item rewrites (comma iteration,
+    * SUPER UNPIVOT): the item's path head must be a relation alias —
+    * or bare single-part relation name — bound EARLIER in a FROM/JOIN
+    * clause visible at the item's position, and the item itself must
+    * sit in a FROM context. One implementation so the two passes'
+    * scoping can never silently diverge. */
+  private def partiqlFromItemBound(sql: String, start: Int,
+                                   head: String): Boolean = {
+    val boundEarlier = fromBoundAliases(
+      visibleScopeText(sql.substring(0, start), start))
+      .contains(head.toUpperCase)
+    val inFrom = clauseBefore(sql, start) match {
+      case "FROM" | "JOIN" | "ON" => true
+      case _ => false
+    }
+    boundEarlier && inFrom
+  }
+
+  /** Shared head+path → json-text extraction for the two PartiQL
+    * FROM-item forms: `alias.column` is the navigated value itself;
+    * deeper components ride a masked `get_json_object` path. */
+  private def partiqlJsonText(head: String, comps: String, what: String,
+                              saved: scala.collection.mutable.ArrayBuffer[String]): String = {
+    val colM = java.util.regex.Pattern
+      .compile("^\\.([A-Za-z_]\\w*)").matcher(comps)
+    require(colM.find(), s"$what needs alias.column...: $head$comps")
+    val base = s"$head.${colM.group(1)}"
+    val path = comps.substring(colM.end)
+    if (path.isEmpty) base
+    else s"get_json_object($base, ${maskLit(saved, s"$$$path")})"
+  }
+
   private[etl] def rewritePartiqlUnpivot(sql: String,
                                          saved: scala.collection.mutable.ArrayBuffer[String]): (String, Set[String]) = {
     val m = PartiqlUnpivotRe.matcher(sql)
@@ -1593,26 +1621,10 @@ object DialectShims {
     var aliases = Set.empty[String]
     while (m.find()) {
       val head = m.group(1)
-      val boundEarlier = fromBoundAliases(
-        visibleScopeText(sql.substring(0, m.start), m.start))
-        .contains(head.toUpperCase)
-      val inFrom = clauseBefore(sql, m.start) match {
-        case "FROM" | "JOIN" | "ON" => true
-        case _ => false
-      }
       val aliasOk = !ReservedAfterAlias(m.group(3).toUpperCase) &&
         !ReservedAfterAlias(m.group(4).toUpperCase)
-      if (boundEarlier && inFrom && aliasOk) {
-        val comps = m.group(2)
-        val colM = java.util.regex.Pattern
-          .compile("^\\.([A-Za-z_]\\w*)").matcher(comps)
-        require(colM.find(),
-          s"SUPER UNPIVOT needs alias.column...: $head$comps")
-        val base = s"$head.${colM.group(1)}"
-        val path = comps.substring(colM.end)
-        val objText =
-          if (path.isEmpty) base
-          else s"get_json_object($base, ${maskLit(saved, s"$$$path")})"
+      if (partiqlFromItemBound(sql, m.start, head) && aliasOk) {
+        val objText = partiqlJsonText(head, m.group(2), "SUPER UNPIVOT", saved)
         val valAlias = m.group(3)
         val keyAlias = m.group(4)
         out.append(sql, last, m.start)

@@ -164,6 +164,11 @@ final class Warehouse(
               () => ())
             else if (design.isCtas) ctasDataFrameManaged(design, pos, inRun)
             else (sourceDataFrame(design), () => ())
+          // everything from here on runs under the cleanup's finally:
+          // the identity build above already persisted its frames, so
+          // ANY exit path — NA-row construction, pointer read, write,
+          // constraint check — must release them
+          val rowcount = try {
           val hasNaRow =
             !skipCopy && design.isCtas && design.name.table.startsWith("dim_")
           val out = if (hasNaRow) withNaRow(design, df) else df
@@ -180,30 +185,29 @@ final class Warehouse(
           // identity keys start at 1, so sk=0 IS the NA row — else a
           // real source key 0 would false-positive against it.
           val prevLocation = locationOf(target)
-          val rowcount = try {
-            val rowcount0 = writeTable(target, out, Some(design))
-            if (!skipCopy) {
-              val written = spark.table(target.quoted)
-              val checked = (design.identityColumn, hasNaRow) match {
-                case (Some(ic), true) => written.filter(col(ic.name) =!= 0)
-                // identity-less dim: no column marks the NA row in the
-                // written table — check the pre-NA frame (re-executes
-                // the plan, but only for this rare design shape)
-                case (None, true) => df
-                case _ => written
-              }
-              try verifyConstraints(checked, design)
-              catch { case e: FailedConstraintError =>
-                prevLocation match {
-                  case Some(loc) => registerAt(target, loc, Some(design))
-                  case None =>
-                    spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
-                    deletePointer(target)
-                }
-                throw e
-              }
+          val rowcount0 = writeTable(target, out, Some(design))
+          if (!skipCopy) {
+            val written = spark.table(target.quoted)
+            val checked = (design.identityColumn, hasNaRow) match {
+              case (Some(ic), true) => written.filter(col(ic.name) =!= 0)
+              // identity-less dim: no column marks the NA row in the
+              // written table — check the pre-NA frame (re-executes
+              // the plan, but only for this rare design shape)
+              case (None, true) => df
+              case _ => written
             }
-            rowcount0
+            try verifyConstraints(checked, design)
+            catch { case e: FailedConstraintError =>
+              prevLocation match {
+                case Some(loc) => registerAt(target, loc, Some(design))
+                case None =>
+                  spark.sql(s"DROP TABLE IF EXISTS ${target.quoted}")
+                  deletePointer(target)
+              }
+              throw e
+            }
+          }
+          rowcount0
           } finally ctasCleanup()   // drop the identity build's cache
           BuildResult(rel.identifier, if (design.isCtas) "ctas" else "table",
             rowcount, skipCopy)

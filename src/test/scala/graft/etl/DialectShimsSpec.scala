@@ -794,6 +794,17 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "SELECT 1 FROM src s WHERE s.doc.lines[*].q = fn(1)")
     }
     assert(bad2.getMessage.contains("function call"), bad2.getMessage)
+    // COMPOUND right-hand sides → refused, never silently truncated:
+    // a second wildcard path (would strand `[*].r`), arithmetic, and
+    // string concat
+    for (rhs <- Seq("s.doc.y[*].r", "t.x + 1", "'a' || v")) {
+      val bc = intercept[IllegalArgumentException] {
+        DialectShims.rewriteRedshiftSql(
+          s"SELECT 1 FROM src s WHERE s.doc.lines[*].q > $rhs")
+      }
+      assert(bc.getMessage.contains("compound") ||
+        bc.getMessage.contains("comparison"), s"$rhs: ${bc.getMessage}")
+    }
     // end-to-end through Spark: ANY-match semantics, and an INDEXED
     // path in the SELECT list coexists with the wildcard pass
     spark.sql(

@@ -200,13 +200,12 @@ class ScaleProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"$label: skewed stage: max ${d.last} ms vs cohort floor ${cohort.head} ms")
       }
     } finally {
-      // best-effort temp cleanup (files are /tmp-resident either way)
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(dir)
+      // best-effort temp cleanup; walk stream closed explicitly (a
+      // bare Files.list per level leaks one directory fd per level)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }

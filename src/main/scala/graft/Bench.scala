@@ -12,7 +12,7 @@ object Bench {
     * tasks/records, not the name: the variant-explode map stage reads
     * file records, the join+rescore stage reads shuffle records, the
     * final sort reads the surviving pairs. */
-  private final case class StageRec(id: Int, wallMs: Long, tasks: Int,
+  private[graft] final case class StageRec(id: Int, wallMs: Long, tasks: Int,
                                     runMs: Long, records: Long,
                                     maxTaskMs: Long)
 
@@ -56,7 +56,7 @@ object Bench {
     }
   }
 
-  private def stageJson(runs: Seq[Seq[StageRec]]): String =
+  private[graft] def stageJson(runs: Seq[Seq[StageRec]]): String =
     runs.map(_.map(s =>
         s"""{"id":${s.id},"wall_ms":${s.wallMs},"tasks":${s.tasks},""" +
           s""""run_ms":${s.runMs},"records":${s.records},""" +
@@ -72,10 +72,10 @@ object Bench {
     * Kept because the same three-way discrimination (compilation
     * state vs GC pressure vs raw throughput) answers any future wall
     * gap from artifact fields alone. */
-  private final case class JvmSnap(jitMs: Long, gcN: Long, gcMs: Long,
+  private[graft] final case class JvmSnap(jitMs: Long, gcN: Long, gcMs: Long,
                                    janinoN: Long, janinoMsTotal: Long)
 
-  private def jvmSnap(): JvmSnap = {
+  private[graft] def jvmSnap(): JvmSnap = {
     import scala.jdk.CollectionConverters._
     val comp = java.lang.management.ManagementFactory.getCompilationMXBean
     val jit = if (comp != null && comp.isCompilationTimeMonitoringSupported)
@@ -91,7 +91,7 @@ object Bench {
       gcs.map(_.getCollectionTime).sum, hist.getCount, jTot)
   }
 
-  private def jvmDeltaJson(a: JvmSnap, b: JvmSnap): String =
+  private[graft] def jvmDeltaJson(a: JvmSnap, b: JvmSnap): String =
     s"""{"jit_ms":${b.jitMs - a.jitMs},"gc_n":${b.gcN - a.gcN},""" +
       s""""gc_ms":${b.gcMs - a.gcMs},"janino_n":${b.janinoN - a.janinoN},""" +
       s""""janino_ms":${b.janinoMsTotal - a.janinoMsTotal}}"""

@@ -57,6 +57,37 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readBaseline(noQ.toString) == Map.empty)
   }
 
+  test("telemetry JSON: stage arrays and JVM deltas are strict JSON with exact fields") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // per-run stage arrays: [[run0 stages], [run1 stages]]
+    val runs = Seq(
+      Seq(Bench.StageRec(7, 3013L, 32, 58999L, 3175100L, 3004L)),
+      Seq(Bench.StageRec(9, 12186L, 4, 45643L, 3175100L, 12181L),
+        Bench.StageRec(10, 54L, 1, 42L, 105294L, 48L)))
+    val sj = om.readTree(Bench.stageJson(runs))
+    assert(sj.isArray && sj.size == 2 && sj.get(1).size == 2)
+    val slow = sj.get(1).get(0)
+    // the fields that localized the local[4] root cause must survive
+    // any future reshaping of the artifact
+    assert(slow.get("tasks").asInt == 4 && slow.get("wall_ms").asLong == 12186L &&
+      slow.get("run_ms").asLong == 45643L && slow.get("records").asLong == 3175100L &&
+      slow.get("max_task_ms").asLong == 12181L, slow.toString)
+    // JVM delta: strictly end-minus-start, field by field
+    val a = Bench.JvmSnap(jitMs = 1000L, gcN = 5L, gcMs = 50L,
+      janinoN = 10L, janinoMsTotal = 200L)
+    val b = Bench.JvmSnap(jitMs = 18000L, gcN = 71L, gcMs = 829L,
+      janinoN = 24L, janinoMsTotal = 690L)
+    val dj = om.readTree(Bench.jvmDeltaJson(a, b))
+    assert(dj.get("jit_ms").asLong == 17000L && dj.get("gc_n").asLong == 66L &&
+      dj.get("gc_ms").asLong == 779L && dj.get("janino_n").asLong == 14L &&
+      dj.get("janino_ms").asLong == 490L, dj.toString)
+    // the live snapshot is well-formed on this JVM (monotone counters,
+    // Janino histogram readable)
+    val s1 = Bench.jvmSnap()
+    val s2 = Bench.jvmSnap()
+    assert(s2.jitMs >= s1.jitMs && s2.gcN >= s1.gcN && s2.janinoN >= s1.janinoN)
+  }
+
   test("adjudicate: every decision branch") {
     var reruns = 0
     def rerun(v: Double): () => Double = () => { reruns += 1; v }

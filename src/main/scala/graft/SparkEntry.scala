@@ -18,11 +18,13 @@ object SparkEntry {
     SqlSurface.queries ++ EtlOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++
       RangeJoinOps.queries ++ DimOps.queries ++ FuzzyJoin.queries ++
-      MvOps.queries ++ GraphOps.queries ++ graft.etl.DemoDag.queries
+      MvOps.queries ++ GraphOps.queries ++ graft.etl.DemoDag.queries ++
+      graft.streaming.StreamOracles.queries
 
   def oracleSql: Map[String, String] =
     SqlSurface.oracles ++ EtlOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ AnnOps.oracles ++ MultimodalOps.oracles ++
       RangeJoinOps.oracles ++ DimOps.oracles ++ FuzzyJoin.oracles ++
-      MvOps.oracles ++ GraphOps.oracles ++ graft.etl.DemoDag.oracles
+      MvOps.oracles ++ GraphOps.oracles ++ graft.etl.DemoDag.oracles ++
+      graft.streaming.StreamOracles.oracles
 }

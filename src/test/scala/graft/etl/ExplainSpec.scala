@@ -23,13 +23,15 @@ class ExplainSpec extends AnyFunSuite with BeforeAndAfterAll {
     * source_mix joins its per-source frame against the ONE-row corpus
     * total (Catalyst folds the constant-key equi-join to a BNLJ);
     * retrieval_topk is the same one-row-total shape (query-term df
-    * rows × the corpus count). Everything else must stay equi-join. */
+    * rows × the corpus count); stream_heavy_hitters crossJoins the
+    * ONE-row fold-metadata read (n_total) into the exact recount.
+    * Everything else must stay equi-join. */
   private val bnljAllowed =
     Set("ann_topk_cosine", "ann_range_search",
       "ann_hard_negatives", "ann_ivf_cells", "ann_ivf_topk",
       "ann_ivf_topk_sq8", "ann_ivf_topk_pq", "ann_ivf_topk_stored",
       "source_mix", "mix_balance", "mix_weighted", "mix_temperature",
-      "retrieval_topk", "retrieval_topk_stored")
+      "retrieval_topk", "retrieval_topk_stored", "stream_heavy_hitters")
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

@@ -1,0 +1,71 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+/** Throwaway diagnostic: run one entry, print per-stage wall/CPU/records
+  * WITH stage names and callsites. Not part of the driver contract. */
+object ProbeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    final case class St(var name: String = "", var tasks: Int = 0,
+                        var runMs: Long = 0, var recs: Long = 0,
+                        var shufRecs: Long = 0, var wall: Long = -1,
+                        var maxTask: Long = 0, var cpuMs: Long = 0,
+                        var gcMs: Long = 0, var deserMs: Long = 0)
+    val stages = mutable.Map.empty[Int, St]
+    val lis = new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        stages.synchronized {
+          stages.getOrElseUpdate(e.stageInfo.stageId, St()).name =
+            e.stageInfo.name.take(120)
+        }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null && t.taskInfo.successful) stages.synchronized {
+          val s = stages.getOrElseUpdate(t.stageId, St())
+          s.tasks += 1
+          s.maxTask = math.max(s.maxTask, t.taskInfo.duration)
+          if (t.taskMetrics != null) {
+            s.runMs += t.taskMetrics.executorRunTime
+            s.recs += t.taskMetrics.inputMetrics.recordsRead
+            s.shufRecs += t.taskMetrics.shuffleReadMetrics.recordsRead
+            s.cpuMs += t.taskMetrics.executorCpuTime / 1000000L
+            s.gcMs += t.taskMetrics.jvmGCTime
+            s.deserMs += t.taskMetrics.executorDeserializeTime
+          }
+        }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stages.synchronized {
+          val s = stages.getOrElseUpdate(e.stageInfo.stageId, St())
+          s.wall = (for { a <- e.stageInfo.submissionTime;
+                          b <- e.stageInfo.completionTime } yield b - a).getOrElse(-1)
+        }
+    }
+    // one warm run first (JIT/codegen), then the measured run
+    SparkEntry.queries(name)(spark, sfDir).count()
+    spark.catalog.clearCache()
+    spark.sparkContext.addSparkListener(lis)
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(800)
+    println(f"[probe] $name: $n rows in $dt%.2f s (warm)")
+    val tot = stages.values.map(s => math.max(0L, s.wall)).sum
+    println(f"[probe] stage wall sum ${tot / 1000.0}%.2f s, ${stages.size} stages")
+    stages.toSeq.sortBy(-_._2.wall).take(30).foreach { case (id, s) =>
+      println(f"[probe] stage $id%5d wall=${s.wall}%6dms tasks=${s.tasks}%4d run=${s.runMs}%7dms cpu=${s.cpuMs}%7dms gc=${s.gcMs}%5dms deser=${s.deserMs}%5dms in=${s.recs}%9d shuf=${s.shufRecs}%9d maxTask=${s.maxTask}%6dms  ${s.name}")
+    }
+    spark.stop()
+  }
+}

@@ -51,7 +51,16 @@ object Identity {
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val pid = col("__pid")
-    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    // Spread the input when its plan under-parallelizes (a CTAS join
+    // over single-split local scans is a broadcast join whose output
+    // inherits the ONE scan split — both range-exchange passes over
+    // the cache then ran ≤3-way while 29 cores idled, measured as the
+    // largest serial stage of the dag_final_table lifecycle). No-op
+    // whenever the plan already splits ≥ cores — at warehouse scale
+    // this inserts nothing. Numbering is a row_number over the
+    // declared ORDER, so input partitioning cannot change the result.
+    val input = graft.queries.Tables.spread(df)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val parted = input
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)

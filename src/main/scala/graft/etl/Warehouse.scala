@@ -356,7 +356,18 @@ final class Warehouse(
         // copy-on-every-slice property without a shuffle.
         // WarehouseSpec pins the join plan.
         df.coalesce(1).write.mode("overwrite").parquet(loc)
-      else df.write.mode("overwrite").parquet(loc)   // "auto": engine default
+      else {
+        // "auto": engine default. Parallelize the write when the plan
+        // under-splits (single-split local source scans made every
+        // COPY-stand-in write a one-task stage — 0.9 s serial per
+        // source on the lifecycle's critical path); no-op at scale,
+        // and never applied over a deliberate sort order (identity
+        // builds arrive range-partitioned+sorted and keep that file
+        // layout; declared sort keys likewise rule the layout).
+        val out = if (design.exists(_.sortKeys.nonEmpty)) df
+                  else graft.queries.Tables.spread(df)
+        out.write.mode("overwrite").parquet(loc)
+      }
       registerAt(target, loc, design)
     }
     // S11 load diagnostics: pick up this build's SQL metrics (keyed

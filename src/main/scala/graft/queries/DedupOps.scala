@@ -26,7 +26,7 @@ object DedupOps {
     * the full text!), uniform distribution by construction. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, sfDir, "documents")
+    Tables.spread(Tables.load(spark, sfDir, "documents"))
       .select($"doc_id", md5(normText($"text")).as("fp"))
       .groupBy($"fp")
       .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
@@ -47,7 +47,11 @@ object DedupOps {
   /** Same shingling over ANY (doc_id, text) frame — the incremental
     * band-index path shingles one batch at a time. */
   private def shinglesOf(docs: DataFrame): DataFrame =
-    docs
+    // normText + shingle explode is per-doc CPU; spread it over the
+    // cores when the corpus scan under-splits (no-op at scale — see
+    // [[Tables.spread]]); measured 0.8-1.1 s single-task map stages
+    // in every shingle consumer at sf0.1 without it
+    Tables.spread(docs)
       .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -438,7 +442,7 @@ object DedupOps {
                     t: Tuning = Tuning.default): DataFrame = {
     import spark.implicits._
     val cw = t.chunkWords
-    val units = Tables.load(spark, sfDir, "documents")
+    val units = Tables.spread(Tables.load(spark, sfDir, "documents"))
       .select($"doc_id", split(normText($"text"), " ").as("w"))
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(0, CAST((size(w) - 1) / $cw AS INT)), " +
@@ -514,11 +518,11 @@ object DedupOps {
     * s_b = Σ±1 ≥ 0  ⇔  2·ones_b ≥ n. */
   def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tokens = Tables.load(spark, sfDir, "documents")
+    val tokens = Tables.spread(Tables.load(spark, sfDir, "documents"))
       .select($"doc_id", explode(split(normText($"text"), " ")).as("tok"))
-      .distinct()
       .select($"doc_id",
         conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
     val onesAggs = (0 until SimhashBits).map { b =>
       sum(shiftright($"h", b).bitwiseAND(1L)).as(s"o$b")
     }
@@ -692,7 +696,12 @@ object DedupOps {
     * costs them nothing while denser graphs — the fuzzy-ER digit
     * lattice — save a round). */
   val MaxClusterRounds = 25
-  val JumpAfterRound = 3
+  // With the min-neighbor label INIT (one round of reach for free),
+  // plain rounds reach distance r+1 — jumping from round 3 keeps the
+  // old "start doubling at reach 4" behavior one round earlier on the
+  // same graphs; star/short-chain graphs converge in ≤2 rounds and
+  // never pay the jump self-join.
+  val JumpAfterRound = 2
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashCandidatePairs(spark, sfDir)
@@ -755,16 +764,32 @@ object DedupOps {
         else df.localCheckpoint(true)
       org.apache.spark.sql.GraftLineage.clearOriginStats(ck)
     }
-    var labels = truncate(edges.select($"d1".as("node")).distinct()
-      .repartition(parts, $"node")
-      .select($"node", $"node".as("label"), lit(false).as("improved")))
+    // Label init folds the first propagation round into ONE exchange-
+    // free aggregation: l0 = min(node, min neighbor). Edges are
+    // partitioned by d2, so the groupBy reuses that partitioning and
+    // the output is already hash(node, parts) — exactly what the
+    // per-round join needs. Star components (the common near-dup
+    // shape) converge AT INIT and pay a single confirming round; every
+    // graph saves one full join+update round vs the old node-identity
+    // init (same fixpoint: min-label propagation is confluent).
+    var labels = truncate(edges.groupBy($"d2")
+      .agg(min($"d1").as("nmin"))
+      .select($"d2".as("node"), least($"d2", $"nmin").as("label"),
+        lit(false).as("improved")))
     // AQE's per-exchange query stages add several sequentially
     // scheduled jobs to every round; the loop's shuffles are already
     // explicitly sized to the graph (`parts`), so adaptivity buys
     // nothing here and its scheduling overhead dominates at small
-    // scale. Off for the loop only, restored after.
+    // scale. Off for the loop only, restored after. The session's
+    // shuffle partitioning is likewise graph-sized for the loop: the
+    // jump self-join and the neighbor-min aggregation would otherwise
+    // run at the session's (corpus-sized) partition count — measured
+    // as flotillas of near-empty tasks per round at sf0.1 (32-task
+    // stages over a 743-row label table), pure scheduling overhead.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     var round = 0
     var converged = false
     try {
@@ -812,6 +837,7 @@ object DedupOps {
     }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
       // edges' own blocks are live by now (materialized in round 1);
       // the upstream pair cache has served its double-read purpose
       pairsCached.unpersist(blocking = false)
@@ -1054,7 +1080,7 @@ object DedupOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val K = SpanGramK
-    val grams = docs
+    val grams = Tables.spread(docs)
       .select($"doc_id", split(normText($"text"), " ").as("w"))
       .filter(size($"w") >= K)
       .select($"doc_id", posexplode(expr(

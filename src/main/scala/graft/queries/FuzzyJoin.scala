@@ -45,7 +45,12 @@ object FuzzyJoin {
     val spark = names.sparkSession
     import spark.implicits._
     DotF.register(spark)
-    names.select($"id", $"name",
+    // The O(L²) hash kernel below is the plan's dominant CPU term; a
+    // single-split scan would run it on one core (measured 4.9 s of
+    // the 10 s fuzzy_join_names2 wall as ONE map task at sf0.1).
+    // spread() is a no-op once the scan splits ≥ cores — see
+    // [[Tables.spread]].
+    Tables.spread(names).select($"id", $"name",
         explode(call_function("variant_hashes", $"name", lit(k))).as("vh"))
       .select($"vh", $"id", $"name")
   }

@@ -48,4 +48,29 @@ object Tables {
     * queries (the reference's CTAS/VIEW surface) can resolve them. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Spread a CPU-heavy per-row kernel over the session's cores when
+    * the upstream SCAN under-splits (guide §2.5 "input skew: one huge
+    * unsplittable file → repartition immediately after the read").
+    * The test tables are single small parquet files — one input split
+    * — so without this every O(L²) kernel (deletion-neighborhood
+    * hashing, shingling, tokenization) ran on ONE core while 31 sat
+    * idle (measured: the fuzzy_join_names2 variant-explode map stage
+    * was 1 task × 4.9 s — half the entry's wall).
+    *
+    * Scale-adaptive by construction: the round-robin exchange is
+    * inserted ONLY when the scan's split count is below the session's
+    * parallelism. At 100 TB a corpus scan yields thousands of splits,
+    * so this is a no-op there — never a gratuitous full-corpus
+    * shuffle. Intended for plain scan/filter/project frames (the
+    * partition count probe walks the non-adaptive physical plan, so
+    * call it on inputs whose parallelism IS the scan's). Round-robin
+    * repartition is retry-deterministic (sortBeforeRepartition stays
+    * on) and every downstream operator here is content-keyed, so
+    * results are partitioning-independent. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(df.columns.head))
+  }
 }

@@ -341,25 +341,35 @@ object FuzzyJoin {
     val spark = light.sparkSession
     import spark.implicits._
     DotF.register(spark)
+    // ONE join condition with the conjuncts in cheap→expensive order.
+    // Spark's conjunct evaluation is in-order, but separately pushed
+    // filters land in the condition in REVERSE push order — the old
+    // filter-chain form made the O(L²) bounded_lev kernel the FIRST
+    // conjunct, evaluated on every bucket collision including the
+    // id ≥ half and length-gap rejects (plan-verified: the kernel led
+    // the SHJ condition). Inline ordering runs the free guards first:
+    // the kernel sees ~half the candidates, and the canonical-bucket
+    // test (two O(L²) hash kernels) runs only on distance survivors.
+    //  - `a.id < b.id`: drops self-pairs and mirror duplicates (½);
+    //  - length gap > k cannot be within distance k;
+    //  - native bounded_lev (NOT the built-in levenshtein, whose
+    //    per-call allocations were measured at ~5 µs): abandons a row
+    //    the moment the running distance exceeds k (returns -1);
+    //  - min_shared_variant_hash LAST — survivors only.
+    // The projection re-evaluates bounded_lev once per SURVIVING pair
+    // to emit `dist` (survivors are ~15% of candidates; a post-join
+    // dist column would be pushed back into the condition ahead of the
+    // cheap guards, which is the shape this rewrite removes).
     light.as("a")
-      .join(light.as("b").hint("shuffle_hash"), $"a.vh" === $"b.vh")
-      // length gap > k cannot be within distance k — reject before
-      // paying the levenshtein band
-      .filter($"a.id" < $"b.id" && abs($"a.len" - $"b.len") <= k)
-      // native bounded kernel (NOT the built-in levenshtein, whose
-      // per-call allocations were measured at ~5 µs — the largest
-      // CPU term of the plan at tens of millions of candidates):
-      // abandons a row the moment the running distance exceeds k
-      // (returns -1) — exact for every surviving pair
-      .withColumn("dist",
+      .join(light.as("b").hint("shuffle_hash"),
+        $"a.vh" === $"b.vh" && $"a.id" < $"b.id" &&
+          abs($"a.len" - $"b.len") <= k &&
+          call_function("bounded_lev", $"a.name", $"b.name", lit(k)) >= 0 &&
+          call_function("min_shared_variant_hash",
+            $"a.name", $"b.name", lit(k)) === $"a.vh")
+      .select($"a.id".as("id1"), $"b.id".as("id2"),
         call_function("bounded_lev", $"a.name", $"b.name", lit(k))
-          .cast("long"))
-      .filter($"dist" >= 0)
-      // canonical-bucket test LAST: two O(L²) kernel evaluations per
-      // SURVIVING pair only
-      .filter(call_function("min_shared_variant_hash",
-        $"a.name", $"b.name", lit(k)) === $"a.vh")
-      .select($"a.id".as("id1"), $"b.id".as("id2"), $"dist")
+          .cast("long").as("dist"))
   }
 
   /** Heavy tier: within-bucket grouped pairwise, chunk-bounded. */

@@ -26,6 +26,15 @@ object DumpPlan {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Let AQE re-plan CACHED frame materialization (coalesce tiny
+      // post-shuffle partitions, split skew) — off by default only for
+      // partitioning-stability of cache reuse, which nothing here
+      // relies on: every persisted frame is consumed by content-keyed
+      // operators. Without it each persist() pinned the session's full
+      // shuffle-partition fan-out, so small cached tables (band
+      // indexes, label tables, streaming micro-batches) dragged 32
+      // near-empty tasks through every downstream stage.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,8 +16,20 @@ object ProbeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Let AQE re-plan CACHED frame materialization (coalesce tiny
+      // post-shuffle partitions, split skew) — off by default only for
+      // partitioning-stability of cache reuse, which nothing here
+      // relies on: every persisted frame is consumed by content-keyed
+      // operators. Without it each persist() pinned the session's full
+      // shuffle-partition fan-out, so small cached tables (band
+      // indexes, label tables, streaming micro-batches) dragged 32
+      // near-empty tasks through every downstream stage.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // ad-hoc A/B: GRAFT_PROBE_CONF="key=value;key=value" overrides
+    sys.env.get("GRAFT_PROBE_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("WARN")
     final case class St(var name: String = "", var tasks: Int = 0,
                         var runMs: Long = 0, var recs: Long = 0,
@@ -62,7 +74,11 @@ object ProbeOne {
     Thread.sleep(800)
     println(f"[probe] $name: $n rows in $dt%.2f s (warm)")
     val tot = stages.values.map(s => math.max(0L, s.wall)).sum
-    println(f"[probe] stage wall sum ${tot / 1000.0}%.2f s, ${stages.size} stages")
+    val totCpu = stages.values.map(_.cpuMs).sum
+    val totTasks = stages.values.map(_.tasks).sum
+    val totDeser = stages.values.map(_.deserMs).sum
+    println(f"[probe] stage wall sum ${tot / 1000.0}%.2f s, ${stages.size} stages, " +
+      f"cpu sum ${totCpu / 1000.0}%.2f s, $totTasks tasks, deser ${totDeser / 1000.0}%.2f s")
     stages.toSeq.sortBy(-_._2.wall).take(30).foreach { case (id, s) =>
       println(f"[probe] stage $id%5d wall=${s.wall}%6dms tasks=${s.tasks}%4d run=${s.runMs}%7dms cpu=${s.cpuMs}%7dms gc=${s.gcMs}%5dms deser=${s.deserMs}%5dms in=${s.recs}%9d shuf=${s.shufRecs}%9d maxTask=${s.maxTask}%6dms  ${s.name}")
     }

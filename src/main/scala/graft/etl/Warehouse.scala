@@ -364,8 +364,12 @@ final class Warehouse(
         // and never applied over a deliberate sort order (identity
         // builds arrive range-partitioned+sorted and keep that file
         // layout; declared sort keys likewise rule the layout).
+        // modest cap: enough parallelism to hide per-task encode/commit
+        // latency without fanning a small table into cores-many files
+        // (32 near-empty write tasks measured as pure deser/scheduling
+        // overhead under the level-parallel source loads)
         val out = if (design.exists(_.sortKeys.nonEmpty)) df
-                  else graft.queries.Tables.spread(df)
+                  else graft.queries.Tables.spread(df, cap = 8)
         out.write.mode("overwrite").parquet(loc)
       }
       registerAt(target, loc, design)

@@ -68,8 +68,9 @@ object Tables {
     * repartition is retry-deterministic (sortBeforeRepartition stays
     * on) and every downstream operator here is content-keyed, so
     * results are partitioning-independent. */
-  def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+  def spread(df: DataFrame, cap: Int = Int.MaxValue): DataFrame = {
+    val target =
+      math.min(cap, df.sparkSession.sparkContext.defaultParallelism)
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, org.apache.spark.sql.functions.col(df.columns.head))
   }

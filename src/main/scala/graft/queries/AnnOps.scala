@@ -537,7 +537,17 @@ object AnnOps {
         md5(concat(lit("ivf:"), $"vec_id".cast("string"))).as("seed"))
       .orderBy($"seed", $"cent_id").limit(nlist)
       .select($"cent_id", $"c_emb")
-    (cents, nlist)
+    // √n rows, driver-bounded BY DESIGN (every consumer already
+    // broadcasts them). Collect ONCE per call into an in-plan local
+    // relation: the assignment cross join and the probe ranking then
+    // read literals instead of each re-materializing the TakeOrdered
+    // corpus scan through a persist — measured as several sequential
+    // driver jobs per IVF entry, half the entry's wall at sf0.1.
+    // Recomputed from parquet on every invocation (no cross-run memo);
+    // float arrays round-trip the driver bit-exactly.
+    val local = cents.as[(Long, Array[Float])].collect().toSeq
+      .toDF("cent_id", "c_emb")
+    (local, nlist)
   }
 
   private val centsSqlPrologue: String =
@@ -600,10 +610,9 @@ object AnnOps {
   private[queries] def ivfScored(spark: SparkSession, sfDir: String,
                                  nprobe: Int = NProbe): DataFrame = {
     import spark.implicits._
-    // the centroid table is reused by assignment and probe ranking —
-    // persist so the TakeOrdered seed selection scans the corpus once
+    // centroids() returns a collected local relation — both consumers
+    // (assignment + probe ranking) read in-plan literals, no persist
     val cents = centroids(spark, sfDir)._1
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus norms once (reused by the rescore join); query norms ride
     // the broadcast probe table — one dot per rescored candidate
     val vecs = Tables.load(spark, sfDir, "embeddings")
@@ -656,8 +665,7 @@ object AnnOps {
                                     rescore: Int = TopK * 4): DataFrame = {
     import spark.implicits._
     BoundedTopK.register(spark)
-    val cents = centroids(spark, sfDir)._1
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = centroids(spark, sfDir)._1   // collected local relation
     val cells = cellsDf(spark, sfDir, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def q8(c: Column) = call_function("sq8_quantize", c)
@@ -808,8 +816,7 @@ object AnnOps {
     BoundedTopK.register(spark)
     Pq.register(spark)
     val cbLit = lit(pqCodebook(spark, sfDir))
-    val cents = centroids(spark, sfDir)._1
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = centroids(spark, sfDir)._1   // collected local relation
     val cells = cellsDf(spark, sfDir, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the PQ-coded corpus: 8 bytes per row in the candidate loop

@@ -104,7 +104,10 @@ object SqlSurface {
   def q3TopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.load(spark, sfDir, "orders")
-    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    // orders broadcasts, so join + 150k-group decimal partial-agg all
+    // rode the ONE lineitem scan split (measured 1.4 s single-task);
+    // spread is a no-op once the scan splits ≥ cores
+    val lineitem = Tables.spread(Tables.load(spark, sfDir, "lineitem"))
     lineitem
       .join(orders, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")

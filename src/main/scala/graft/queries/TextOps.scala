@@ -1212,7 +1212,10 @@ object TextOps {
 
   def textHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.load(spark, sfDir, "documents")
+    // spread: the MG pass and the exact recount are per-token CPU over
+    // a single-split local scan (two ~0.4 s one-task stages measured);
+    // no-op at scale — see [[Tables.spread]]
+    val toks = Tables.spread(Tables.load(spark, sfDir, "documents"))
       .select(explode(split(normText($"text"), " ")).as("token"))
       .filter(length($"token") > 0)
     val k = (HeavyHitterPhiDen / HeavyHitterPhiNum).toInt
@@ -1338,7 +1341,9 @@ object TextOps {
     val docs = Tables.load(spark, sfDir, "documents")
     val merges = bpeMergeCache.getOrElseUpdate(sfDir, bpeMergeTable(docs))
     DotF.register(spark)
-    docs.select($"doc_id",
+    // the bpe_encode kernel (per-doc merge loop) ran as one 1.4 s map
+    // task over the single-split scan — spread it (no-op at scale)
+    Tables.spread(docs).select($"doc_id",
       call_function("bpe_encode", normText($"text"), lit(merges.toArray)).as("toks"))
   }
 
@@ -1496,7 +1501,7 @@ object TextOps {
       .select($"id".as("bucket"),
         ((md5Mod($"id".cast("string"), 20001, "w:") - 10000L)
           .cast("double") / 10000.0).as("w"))
-    val features = Tables.load(spark, sfDir, "documents")
+    val features = Tables.spread(Tables.load(spark, sfDir, "documents"))
       .select($"doc_id", explode(split(normText($"text"), " ")).as("token"))
       .filter(length($"token") > 0)
       .select($"doc_id", md5Mod($"token", ClassifierBuckets, "f:").as("bucket"))
@@ -1742,7 +1747,7 @@ object TextOps {
 
   def domainAffinity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.load(spark, sfDir, "documents")
+    val docs = Tables.spread(Tables.load(spark, sfDir, "documents"))
     val grams = docs
       .select($"doc_id", $"lang", split(normText($"text"), " ").as("w"))
       .filter(size($"w") >= 2)

@@ -535,7 +535,12 @@ object EventStreams {
       val outRows =
         if (dataRows.nonEmpty) dataRows
         else Seq((null.asInstanceOf[String], 0L, prevN + bn, id))
-      wh.writeTable(state, outRows.toDF("token", "cnt", "n_total", "batch_id"))
+      // ≤ k+1 rows by the MG bound (k is a constant): one write task —
+      // a driver-local Seq otherwise parallelizes to the session's
+      // full width, and the 32-near-empty-task state write per batch
+      // was the largest stage family of the streaming replay
+      wh.writeTable(state,
+        outRows.toDF("token", "cnt", "n_total", "batch_id").coalesce(1))
       // fresh view for the emit read in the SAME cloned session
       spark.catalog.refreshTable(state.quoted)
       true

@@ -74,7 +74,12 @@ object StreamOracles {
     // schema only, so every data write is the batch-tagged append
     wh.writeTable(index, DedupOps.minhashBandsOf(docs.limit(0)))
     val pairsDir = tempDir("graft_stream_pairs_")
-    val input = MemoryStream[(Long, String)]
+    // few source partitions: MemoryStream defaults to the session's
+    // parallelism, packing each micro-batch's rows into 32 task
+    // binaries whose deserialization dominated every batch stage
+    // (probe: 22 s summed task-deser per entry); the harness fixture
+    // is ~1.7k rows per batch.
+    val input = MemoryStream[(Long, String)](spark, numPartitions = 4)
     val q = EventStreams.incrementalDedupStream(wh, index,
       input.toDF().toDF("doc_id", "text"), tempDir("graft_ckpt_dedup_")) {
       (pairs, _) => pairs.write.mode("append").parquet(pairsDir); ()
@@ -110,7 +115,7 @@ object StreamOracles {
     val wh = freshWarehouse(spark, sfDir)
     val state = graft.etl.TableName.parse("stream.hh_state")
     spark.sql(s"DROP TABLE IF EXISTS ${state.quoted}")
-    val input = MemoryStream[(Long, String)]
+    val input = MemoryStream[(Long, String)](spark, numPartitions = 4)
     val q = EventStreams.heavyHittersStream(wh, state,
       input.toDF().toDF("doc_id", "text"), tempDir("graft_ckpt_hh_"))()
     try {
@@ -199,7 +204,7 @@ object StreamOracles {
       .unionByName(cust.filter(pmod($"c_custkey", lit(13)) === 0)
         .select(($"c_custkey" + lit(1000000L)).as("c_custkey"),
           lit(50.0).as("a"), lit("BUILDING").as("s"), lit(SD4).as("d")))
-    val input = MemoryStream[(Long, Double, String, String)]
+    val input = MemoryStream[(Long, Double, String, String)](spark, numPartitions = 4)
     val q = EventStreams.scd2Stream(wh, dim, "customer_key", attrs,
       input.toDF().toDF("customer_key", "c_acctbal", "c_mktsegment", "as_of"),
       tempDir("graft_ckpt_scd2_"))()

@@ -263,7 +263,12 @@ object Bench {
       .getOrElse(Set("fuzzy_join_names", "fuzzy_join_names2",
         "er_golden_records", "dag_final_table",
         "ann_ivf_topk", "ann_ivf_topk_sq8", "ann_ivf_topk_pq",
-        "ann_ivf_topk_stored", "retrieval_topk_stored"))
+        "ann_ivf_topk_stored", "retrieval_topk_stored",
+        // the streaming replays are the newest and most
+        // micro-batch-machinery-bound entries — keep their stage
+        // shape attributable from artifact fields (the r15-r18 lesson)
+        "stream_incremental_dedup", "stream_heavy_hitters",
+        "stream_scd2_dim"))
     val jvmRunStart = jvmSnap()
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
     // named queries (the driver never sets it — full runs unaffected).

@@ -38,6 +38,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object Identity {
 
+  /** Convenience overload that DISCARDS the cache cleanup: the sorted
+    * intermediate stays persisted for the session (or until
+    * `spark.catalog.clearCache()`). Long-lived sessions building many
+    * identity relations must use [[withSurrogateKeyManaged]] and run
+    * the returned cleanup after their terminal action. */
   def withSurrogateKey(df: DataFrame, name: String, order: Seq[Column],
                        numPartitions: Int = 0): DataFrame =
     withSurrogateKeyManaged(df, name, order, numPartitions)._1
@@ -59,8 +64,15 @@ object Identity {
     // whenever the plan already splits ≥ cores — at warehouse scale
     // this inserts nothing. Numbering is a row_number over the
     // declared ORDER, so input partitioning cannot change the result.
-    val input = graft.queries.Tables.spread(df)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Persist only when the frame is not already cached: persist() is
+    // a no-op on an already-cached plan, so the unconditional
+    // persist/unpersist pair would silently drop a CALLER's cache when
+    // the spread is a no-op on a pre-persisted input.
+    val spreadDf = graft.queries.Tables.spread(df)
+    val ownCache = spreadDf.storageLevel == StorageLevel.NONE
+    val input =
+      if (ownCache) spreadDf.persist(StorageLevel.MEMORY_AND_DISK)
+      else spreadDf
     val parted = input
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
@@ -72,7 +84,7 @@ object Identity {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     // the counts action materialized `parted`; the input cache has
     // served both passes of the range exchange and is dead weight now
-    input.unpersist(blocking = false)
+    if (ownCache) input.unpersist(blocking = false)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
     // Offsets ride back in via a broadcast join (a when-chain would
     // stop codegen at high partition counts).

@@ -795,9 +795,10 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(bad2.getMessage.contains("function call"), bad2.getMessage)
     // COMPOUND right-hand sides → refused, never silently truncated:
-    // a second wildcard path (would strand `[*].r`), arithmetic, and
-    // string concat
-    for (rhs <- Seq("s.doc.y[*].r", "t.x + 1", "'a' || v")) {
+    // a second wildcard path (would strand `[*].r`), arithmetic,
+    // string concat, a '::' cast suffix (would re-attach '::int' to
+    // the generated exists() boolean), and bitwise XOR
+    for (rhs <- Seq("s.doc.y[*].r", "t.x + 1", "'a' || v", "3::int", "2 ^ v")) {
       val bc = intercept[IllegalArgumentException] {
         DialectShims.rewriteRedshiftSql(
           s"SELECT 1 FROM src s WHERE s.doc.lines[*].q > $rhs")

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNWRAPPED instead of re-logging
+// each line under an "[info] " prefix: the bench's one-line JSON
+// contract has been defeated by that prefix for five judged rounds
+// (BENCH_r15..r19 all carry "parsed": null) — with StdoutOutput the
+// last bench-owned stdout line is bare JSON a tail parser can read.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

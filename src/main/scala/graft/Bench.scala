@@ -268,7 +268,11 @@ object Bench {
         // micro-batch-machinery-bound entries — keep their stage
         // shape attributable from artifact fields (the r15-r18 lesson)
         "stream_incremental_dedup", "stream_heavy_hitters",
-        "stream_scd2_dim"))
+        "stream_scd2_dim",
+        // r19 verdict watch items: the containment/jaccard twin gap
+        // and the one driver-contended pagerank reading — keep both
+        // attributable from artifact fields
+        "dedup_containment", "dedup_ngram_jaccard", "graph_pagerank"))
     val jvmRunStart = jvmSnap()
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
     // named queries (the driver never sets it — full runs unaffected).
@@ -321,6 +325,12 @@ object Bench {
           // Queries persist() intermediates; drop them so nothing is
           // reused across runs or accumulates across the loop.
           spark.catalog.clearCache()
+          // Model-artifact memos (BPE merge table, PQ codebook) must
+          // not survive into the next timed run either: a warm run
+          // that skips learning the artifact its entry declares
+          // understates the true cost (r19 verdict item 3).
+          graft.queries.TextOps.clearModelMemos()
+          graft.queries.AnnOps.clearModelMemos()
         }
       }
       try {
@@ -425,9 +435,33 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    println(compactLine(results.map { case (k, v) => (k, v.median) },
+    // ALWAYS also land the full artifact at a FIXED path, independent
+    // of the contended/partial divert above: the driver's bench parse
+    // has been blind since r15 (sbt wraps stdout, the tail capture
+    // missed the JSON line) — a fixed-path file lets any consumer read
+    // the full result without scraping sbt output. The divert logic
+    // above still protects the committed BENCH_LOCAL.json baseline.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}") }
+    val compact = compactLine(results.map { case (k, v) => (k, v.median) },
       total, coldTotal, minTotal, warmRuns, failed.sorted, contended.sorted,
-      loadAvg, loadAvgEnd, ncpu, sfDir, outFile))
+      loadAvg, loadAvgEnd, ncpu, sfDir, outFile)
+    println(compact)
     spark.stop()
+    // Re-emit the compact line ONCE MORE, directly on fd 1: when run
+    // under sbt the println above is captured and re-printed under an
+    // "[info] " prefix, which has defeated the driver's tail parser
+    // for five straight rounds (BENCH_r15..r19 all "parsed": null).
+    // Writing to FileDescriptor.out bypasses any Java-level stdout
+    // redirection, so the last bench-owned stdout line is BARE JSON.
+    // (Under a plain `java` invocation the line simply appears twice —
+    // a parser reading the last JSON line sees identical content.)
+    try {
+      val fd = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      fd.write((compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fd.flush()
+    } catch { case _: Exception => () }
   }
 }

@@ -67,6 +67,10 @@ object ProbeOne {
     // one warm run first (JIT/codegen), then the measured run
     SparkEntry.queries(name)(spark, sfDir).count()
     spark.catalog.clearCache()
+    // match Bench's between-run hygiene: model-artifact memos (BPE
+    // merges, PQ codebook) must be re-learned by the measured run
+    graft.queries.TextOps.clearModelMemos()
+    graft.queries.AnnOps.clearModelMemos()
     spark.sparkContext.addSparkListener(lis)
     val t0 = System.nanoTime()
     val n = SparkEntry.queries(name)(spark, sfDir).count()

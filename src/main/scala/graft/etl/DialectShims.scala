@@ -1424,16 +1424,17 @@ object DialectShims {
           // followed by '(' is a function call whose argument list
           // would be stranded, and one followed by an arithmetic/
           // concat/subscript/cast continuation ('+', '-', '*', '/',
-          // '|', '%', '[', ':' for '::type', '^') is a compound
-          // expression this pass would silently truncate (e.g.
-          // `> s.doc.y[*].r` consuming only `s.doc.y`, or `> 3::int`
-          // re-attaching '::int' to the generated boolean). Refuse
-          // loudly — the documented contract — instead of rewriting
-          // wrong.
+          // '|', '%', '[', ':' for '::type', '^' exponentiation,
+          // '&' bitwise AND, '#' bitwise XOR, '<'/'>' shifts) is a
+          // compound expression this pass would silently truncate
+          // (e.g. `> s.doc.y[*].r` consuming only `s.doc.y`, or
+          // `> 3::int` re-attaching '::int' to the generated
+          // boolean). Refuse loudly — the documented contract —
+          // instead of rewriting wrong.
           val afterCmp = sql.substring(m.end + cm.end)
             .dropWhile(_.isWhitespace)
           val compound = afterCmp.nonEmpty &&
-            "(+-*/|%[:^".contains(afterCmp.charAt(0))
+            "(+-*/|%[:^&#<>".contains(afterCmp.charAt(0))
           require(!compound,
             s"PartiQL [*] wildcard comparison operand must be a single " +
               s"literal, number, or column — not a compound expression " +

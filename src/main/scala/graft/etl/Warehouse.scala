@@ -368,8 +368,11 @@ final class Warehouse(
         // latency without fanning a small table into cores-many files
         // (32 near-empty write tasks measured as pure deser/scheduling
         // overhead under the level-parallel source loads)
+        // spreadWide (all-columns hash), not spread: a generic
+        // relation's head column can be low-cardinality or skewed,
+        // which would collapse the fan-out into 1-2 hot write tasks
         val out = if (design.exists(_.sortKeys.nonEmpty)) df
-                  else graft.queries.Tables.spread(df, cap = 8)
+                  else graft.queries.Tables.spreadWide(df, cap = 8)
         out.write.mode("overwrite").parquet(loc)
       }
       registerAt(target, loc, design)

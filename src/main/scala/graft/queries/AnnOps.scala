@@ -752,6 +752,11 @@ object AnnOps {
   private val pqCodebookCache =
     scala.collection.concurrent.TrieMap[String, Array[Double]]()
 
+  /** Drop the trained PQ codebook. Bench calls this between timed runs
+    * (next to `clearCache()`) so every run re-trains the model artifact
+    * its entry declares — see [[TextOps.clearModelMemos]]. */
+  private[graft] def clearModelMemos(): Unit = pqCodebookCache.clear()
+
   private def pqCodebook(spark: SparkSession, sfDir: String): Array[Double] =
     pqCodebookCache.getOrElseUpdate(sfDir, trainPqCodebook(spark, sfDir))
 

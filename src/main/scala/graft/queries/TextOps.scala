@@ -1336,6 +1336,12 @@ object TextOps {
   private val bpeMergeCache =
     scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
+  /** Drop the learned BPE merge table. Bench calls this between timed
+    * runs (next to `clearCache()`) so every run re-learns the model
+    * artifact its entry declares — a memo that survived across runs
+    * made warm medians understate the true cost. */
+  private[graft] def clearModelMemos(): Unit = bpeMergeCache.clear()
+
   private def bpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")

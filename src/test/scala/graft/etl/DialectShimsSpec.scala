@@ -797,8 +797,10 @@ class DialectShimsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // COMPOUND right-hand sides → refused, never silently truncated:
     // a second wildcard path (would strand `[*].r`), arithmetic,
     // string concat, a '::' cast suffix (would re-attach '::int' to
-    // the generated exists() boolean), and bitwise XOR
-    for (rhs <- Seq("s.doc.y[*].r", "t.x + 1", "'a' || v", "3::int", "2 ^ v")) {
+    // the generated exists() boolean), exponentiation ('^' in
+    // Redshift), bitwise AND/XOR ('&'/'#'), and shifts ('<<'/'>>')
+    for (rhs <- Seq("s.doc.y[*].r", "t.x + 1", "'a' || v", "3::int",
+        "2 ^ v", "3 # 1", "4 & 2", "1 << 2", "8 >> 1")) {
       val bc = intercept[IllegalArgumentException] {
         DialectShims.rewriteRedshiftSql(
           s"SELECT 1 FROM src s WHERE s.doc.lines[*].q > $rhs")

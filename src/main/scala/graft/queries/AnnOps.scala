@@ -953,7 +953,12 @@ object AnnOps {
                     indexTable: graft.etl.TableName,
                     corpus: DataFrame): Unit = {
     val spark = corpus.sparkSession
-    wh.writeTable(centsTable, centroids(spark, sfDir)._1)
+    // ONE file for the centroid table — the DISTSTYLE ALL layout: √n
+    // rows, every consumer broadcasts it. The collected local relation
+    // otherwise plans cores-many near-empty write tasks (probed: a
+    // 32-task write stage at 37 s summed run / 9 s task-deser for 45
+    // rows) and every downstream scan then pays 32 tiny splits.
+    wh.writeTable(centsTable, centroids(spark, sfDir)._1.coalesce(1))
     wh.writeTable(indexTable,
       ivfEncode(spark, spark.table(centsTable.quoted), corpus))
   }
